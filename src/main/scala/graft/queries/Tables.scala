@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables
+  * (/root/repo/TESTDATA.md). One parquet per table; `events.ts` is
+  * nanosecond-precision INT64 which Spark's parquet reader rejects unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true` — sessions set that config
+  * and `events` exposes `ts` as epoch-nanos LongType plus a derived
+  * microsecond `ts_ts` TimestampType column for time arithmetic.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** events with `ts` = epoch nanos (LongType) and `ts_ts` = truncated-to-
+    * micros TimestampType. DuckDB equivalent of `ts`: `epoch_ns(ts)`.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    t(s, d, "events").withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
