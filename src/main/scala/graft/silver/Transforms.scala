@@ -36,7 +36,7 @@ object Transforms {
     * collapse to one row via the window (SURVEY.md §2.9.1); we keep that
     * behavior but add a deterministic tiebreaker (cst_key) for equal dates.
     */
-  def custInfo(df: DataFrame): DataFrame = {
+  def custInfo(df: DataFrame, extraTiebreak: Seq[Column] = Nil): DataFrame = {
     val cleaned = df
       .withColumn("cst_firstname", trim(col("cst_firstname")))
       .withColumn("cst_lastname", trim(col("cst_lastname")))
@@ -49,7 +49,7 @@ object Transforms {
           .when(normCode(col("cst_gndr")) === "M", "Male")
           .otherwise("n/a"))
     Relational.dedupLatest(cleaned, Seq("cst_id"),
-        Seq(col("cst_create_date").desc_nulls_last, col("cst_key").desc))
+        Seq(col("cst_create_date").desc_nulls_last, col("cst_key").desc) ++ extraTiebreak)
       .select("cst_id", "cst_key", "cst_firstname", "cst_lastname",
         "cst_marital_status", "cst_gndr", "cst_create_date")
   }
