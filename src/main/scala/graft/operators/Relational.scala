@@ -48,6 +48,25 @@ object Relational {
   def surrogateKey(df: DataFrame, keyCol: String, order: Seq[Column]): DataFrame =
     df.withColumn(keyCol, row_number().over(Window.orderBy(order: _*)).cast("long"))
 
+  /** Gap-based sessionization: assign a per-key session index that
+    * increments whenever the gap to the previous event exceeds
+    * `gapMicros`. Batch twin of the streaming
+    * flatMapGroupsWithState sessionizer — two windows over one hash
+    * exchange on `key`.
+    */
+  def sessionize(df: DataFrame, key: String, tsMicros: String,
+                 gapMicros: Long, order: Seq[Column] = Nil): DataFrame = {
+    val ord = if (order.nonEmpty) order else Seq(col(tsMicros).asc)
+    val w = Window.partitionBy(key).orderBy(ord: _*)
+    df.withColumn("__prev", lag(col(tsMicros), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(tsMicros) - col("__prev") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev", "__new")
+  }
+
   /** Scalable surrogate key: same contract (dense 1..N following the sort
     * order) without the global single-partition sort. Two-phase: sort into
     * range partitions, count rows per partition on a second pass over the

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.operators.Relational
+import Q.sqlLong
+
+/** Training-data text operators over the `documents` table: exact dedup,
+  * MinHash+LSH candidate pairs, SimHash, n-gram Jaccard, language ID,
+  * quality scoring, token counting, fingerprinting, and gap
+  * sessionization over `events`. Each has a DuckDB oracle re-deriving the
+  * identical md5-based hashes.
+  */
+object TextQueries {
+
+  private val tokSql = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  // doc-side shingles: word 3-grams
+  private def shingles = TextOps.wordNgrams(TextOps.tokens(col("text")), 3)
+  private val shingleSql =
+    s"""CASE WHEN len($tokSql) >= 3
+        THEN list_transform(range(len($tokSql) - 2),
+               i -> array_to_string(list_slice($tokSql, i + 1, i + 3), ' '))
+        ELSE [] END"""
+
+  private def minhashSql(seed: Int, of: String) =
+    s"list_aggregate(list_transform($of, x -> md5('s$seed' || x)), 'min')"
+
+  // 32-bit simhash SQL (explode + 32 conditional sums; same values as the
+  // Spark array-aggregate single-pass form)
+  private val simhashSql: String = {
+    val sums = (0 until 32).map(j =>
+      s"sum(CASE WHEN substring(md5(tok), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n           ")
+    val value = (0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest($tokSql) AS tok FROM documents
+        WHERE len($tokSql) > 0),
+      bits AS (
+        SELECT doc_id,
+           $sums
+        FROM toks GROUP BY doc_id)
+      SELECT doc_id, CAST($value AS BIGINT) AS simhash
+      FROM bits ORDER BY doc_id"""
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // t1: exact dedup by normalized-text fingerprint (hash-groupBy).
+    Q("t1_exact_dedup",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("fp"),
+      Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // t2: MinHash signature (4 components over word 3-gram shingles).
+    Q("t2_minhash_signature",
+      (s, d) => {
+        val sig = TextOps.minhashSignature(shingles, 4)
+        Tables.documents(s, d).select(col("doc_id") +: sig: _*).orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               ${(0 until 4).map(i => minhashSql(i, shingleSql) + s" AS mh$i").mkString(",\n               ")}
+        FROM documents ORDER BY doc_id""")),
+
+    // t3: LSH dup-candidate pairs — docs sharing any of 2 bands
+    // (2 minhash rows per band); the O(n²) pair space becomes a
+    // band-value equijoin.
+    Q("t3_lsh_dup_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bands = TextOps.lshBands(shingles, 4, 2)
+        val banded = docs.select(col("doc_id") +: bands: _*)
+        val exploded = banded.select(col("doc_id"),
+          explode(map(lit(0), col("band0"), lit(1), col("band1"))).as(Seq("band_idx", "band_val")))
+        val a = exploded.toDF("id_a", "band_idx", "band_val")
+        val b = exploded.toDF("id_b", "band_idx", "band_val")
+        a.join(b, Seq("band_idx", "band_val"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH sig AS (
+          SELECT doc_id,
+                 ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
+                 ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
+          FROM documents),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig
+          UNION ALL
+          SELECT doc_id, 1, band1 FROM sig)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+        ORDER BY id_a, id_b""")),
+
+    // t4: n-gram Jaccard similarity between consecutive documents
+    // (pair generation kept trivial; the similarity math is the point).
+    Q("t4_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.select(col("doc_id").as("id_a"), TextOps.tokens(col("text")).as("ta"))
+        val b = docs.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+          TextOps.tokens(col("text")).as("tb"))
+        a.join(b, "id_a")
+          .select(col("id_a"), col("id_b"),
+            Q.cents(TextOps.jaccard(col("ta"), col("tb")) * 100).as("jaccard_e4"))
+          .orderBy("id_a")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          ${Q.sqlCents("""(CASE WHEN (len(list_distinct(a.toks)) + len(list_distinct(b.toks))
+                 - len(list_filter(list_distinct(a.toks), x -> list_contains(b.toks, x)))) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(list_distinct(a.toks), x -> list_contains(b.toks, x))) AS DOUBLE)
+                 / CAST(len(list_distinct(a.toks)) + len(list_distinct(b.toks))
+                   - len(list_filter(list_distinct(a.toks), x -> list_contains(b.toks, x))) AS DOUBLE) END) * 100""")} AS jaccard_e4
+        FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        ORDER BY id_a""")),
+
+    // t5: 32-bit SimHash per document.
+    Q("t5_simhash",
+      (s, d) => Tables.documents(s, d)
+        .filter(size(TextOps.tokens(col("text"))) > 0)
+        .select(col("doc_id"), TextOps.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id"),
+      Some(simhashSql)),
+
+    // t9: language-ID heuristic + stopword ratio (per-mille, exact).
+    Q("t9_lang_id",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          TextOps.langIdHeuristic(toks).as("lang_pred"),
+          floor(TextOps.stopwordRatio(toks) * 1000).cast("long").as("sw_ratio_pm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, $tokSql AS toks FROM documents),
+        r AS (
+          SELECT doc_id, lang,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                      ['the','a','an','of','and','to','in','is','are','for','on','with','as','at','by','it','this','that','was','be'],
+                      lower(x)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS sw
+          FROM t)
+        SELECT doc_id, lang,
+               CASE WHEN sw >= 0.15 THEN 'en' ELSE 'unk' END AS lang_pred,
+               CAST(floor(sw * 1000) AS BIGINT) AS sw_ratio_pm
+        FROM r ORDER BY doc_id""")),
+
+    // t10: quality scoring — integer feature counts + a deterministic
+    // composite score.
+    Q("t10_quality_score",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+          (when(size(toks) >= 10, 1).otherwise(0) +
+            when(length(col("text")) >= 50, 1).otherwise(0) +
+            when(size(array_distinct(toks)) * 2 >= size(toks), 1).otherwise(0))
+            .cast("long").as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $tokSql AS toks FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish,
+               CAST((CASE WHEN len(toks) >= 10 THEN 1 ELSE 0 END)
+                  + (CASE WHEN length(text) >= 50 THEN 1 ELSE 0 END)
+                  + (CASE WHEN len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE 0 END) AS BIGINT) AS quality
+        FROM t ORDER BY doc_id""")),
+
+    // t11: token counting, whitespace + BPE-ish, aggregated per source.
+    Q("t11_token_count",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          sum(TextOps.tokenCount(col("text"))).as("ws_tokens"),
+          sum(TextOps.bpeishTokenCount(col("text"))).as("bpeish_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source"),
+      Some(s"""
+        SELECT source,
+               CAST(sum(len($tokSql)) AS BIGINT) AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpeish_tokens,
+               count(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // t12: document fingerprints — normalized md5 (oracle-checked) and
+    // Karp-Rabin rolling hash (checked too: integer arithmetic is exact).
+    Q("t12_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp_md5"),
+          TextOps.rollingHash(col("text")).as("fp_roll"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+               CAST(list_reduce(
+                 list_prepend(0::BIGINT, list_transform(string_split_regex(text, ''), c -> ord(c))),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp_roll
+        FROM documents ORDER BY doc_id""")),
+
+    // s1: gap sessionization (30 min) over the event stream's batch twin.
+    Q("s1_sessionize",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("ts_us", expr("ts div 1000"))
+        Relational.sessionize(ev, "user_id", "ts_us", 1800L * 1000000,
+            order = Seq(col("ts_us").asc, col("event_id").asc))
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        lagd AS (
+          SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev_us
+          FROM ev),
+        flags AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM lagd),
+        sess AS (
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM flags)
+        SELECT user_id, session_idx, count(*) AS n_events,
+               CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us
+        FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""))
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.vector.VectorOps
+
+/** Embedding similarity search over the `embeddings` table
+  * (`array<float>` 64-dim). The brute-force top-k and threshold queries
+  * are oracle-checked against DuckDB (cosines promoted to double on both
+  * sides; only rankings/threshold sets are compared, never raw floats).
+  * The LSH variant is the scale path — identical contract, bucket-join
+  * candidate generation — and is rows-only checked (its plane projections
+  * are engine-internal).
+  */
+object VectorQueries {
+
+  private val castD = "CAST(%s AS DOUBLE[])"
+
+  val all: Seq[Q] = Seq(
+
+    // v1: exact cosine top-5 for the first 10 vectors (ids + rank only).
+    Q("v1_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        VectorOps.bruteForceTopK(queries, emb, 5)
+          .select(col("qid"), col("rnk"), col("vec_id").as("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT qid, e.vec_id AS nid,
+                 list_cosine_similarity(${castD.format("qv")}, ${castD.format("e.embedding")}) AS cos
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid),
+        ranked AS (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // v2: embedding-cosine near-duplicate pairs, blocked by cluster label.
+    Q("v2_neardup_pairs",
+      (s, d) => VectorOps.nearDupPairs(Tables.embeddings(s, d),
+          "label", "vec_id", "embedding", 0.35)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(${castD.format("a.embedding")}, ${castD.format("b.embedding")}) >= 0.35
+        ORDER BY id_a, id_b""")),
+
+    // v3: LSH-bucketed approximate top-k (scale path; rows-only check —
+    // recall vs v1 is asserted in the ScalaTest spec instead).
+    Q("v3_lsh_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        VectorOps.lshTopK(queries, emb, 5, planes = 4, dims = 64)
+          .select(col("qid"), col("rnk"), col("vec_id").as("nid"))
+          .orderBy("qid", "rnk")
+      },
+      None),
+
+    // m1: multimodal metadata extraction — text treated as an opaque
+    // binary payload: byte length, content hash, head-bytes "thumbnail".
+    Q("m1_multimodal_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          sha2(col("text"), 256).as("content_sha"),
+          lower(hex(encode(substring(col("text"), 1, 16), "UTF-8"))).as("head_hex"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS content_sha,
+               lower(hex(encode(substring(text, 1, 16)))) AS head_hex
+        FROM documents ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup primitives for large-scale training-data
+  * pipelines. Everything here is a composition of built-in, codegen'd
+  * column expressions — no UDFs — so whole-stage codegen applies and the
+  * operators run at scan speed on a 1000-executor cluster.
+  *
+  * Cross-engine determinism: hashes are md5 hex strings (identical in any
+  * engine), never JVM/engine-specific hash functions; ratios divide exact
+  * integer counts in double precision (single IEEE op, bit-identical
+  * across engines).
+  */
+object TextOps {
+
+  /** Whitespace tokenization, empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), x => x =!= "")
+
+  /** Word n-gram shingles joined with single spaces; fewer than n tokens
+    * yields an empty array.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** One MinHash component: min over the shingle set of md5(seed‖shingle).
+    * Hex-string min == numeric min of the 128-bit hash, and is portable.
+    * k independent components (seeds s0..s{k-1}) form the signature; at
+    * scale this is a narrow map — no shuffle.
+    */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, x => md5(concat(lit(s"s$seed"), x))))
+
+  def minhashSignature(shingles: Column, k: Int): Seq[Column] =
+    (0 until k).map(s => minhash(shingles, s).as(s"mh$s"))
+
+  /** LSH band value: concatenation of `rowsPerBand` adjacent signature
+    * components. Docs sharing any band value are dup candidates — join on
+    * (band_idx, band_value) instead of all-pairs.
+    */
+  def lshBands(shingles: Column, k: Int, rowsPerBand: Int): Seq[Column] = {
+    require(k % rowsPerBand == 0, "k must divide into bands")
+    (0 until k / rowsPerBand).map { b =>
+      concat_ws("|",
+        (0 until rowsPerBand).map(r => minhash(shingles, b * rowsPerBand + r)): _*)
+        .as(s"band$b")
+    }
+  }
+
+  /** 32-bit SimHash over md5 nibbles: bit j of a token votes +1/-1 by the
+    * high bit of hex digit j of its md5; the document bit is the vote
+    * sign. Single pass over the token array (array-accumulator aggregate),
+    * integer arithmetic only.
+    */
+  def simhash32(toks: Column): Column = {
+    val highNibble = typedLit(Seq("8", "9", "a", "b", "c", "d", "e", "f"))
+    val bits: Column => Column = x =>
+      transform(sequence(lit(0), lit(31)),
+        j => when(array_contains(highNibble, substring(md5(x), lit(1) + j, lit(1))), 1).otherwise(-1))
+    val votes = aggregate(toks,
+      array_repeat(lit(0), 32),
+      (acc, x) => zip_with(acc, bits(x), (a, b) => a + b))
+    (0 until 32).map(j =>
+      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _).cast("long")
+  }
+
+  /** Jaccard similarity of two token arrays over distinct elements.
+    * i = |distinct(a) ∩ b|, u = |distinct(a)| + |distinct(b)| − i.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(filter(array_distinct(a), x => array_contains(b, x)))
+    val u = size(array_distinct(a)) + size(array_distinct(b)) - i
+    when(u === 0, 0.0).otherwise(i.cast("double") / u.cast("double"))
+  }
+
+  /** English stopword list used by the language-ID heuristic and quality
+    * scoring (fixed, tiny — broadcast as a literal array).
+    */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "are", "for",
+      "on", "with", "as", "at", "by", "it", "this", "that", "was", "be")
+
+  /** Fraction of tokens that are English stopwords (0 when no tokens). */
+  def stopwordRatio(toks: Column): Column = {
+    val sw = typedLit(enStopwords)
+    val n = size(toks)
+    when(n === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(sw, lower(t)))).cast("double") / n.cast("double"))
+  }
+
+  /** N-gram-free language-ID heuristic: 'en' when the stopword ratio
+    * clears a threshold, else 'unk'. (A real profile-based n-gram model
+    * slots in behind the same Column contract.)
+    */
+  def langIdHeuristic(toks: Column, threshold: Double = 0.15): Column =
+    when(stopwordRatio(toks) >= threshold, "en").otherwise("unk")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * other non-space chars (the classic pre-tokenizer upper bound).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long")
+
+  /** Canonical-text fingerprint: lowercase, collapse whitespace, trim,
+    * md5. Identical prose with different spacing/casing collides — the
+    * standard exact-dup key after normalization.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Karp-Rabin rolling polynomial hash (base 31, mod 1e9+7) over the
+    * document's characters — order-sensitive unlike [[fingerprint]].
+    * Engine-native integer arithmetic, single pass; the modulus keeps
+    * acc*31 far below Long overflow (ANSI mode would throw on wrap).
+    */
+  def rollingHash(text: Column): Column = {
+    val mod = lit(1000000007L)
+    aggregate(filter(split(text, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch).cast("long"), mod))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search primitives over `array<float>` columns.
+  *
+  * All arithmetic is promoted to double before any reduction so results
+  * are engine-portable and precision doesn't collapse on long vectors.
+  * The brute-force path is the correctness baseline; the LSH path is the
+  * 100 TB scale path (candidate generation by bucket join instead of a
+  * cross join — cross-join cost O(|Q|·|C|) becomes O(Σ bucket²)).
+  */
+object VectorOps {
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential left-to-right dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors for each query vector: broadcast the (small)
+    * query set, stream the corpus through a map-side cross join, rank per
+    * query. No corpus shuffle — the heavy side is touched exactly once.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "qid", qVec: String = "qv",
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val scored = broadcast(queries).crossJoin(corpus)
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficients (±1) for sign-LSH:
+    * plane p, dim i gets the sign of the high bit of md5("p_i"). Computed
+    * once on the driver, shipped as literals — no per-row hashing.
+    */
+  def planeCoefs(plane: Int, dims: Int): Seq[Double] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { i =>
+      val h = mdig.digest(s"${plane}_$i".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1.0 else -1.0
+    }
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of the projection),
+    * concatenated to a bit-string. Vectors in the same bucket are
+    * candidate neighbors; P planes → 2^P buckets.
+    */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(asDouble(vec), typedLit(planeCoefs(p, dims)), (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** Approximate top-k: candidates limited to the query's LSH bucket,
+    * then exact cosine rank within the bucket. Recall trades off with
+    * `planes`; the shuffle is a bucket-key join, never a cross join.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dims: Int,
+              qId: String = "qid", qVec: String = "qv",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val qb = queries.withColumn("bucket", lshBucket(col(qVec), planes, dims))
+    val cb = corpus.withColumn("bucket", lshBucket(col(cVec), planes, dims))
+    val scored = qb.join(cb, "bucket")
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop("bucket")
+  }
+
+  /** Near-duplicate pairs by cosine threshold, blocked by a partition
+    * column (e.g. a cluster label or LSH bucket) so the pair space is
+    * O(Σ block²) instead of O(n²).
+    */
+  def nearDupPairs(df: DataFrame, blockCol: String, idCol: String,
+                   vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+  }
+}
