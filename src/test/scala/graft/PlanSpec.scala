@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.Exchange
+import graft.silver.Transforms
+import graft.queries.{RelationalQueries, Tables}
+
+/** Plan-shape guards — the properties that decide whether an operator
+  * survives a 100× scale-up: filters/projections reaching the parquet
+  * scan, dimension joins broadcast (no fact shuffle), silver transforms
+  * staying map-only (zero exchanges except the dedup window's one).
+  */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def executed(df: org.apache.spark.sql.DataFrame) = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan
+  }
+
+  test("filter + projection are pushed into the parquet scan") {
+    val df = Tables.lineitem(spark, sf001)
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+    val scan = executed(df).toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)"),
+      s"missing pushdown in:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning failed in:\n$scan")
+  }
+
+  test("star join broadcasts the dimension sides — no fact-side shuffle") {
+    val q = RelationalQueries.all.find(_.name == "r10_star_join").get
+    val plan = executed(q.run(spark, sf001))
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$s")
+  }
+
+  test("silver transforms are map-only (exchange count: sales=0, cust=1 for dedup)") {
+    val sales = Transforms.salesDetails(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.Schemas.crmSalesDetails))
+    val salesExchanges = collect(sales.queryExecution.executedPlan) {
+      case e: Exchange => e
+    }
+    assert(salesExchanges.isEmpty, "per-row repair should not shuffle")
+
+    val cust = Transforms.custInfo(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.Schemas.crmCustInfo))
+    val custExchanges = collect(cust.queryExecution.executedPlan) {
+      case e: Exchange => e
+    }
+    assert(custExchanges.size == 1, "dedup window needs exactly one hash exchange")
+  }
+
+  test("whole-stage codegen covers the expression-heavy silver path") {
+    val df = Transforms.salesDetails(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.Schemas.crmSalesDetails))
+    // codegen'd stages print as "*(n)" in the physical plan
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+}

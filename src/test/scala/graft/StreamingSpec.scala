@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import graft.operators.Relational
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val us = 1000000L
+  private def ev(id: Long, tsSec: Long, user: Long, typ: String = "click") =
+    Event(id, tsSec * us, user, typ, 1.0)
+
+  test("windowedCounts over a MemoryStream matches the batch twin") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      ev(1, 100, 1), ev(2, 200, 1, "buy"), ev(3, 3700, 2), ev(4, 3800, 2))
+    val q = EventStreams.windowedCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("wc_out")
+      .select("bucket", "event_type", "cnt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStreams.windowedCounts(
+      Seq(ev(1, 100, 1), ev(2, 200, 1, "buy"), ev(3, 3700, 2), ev(4, 3800, 2)).toDF(),
+      "1 hour", "10 minutes")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((0L, "click", 1L), (0L, "buy", 1L), (3600L, "click", 2L)))
+  }
+
+  test("streaming sessionize closes sessions after the gap via event-time timeout") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapUs = 1800L * us)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // session 1: two events close together; then a far-future event moves
+    // the watermark past session 1's timeout so it emits
+    mem.addData(ev(1, 100, 7), ev(2, 200, 7))
+    q.processAllAvailable()
+    mem.addData(ev(3, 100000, 7))
+    q.processAllAvailable()
+    mem.addData(ev(4, 200000, 7))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_out").as[EventStreams.Session].collect()
+    assert(sessions.exists(s =>
+      s.user_id == 7 && s.session_start_us == 100 * us &&
+        s.session_end_us == 200 * us && s.n_events == 2))
+  }
+
+  test("batch sessionize agrees with the window-based operator") {
+    val events = (1 to 200).map { i =>
+      ev(i.toLong, i.toLong * 600 * (i % 7 + 1) % 500000, i % 5 + 1)
+    }
+    val viaState = EventStreams.sessionizeBatch(events.toDS(), 1800L * us)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaWindow = Relational.sessionize(events.toDF(), "user_id", "ts_us", 1800L * us,
+        order = Seq(col("ts_us").asc, col("event_id").asc))
+      .groupBy("user_id").agg(countDistinct("session_idx").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaState == viaWindow)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    spark.range(1).select(c).head()
+
+  test("tokens drops empties; ngrams build sliding windows") {
+    val df = Seq("a b  c d").toDF("text")
+    val toks = df.select(TextOps.tokens(col("text"))).head().getSeq[String](0)
+    assert(toks == Seq("a", "b", "c", "d"))
+    val grams = df.select(TextOps.wordNgrams(TextOps.tokens(col("text")), 3))
+      .head().getSeq[String](0)
+    assert(grams == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(TextOps.wordNgrams(TextOps.tokens(col("text")), 3)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val df = Seq(("A  B\tc", 1), ("a b C", 2), ("a b d", 3)).toDF("text", "id")
+    val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("jaccard: identical=1, disjoint=0, known overlap") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(TextOps.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+    val same = df.select(TextOps.jaccard(col("x"), col("x"))).head().getDouble(0)
+    assert(same == 1.0)
+    val disj = df.select(TextOps.jaccard(col("x"), typedLit(Seq("z")))).head().getDouble(0)
+    assert(disj == 0.0)
+  }
+
+  test("minhash: equal shingle sets get equal signatures; supersets keep mins") {
+    val df = Seq(
+      (1, Seq("x y z", "y z w")), (2, Seq("y z w", "x y z")), (3, Seq("q r s"))
+    ).toDF("id", "sh")
+    val sig = df.select(col("id"), TextOps.minhash(col("sh"), 0).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(sig(1) == sig(2)) // order-insensitive
+    assert(sig(1) != sig(3))
+  }
+
+  test("simhash: identical docs equal; token-count invariant") {
+    val df = Seq("spark makes big data small", "spark makes big data small",
+      "entirely different words here now").toDF("text")
+    val hs = df.select(TextOps.simhash32(TextOps.tokens(col("text")))).collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+    assert(hs.forall(h => h >= 0 && h < (1L << 32)))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq("hello world, 42 times!").toDF("text")
+    assert(df.select(TextOps.tokenCount(col("text"))).head().getLong(0) == 4)
+    // hello | world | , | 42 | times | !  = 6
+    assert(df.select(TextOps.bpeishTokenCount(col("text"))).head().getLong(0) == 6)
+  }
+
+  test("rollingHash: order-sensitive, matches hand-computed value") {
+    val df = Seq("ab", "ba").toDF("text")
+    val hs = df.select(TextOps.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(hs(0) == 97L * 31 + 98)  // 'a'*31 + 'b'
+    assert(hs(0) != hs(1))
+  }
+
+  test("stopwordRatio + langIdHeuristic") {
+    val en = Seq("the cat sat on the mat").toDF("text")
+    val ratio = en.select(TextOps.stopwordRatio(TextOps.tokens(col("text")))).head().getDouble(0)
+    assert(ratio == 0.5) // the, on, the of 6
+    val pred = en.select(TextOps.langIdHeuristic(TextOps.tokens(col("text")))).head().getString(0)
+    assert(pred == "en")
+    val zz = Seq("zzz qqq www").toDF("text")
+      .select(TextOps.langIdHeuristic(TextOps.tokens(col("text")))).head().getString(0)
+    assert(zz == "unk")
+  }
+}

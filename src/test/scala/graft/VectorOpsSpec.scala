@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(2.0f, 0.0f)))
+      .toDF("x", "y", "x2")
+    assert(df.select(VectorOps.cosine(col("x"), col("y"))).head().getDouble(0) == 0.0)
+    assert(df.select(VectorOps.cosine(col("x"), col("x2"))).head().getDouble(0) == 1.0)
+    val c = df.select(VectorOps.cosine(col("x"), typedLit(Seq(1.0f, 1.0f)))).head().getDouble(0)
+    assert(math.abs(c - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK: identical vector ranks first, k respected") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = VectorOps.bruteForceTopK(queries, emb, 3).cache()
+    val counts = top.groupBy("qid").count().collect()
+    assert(counts.forall(_.getLong(1) == 3))
+    // ranks are 1..3 and cosine non-increasing within each query
+    val byQ = top.orderBy("qid", "rnk")
+      .select("qid", "rnk", "cos").collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+      val cs = rows.map(_.getDouble(2)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+    top.unpersist()
+  }
+
+  test("lshTopK returns ranked neighbors from matching buckets; recall sane") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = VectorOps.bruteForceTopK(queries, emb, 5)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val approx = VectorOps.lshTopK(queries, emb, 5, planes = 2, dims = 64)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"lsh recall@5 (2 planes) = $recall%.2f")
+    assert(recall > 0.05) // 2 planes = 4 buckets -> ~1/4 of corpus scanned
+  }
+
+  test("nearDupPairs finds planted duplicates within a block") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, 0, Seq(1.0f, 2.0f, 3.0f)),   // exact dup of 1
+      (3L, 0, Seq(-1.0f, 2.0f, -3.0f)),
+      (4L, 1, Seq(1.0f, 2.0f, 3.0f))    // dup content, other block
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = VectorOps.nearDupPairs(df, "label", "vec_id", "embedding", 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // block boundary respected
+  }
+}
