@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: initialize FS/codegen/shuffle machinery outside the timers
+    SparkEntry.queries.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
     // noop sink forces full computation of every operator in the plan
     // (count() would let Catalyst drop projections and wide transforms).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot dedup hashes. The builtin
+  * compositions in graft.text.TextOps (array aggregate/transform lambdas)
+  * are portable but run interpreted — higher-order functions have no
+  * codegen. These expressions compute the IDENTICAL values (byte-for-byte
+  * the same md5-hex algorithms, verified by HashExprsSpec against the
+  * builtin forms) in one JVM call per row inside whole-stage codegen —
+  * the difference between interpreter-bound and scan-bound at 100 TB.
+  */
+object HashAlgos {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf); out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 32-bit SimHash: one +1/−1 vote per md5 hex nibble's high bit —
+    * exactly TextOps.simhash32's semantics.
+    */
+  def simhash32(arr: ArrayData): Long = {
+    val votes = new Array[Int](32)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val md = digest.get(); md.reset()
+        val d = md.digest(s.getBytes)
+        var j = 0
+        while (j < 32) {
+          val nib = if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+          votes(j) += (if ((nib & 8) != 0) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) h |= 1L << j; j += 1 }
+    h
+  }
+
+  /** MinHash component: lexicographic min of md5(prefix‖shingle) hex —
+    * exactly TextOps.minhash's semantics. Null for empty/all-null input.
+    */
+  def minhash(arr: ArrayData, prefix: UTF8String): UTF8String = {
+    val n = arr.numElements()
+    val pb = prefix.getBytes
+    var min: String = null
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val md = digest.get(); md.reset()
+        md.update(pb)
+        val h = hex(md.digest(s.getBytes))
+        if (min == null || h.compareTo(min) < 0) min = h
+      }
+      i += 1
+    }
+    if (min == null) null else UTF8String.fromString(min)
+  }
+}
+
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.simhash32(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+case class MinHash(child: Expression, seed: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  private lazy val prefix = UTF8String.fromString(s"s$seed")
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.minhash(input.asInstanceOf[ArrayData], prefix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("prefix", prefix, classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashAlgos.minhash($c, $p);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHash =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the native expressions. */
+object native {
+  import org.apache.spark.sql.graft.bridge
+  private def toCol(e: Expression): Column = bridge.column(e)
+  private def toExpr(c: Column): Expression = bridge.expression(c)
+  def simhash32(tokens: Column): Column = toCol(SimHash32(toExpr(tokens)))
+  def minhash(shingles: Column, seed: Int): Column = toCol(MinHash(toExpr(shingles), seed))
+  def minhashSignature(shingles: Column, k: Int): Seq[Column] =
+    (0 until k).map(s => minhash(shingles, s).as(s"mh$s"))
+  def lshBands(shingles: Column, k: Int, rowsPerBand: Int): Seq[Column] = {
+    require(k % rowsPerBand == 0, "k must divide into bands")
+    import org.apache.spark.sql.functions.concat_ws
+    (0 until k / rowsPerBand).map { b =>
+      concat_ws("|",
+        (0 until rowsPerBand).map(r => minhash(shingles, b * rowsPerBand + r)): _*)
+        .as(s"band$b")
+    }
+  }
+}

@@ -258,41 +258,40 @@ dim_products AS (
 
   val all: Seq[Q] = Seq(
     Q("e1_silver_cust_info",
-      (s, d) => silverCust(s, d).orderBy("cst_id"),
+      (s, d) => silverCust(s, d),
       Some(cte + "SELECT * FROM cust_silver ORDER BY cst_id")),
 
     Q("e2_silver_prd_info",
-      (s, d) => silverPrd(s, d).orderBy("prd_id"),
+      (s, d) => silverPrd(s, d),
       Some(cte + """SELECT prd_id, cat_id, prd_key, prd_nm, prd_cost, prd_line, prd_start_dt, prd_end_dt
         FROM prd_silver ORDER BY prd_id""")),
 
     Q("e3_silver_sales_details",
-      (s, d) => silverSales(s, d).orderBy("sls_ord_num", "sls_prd_key", "sls_quantity"),
+      (s, d) => silverSales(s, d),
       Some(cte + "SELECT * FROM sales_silver ORDER BY sls_ord_num, sls_prd_key, sls_quantity")),
 
     Q("e4_silver_cust_az12",
-      (s, d) => silverAz(s, d).orderBy("cid"),
+      (s, d) => silverAz(s, d),
       Some(cte + "SELECT * FROM az_silver ORDER BY cid")),
 
     Q("e5_silver_loc_a101",
-      (s, d) => silverLoc(s, d).orderBy("cid"),
+      (s, d) => silverLoc(s, d),
       Some(cte + "SELECT * FROM loc_silver ORDER BY cid")),
 
     Q("e6_silver_px_cat",
-      (s, d) => silverPx(s, d).orderBy("id"),
+      (s, d) => silverPx(s, d),
       Some(cte + "SELECT * FROM px_src ORDER BY id")),
 
     Q("e7_dim_customers",
-      (s, d) => dimCustomers(s, d).orderBy("customer_key"),
+      (s, d) => dimCustomers(s, d),
       Some(cte + "SELECT * FROM dim_customers ORDER BY customer_key")),
 
     Q("e8_dim_products",
-      (s, d) => dimProducts(s, d).orderBy("product_key"),
+      (s, d) => dimProducts(s, d),
       Some(cte + "SELECT * FROM dim_products ORDER BY product_key")),
 
     Q("e9_fact_sales",
-      (s, d) => Builders.factSales(silverSales(s, d), dimProducts(s, d), dimCustomers(s, d))
-        .orderBy("order_number", "product_key", "quantity", "sales_amount"),
+      (s, d) => Builders.factSales(silverSales(s, d), dimProducts(s, d), dimCustomers(s, d)),
       Some(cte + """
         SELECT sd.sls_ord_num AS order_number, pr.product_key, cu.customer_key,
                sd.sls_order_dt AS order_date, sd.sls_ship_dt AS shipping_date,

@@ -32,8 +32,7 @@ object RelationalQueries {
           sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_cents"),
           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge_cents"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"),
+          count(lit(1)).as("count_order")),
       Some(s"""
         SELECT l_returnflag, l_linestatus,
           CAST(sum(${sqlLong("l_quantity")}) AS BIGINT) AS sum_qty,
@@ -51,8 +50,7 @@ object RelationalQueries {
       (s, d) => Tables.lineitem(s, d)
         .filter(col("l_quantity") > lit(45.0) && col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), asLong(col("l_quantity")).as("qty"),
-          cents(col("l_extendedprice")).as("price_cents"))
-        .orderBy("l_orderkey", "l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents")),
       Some(s"""
         SELECT l_orderkey, l_linenumber, ${sqlLong("l_quantity")} AS qty,
                ${sqlCents("l_extendedprice")} AS price_cents
@@ -66,8 +64,7 @@ object RelationalQueries {
           when(upper(trim(col("l_returnflag"))) === "A", "Accepted")
             .when(upper(trim(col("l_returnflag"))) === "R", "Returned")
             .otherwise("n/a"))
-        .groupBy("flag_label").agg(count(lit(1)).as("cnt"))
-        .orderBy("flag_label"),
+        .groupBy("flag_label").agg(count(lit(1)).as("cnt")),
       Some("""
         SELECT CASE WHEN upper(trim(l_returnflag)) = 'A' THEN 'Accepted'
                     WHEN upper(trim(l_returnflag)) = 'R' THEN 'Returned'
@@ -85,8 +82,7 @@ object RelationalQueries {
           regexp_replace(col("c_name"), "#", "_").as("name_clean"),
           length(col("c_name")).as("name_len"),
           col("c_name").like("%1%").as("has_one"),
-          col("c_mktsegment").isin("BUILDING", "MACHINERY").as("seg_flag"))
-        .orderBy("c_custkey"),
+          col("c_mktsegment").isin("BUILDING", "MACHINERY").as("seg_flag")),
       Some("""
         SELECT c_custkey,
                upper(trim(c_name)) AS name_upper,
@@ -108,7 +104,6 @@ object RelationalQueries {
             .otherwise(date_format(col("l_shipdate"), "yyyyMMdd").cast("int")))
         li.select(col("l_orderkey"), col("l_linenumber"), col("dt_int"),
             Transforms.repairIntDate(col("dt_int")).as("dt_fixed"))
-          .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""
         WITH src AS (
@@ -129,8 +124,7 @@ object RelationalQueries {
       (s, d) => Relational.dedupLatest(
           Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")).drop("ts", "ts_ts"),
           Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
-        .select("user_id", "event_id", "ts_us", "event_type", "value")
-        .orderBy("user_id"),
+        .select("user_id", "event_id", "ts_us", "event_type", "value"),
       Some("""
         WITH src AS (
           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
@@ -148,7 +142,6 @@ object RelationalQueries {
         Relational.scd2EndDate(o, Seq("o_custkey"), "start_dt", "end_dt",
             tiebreak = Seq(col("o_orderkey")))
           .select("o_custkey", "o_orderkey", "start_dt", "end_dt")
-          .orderBy("o_custkey", "o_orderkey")
       },
       Some("""
         SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS start_dt,
@@ -160,8 +153,7 @@ object RelationalQueries {
     Q("r9_surrogate_key",
       (s, d) => Relational.surrogateKey(Tables.customer(s, d), "customer_sk",
           Seq(col("c_custkey").asc))
-        .select("customer_sk", "c_custkey", "c_name")
-        .orderBy("customer_sk"),
+        .select("customer_sk", "c_custkey", "c_name"),
       Some("""
         SELECT row_number() OVER (ORDER BY c_custkey) AS customer_sk,
                c_custkey, c_name
@@ -178,7 +170,6 @@ object RelationalQueries {
           .select(col("l.l_orderkey"), col("l.l_linenumber"),
             col("p.p_brand"), col("p.p_type"), col("s.s_name"),
             cents(col("l.l_extendedprice")).as("price_cents"))
-          .orderBy("l_orderkey", "l_linenumber")
       },
       Some(s"""
         SELECT l.l_orderkey, l.l_linenumber, p.p_brand, p.p_type, s.s_name,
@@ -192,7 +183,7 @@ object RelationalQueries {
     Q("r11_semi_join",
       (s, d) => Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
-        .select("c_custkey", "c_name").orderBy("c_custkey"),
+        .select("c_custkey", "c_name"),
       Some("""
         SELECT c_custkey, c_name FROM customer
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -203,7 +194,7 @@ object RelationalQueries {
       (s, d) => Tables.customer(s, d)
         .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
           col("c_custkey") === col("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name").orderBy("c_custkey"),
+        .select("c_custkey", "c_name"),
       Some("""
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -220,7 +211,6 @@ object RelationalQueries {
           .select(col("s_nationkey").as("nk"))
         c.union(su).distinct()
           .except(c.intersect(su))
-          .orderBy("nk")
       },
       Some("""
         (SELECT c_nationkey AS nk FROM customer WHERE c_custkey % 20 = 3
@@ -243,7 +233,6 @@ object RelationalQueries {
             sum(col("price_cents")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)).as("running_cents"),
             rank().over(wRank).as("price_rank"),
             lag(col("price_cents"), 1).over(wOrd).as("prev_cents"))
-          .orderBy("o_custkey", "o_orderkey")
       },
       Some(s"""
         WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
@@ -282,8 +271,6 @@ object RelationalQueries {
           .agg(count(lit(1)).as("cnt"),
             grouping(col("n.n_name")).as("g_nation"),
             grouping(col("c.c_mktsegment")).as("g_seg"))
-          .orderBy(col("g_nation"), col("g_seg"), col("n_name").asc_nulls_first,
-            col("c_mktsegment").asc_nulls_first)
       },
       Some("""
         SELECT n.n_name, c.c_mktsegment, count(*) AS cnt,
@@ -301,8 +288,7 @@ object RelationalQueries {
           sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
           sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
-          sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(0)).as("purchase_cents"))
-        .orderBy("user_id"),
+          sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(0)).as("purchase_cents")),
       Some(s"""
         SELECT user_id,
           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -316,8 +302,7 @@ object RelationalQueries {
       (s, d) => Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
-        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
-        .orderBy("event_type"),
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n")),
       Some("""
         SELECT event_type,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -331,8 +316,7 @@ object RelationalQueries {
         .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
         .select(unix_timestamp(col("w.start")).as("bucket"), col("event_type"),
-          col("cnt"), col("value_cents"))
-        .orderBy("bucket", "event_type"),
+          col("cnt"), col("value_cents")),
       Some(s"""
         SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
                count(*) AS cnt,

@@ -15,8 +15,13 @@ object TextQueries {
 
   private val tokSql = "list_filter(string_split(text, ' '), x -> x != '')"
 
-  // doc-side shingles: word 3-grams
-  private def shingles = TextOps.wordNgrams(TextOps.tokens(col("text")), 3)
+  // doc-side shingles: word 3-grams. Tokens are materialized as a column
+  // BEFORE the ngram transform — a lambda body referencing the tokenize
+  // expression tree would re-split the text once per shingle element
+  // (measured 10x slowdown); referencing an attribute is O(1).
+  private def withShingles(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), TextOps.wordNgrams(col("t"), 3).as("sh"))
   private val shingleSql =
     s"""CASE WHEN len($tokSql) >= 3
         THEN list_transform(range(len($tokSql) - 2),
@@ -53,18 +58,21 @@ object TextQueries {
       (s, d) => Tables.documents(s, d)
         .withColumn("fp", TextOps.fingerprint(col("text")))
         .groupBy("fp")
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-        .orderBy("fp"),
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups")),
       Some("""
         SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                min(doc_id) AS keep_id, count(*) AS n_dups
         FROM documents GROUP BY 1 ORDER BY fp""")),
 
     // t2: MinHash signature (4 components over word 3-gram shingles).
+    // Shingles are materialized by a first projection so the 4 seed
+    // expressions share one tokenize+ngram pass (CollapseProject won't
+    // duplicate the expensive alias).
     Q("t2_minhash_signature",
       (s, d) => {
-        val sig = TextOps.minhashSignature(shingles, 4)
-        Tables.documents(s, d).select(col("doc_id") +: sig: _*).orderBy("doc_id")
+        val sig = graft.functions.native.minhashSignature(col("sh"), 4)
+        withShingles(Tables.documents(s, d))
+          .select(col("doc_id") +: sig: _*)
       },
       Some(s"""
         SELECT doc_id,
@@ -77,8 +85,8 @@ object TextQueries {
     Q("t3_lsh_dup_pairs",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val bands = TextOps.lshBands(shingles, 4, 2)
-        val banded = docs.select(col("doc_id") +: bands: _*)
+        val bands = graft.functions.native.lshBands(col("sh"), 4, 2)
+        val banded = withShingles(docs).select(col("doc_id") +: bands: _*)
         val exploded = banded.select(col("doc_id"),
           explode(map(lit(0), col("band0"), lit(1), col("band1"))).as(Seq("band_idx", "band_val")))
         val a = exploded.toDF("id_a", "band_idx", "band_val")
@@ -86,7 +94,6 @@ object TextQueries {
         a.join(b, Seq("band_idx", "band_val"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
-          .orderBy("id_a", "id_b")
       },
       Some(s"""
         WITH sig AS (
@@ -115,7 +122,6 @@ object TextQueries {
         a.join(b, "id_a")
           .select(col("id_a"), col("id_b"),
             Q.cents(TextOps.jaccard(col("ta"), col("tb")) * 100).as("jaccard_e4"))
-          .orderBy("id_a")
       },
       Some(s"""
         WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents)
@@ -131,21 +137,19 @@ object TextQueries {
     // t5: 32-bit SimHash per document.
     Q("t5_simhash",
       (s, d) => Tables.documents(s, d)
-        .filter(size(TextOps.tokens(col("text"))) > 0)
-        .select(col("doc_id"), TextOps.simhash32(TextOps.tokens(col("text"))).as("simhash"))
-        .orderBy("doc_id"),
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), graft.functions.native.simhash32(col("t")).as("simhash")),
       Some(simhashSql)),
 
     // t9: language-ID heuristic + stopword ratio (per-mille, exact).
     Q("t9_lang_id",
-      (s, d) => {
-        val toks = TextOps.tokens(col("text"))
-        Tables.documents(s, d).select(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("t"))
+        .select(
           col("doc_id"), col("lang"),
-          TextOps.langIdHeuristic(toks).as("lang_pred"),
-          floor(TextOps.stopwordRatio(toks) * 1000).cast("long").as("sw_ratio_pm"))
-          .orderBy("doc_id")
-      },
+          TextOps.langIdHeuristic(col("t")).as("lang_pred"),
+          floor(TextOps.stopwordRatio(col("t")) * 1000).cast("long").as("sw_ratio_pm")),
       Some(s"""
         WITH t AS (
           SELECT doc_id, lang, $tokSql AS toks FROM documents),
@@ -164,20 +168,18 @@ object TextQueries {
     // t10: quality scoring — integer feature counts + a deterministic
     // composite score.
     Q("t10_quality_score",
-      (s, d) => {
-        val toks = TextOps.tokens(col("text"))
-        Tables.documents(s, d).select(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("t"))
+        .select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars_actual"),
-          size(toks).cast("long").as("n_tokens"),
-          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("long").as("n_distinct"),
           TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
-          (when(size(toks) >= 10, 1).otherwise(0) +
+          (when(size(col("t")) >= 10, 1).otherwise(0) +
             when(length(col("text")) >= 50, 1).otherwise(0) +
-            when(size(array_distinct(toks)) * 2 >= size(toks), 1).otherwise(0))
-            .cast("long").as("quality"))
-          .orderBy("doc_id")
-      },
+            when(size(array_distinct(col("t"))) * 2 >= size(col("t")), 1).otherwise(0))
+            .cast("long").as("quality")),
       Some(s"""
         WITH t AS (SELECT doc_id, text, $tokSql AS toks FROM documents)
         SELECT doc_id,
@@ -197,8 +199,7 @@ object TextQueries {
         .agg(
           sum(TextOps.tokenCount(col("text"))).as("ws_tokens"),
           sum(TextOps.bpeishTokenCount(col("text"))).as("bpeish_tokens"),
-          count(lit(1)).as("n_docs"))
-        .orderBy("source"),
+          count(lit(1)).as("n_docs")),
       Some(s"""
         SELECT source,
                CAST(sum(len($tokSql)) AS BIGINT) AS ws_tokens,
@@ -212,8 +213,7 @@ object TextQueries {
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
           TextOps.fingerprint(col("text")).as("fp_md5"),
-          TextOps.rollingHash(col("text")).as("fp_roll"))
-        .orderBy("doc_id"),
+          TextOps.rollingHash(col("text")).as("fp_roll")),
       Some("""
         SELECT doc_id,
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
@@ -232,7 +232,6 @@ object TextQueries {
           .groupBy("user_id", "session_idx")
           .agg(count(lit(1)).as("n_events"),
             min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
-          .orderBy("user_id", "session_idx")
       },
       Some("""
         WITH ev AS (

@@ -25,7 +25,6 @@ object VectorQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         VectorOps.bruteForceTopK(queries, emb, 5)
           .select(col("qid"), col("rnk"), col("vec_id").as("nid"))
-          .orderBy("qid", "rnk")
       },
       Some(s"""
         WITH q AS (
@@ -42,8 +41,7 @@ object VectorQueries {
     // v2: embedding-cosine near-duplicate pairs, blocked by cluster label.
     Q("v2_neardup_pairs",
       (s, d) => VectorOps.nearDupPairs(Tables.embeddings(s, d),
-          "label", "vec_id", "embedding", 0.35)
-        .orderBy("id_a", "id_b"),
+          "label", "vec_id", "embedding", 0.35),
       Some(s"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b
@@ -60,7 +58,6 @@ object VectorQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         VectorOps.lshTopK(queries, emb, 5, planes = 4, dims = 64)
           .select(col("qid"), col("rnk"), col("vec_id").as("nid"))
-          .orderBy("qid", "rnk")
       },
       None),
 

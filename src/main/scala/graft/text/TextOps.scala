@@ -21,6 +21,10 @@ object TextOps {
 
   /** Word n-gram shingles joined with single spaces; fewer than n tokens
     * yields an empty array.
+    *
+    * PERF: pass a materialized token COLUMN, not the tokens(...)
+    * expression — the slice lambda references `toks` per element, and an
+    * inline expression tree would re-tokenize once per shingle.
     */
   def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
@@ -59,12 +63,14 @@ object TextOps {
     */
   def simhash32(toks: Column): Column = {
     val highNibble = typedLit(Seq("8", "9", "a", "b", "c", "d", "e", "f"))
-    val bits: Column => Column = x =>
+    // md5 once per token (hash the array first); the per-bit lambda only
+    // substrings the precomputed hex — 32x fewer md5 evaluations
+    val bits: Column => Column = h =>
       transform(sequence(lit(0), lit(31)),
-        j => when(array_contains(highNibble, substring(md5(x), lit(1) + j, lit(1))), 1).otherwise(-1))
-    val votes = aggregate(toks,
+        j => when(array_contains(highNibble, substring(h, lit(1) + j, lit(1))), 1).otherwise(-1))
+    val votes = aggregate(transform(toks, x => md5(x)),
       array_repeat(lit(0), 32),
-      (acc, x) => zip_with(acc, bits(x), (a, b) => a + b))
+      (acc, h) => zip_with(acc, bits(h), (a, b) => a + b))
     (0 until 32).map(j =>
       when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _).cast("long")

@@ -16,10 +16,14 @@ object VectorOps {
 
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Dot product of two ALREADY-double arrays (no per-call cast) —
+    * sequential left-to-right, engine-portable.
+    */
+  def rawDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
   /** Sequential left-to-right dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = rawDot(asDouble(a), asDouble(b))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -33,12 +37,19 @@ object VectorOps {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "qid", qVec: String = "qv",
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val scored = broadcast(queries).crossJoin(corpus)
+    // cast + norm each side ONCE before the join; per-pair work is a
+    // single dot product (same values as cosine-per-pair, 3x fewer flops)
+    val q = queries.withColumn("__qd", asDouble(col(qVec)))
+      .withColumn("__qn", sqrt(rawDot(col("__qd"), col("__qd"))))
+    val c = corpus.withColumn("__cd", asDouble(col(cVec)))
+      .withColumn("__cn", sqrt(rawDot(col("__cd"), col("__cd"))))
+    val scored = broadcast(q).crossJoin(c)
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .withColumn("cos", rawDot(col("__qd"), col("__cd")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+      .drop("__qd", "__qn", "__cd", "__cn")
   }
 
   /** Deterministic pseudo-random hyperplane coefficients (±1) for sign-LSH:
@@ -75,14 +86,18 @@ object VectorOps {
               qId: String = "qid", qVec: String = "qv",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val qb = queries.withColumn("bucket", lshBucket(col(qVec), planes, dims))
+      .withColumn("__qd", asDouble(col(qVec)))
+      .withColumn("__qn", sqrt(rawDot(col("__qd"), col("__qd"))))
     val cb = corpus.withColumn("bucket", lshBucket(col(cVec), planes, dims))
+      .withColumn("__cd", asDouble(col(cVec)))
+      .withColumn("__cn", sqrt(rawDot(col("__cd"), col("__cd"))))
     val scored = qb.join(cb, "bucket")
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .withColumn("cos", rawDot(col("__qd"), col("__cd")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .drop("bucket")
+      .drop("bucket", "__qd", "__qn", "__cd", "__cn")
   }
 
   /** Near-duplicate pairs by cosine threshold, blocked by a partition
@@ -91,11 +106,14 @@ object VectorOps {
     */
   def nearDupPairs(df: DataFrame, blockCol: String, idCol: String,
                    vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val prepped = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        asDouble(col(vecCol)).as("vd"))
+      .withColumn("nrm", sqrt(rawDot(col("vd"), col("vd"))))
+    val a = prepped.select(col("blk"), col("id").as("id_a"), col("vd").as("va"), col("nrm").as("na"))
+    val b = prepped.select(col("blk"), col("id").as("id_b"), col("vd").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", rawDot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b")
   }

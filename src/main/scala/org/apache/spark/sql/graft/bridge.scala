@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public Column(Expression) constructor; the classic
+  * bridge lives behind `private[sql]`. This shim (the standard pattern for
+  * Spark extension libraries) re-exports the two conversions our native
+  * Catalyst expressions need. Nothing else from the private API is used.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

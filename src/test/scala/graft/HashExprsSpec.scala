@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.functions.native
+
+/** The native codegen expressions must be value-identical to the portable
+  * builtin compositions (which the DuckDB oracles mirror).
+  */
+class HashExprsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf001/documents.parquet")
+
+  test("native simhash32 == builtin simhash32 on real documents") {
+    val toks = TextOps.tokens(col("text"))
+    val diff = docs.select(
+      TextOps.simhash32(toks).as("b"), native.simhash32(toks).as("n"))
+      .filter(col("b") =!= col("n"))
+    assert(diff.count() == 0)
+  }
+
+  test("native minhash == builtin minhash across seeds, incl. empty arrays") {
+    val withSh = docs.select(
+      TextOps.wordNgrams(TextOps.tokens(col("text")), 3).as("sh"))
+    (0 until 4).foreach { seed =>
+      val diff = withSh.select(
+        TextOps.minhash(col("sh"), seed).as("b"),
+        native.minhash(col("sh"), seed).as("n"))
+        .filter(!(col("b") <=> col("n")))
+      assert(diff.count() == 0, s"seed $seed")
+    }
+    // empty-array behavior: both null
+    import spark.implicits._
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+    val r = empty.select(TextOps.minhash(col("sh"), 0), native.minhash(col("sh"), 0)).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("native expressions run inside whole-stage codegen") {
+    val plan = docs.select(native.simhash32(TextOps.tokens(col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
+}
