@@ -321,6 +321,31 @@ object RelationalQueries {
         SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
                count(*) AS cnt,
                CAST(sum(${sqlCents("value")}) AS BIGINT) AS value_cents
-        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""))
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+
+    // r20: exact distinct counting (count_distinct shuffles on the value;
+    // the oracle pins correctness, r21 is the sketch-based scale path).
+    Q("r20_distinct_count",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")),
+      Some("""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // r21: HLL-sketch distinct (approx_count_distinct) — the map-side-
+    // combinable form that replaces r20's value shuffle at 100 TB.
+    // Engine sketches differ, so this is a rows-only check; the spec
+    // asserts the estimate lands within rsd of the exact count.
+    Q("r21_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
+      None)
   )
 }

@@ -61,6 +61,18 @@ object VectorQueries {
       },
       None),
 
+    // v4: IVF approximate top-k (KMeans coarse quantizer, 8 cells, probe
+    // 3). Rows-only; recall vs exact is asserted in VectorOpsSpec.
+    Q("v4_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        VectorOps.ivfTopK(queries, emb, 5, nCentroids = 8, nProbe = 3)
+          .select(col("qid"), col("rnk"), col("vec_id").as("nid"))
+      },
+      None),
+
     // m1: multimodal metadata extraction — text treated as an opaque
     // binary payload: byte length, content hash, head-bytes "thumbnail".
     Q("m1_multimodal_meta",

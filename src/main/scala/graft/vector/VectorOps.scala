@@ -100,6 +100,55 @@ object VectorOps {
       .drop("bucket", "__qd", "__qn", "__cd", "__cn")
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into `nCentroids` cells; each query probes its
+    * `nProbe` nearest cells and brute-forces only those. The standard
+    * billion-scale ANN layout — candidate generation is a cell-id
+    * equijoin, the quantizer trains once on a sample and is reusable.
+    * Deterministic for a fixed seed.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int, nProbe: Int, seed: Long = 42L,
+              qId: String = "qid", qVec: String = "qv",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val corpusV = corpus
+      .withColumn("__cd", asDouble(col(cVec)))
+      .withColumn("__vec", array_to_vector(col("__cd")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .fit(corpusV)
+    val assigned = model.transform(corpusV)
+      .withColumn("__cn", sqrt(rawDot(col("__cd"), col("__cd"))))
+      .drop("__vec")
+
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("__cell", "__center")
+
+    // nearest cells per query by ||q-c||^2 = q.q - 2 q.c + c.c (q.q const)
+    val qd = queries.withColumn("__qd", asDouble(col(qVec)))
+      .withColumn("__qn", sqrt(rawDot(col("__qd"), col("__qd"))))
+    val probes = qd.crossJoin(broadcast(centers))
+      .withColumn("__score",
+        rawDot(col("__center"), col("__center")) - lit(2.0) * rawDot(col("__qd"), col("__center")))
+    val wp = Window.partitionBy(qId).orderBy(col("__score").asc, col("__cell").asc)
+    val probed = probes.withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nProbe)
+      .select(col(qId), col(qVec), col("__qd"), col("__qn"), col("__cell"))
+
+    val scored = probed.join(assigned, "__cell")
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", rawDot(col("__qd"), col("__cd")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop("__cell", "__qd", "__qn", "__cd", "__cn")
+  }
+
   /** Near-duplicate pairs by cosine threshold, blocked by a partition
     * column (e.g. a cluster label or LSH bucket) so the pair space is
     * O(Σ block²) instead of O(n²).

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.operators.Scale
+
+class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    // one hot key (90% of rows) + uniform tail
+    val big = (1 to 2000).map(i => (if (i % 10 != 0) 1 else i % 50, i)).toDF("k", "v")
+    val small = (0 until 50).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"), "inner")
+      .select("k", "v", "name").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val salted = Scale.saltedJoin(big, small, Seq("k"), salt = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(salted == plain)
+  }
+
+  test("saltedSum equals plain aggregation") {
+    val df = (1 to 5000).map(i => (i % 3, i.toLong)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("sum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val salted = Scale.saltedSum(df, Seq("k"), "v", salt = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    Scale.writeBucketed(li, "li_b", 8, Seq("l_orderkey"), Seq("l_orderkey"))
+    Scale.writeBucketed(o, "o_b", 8, Seq("o_orderkey"), Seq("o_orderkey"))
+    // disable broadcast so the join would otherwise need a full shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.readBucketed(spark, "li_b")
+        .join(Scale.readBucketed(spark, "o_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val shuffles = collect(joined.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join should be co-located:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+}

@@ -47,6 +47,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall > 0.05) // 2 planes = 4 buckets -> ~1/4 of corpus scanned
   }
 
+  test("ivfTopK: probing all cells reproduces exact top-k; fewer cells trade recall") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 15)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = VectorOps.bruteForceTopK(queries, emb, 5)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val full = VectorOps.ivfTopK(queries, emb, 5, nCentroids = 8, nProbe = 8)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(full == exact) // all cells probed == brute force
+    val partial = VectorOps.ivfTopK(queries, emb, 5, nCentroids = 8, nProbe = 3)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val recall = (exact intersect partial).size.toDouble / exact.size
+    info(f"ivf recall@5 (3/8 cells) = $recall%.2f")
+    assert(recall >= 0.3)
+  }
+
   test("nearDupPairs finds planted duplicates within a block") {
     val df = Seq(
       (1L, 0, Seq(1.0f, 2.0f, 3.0f)),
