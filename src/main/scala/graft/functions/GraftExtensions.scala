@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook exposing the native expressions to SQL:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)            // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * ...
+  * spark.sql("SELECT graft_simhash32(tokens), graft_minhash(sh, 0) FROM t")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.simhash32)
+    ext.injectFunction(GraftExtensions.minhash)
+  }
+}
+
+object GraftExtensions {
+  private type FnDesc =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val simhash32: FnDesc = (
+    FunctionIdentifier("graft_simhash32"),
+    new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+    (args: Seq[Expression]) => SimHash32(args.head))
+
+  val minhash: FnDesc = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHash].getName, "graft_minhash"),
+    (args: Seq[Expression]) => args match {
+      case Seq(arr, org.apache.spark.sql.catalyst.expressions.Literal(seed: Int, _)) =>
+        MinHash(arr, seed)
+      case Seq(arr) => MinHash(arr, 0)
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash(array, [int seed]) — got ${other.length} args")
+    })
+
+  /** Imperative registration for an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    Seq(simhash32, minhash).foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
+}

@@ -188,11 +188,11 @@ sales_src AS (
 sales_fix1 AS (
   SELECT sls_ord_num, sls_prd_key, sls_cust_id,
          CASE WHEN sls_order_dt = 0 OR length(CAST(sls_order_dt AS VARCHAR)) != 8 THEN NULL
-              ELSE CAST(strptime(CAST(sls_order_dt AS VARCHAR), '%Y%m%d') AS DATE) END AS sls_order_dt,
+              ELSE CAST(try_strptime(CAST(sls_order_dt AS VARCHAR), '%Y%m%d') AS DATE) END AS sls_order_dt,
          CASE WHEN sls_ship_dt = 0 OR length(CAST(sls_ship_dt AS VARCHAR)) != 8 THEN NULL
-              ELSE CAST(strptime(CAST(sls_ship_dt AS VARCHAR), '%Y%m%d') AS DATE) END AS sls_ship_dt,
+              ELSE CAST(try_strptime(CAST(sls_ship_dt AS VARCHAR), '%Y%m%d') AS DATE) END AS sls_ship_dt,
          CASE WHEN sls_due_dt = 0 OR length(CAST(sls_due_dt AS VARCHAR)) != 8 THEN NULL
-              ELSE CAST(strptime(CAST(sls_due_dt AS VARCHAR), '%Y%m%d') AS DATE) END AS sls_due_dt,
+              ELSE CAST(try_strptime(CAST(sls_due_dt AS VARCHAR), '%Y%m%d') AS DATE) END AS sls_due_dt,
          CAST(CASE WHEN sls_sales IS NULL OR sls_sales <= 0
                      OR sls_sales != sls_quantity * abs(sls_price)
               THEN sls_quantity * abs(sls_price) ELSE sls_sales END AS INT) AS sls_sales,

@@ -115,7 +115,7 @@ object RelationalQueries {
           FROM lineitem)
         SELECT l_orderkey, l_linenumber, dt_int,
           CASE WHEN dt_int = 0 OR length(CAST(dt_int AS VARCHAR)) != 8 THEN NULL
-               ELSE CAST(strptime(CAST(dt_int AS VARCHAR), '%Y%m%d') AS DATE) END AS dt_fixed
+               ELSE CAST(try_strptime(CAST(dt_int AS VARCHAR), '%Y%m%d') AS DATE) END AS dt_fixed
         FROM src ORDER BY l_orderkey, l_linenumber""")),
 
     // r7: dedup-by-recency (W1) — latest event per user. Epochs are µs:

@@ -77,12 +77,14 @@ object Transforms {
         "prd_start_dt", "prd_end_dt")
   }
 
-  /** Int yyyyMMdd -> DATE, NULL when 0 or not 8 digits
-    * (silver/crm_sales_details_silver.py:49-62).
+  /** Int yyyyMMdd -> DATE, NULL when 0, not 8 digits, or semantically
+    * invalid like 20190230 (silver/crm_sales_details_silver.py:49-62).
+    * try_to_date: the reference's non-ANSI Spark returned NULL for
+    * invalid dates; ANSI-mode to_date would throw instead.
     */
   def repairIntDate(c: Column): Column =
     when(c === 0 || length(c.cast("string")) =!= 8, lit(null).cast("date"))
-      .otherwise(to_date(c.cast("string"), "yyyyMMdd"))
+      .otherwise(try_to_date(c.cast("string"), "yyyyMMdd"))
 
   /** crm_sales_details (silver/crm_sales_details_silver.py:49-90): repair
     * the three int dates; recompute sls_sales when null/<=0/inconsistent as

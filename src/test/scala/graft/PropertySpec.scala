@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.silver.Transforms
+import graft.operators.Relational
+
+/** Property-based invariants of the cleansing semantics (SURVEY.md §5.3.4)
+  * over randomly generated dirty inputs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling without the scalatest-scalacheck bridge:
+    * draw `n` samples of `gen` from fixed seeds.
+    */
+  private def forAll[T](gen: Gen[T], minSuccessful: Int = 5)(body: T => Unit): Unit = {
+    val params = Gen.Parameters.default
+    (1 to minSuccessful).foreach { i =>
+      body(gen.apply(params, org.scalacheck.rng.Seed(i.toLong)).get)
+    }
+  }
+
+  private val dirtyCode = Gen.oneOf("S", "M", "s ", " m", "x", "", "  ", "F", "f")
+  private val dirtyInt = Gen.oneOf(Gen.const[Option[Int]](None),
+    Gen.choose(-100, 100000).map(Some(_)))
+  private val dirtyDate = Gen.oneOf(0, 1234567, 20200101, 20231215, 99, 20190230)
+
+  test("custInfo outputs stay in the decoded label domains, one row per id") {
+    forAll(Gen.listOfN(60, Gen.zip(Gen.choose(1, 10), dirtyCode, dirtyCode))) { rows =>
+      val df = rows.zipWithIndex.map { case ((id, ms, g), i) =>
+        (id, s"K$i", " n ", " l ", ms, g, java.sql.Date.valueOf("2020-01-01"))
+      }.toDF("cst_id", "cst_key", "cst_firstname", "cst_lastname",
+        "cst_marital_status", "cst_gndr", "cst_create_date")
+      val out = Transforms.custInfo(df).collect()
+      assert(out.map(_.getInt(0)).distinct.length == out.length)
+      assert(out.forall(r => Set("Single", "Married", "n/a")(r.getString(4))))
+      assert(out.forall(r => Set("Female", "Male", "n/a")(r.getString(5))))
+    }
+  }
+
+  test("salesDetails: repaired sales == qty * |price| whenever price non-null") {
+    forAll(Gen.listOfN(50, Gen.zip(dirtyDate, dirtyInt, Gen.choose(0, 60), dirtyInt))) { rows =>
+      val df = rows.zipWithIndex.map { case ((dt, sales, qty, price), i) =>
+        (s"SO$i", "P1", 1, dt, 20200105, 20200110, sales, qty, price)
+      }.toDF("sls_ord_num", "sls_prd_key", "sls_cust_id", "sls_order_dt",
+        "sls_ship_dt", "sls_due_dt", "sls_sales", "sls_quantity", "sls_price")
+      val out = Transforms.salesDetails(df)
+      // price repaired as sales/qty is a double — qty*(sales/qty) is not
+      // bit-exact (reference behavior), so the invariant holds numerically.
+      // qty=0 + null price is excluded: the reference's null-propagating
+      // CASE keeps the original sales there while deriving price from it
+      // via the zero-divisor guard — a documented inconsistency we keep.
+      val violations = out.filter(
+        col("sls_price").isNotNull && col("sls_price") > 0 && col("sls_quantity") > 0 &&
+          abs(col("sls_sales") - col("sls_quantity") * abs(col("sls_price"))) >
+            lit(1e-6) * greatest(lit(1), abs(col("sls_sales"))))
+      assert(violations.count() == 0)
+      // dates: every non-null output date came from an 8-digit input
+      assert(out.filter(col("sls_order_dt").isNotNull).count() ==
+        df.filter(length(col("sls_order_dt").cast("string")) === 8 &&
+          col("sls_order_dt") =!= 0).filter(
+          // ANSI-safe: 20190230 style invalids parse to null via try_to_date
+          try_to_date(col("sls_order_dt").cast("string"), "yyyyMMdd").isNotNull).count())
+    }
+  }
+
+  test("scd2EndDate: end dates partition the timeline, exactly one open version per key") {
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(1, 6), Gen.choose(0, 2000)))) { rows =>
+      val df = rows.distinct.zipWithIndex.map { case ((k, off), i) =>
+        (s"p$k", java.sql.Date.valueOf(java.time.LocalDate.of(2015, 1, 1).plusDays(off)), i)
+      }.toDF("k", "start", "uid")
+      val out = Relational.scd2EndDate(df, Seq("k"), "start", "end",
+        tiebreak = Seq(col("uid")))
+      val perKeyOpen = out.filter(col("end").isNull).groupBy("k").count().collect()
+      assert(perKeyOpen.forall(_.getLong(1) == 1))
+      assert(out.filter(col("end").isNotNull && col("end") < col("start")).count() == 0
+        || rows.map(_._2).distinct.length < rows.length) // equal starts may invert by tiebreak
+    }
+  }
+
+  test("surrogate keys are always a dense 1..N permutation") {
+    forAll(Gen.listOfN(30, Gen.choose(-1000, 1000))) { vs =>
+      val df = vs.zipWithIndex.toDF("v", "uid")
+      val keys = Relational.surrogateKey(df, "sk", Seq(col("v").asc, col("uid").asc))
+        .select("sk").as[Long].collect().sorted.toSeq
+      assert(keys == (1L to vs.length.toLong))
+    }
+  }
+}
