@@ -346,6 +346,100 @@ object RelationalQueries {
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
-      None)
+      None),
+
+    // r22: array explode — word frequencies from part names.
+    Q("r22_explode_words",
+      (s, d) => Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt")),
+      Some("""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        WHERE word != '' GROUP BY word ORDER BY word""")),
+
+    // r23: correlated scalar subquery — customers whose order total tops
+    // twice the mean, compared in exact integer arithmetic (s*n > 2*total)
+    // so no cross-engine float averaging is involved.
+    Q("r23_subquery_above_avg",
+      (s, d) => {
+        val t = Tables.orders(s, d).groupBy("o_custkey")
+          .agg(sum(cents(col("o_totalprice"))).as("s"))
+        val stats = t.agg(count(lit(1)).as("n"), sum(col("s")).as("total"))
+        t.crossJoin(broadcast(stats))
+          .filter(col("s") * col("n") > lit(2) * col("total"))
+          .select("o_custkey", "s")
+      },
+      Some(s"""
+        WITH t AS (SELECT o_custkey, CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS s
+                   FROM orders GROUP BY o_custkey)
+        SELECT o_custkey, s FROM t
+        WHERE s * (SELECT count(*) FROM t) > 2 * (SELECT CAST(sum(s) AS BIGINT) FROM t)
+        ORDER BY o_custkey""")),
+
+    // r24: date arithmetic battery (F15-adjacent).
+    Q("r24_date_arithmetic",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("od", col("o_orderdate").cast("date"))
+        .select(
+          col("o_orderkey"),
+          date_add(col("od"), 30).as("plus30"),
+          add_months(col("od"), 2).as("plus2mo"),
+          last_day(col("od")).as("month_end"),
+          date_trunc("month", col("od")).cast("date").as("month_start"),
+          year(col("od")).cast("long").as("yr"),
+          month(col("od")).cast("long").as("mo"),
+          dayofmonth(col("od")).cast("long").as("dom"),
+          datediff(lit(java.sql.Date.valueOf("2026-01-01")), col("od")).cast("long").as("age_days")),
+      Some("""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) + 30 AS plus30,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+               CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+               CAST(extract(day FROM o_orderdate) AS BIGINT) AS dom,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS BIGINT) AS age_days
+        FROM orders ORDER BY o_orderkey""")),
+
+    // r25: null-handling battery (F9/F14) over derived nullable columns.
+    Q("r25_null_funcs",
+      (s, d) => Tables.customer(s, d)
+        .withColumn("maybe", when(col("c_custkey") % 3 === 0, col("c_acctbal")))
+        .select(
+          col("c_custkey"),
+          coalesce(col("maybe"), lit(0.0)).as("bal_or_zero"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+          col("maybe").isNull.as("is_missing"),
+          when(col("maybe").isNotNull && col("maybe") > 0, "pos")
+            .when(col("maybe").isNotNull, "nonpos").otherwise("missing").as("bucket3")),
+      Some("""
+        SELECT c_custkey,
+               coalesce(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END, 0.0) AS bal_or_zero,
+               nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+               (CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END) IS NULL AS is_missing,
+               CASE WHEN c_custkey % 3 = 0 AND c_acctbal > 0 THEN 'pos'
+                    WHEN c_custkey % 3 = 0 THEN 'nonpos' ELSE 'missing' END AS bucket3
+        FROM customer ORDER BY c_custkey""")),
+
+    // r26: ordered string aggregation (collect_list + sort vs string_agg).
+    Q("r26_string_agg",
+      (s, d) => {
+        val c = Tables.customer(s, d).alias("c")
+        val n = broadcast(Tables.nation(s, d)).alias("n")
+        c.join(n, col("c.c_nationkey") === col("n.n_nationkey"), "left")
+          .filter(col("c.c_custkey") % 50 === 0)
+          .groupBy(col("n.n_name"))
+          .agg(array_join(array_sort(collect_list(col("c.c_name"))), ",").as("names"),
+            count(lit(1)).as("cnt"))
+      },
+      Some("""
+        SELECT n.n_name, string_agg(c.c_name, ',' ORDER BY c.c_name) AS names,
+               count(*) AS cnt
+        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_custkey % 50 = 0
+        GROUP BY n.n_name ORDER BY n.n_name"""))
   )
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, TableEntry, TableFormat}
+import graft.io.{Sinks, Sources, MapCredentials, LocalWarehouseSink}
+import graft.model.Schemas
+
+class CatalogIoSpec extends SparkSpec {
+
+  test("catalog round-trip: sink registers, read resolves") {
+    val cat = new Catalog(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val df = spark.read.parquet(s"$sf001/region.parquet")
+    Sinks.parquet(df, s"$dir/region", Some(cat), "bronze.region")
+    assert(cat.contains("bronze.region"))
+    assert(cat.read("bronze.region").count() == df.count())
+    assertThrows[NoSuchElementException](cat.read("nope"))
+  }
+
+  test("partitioned sink writes hive-style directories for pruning") {
+    val cat = new Catalog(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = spark.read.parquet(s"$sf001/nation.parquet")
+    Sinks.parquet(df, s"$dir/nation", Some(cat), "nation_p", partitionBy = Seq("n_regionkey"))
+    val parts = new java.io.File(s"$dir/nation").listFiles().map(_.getName)
+      .filter(_.startsWith("n_regionkey="))
+    assert(parts.length == 5)
+    // partition filter prunes: only one directory is scanned
+    val pruned = spark.read.parquet(s"$dir/nation").filter(col("n_regionkey") === 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    assert(scan.contains("PartitionFilters: [isnotnull(n_regionkey"), scan)
+  }
+
+  test("CSV source: explicit schema, header, CRLF-safe on the reference corpus") {
+    val df = Sources.csv(spark, "/root/reference/datasets/erp/LOC_A101.csv",
+      Schemas.erpLocA101)
+    assert(df.schema == Schemas.erpLocA101)
+    assert(df.count() == 18484)
+    // CRLF must not leak into the last column
+    assert(df.filter(col("cntry").contains("\r")).count() == 0)
+  }
+
+  test("credentials + local warehouse sink") {
+    val creds = MapCredentials(Map("user" -> "u"))
+    assert(creds.get("user").contains("u") && creds.get("nope").isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_whs").toString
+    val sink = new LocalWarehouseSink(dir)
+    sink.write(spark.read.parquet(s"$sf001/region.parquet"), "sch.regions")
+    assert(spark.read.parquet(s"$dir/sch/regions").count() == 5)
+  }
+}
