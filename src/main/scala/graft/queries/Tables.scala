@@ -25,9 +25,12 @@ object Tables {
 
   /** events with `ts` = epoch nanos (LongType) and `ts_ts` = truncated-to-
     * micros TimestampType. DuckDB equivalent of `ts`: `epoch_ns(ts)`.
+    * The nanos-as-long conf is runtime-settable — set defensively so the
+    * read works on caller-provided sessions too, not just ours.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events").withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
   }
 }
