@@ -1,0 +1,48 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dumps `explain("formatted")` for the headline queries into a reviewable
+  * markdown artifact (docs/EXPLAINS.md) — the plan-shape evidence behind
+  * the scale claims: pushdown reaching scans, broadcast joins, exchange
+  * counts, codegen stage coverage.
+  *
+  * Usage: sbt 'runMain graft.Explain [sfDir] [outFile]'
+  */
+object Explain {
+  private val headline = Seq(
+    "r1_pricing_summary", "r2_filter_project", "r10_star_join",
+    "r7_dedup_latest", "r14_window_analytics", "e7_dim_customers",
+    "e9_fact_sales", "t2_minhash_signature", "t3_lsh_dup_pairs",
+    "t5_simhash", "v1_cosine_topk", "v2_neardup_pairs", "s1_sessionize")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "docs/EXPLAINS.md"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = SparkEntry.queries
+    val sb = new StringBuilder
+    sb.append("# Physical plans (explain formatted)\n\n")
+    sb.append(s"Generated against `$sfDir` by `graft.Explain`. The evidence for the\n")
+    sb.append("scale design: `PushedFilters`/`ReadSchema` at the scans, `BroadcastHashJoin`\n")
+    sb.append("for dimension joins, bounded `Exchange` counts, `WholeStageCodegen` spans.\n")
+    headline.foreach { name =>
+      qs.get(name).foreach { fn =>
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        sb.append(s"\n## $name\n\n```\n$plan```\n")
+      }
+    }
+    Files.createDirectories(Paths.get(out).getParent)
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"[explain] wrote $out (${headline.size} plans)")
+    spark.stop()
+  }
+}

@@ -54,6 +54,25 @@ class StreamingSpec extends SparkSpec {
         s.session_end_us == 200 * us && s.n_events == 2))
   }
 
+  test("file-source streaming: new parquet files picked up incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    val batch1 = Seq(ev(1, 100, 1), ev(2, 200, 2)).toDF()
+    batch1.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(batch1.schema).parquet(dir)
+    val q = EventStreams.windowedCounts(stream, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("fs_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val n1 = spark.table("fs_out").agg(sum("cnt")).head().getLong(0)
+    assert(n1 == 2)
+    Seq(ev(3, 300, 3), ev(4, 4000, 4)).toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fs_out").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    assert(rows.toMap == Map(0L -> 3L, 3600L -> 1L)) // second batch landed
+  }
+
   test("batch sessionize agrees with the window-based operator") {
     val events = (1 to 200).map { i =>
       ev(i.toLong, i.toLong * 600 * (i % 7 + 1) % 500000, i % 5 + 1)
