@@ -68,30 +68,20 @@ object Relational {
   }
 
   /** Scalable surrogate key: same contract (dense 1..N following the sort
-    * order) without the global single-partition sort. Two-phase: sort into
-    * range partitions, count rows per partition on a second pass over the
-    * sorted RDD, then assign offset + local index. Two narrow passes, no
-    * global exchange beyond the range partitioner's sampling — survives
-    * fact-scale inputs where `surrogateKey` would serialize on one task.
+    * order) without the global single-partition sort. Range-partition +
+    * local sort, then `zipWithIndex` (one counting job + one narrow map —
+    * the standard pattern; no lingering cache). Survives fact-scale inputs
+    * where `surrogateKey` would serialize on one task.
     */
   def surrogateKeyScalable(df: DataFrame, keyCol: String, order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-    val rdd = sorted.rdd
-    rdd.cache()
-    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
-      Iterator((i, it.size.toLong))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val withKey = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var k = offsets(i)
-      it.map { row => k += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ k) }
+    val withKey = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
     }
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         keyCol, org.apache.spark.sql.types.LongType, nullable = false))
     spark.createDataFrame(withKey, schema)
-    // note: `rdd` stays cached until the result is consumed; callers doing
-    // repeated actions over the result should persist/checkpoint it anyway.
   }
 }

@@ -424,6 +424,20 @@ object RelationalQueries {
                     WHEN c_custkey % 3 = 0 THEN 'nonpos' ELSE 'missing' END AS bucket3
         FROM customer ORDER BY c_custkey""")),
 
+    // r27: the native pivot OPERATOR (r17 is the conditional-agg twin);
+    // absent combinations yield NULL, which sum(CASE ...) mirrors.
+    Q("r27_pivot_native",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "error"))
+        .agg(count(lit(1))),
+      Some("""
+        SELECT user_id,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // r26: ordered string aggregation (collect_list + sort vs string_agg).
     Q("r26_string_agg",
       (s, d) => {

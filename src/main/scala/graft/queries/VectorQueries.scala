@@ -73,6 +73,30 @@ object VectorQueries {
       },
       None),
 
+    // m2: multimodal decode through the real Dataset mapPartitions path —
+    // the stub codec's dimensions/frames are sha-derived, so the oracle
+    // replays the same math in SQL over the same bytes.
+    Q("m2_multimodal_decode",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, d)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+        Multimodal.decode(
+          Multimodal.fromBinary(docs, "doc_id", "payload", "video", "source")).toDF()
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id, sha256(text) AS sha,
+                 octet_length(encode(text)) AS n_bytes
+          FROM documents)
+        SELECT media_id, 'video' AS media_type,
+               16 + (('0x' || substr(sha, 1, 2))::INT % 240) AS width,
+               16 + (('0x' || substr(sha, 3, 2))::INT % 240) AS height,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               sha AS content_sha,
+               1 + (('0x' || substr(sha, 5, 2))::INT % 32) AS frames_sampled
+        FROM m ORDER BY media_id""")),
+
     // m1: multimodal metadata extraction — text treated as an opaque
     // binary payload: byte length, content hash, head-bytes "thumbnail".
     Q("m1_multimodal_meta",
