@@ -111,6 +111,39 @@ object TextQueries {
         WHERE a.doc_id < b.doc_id
         ORDER BY id_a, id_b""")),
 
+    // t6: dedup clusters — connected components over the LSH candidate
+    // pairs; every clustered doc gets its canonical (min-id) representative.
+    // Oracle: transitive closure via recursive CTE.
+    Q("t6_dedup_clusters",
+      (s, d) => {
+        val pairs = all.find(_.name == "t3_lsh_dup_pairs").get.run(s, d)
+        TextOps.clusterPairs(pairs)
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS (
+          WITH sig AS (
+            SELECT doc_id,
+                   ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
+                   ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
+            FROM documents),
+          bands AS (
+            SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig
+            UNION ALL
+            SELECT doc_id, 1, band1 FROM sig)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(src, node) AS (
+          SELECT s, s FROM (SELECT DISTINCT s FROM edges) v
+          UNION
+          SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s)
+        SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
     // t4: n-gram Jaccard similarity between consecutive documents
     // (pair generation kept trivial; the similarity math is the point).
     Q("t4_ngram_jaccard",

@@ -123,6 +123,42 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Connected components over duplicate-candidate pairs: each vertex ends
+    * labeled with the minimum doc id reachable through the pair graph —
+    * the canonical representative of its dedup cluster. Iterative min-label
+    * propagation (small-star style): each round joins labels through the
+    * bidirected edge list and keeps the per-vertex min; converges in
+    * O(graph diameter) rounds (LSH dup clusters are shallow — near-dup
+    * graphs are dense cliques, diameter 2-3).
+    *
+    * @param pairs DataFrame with two numeric id columns (idA, idB)
+    * @return (doc_id, cluster_rep) for every vertex appearing in pairs
+    */
+  def clusterPairs(pairs: org.apache.spark.sql.DataFrame, idA: String = "id_a",
+                   idB: String = "id_b", maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
+    val edges = pairs.select(col(idA).as("s"), col(idB).as("t"))
+      .union(pairs.select(col(idB).as("s"), col(idA).as("t")))
+      .distinct().cache()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = labels.join(edges, col("id") === col("s"))
+        .select(col("t").as("id"), col("rep"))
+      val next = labels.select("id", "rep").union(viaNeighbors)
+        .groupBy("id").agg(min("rep").as("rep")).cache()
+      val changed = next.alias("n")
+        .join(labels.alias("l"), col("n.id") === col("l.id"))
+        .filter(col("n.rep") =!= col("l.rep")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** Karp-Rabin rolling polynomial hash (base 31, mod 1e9+7) over the
     * document's characters — order-sensitive unlike [[fingerprint]].
     * Engine-native integer arithmetic, single pass; the modulus keeps

@@ -71,6 +71,13 @@ class TextOpsSpec extends SparkSpec {
     assert(hs(0) != hs(1))
   }
 
+  test("clusterPairs: components labeled by min id, chains and cliques merge") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L)).toDF("id_a", "id_b")
+    val out = TextOps.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 1L, 9L -> 1L))
+  }
+
   test("stopwordRatio + langIdHeuristic") {
     val en = Seq("the cat sat on the mat").toDF("text")
     val ratio = en.select(TextOps.stopwordRatio(TextOps.tokens(col("text")))).head().getDouble(0)
