@@ -48,6 +48,51 @@ object Relational {
   def surrogateKey(df: DataFrame, keyCol: String, order: Seq[Column]): DataFrame =
     df.withColumn(keyCol, row_number().over(Window.orderBy(order: _*)).cast("long"))
 
+  /** As-of (backward) join: for each left row, attach the single right row
+    * with the greatest right-time <= left-time within the same key — the
+    * canonical time-series enrichment Spark has no native operator for.
+    *
+    * Composition (preference (a) of the extension ladder — no custom
+    * plan needed): union both sides tagged, sort per key by (time,
+    * right-first), carry the last-seen right payload forward with
+    * last_value(ignoreNulls) over an unbounded-preceding window, keep left
+    * rows. ONE hash exchange on the key + one per-partition sort — same
+    * shuffle shape as a sort-merge join, no range explosion.
+    *
+    * @param left      probe side; must contain `key` and `leftTime`
+    * @param right     reference side; must contain `key`, `rightTime`, payload
+    * @param key       equi-key column name (both sides)
+    * @param leftTime  left ordering column (numeric/date/timestamp)
+    * @param rightTime right ordering column (same type)
+    * @param payload   right columns to carry (become nullable on the output)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isL", lit(1))
+      .select(Seq(col(key), col("__t"), col("__isL")) ++
+        leftCols.filter(_ != key).map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__isL", lit(0))
+      .select(Seq(col(key), col("__t"), col("__isL")) ++
+        leftCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(p => col(p).as(s"__p_$p")): _*)
+    // right rows sort BEFORE left rows at equal time => ties are inclusive
+    // (right-at-same-instant is visible to the left row)
+    val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__isL").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = l.unionByName(r)
+      .select(col("*") +: payload.map(p =>
+        last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p)): _*)
+    carried.filter(col("__isL") === 1)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+
   /** Gap-based sessionization: assign a per-key session index that
     * increments whenever the gap to the previous event exceeds
     * `gapMicros`. Batch twin of the streaming

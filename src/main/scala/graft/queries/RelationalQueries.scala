@@ -438,6 +438,31 @@ object RelationalQueries {
           CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // r28: as-of join — each click enriched with the user's latest
+    // at-or-before purchase. Spark composes it (union + last_value
+    // window); DuckDB has the operator natively (ASOF LEFT JOIN).
+    Q("r28_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts_us")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event"),
+            col("ts_us").as("pts"), cents(col("value")).as("p_cents"))
+        Relational.asofJoin(clicks, purchases, "user_id", "ts_us", "pts",
+          payload = Seq("p_event", "p_cents"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        l AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
+        r AS (SELECT user_id, event_id AS p_event, ts_us AS pts,
+                     ${sqlCents("value")} AS p_cents
+              FROM ev WHERE event_type = 'purchase')
+        SELECT l.user_id, l.event_id, l.ts_us, r.p_event, r.p_cents
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.pts
+        ORDER BY l.user_id, l.event_id""")),
+
     // r26: ordered string aggregation (collect_list + sort vs string_agg).
     Q("r26_string_agg",
       (s, d) => {

@@ -58,6 +58,21 @@ class RelationalOpsSpec extends SparkSpec {
     assert(b.select("sk").as[Long].collect().sorted.toSeq == (1L to 500L))
   }
 
+  test("asofJoin: greatest right time <= left time, ties inclusive, unmatched null") {
+    val left = Seq((1, 10L, "a"), (1, 20L, "b"), (1, 5L, "c"), (2, 50L, "d"))
+      .toDF("k", "lt", "tag")
+    val right = Seq((1, 10L, 100), (1, 15L, 150), (3, 1L, 999))
+      .toDF("k", "rt", "px")
+    val out = Relational.asofJoin(left, right, "k", "lt", "rt", Seq("px"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    assert(out == Set(
+      (1, 10L, "a", 100),  // tie at t=10 is inclusive
+      (1, 20L, "b", 150),  // latest <= 20 is 15
+      (1, 5L, "c", -1),    // nothing at or before 5
+      (2, 50L, "d", -1)))  // key with no right rows
+  }
+
   test("sessionize splits on gaps larger than the threshold") {
     val us = 1000000L
     val df = Seq(
