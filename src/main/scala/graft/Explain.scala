@@ -14,7 +14,8 @@ object Explain {
     "r1_pricing_summary", "r2_filter_project", "r10_star_join",
     "r7_dedup_latest", "r14_window_analytics", "e7_dim_customers",
     "e9_fact_sales", "t2_minhash_signature", "t3_lsh_dup_pairs",
-    "t5_simhash", "v1_cosine_topk", "v2_neardup_pairs", "s1_sessionize")
+    "t5_simhash", "t6_dedup_clusters", "v1_cosine_topk", "v2_neardup_pairs",
+    "v4_ivf_topk", "r28_asof_join", "s1_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -255,6 +255,18 @@ object TextQueries {
                  (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp_roll
         FROM documents ORDER BY doc_id""")),
 
+    // t7: deterministic content-hash sampling — the reproducible subset
+    // primitive (engine/run/partitioning-independent, unlike sample()).
+    Q("t7_deterministic_sample",
+      (s, d) => Tables.documents(s, d)
+        .filter(TextOps.deterministicSample(col("doc_id"), 200))
+        .select("doc_id", "lang", "source"),
+      Some("""
+        SELECT doc_id, lang, source FROM documents
+        WHERE ('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 1000
+              < 200 * 65536
+        ORDER BY doc_id""")),
+
     // s1: gap sessionization (30 min) over the event stream's batch twin.
     Q("s1_sessionize",
       (s, d) => {

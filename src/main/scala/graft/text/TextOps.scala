@@ -123,6 +123,19 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Deterministic content-hash sampling: keep a row iff the first 4 md5
+    * hex digits of (salt‖id) fall under `permille`/1000 of the 16-bit
+    * space. Engine- and run-independent (unlike `DataFrame.sample`), stable
+    * under repartitioning, and stratification-free: the hash is uniform,
+    * so any subpopulation is sampled at the same rate. The reproducible-
+    * subset primitive for training-data curation.
+    */
+  def deterministicSample(id: Column, permille: Int, salt: String = "smp"): Column = {
+    require(permille >= 0 && permille <= 1000)
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long") * 1000 < lit(permille.toLong * 65536)
+  }
+
   /** Connected components over duplicate-candidate pairs: each vertex ends
     * labeled with the minimum doc id reachable through the pair graph —
     * the canonical representative of its dedup cluster. Iterative min-label
