@@ -463,6 +463,40 @@ object RelationalQueries {
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.pts
         ORDER BY l.user_id, l.event_id""")),
 
+    // r29: fixed-width histogram binning via integer arithmetic (no
+    // engine-specific width_bucket semantics).
+    Q("r29_histogram",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("bin",
+          least(floor(cents(col("o_totalprice")) / lit(5000000L)).cast("long"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"),
+          min(cents(col("o_totalprice"))).as("min_cents"),
+          max(cents(col("o_totalprice"))).as("max_cents")),
+      Some(s"""
+        WITH b AS (
+          SELECT least(CAST(floor(${sqlCents("o_totalprice")} / 5000000) AS BIGINT), 9) AS bin,
+                 ${sqlCents("o_totalprice")} AS cents
+          FROM orders)
+        SELECT bin, count(*) AS cnt,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents
+        FROM b GROUP BY bin ORDER BY bin""")),
+
+    // r30: regex group extraction (both engines return '' on no match).
+    Q("r30_regex_extract",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "#(0*)([1-9][0-9]*)", 2).as("id_digits"),
+          regexp_extract(col("c_name"), "([A-Za-z]+)", 1).as("word"),
+          regexp_count(col("c_name"), lit("0")).cast("long").as("n_zeros")),
+      Some("""
+        SELECT c_custkey,
+               regexp_extract(c_name, '#(0*)([1-9][0-9]*)', 2) AS id_digits,
+               regexp_extract(c_name, '([A-Za-z]+)', 1) AS word,
+               CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS n_zeros
+        FROM customer ORDER BY c_custkey""")),
+
     // r26: ordered string aggregation (collect_list + sort vs string_agg).
     Q("r26_string_agg",
       (s, d) => {
