@@ -48,6 +48,16 @@ object Relational {
   def surrogateKey(df: DataFrame, keyCol: String, order: Seq[Column]): DataFrame =
     df.withColumn(keyCol, row_number().over(Window.orderBy(order: _*)).cast("long"))
 
+  /** Grouped top-N: the n best rows per key under `order` (total order
+    * required for determinism). One hash exchange + per-partition sort;
+    * rank filter applies before any downstream shuffle.
+    */
+  def topNPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], n: Int,
+                 rankCol: String = "rnk"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+
   /** As-of (backward) join: for each left row, attach the single right row
     * with the greatest right-time <= left-time within the same key — the
     * canonical time-series enrichment Spark has no native operator for.

@@ -463,6 +463,22 @@ object RelationalQueries {
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.pts
         ORDER BY l.user_id, l.event_id""")),
 
+    // r31: grouped top-N — each customer's 3 most recent orders.
+    Q("r31_topn_per_key",
+      (s, d) => Relational.topNPerKey(
+          Tables.orders(s, d).withColumn("cents", cents(col("o_totalprice"))),
+          Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc), 3)
+        .select("o_custkey", "rnk", "o_orderkey", "cents"),
+      Some(s"""
+        WITH r AS (
+          SELECT o_custkey, o_orderkey, ${sqlCents("o_totalprice")} AS cents,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rnk
+          FROM orders)
+        SELECT o_custkey, rnk, o_orderkey, cents FROM r WHERE rnk <= 3
+        ORDER BY o_custkey, rnk""")),
+
     // r29: fixed-width histogram binning via integer arithmetic (no
     // engine-specific width_bucket semantics).
     Q("r29_histogram",

@@ -267,6 +267,23 @@ object TextQueries {
               < 200 * 65536
         ORDER BY doc_id""")),
 
+    // t8: stratified deterministic sampling — per-language quotas (en
+    // downsampled to 100‰·⅕, others kept at 500‰), the curation move for
+    // rebalancing a training corpus. Same md5 primitive as t7.
+    Q("t8_stratified_sample",
+      (s, d) => {
+        val keepPm = when(col("lang") === "en", 100).otherwise(500)
+        Tables.documents(s, d)
+          .filter(conv(substring(md5(concat(lit("strat"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+            .cast("long") * 1000 < keepPm.cast("long") * 65536)
+          .groupBy("lang").agg(count(lit(1)).as("kept"))
+      },
+      Some("""
+        SELECT lang, count(*) AS kept FROM documents
+        WHERE ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 1000
+              < (CASE WHEN lang = 'en' THEN 100 ELSE 500 END) * 65536
+        GROUP BY lang ORDER BY lang""")),
+
     // s1: gap sessionization (30 min) over the event stream's batch twin.
     Q("s1_sessionize",
       (s, d) => {

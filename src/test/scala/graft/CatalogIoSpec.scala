@@ -41,6 +41,14 @@ class CatalogIoSpec extends SparkSpec {
     assert(df.filter(col("cntry").contains("\r")).count() == 0)
   }
 
+  test("snowflake sink fails fast without the connector, with a clear error") {
+    val sink = new graft.io.SnowflakeSink(Map("sfURL" -> "x"))
+    val e = intercept[Exception] {
+      sink.write(spark.read.parquet(s"$sf001/region.parquet"), "sch.t")
+    }
+    assert(e.getMessage.toLowerCase.contains("snowflake"))
+  }
+
   test("credentials + local warehouse sink") {
     val creds = MapCredentials(Map("user" -> "u"))
     assert(creds.get("user").contains("u") && creds.get("nope").isEmpty)

@@ -37,6 +37,13 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!s.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$s")
   }
 
+  test("fact_sales chain joins its dims broadcast — no sort-merge anywhere") {
+    val q = graft.queries.EtlParityQueries.all.find(_.name == "e9_fact_sales").get
+    val s = executed(q.run(spark, sf001)).toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n${s.take(2000)}")
+    assert(!s.contains("SortMergeJoin"), s"fact chain degraded to SMJ:\n${s.take(2000)}")
+  }
+
   test("silver transforms are map-only (exchange count: sales=0, cust=1 for dedup)") {
     val sales = Transforms.salesDetails(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
