@@ -284,6 +284,17 @@ object TextQueries {
               < (CASE WHEN lang = 'en' THEN 100 ELSE 500 END) * 65536
         GROUP BY lang ORDER BY lang""")),
 
+    // s2: the streaming module's windowed-counts transform itself, run on
+    // batch input (same code path readStream takes; watermark is a no-op
+    // in batch).
+    Q("s2_windowed_counts",
+      (s, d) => graft.streaming.EventStreams.windowedCounts(
+        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))),
+      Some("""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+
     // s1: gap sessionization (30 min) over the event stream's batch twin.
     Q("s1_sessionize",
       (s, d) => {

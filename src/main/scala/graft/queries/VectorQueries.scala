@@ -97,6 +97,25 @@ object VectorQueries {
                1 + (('0x' || substr(sha, 5, 2))::INT % 32) AS frames_sampled
         FROM m ORDER BY media_id""")),
 
+    // m3: multimodal feature extraction through the Dataset path, exploded
+    // to scalar rows (engine-safe compare); the stub's features derive
+    // from sha bytes, replayed in SQL.
+    Q("m3_multimodal_features",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, d)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+        Multimodal.extractFeatures(
+            Multimodal.fromBinary(docs, "doc_id", "payload", "image", "source"), dims = 16)
+          .toDF()
+          .select(col("media_id"), posexplode(col("embedding")).as(Seq("idx", "feat")))
+      },
+      Some("""
+        SELECT d.doc_id AS media_id, i.i AS idx,
+               CAST((('0x' || substr(sha256(d.text), i.i * 2 + 1, 2))::INT - 128) AS FLOAT) / 128 AS feat
+        FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS i) i
+        ORDER BY media_id, idx""")),
+
     // m1: multimodal metadata extraction — text treated as an opaque
     // binary payload: byte length, content hash, head-bytes "thumbnail".
     Q("m1_multimodal_meta",
