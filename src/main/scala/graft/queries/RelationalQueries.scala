@@ -231,7 +231,7 @@ object RelationalQueries {
           .orderBy(col("price_cents").desc, col("o_orderkey").asc)
         o.select(col("o_custkey"), col("o_orderkey"),
             sum(col("price_cents")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)).as("running_cents"),
-            rank().over(wRank).as("price_rank"),
+            rank().over(wRank).cast("long").as("price_rank"),
             lag(col("price_cents"), 1).over(wOrd).as("prev_cents"))
       },
       Some(s"""
@@ -269,8 +269,8 @@ object RelationalQueries {
         c.join(n, col("c.c_nationkey") === col("n.n_nationkey"), "left")
           .rollup(col("n.n_name"), col("c.c_mktsegment"))
           .agg(count(lit(1)).as("cnt"),
-            grouping(col("n.n_name")).as("g_nation"),
-            grouping(col("c.c_mktsegment")).as("g_seg"))
+            grouping(col("n.n_name")).cast("int").as("g_nation"),
+            grouping(col("c.c_mktsegment")).cast("int").as("g_seg"))
       },
       Some("""
         SELECT n.n_name, c.c_mktsegment, count(*) AS cnt,
@@ -469,7 +469,7 @@ object RelationalQueries {
           Tables.orders(s, d).withColumn("cents", cents(col("o_totalprice"))),
           Seq("o_custkey"),
           Seq(col("o_orderdate").desc, col("o_orderkey").desc), 3)
-        .select("o_custkey", "rnk", "o_orderkey", "cents"),
+        .select(col("o_custkey"), col("rnk").cast("long").as("rnk"), col("o_orderkey"), col("cents")),
       Some(s"""
         WITH r AS (
           SELECT o_custkey, o_orderkey, ${sqlCents("o_totalprice")} AS cents,

@@ -24,7 +24,7 @@ object VectorQueries {
         val queries = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         VectorOps.bruteForceTopK(queries, emb, 5)
-          .select(col("qid"), col("rnk"), col("vec_id").as("nid"))
+          .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id").as("nid"))
       },
       Some(s"""
         WITH q AS (
@@ -57,7 +57,7 @@ object VectorQueries {
         val queries = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         VectorOps.lshTopK(queries, emb, 5, planes = 4, dims = 64)
-          .select(col("qid"), col("rnk"), col("vec_id").as("nid"))
+          .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id").as("nid"))
       },
       None),
 
@@ -69,7 +69,7 @@ object VectorQueries {
         val queries = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         VectorOps.ivfTopK(queries, emb, 5, nCentroids = 8, nProbe = 3)
-          .select(col("qid"), col("rnk"), col("vec_id").as("nid"))
+          .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id").as("nid"))
       },
       None),
 
@@ -109,6 +109,7 @@ object VectorQueries {
             Multimodal.fromBinary(docs, "doc_id", "payload", "image", "source"), dims = 16)
           .toDF()
           .select(col("media_id"), posexplode(col("embedding")).as(Seq("idx", "feat")))
+          .withColumn("idx", col("idx").cast("long"))
       },
       Some("""
         SELECT d.doc_id AS media_id, i.i AS idx,
