@@ -48,6 +48,16 @@ object Relational {
   def surrogateKey(df: DataFrame, keyCol: String, order: Seq[Column]): DataFrame =
     df.withColumn(keyCol, row_number().over(Window.orderBy(order: _*)).cast("long"))
 
+  /** Batch upsert (CDC merge): base snapshot ∪ update rows, keep the
+    * newest version per key — dedup-by-recency over the union. Callers
+    * pass a total `order` (version/timestamp desc + tiebreaks). At scale
+    * this is the standard snapshot-merge: one shuffle on the key,
+    * update-heavy keys spread like any other window partition.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+             order: Seq[Column]): DataFrame =
+    dedupLatest(base.unionByName(updates), keys, order)
+
   /** Grouped top-N: the n best rows per key under `order` (total order
     * required for determinism). One hash exchange + per-partition sort;
     * rank filter applies before any downstream shuffle.

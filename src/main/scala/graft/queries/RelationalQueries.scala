@@ -479,6 +479,35 @@ object RelationalQueries {
         SELECT o_custkey, rnk, o_orderkey, cents FROM r WHERE rnk <= 3
         ORDER BY o_custkey, rnk""")),
 
+    // r32: batch upsert — a derived update stream (10% of orders with
+    // bumped version + price) merged into the snapshot, newest wins.
+    Q("r32_upsert",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), lit(1L).as("version"),
+            cents(col("o_totalprice")).as("cents"), col("o_orderstatus"))
+        val updates = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit(2L).as("version"),
+            (cents(col("o_totalprice")) + 999).as("cents"), lit("U").as("o_orderstatus"))
+        Relational.upsert(base, updates, Seq("o_orderkey"),
+          Seq(col("version").desc))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+                 ${sqlCents("o_totalprice")} AS cents, o_orderstatus
+          FROM orders),
+        updates AS (
+          SELECT o_orderkey, CAST(2 AS BIGINT) AS version,
+                 ${sqlCents("o_totalprice")} + 999 AS cents, 'U' AS o_orderstatus
+          FROM orders WHERE o_orderkey % 10 = 0),
+        merged AS (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM updates) u)
+        SELECT o_orderkey, version, cents, o_orderstatus
+        FROM merged WHERE rn = 1 ORDER BY o_orderkey""")),
+
     // r29: fixed-width histogram binning via integer arithmetic (no
     // engine-specific width_bucket semantics).
     Q("r29_histogram",
