@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 import graft.operators.Relational
-import Q.sqlLong
 
 /** Training-data text operators over the `documents` table: exact dedup,
   * MinHash+LSH candidate pairs, SimHash, n-gram Jaccard, language ID,
