@@ -508,6 +508,46 @@ object RelationalQueries {
         SELECT o_orderkey, version, cents, o_orderstatus
         FROM merged WHERE rn = 1 ORDER BY o_orderkey""")),
 
+    // r33: exact quantiles — both engines interpolate linearly at
+    // (n-1)*p over sorted values; inputs are exact ints so the midpoint
+    // arithmetic is bit-identical.
+    Q("r33_median",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(CAST(floor(l_quantity + 0.5) AS BIGINT), 0.5)").as("median_qty"),
+          expr("percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.25)").as("p25_cents"),
+          expr("percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.75)").as("p75_cents")),
+      Some(s"""
+        SELECT l_returnflag,
+               quantile_cont(${sqlLong("l_quantity")}, 0.5) AS median_qty,
+               quantile_cont(${sqlCents("l_extendedprice")}, 0.25) AS p25_cents,
+               quantile_cont(${sqlCents("l_extendedprice")}, 0.75) AS p75_cents
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // r34: array function battery over tokenized part names.
+    Q("r34_array_funcs",
+      (s, d) => Tables.part(s, d)
+        .withColumn("words", split(col("p_name"), " "))
+        .select(
+          col("p_partkey"),
+          array_join(array_sort(col("words")), "|").as("sorted_words"),
+          size(array_distinct(col("words"))).cast("long").as("n_distinct"),
+          array_contains(col("words"), "green").as("has_green"),
+          element_at(col("words"), 1).as("first_word"),
+          element_at(col("words"), -1).as("last_word"),
+          size(col("words")).cast("long").as("n_words")),
+      Some("""
+        WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+        SELECT p_partkey,
+               array_to_string(list_sort(words), '|') AS sorted_words,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+               list_contains(words, 'green') AS has_green,
+               words[1] AS first_word,
+               words[-1] AS last_word,
+               CAST(len(words) AS BIGINT) AS n_words
+        FROM w ORDER BY p_partkey""")),
+
     // r29: fixed-width histogram binning via integer arithmetic (no
     // engine-specific width_bucket semantics).
     Q("r29_histogram",
