@@ -32,7 +32,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver greps sbt stdout, where the JSON can drown in log noise —
+    // persist it to a file as well and print it as the FINAL line, both
+    // bare and marker-prefixed, so any "last line" / "marker" parse works.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
+    // after stop() so no executor/log line can land after it: the bare
+    // JSON is the final stdout line of the run.
     spark.stop()
+    println(json)
   }
 }

@@ -50,6 +50,12 @@ object HashAlgos {
           votes(j) += (if ((nib & 8) != 0) 1 else -1)
           j += 1
         }
+      } else {
+        // match the builtin form exactly: md5(NULL) propagates NULL into
+        // the when(...).otherwise(-1) branch, i.e. a NULL token votes -1
+        // on all 32 bits (byte-equivalence is spec-checked).
+        var j = 0
+        while (j < 32) { votes(j) -= 1; j += 1 }
       }
       i += 1
     }
@@ -117,13 +123,15 @@ object native {
   def minhash(shingles: Column, seed: Int): Column = toCol(MinHash(toExpr(shingles), seed))
   def minhashSignature(shingles: Column, k: Int): Seq[Column] =
     (0 until k).map(s => minhash(shingles, s).as(s"mh$s"))
+  // NULL components (empty shingle set) null the whole band — `concat`
+  // propagation, matching TextOps.lshBands and ANSI `||`; a NULL band
+  // never equijoins, so short docs can't form a hot bucket.
   def lshBands(shingles: Column, k: Int, rowsPerBand: Int): Seq[Column] = {
     require(k % rowsPerBand == 0, "k must divide into bands")
-    import org.apache.spark.sql.functions.concat_ws
+    import org.apache.spark.sql.functions.{concat, lit}
     (0 until k / rowsPerBand).map { b =>
-      concat_ws("|",
-        (0 until rowsPerBand).map(r => minhash(shingles, b * rowsPerBand + r)): _*)
-        .as(s"band$b")
+      val parts = (0 until rowsPerBand).map(r => minhash(shingles, b * rowsPerBand + r))
+      concat(parts.flatMap(p => Seq(p, lit("|"))).dropRight(1): _*).as(s"band$b")
     }
   }
 }

@@ -90,27 +90,33 @@ object Relational {
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The payload travels as ONE struct through a single
+    // last(ignoreNulls) window — whole-row semantics. Per-column windows
+    // would mix fields from DIFFERENT right rows whenever the most recent
+    // right row has a NULL in one payload field but an older row doesn't
+    // (DuckDB/pandas ASOF keep the matched row intact; so do we).
+    val payStruct = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__isL", lit(1))
       .select(Seq(col(key), col("__t"), col("__isL")) ++
-        leftCols.filter(_ != key).map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+        leftCols.filter(_ != key).map(col) :+
+        lit(null).cast(payStruct).as("__pay"): _*)
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__isL", lit(0))
       .select(Seq(col(key), col("__t"), col("__isL")) ++
-        leftCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
+        leftCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__pay"): _*)
     // right rows sort BEFORE left rows at equal time => ties are inclusive
     // (right-at-same-instant is visible to the left row)
     val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__isL").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = l.unionByName(r)
-      .select(col("*") +: payload.map(p =>
-        last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p)): _*)
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
     carried.filter(col("__isL") === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(p => col("__m").getField(p).as(p)): _*)
   }
 
   /** Gap-based sessionization: assign a per-key session index that

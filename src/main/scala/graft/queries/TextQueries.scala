@@ -85,7 +85,11 @@ object TextQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val bands = graft.functions.native.lshBands(col("sh"), 4, 2)
-        val banded = withShingles(docs).select(col("doc_id") +: bands: _*)
+        // <3-token docs have no shingles → NULL bands in the oracle (NULL
+        // || x). Filter them out BEFORE the shuffle: same join result,
+        // fewer shuffled rows, and no single hot bucket of short docs.
+        val banded = withShingles(docs).filter(size(col("sh")) > 0)
+          .select(col("doc_id") +: bands: _*)
         val exploded = banded.select(col("doc_id"),
           explode(map(lit(0), col("band0"), lit(1), col("band1"))).as(Seq("band_idx", "band_val")))
         val a = exploded.toDF("id_a", "band_idx", "band_val")

@@ -46,13 +46,18 @@ object TextOps {
   /** LSH band value: concatenation of `rowsPerBand` adjacent signature
     * components. Docs sharing any band value are dup candidates — join on
     * (band_idx, band_value) instead of all-pairs.
+    *
+    * NULL components (empty shingle set, i.e. a <n-token document) make
+    * the whole band NULL — `concat`, not `concat_ws`, so SQL NULL
+    * propagation applies. A NULL band never equijoins, which (a) matches
+    * ANSI `||` semantics and (b) prevents every short document in a
+    * 100 TB corpus from colliding into one quadratic hot bucket.
     */
   def lshBands(shingles: Column, k: Int, rowsPerBand: Int): Seq[Column] = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     (0 until k / rowsPerBand).map { b =>
-      concat_ws("|",
-        (0 until rowsPerBand).map(r => minhash(shingles, b * rowsPerBand + r)): _*)
-        .as(s"band$b")
+      val parts = (0 until rowsPerBand).map(r => minhash(shingles, b * rowsPerBand + r))
+      concat(parts.flatMap(p => Seq(p, lit("|"))).dropRight(1): _*).as(s"band$b")
     }
   }
 
@@ -152,24 +157,40 @@ object TextOps {
     val edges = pairs.select(col(idA).as("s"), col(idB).as("t"))
       .union(pairs.select(col(idB).as("s"), col(idA).as("t")))
       .distinct().cache()
-    var labels = edges.select(col("s").as("id")).distinct()
+    // One CACHED generation lives at a time (`cur`); the superseded one is
+    // unpersisted as soon as its successor is materialized — an iterative
+    // driver loop must not leak O(iters) cached frames at 100 TB. Every 3
+    // rounds the generation is localCheckpoint'ed so lineage (and the plan
+    // Catalyst must optimize) stays O(1) instead of growing per round.
+    var cur = edges.select(col("s").as("id")).distinct()
       .withColumn("rep", col("id"))
+      .withColumn("chg", lit(false)).cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbors = labels.join(edges, col("id") === col("s"))
-        .select(col("t").as("id"), col("rep"))
-      val next = labels.select("id", "rep").union(viaNeighbors)
-        .groupBy("id").agg(min("rep").as("rep")).cache()
-      val changed = next.alias("n")
-        .join(labels.alias("l"), col("n.id") === col("l.id"))
-        .filter(col("n.rep") =!= col("l.rep")).count()
-      labels = next
-      converged = changed == 0
+      val viaNeighbors = cur.join(edges, col("id") === col("s"))
+        .groupBy(col("t")).agg(min("rep").as("nrep"))
+        .select(col("t").as("id"), col("nrep"))
+      // chg rides along in the same frame, so convergence costs no extra
+      // join/count job: the single agg action below both materializes the
+      // cache and answers "did any label move?".
+      val stepped = cur.select("id", "rep")
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
+          coalesce(col("nrep") < col("rep"), lit(false)).as("chg"))
+      // localCheckpoint persists its RDD itself — caching on top would
+      // double-store the checkpointed generations.
+      val next =
+        if ((i + 1) % 3 == 0) stepped.localCheckpoint(false) else stepped.cache()
+      val changed = next.agg(coalesce(max(col("chg")), lit(false))).first().getBoolean(0)
+      cur.unpersist()
+      cur = next
+      converged = !changed
       i += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+    cur.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
   /** Karp-Rabin rolling polynomial hash (base 31, mod 1e9+7) over the

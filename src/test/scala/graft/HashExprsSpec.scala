@@ -36,6 +36,19 @@ class HashExprsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("native simhash32 == builtin simhash32 when the token array has NULL elements") {
+    // builtin: md5(NULL) propagates NULL into when(...).otherwise(-1), so a
+    // NULL token votes -1 on all 32 bits; the native expr must match.
+    val toks = array(lit("alpha"), lit(null).cast("string"), lit("beta"))
+    val r = spark.range(1).select(
+      TextOps.simhash32(toks).as("b"), native.simhash32(toks).as("n")).head()
+    assert(r.getLong(0) == r.getLong(1), s"builtin=${r.getLong(0)} native=${r.getLong(1)}")
+    val allNull = array(lit(null).cast("string"))
+    val r2 = spark.range(1).select(
+      TextOps.simhash32(allNull).as("b"), native.simhash32(allNull).as("n")).head()
+    assert(r2.getLong(0) == r2.getLong(1))
+  }
+
   test("native expressions run inside whole-stage codegen") {
     val plan = docs.select(native.simhash32(TextOps.tokens(col("text"))))
       .queryExecution.executedPlan.toString

@@ -73,6 +73,18 @@ class RelationalOpsSpec extends SparkSpec {
       (2, 50L, "d", -1)))  // key with no right rows
   }
 
+  test("asofJoin keeps whole-row payload semantics when the matched row has NULL fields") {
+    // the most recent right row (t=20) has px=NULL but qty=7; an older row
+    // (t=10) has px=100. The left row at t=25 must see (NULL, 7) — the
+    // matched row intact — never (100, 7) stitched from two right rows.
+    val left = Seq((1, 25L, "a")).toDF("k", "lt", "tag")
+    val right = Seq((1, 10L, Some(100), 5), (1, 20L, None, 7))
+      .toDF("k", "rt", "px", "qty")
+    val r = Relational.asofJoin(left, right, "k", "lt", "rt", Seq("px", "qty")).head()
+    assert(r.isNullAt(3), s"px must stay NULL from the t=20 row: $r")
+    assert(r.getInt(4) == 7)
+  }
+
   test("sessionize splits on gaps larger than the threshold") {
     val us = 1000000L
     val df = Seq(

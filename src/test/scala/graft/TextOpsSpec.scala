@@ -78,6 +78,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 1L, 9L -> 1L))
   }
 
+  test("lshBands: empty shingle set → NULL bands, so short docs never join") {
+    // <n-token docs have empty shingle arrays; every band must be NULL
+    // (ANSI `||` propagation, same as the DuckDB oracle) — NOT "" — so a
+    // band-equijoin can never collect all short docs into one hot bucket.
+    val df = Seq((1L, "hi"), (2L, "yo"), (3L, "a b c d e")).toDF("doc_id", "text")
+      .withColumn("sh", TextOps.wordNgrams(TextOps.tokens(col("text")), 3))
+    val banded = df.select(col("doc_id") +: TextOps.lshBands(col("sh"), 4, 2): _*)
+    val shortRows = banded.filter(col("doc_id") < 3).collect()
+    assert(shortRows.forall(r => r.isNullAt(1) && r.isNullAt(2)),
+      s"short docs must have NULL bands: ${shortRows.mkString(",")}")
+    // and the long doc's bands are real values
+    val longRow = banded.filter(col("doc_id") === 3).head()
+    assert(!longRow.isNullAt(1) && !longRow.isNullAt(2))
+    // a self-join on band value pairs no short docs with each other
+    val a = banded.select(col("doc_id").as("ida"), col("band0"))
+    val b = banded.select(col("doc_id").as("idb"), col("band0"))
+    val pairs = a.join(b, Seq("band0")).filter(col("ida") < col("idb"))
+    assert(pairs.count() == 0)
+  }
+
   test("stopwordRatio + langIdHeuristic") {
     val en = Seq("the cat sat on the mat").toDF("text")
     val ratio = en.select(TextOps.stopwordRatio(TextOps.tokens(col("text")))).head().getDouble(0)
