@@ -40,9 +40,34 @@ class LocalWarehouseSink(root: String) extends WarehouseSink {
   * cheap, `write` fails fast if the format is unavailable.
   */
 class SnowflakeSink(options: Map[String, String]) extends WarehouseSink {
+  /** The exact option set handed to the connector for one table write —
+    * exposed so the mapping is contract-testable without the jar.
+    */
+  def optionsFor(table: String): Map[String, String] =
+    options + ("dbtable" -> table)
+
   def write(df: DataFrame, table: String): Unit =
-    df.write.format("snowflake").options(options)
-      .option("dbtable", table).mode(SaveMode.Overwrite).save()
+    df.write.format("snowflake").options(optionsFor(table))
+      .mode(SaveMode.Overwrite).save()
+}
+
+object SnowflakeSink {
+  /** The connection keys the reference passes (gold-snowflake/
+    * dim_customers_gold.py:72-81).
+    */
+  val requiredKeys: Seq[String] =
+    Seq("sfURL", "sfUser", "sfPassword", "sfDatabase", "sfSchema", "sfWarehouse")
+
+  /** Build from a credential provider (the reference's Secrets-Manager
+    * fetch, utils.py:5-16, behind the [[Credentials]] seam). Missing keys
+    * fail fast at construction, not at first write.
+    */
+  def fromCredentials(creds: Credentials): SnowflakeSink = {
+    val resolved = requiredKeys.map(k => k -> creds.get(k))
+    val missing = resolved.collect { case (k, None) => k }
+    require(missing.isEmpty, s"missing warehouse credentials: ${missing.mkString(", ")}")
+    new SnowflakeSink(resolved.map { case (k, v) => k -> v.get }.toMap)
+  }
 }
 
 object Sinks {

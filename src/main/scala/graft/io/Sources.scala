@@ -36,8 +36,9 @@ object Sources {
     spark.read.parquet(path)
 
   /** JDBC source, option-compatible with the reference's crawler-backed RDS
-    * reads. `partitionColumn`/`numPartitions` enable parallel reads — the
-    * crawler's single-connection read is a scale bottleneck we do not copy.
+    * reads (bronze/crm_cust_info_bronze.py:24-27). `partitionColumn`/
+    * `numPartitions` enable parallel reads — the crawler's
+    * single-connection read is a scale bottleneck we do not copy.
     */
   def jdbc(spark: SparkSession, url: String, dbtable: String,
            props: Map[String, String] = Map.empty,
@@ -53,5 +54,46 @@ object Sources {
         .option("numPartitions", numPartitions.toString)
     }
     r.load()
+  }
+}
+
+/** Pluggable bronze ingest: the pipeline Runner reads each source table
+  * through this seam, so the same bronze→silver→gold DAG runs off CSV
+  * files or a live RDS-style database (the reference's actual topology)
+  * without any stage changing.
+  */
+trait BronzeSource {
+  /** Schema-typed frame for a bronze table name from
+    * [[graft.model.Schemas.sourceCsv]].
+    */
+  def read(spark: SparkSession, name: String): DataFrame
+}
+
+/** CSV-backed bronze (the repo's authoritative seed data). */
+class CsvBronzeSource(csvRoot: String) extends BronzeSource {
+  def read(spark: SparkSession, name: String): DataFrame = {
+    val (rel, schema) = graft.model.Schemas.sourceCsv(name)
+    Sources.csv(spark, s"$csvRoot/$rel", schema)
+  }
+}
+
+/** JDBC-backed bronze (the reference's RDS topology). Database catalogs
+  * fold unquoted identifiers (Derby/Oracle upper, Postgres lower), so
+  * columns are matched case-insensitively and cast back to the declared
+  * ingest schema — downstream silver transforms see identical frames
+  * regardless of source.
+  */
+class JdbcBronzeSource(url: String, props: Map[String, String] = Map.empty,
+                       tableFor: String => String = identity) extends BronzeSource {
+  def read(spark: SparkSession, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (_, schema) = graft.model.Schemas.sourceCsv(name)
+    val raw = Sources.jdbc(spark, url, tableFor(name), props)
+    raw.select(schema.fields.toSeq.map { f =>
+      val actual = raw.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(f.name)
+      // empty metadata: the JDBC reader tags fields with connector details
+      // (jdbcClientType etc.) that must not leak into bronze parquet schemas
+      col(actual).cast(f.dataType).as(f.name, org.apache.spark.sql.types.Metadata.empty)
+    }: _*)
   }
 }

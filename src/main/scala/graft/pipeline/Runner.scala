@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{Catalog, Sessions, TableEntry, TableFormat}
-import graft.io.{Sinks, Sources, LocalWarehouseSink, WarehouseSink}
+import graft.io.{BronzeSource, CsvBronzeSource, Sinks, LocalWarehouseSink, WarehouseSink}
 import graft.model.Schemas
 import graft.quality.DataQuality
 import graft.silver.Transforms
@@ -20,14 +20,25 @@ import graft.gold.Builders
   * warehouse write — the reference recomputes the whole join DAG for its
   * second sink (gold-snowflake/dim_customers_gold.py:56-62 then :81).
   */
-class Runner(spark: SparkSession, csvRoot: String, outRoot: String,
-             warehouse: WarehouseSink, clock: Transforms.Clock = Transforms.Clock.system) {
+class Runner(spark: SparkSession, source: BronzeSource, outRoot: String,
+             warehouse: WarehouseSink, clock: Transforms.Clock = Transforms.Clock.system,
+             ruleset: String = """Rules = [ ColumnCount > 0 ]""") {
+
+  /** CSV convenience constructor (the repo's default seed-data topology). */
+  def this(spark: SparkSession, csvRoot: String, outRoot: String,
+           warehouse: WarehouseSink, clock: Transforms.Clock,
+           ruleset: String) =
+    this(spark, new CsvBronzeSource(csvRoot), outRoot, warehouse, clock, ruleset)
+  def this(spark: SparkSession, csvRoot: String, outRoot: String,
+           warehouse: WarehouseSink, clock: Transforms.Clock) =
+    this(spark, new CsvBronzeSource(csvRoot), outRoot, warehouse, clock)
+  def this(spark: SparkSession, csvRoot: String, outRoot: String,
+           warehouse: WarehouseSink) =
+    this(spark, new CsvBronzeSource(csvRoot), outRoot, warehouse)
 
   val catalog = new Catalog(spark)
   val durations = scala.collection.mutable.LinkedHashMap.empty[String, Double]
   val dqReports = scala.collection.mutable.LinkedHashMap.empty[String, DataQuality.Report]
-
-  private val ruleset = """Rules = [ ColumnCount > 0 ]"""
 
   private def timed[T](name: String)(body: => T): T = {
     val t0 = System.nanoTime()
@@ -36,17 +47,25 @@ class Runner(spark: SparkSession, csvRoot: String, outRoot: String,
     r
   }
 
-  private def stage(layer: String, name: String, df: DataFrame): DataFrame = {
-    dqReports(s"$layer.$name") = DataQuality.evaluate(df, ruleset) // BEST_EFFORT
+  /** Write a stage frame and publish its DQ report (BEST_EFFORT). Metric
+    * rules ride the sink action via `observe` — one scan per stage, never
+    * a second DQ-only job over the frame.
+    */
+  private def stage(layer: String, name: String, df: DataFrame,
+                    partitionBy: Seq[String] = Nil): DataFrame = {
+    val obs = DataQuality.observed(df, ruleset, s"dq_${layer}_$name")
     val path = s"$outRoot/$layer/$name"
-    Sinks.parquet(df, path, Some(catalog), s"$layer.$name")
+    Sinks.parquet(obs.df, path, Some(catalog), s"$layer.$name", partitionBy)
+    dqReports(s"$layer.$name") = obs.report()
     spark.read.parquet(path)
   }
 
-  /** Bronze: 1:1 typed CSV ingest, one table per source file. */
+  /** Bronze: 1:1 typed ingest through the source seam, one table per
+    * source (CSV file or JDBC table).
+    */
   def runBronze(): Unit = timed("bronze") {
-    Schemas.sourceCsv.foreach { case (name, (rel, schema)) =>
-      stage("bronze", name, Sources.csv(spark, s"$csvRoot/$rel", schema))
+    Schemas.sourceCsv.keys.foreach { name =>
+      stage("bronze", name, source.read(spark, name))
     }
   }
 
@@ -78,7 +97,15 @@ class Runner(spark: SparkSession, csvRoot: String, outRoot: String,
     val factSales = Builders.factSales(
       silver("crm_sales_details"),
       catalog.read("gold.dim_products"), catalog.read("gold.dim_customers")).cache()
-    stage("gold", "fact_sales", factSales)
+    // the lake copy is month-partitioned (the 100 TB upgrade over the
+    // reference's partitionKeys=[], bronze/crm_cust_info_bronze.py:41) so
+    // date-ranged readers get partition pruning; the warehouse table keeps
+    // the reference's exact column set.
+    stage("gold", "fact_sales",
+      factSales.withColumn("order_month",
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("order_date"), "yyyy-MM")),
+      partitionBy = Seq("order_month"))
     warehouse.write(factSales, "sales_sch.fact_sales")
 
     dimCustomers.unpersist(); dimProducts.unpersist(); factSales.unpersist()

@@ -67,26 +67,93 @@ object DataQuality {
       if (metricRules.isEmpty) Nil
       else try {
         val aggs = count(lit(1)).as("__rows") +: metricRules.zipWithIndex.flatMap {
-          case (IsComplete(c, _), i) => Seq(count(col(c)).as(s"__m$i"))
-          case (IsUnique(c, _), i)   => Seq(count_distinct(col(c)).as(s"__m$i"))
-          case (_: RowCount, i)      => Seq(count(lit(1)).as(s"__m$i"))
-          case _                     => Nil
+          case (r, i) => metricAggs(r, i)
         }
         val row = df.agg(aggs.head, aggs.tail: _*).head()
-        val rows = row.getAs[Long]("__rows")
-        metricRules.zipWithIndex.map {
-          case (r @ RowCount(op, n, t), i) => Result(t, cmp(rows, op, n), rows)
-          case (IsComplete(c, t), i) =>
-            val nonNull = row.getAs[Long](s"__m$i")
-            Result(t, nonNull == rows, rows - nonNull)
-          case (IsUnique(c, t), i) =>
-            val distinct = row.getAs[Long](s"__m$i")
-            Result(t, distinct == rows, distinct)
-        }
+        interpret(metricRules, k => row.getAs[Long](k))
       } catch {
         case e: Exception =>
           metricRules.map(r => Result(s"${r.text} [error: ${e.getMessage}]", passed = false, -1L))
       }
     Report(metadataResults ++ metricResults)
+  }
+
+  /** Aggregates a metric rule needs, keyed __m$i / __nn$i. IsUnique:
+    * non-null values must be unique; NULLs never break uniqueness (SQL
+    * UNIQUE-constraint semantics — `count_distinct` skips NULLs, so it is
+    * compared against `count(col)`, not `count(*)`; a nullable-but-unique
+    * column passes).
+    */
+  private def metricAggs(r: Rule, i: Int): Seq[org.apache.spark.sql.Column] = r match {
+    case IsComplete(c, _) => Seq(count(col(c)).as(s"__m$i"))
+    case IsUnique(c, _)   => Seq(count_distinct(col(c)).as(s"__m$i"),
+                                 count(col(c)).as(s"__nn$i"))
+    case _: RowCount      => Seq(count(lit(1)).as(s"__m$i"))
+    case _: ColumnCount   => Nil
+  }
+
+  private def interpret(metricRules: Seq[Rule], metric: String => Long): Seq[Result] = {
+    val rows = metric("__rows")
+    metricRules.zipWithIndex.map {
+      case (RowCount(op, n, t), _) => Result(t, cmp(rows, op, n), rows)
+      case (IsComplete(_, t), i) =>
+        val nonNull = metric(s"__m$i")
+        Result(t, nonNull == rows, rows - nonNull)
+      case (IsUnique(_, t), i) =>
+        val distinct = metric(s"__m$i")
+        val nonNull = metric(s"__nn$i")
+        Result(t, distinct == nonNull, distinct)
+      case (r: ColumnCount, _) =>
+        Result(r.text, passed = false, -1L) // unreachable: filtered out
+    }
+  }
+
+  /** A frame instrumented with observed DQ metrics plus the deferred
+    * report. Call `report()` only AFTER an action has run on `df` (e.g.
+    * the sink write) — the metrics ride the same job, so the stage pays
+    * ONE scan instead of a separate df.agg job per frame (the reference
+    * publishes DQ alongside each write, bronze/crm_cust_info_bronze.py:30-35).
+    */
+  case class Observed(df: DataFrame, report: () => Report)
+
+  /** Piggyback rule evaluation on the frame's next action via
+    * `Dataset.observe` (CollectMetrics → no extra job, metrics collected
+    * by the driver from task results).
+    *
+    * `IsUnique` needs a distinct aggregate, which observed metrics
+    * disallow — those rules fall back to one standalone aggregate job at
+    * `report()` time; every other rule is job-free. BEST_EFFORT: errors
+    * become failed results, never exceptions.
+    */
+  def observed(df: DataFrame, ruleset: String, name: String = "dq"): Observed = {
+    val rules = parse(ruleset)
+    val metadataResults = rules.collect { case r: ColumnCount =>
+      Result(r.text, cmp(df.schema.size.toLong, r.op, r.n), df.schema.size.toLong)
+    }
+    val observable = rules.filter(r =>
+      r.isInstanceOf[RowCount] || r.isInstanceOf[IsComplete])
+    val deferred = rules.collect { case r: IsUnique => r }
+    val uniqueReport: () => Seq[Result] =
+      if (deferred.isEmpty) () => Nil
+      else () => evaluate(df, deferred.map(_.text).mkString(",")).results
+    if (observable.isEmpty)
+      Observed(df, () => Report(metadataResults ++ uniqueReport()))
+    else {
+      val obs = org.apache.spark.sql.Observation(name)
+      val aggs = count(lit(1)).as("__rows") +: observable.zipWithIndex.flatMap {
+        case (r, i) => metricAggs(r, i)
+      }
+      val instrumented = df.observe(obs, aggs.head, aggs.tail: _*)
+      Observed(instrumented, () => {
+        val metricResults = try {
+          val m = obs.get // blocks until the first action on `instrumented`
+          interpret(observable, k => m(k).asInstanceOf[Number].longValue())
+        } catch {
+          case e: Exception =>
+            observable.map(r => Result(s"${r.text} [error: ${e.getMessage}]", passed = false, -1L))
+        }
+        Report(metadataResults ++ metricResults ++ uniqueReport())
+      })
+    }
   }
 }

@@ -118,6 +118,26 @@ object RelationalQueries {
                ELSE CAST(try_strptime(CAST(dt_int AS VARCHAR), '%Y%m%d') AS DATE) END AS dt_fixed
         FROM src ORDER BY l_orderkey, l_linenumber""")),
 
+    // r6: cube — full cross-dimensional subtotal lattice over order
+    // status x priority (rollup's sibling, r16). Partial-agg friendly:
+    // Expand feeds one hash aggregate, exact BIGINT cents.
+    Q("r6_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio")),
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS total_cents,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_prio,
+                 o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
     // r7: dedup-by-recency (W1) — latest event per user. Epochs are µs:
     // DuckDB's TIMESTAMP truncates the parquet ns precision to micros.
     Q("r7_dedup_latest",
@@ -524,6 +544,21 @@ object RelationalQueries {
                quantile_cont(${sqlCents("l_extendedprice")}, 0.25) AS p25_cents,
                quantile_cont(${sqlCents("l_extendedprice")}, 0.75) AS p75_cents
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // r35: sketch quantiles (approx_percentile, bounded-memory digest with
+    // map-side merge) — the 100 TB scale twin of r33's exact percentile,
+    // mirroring the r20/r21 exact/sketch pairing. r33's exact form buffers
+    // every group value in executor memory; this one is O(1/accuracy) per
+    // group. Engine sketches differ → rows-only; QuantileSpec bounds the
+    // error vs the exact result.
+    Q("r35_approx_quantile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(CAST(floor(l_quantity + 0.5) AS BIGINT), 0.5, 10000)").as("median_qty"),
+          expr("approx_percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.25, 10000)").as("p25_cents"),
+          expr("approx_percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.75, 10000)").as("p75_cents")),
+      None),
 
     // r34: array function battery over tokenized part names.
     Q("r34_array_funcs",

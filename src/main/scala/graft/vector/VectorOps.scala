@@ -78,14 +78,35 @@ object VectorOps {
     concat(bits: _*)
   }
 
-  /** Approximate top-k: candidates limited to the query's LSH bucket,
-    * then exact cosine rank within the bucket. Recall trades off with
-    * `planes`; the shuffle is a bucket-key join, never a cross join.
+  /** Multiprobe expansion: the query's own bucket plus every bucket at
+    * Hamming distance 1 (one flipped hyperplane sign). Standard LSH
+    * recall lever — vectors near a hyperplane land on either side, so
+    * probing the adjacent buckets recovers them without shrinking the
+    * bucket count. `planes+1` probes of `2^planes` buckets.
+    */
+  private def lshProbes(bucket: Column, planes: Int): Column = {
+    val flips = (0 until planes).map { p =>
+      val flipped = when(substring(bucket, p + 1, 1) === "1", "0").otherwise("1")
+      concat(substring(bucket, 1, p), flipped, substring(bucket, p + 2, planes - p - 1))
+    }
+    array(bucket +: flips: _*)
+  }
+
+  /** Approximate top-k: candidates limited to the query's LSH bucket and
+    * (multiprobe) its Hamming-1 neighbors, then exact cosine rank within
+    * the candidates. Recall trades off with `planes`; the shuffle is a
+    * bucket-key join, never a cross join. Each (query, corpus) pair can
+    * match at most once — the corpus side keeps a single bucket and probe
+    * values are distinct.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dims: Int,
               qId: String = "qid", qVec: String = "qv",
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val qb = queries.withColumn("bucket", lshBucket(col(qVec), planes, dims))
+              cId: String = "vec_id", cVec: String = "embedding",
+              multiprobe: Boolean = true): DataFrame = {
+    val qb0 = queries.withColumn("__b0", lshBucket(col(qVec), planes, dims))
+    val qb = (if (multiprobe)
+        qb0.withColumn("bucket", explode(lshProbes(col("__b0"), planes)))
+      else qb0.withColumn("bucket", col("__b0"))).drop("__b0")
       .withColumn("__qd", asDouble(col(qVec)))
       .withColumn("__qn", sqrt(rawDot(col("__qd"), col("__qd"))))
     val cb = corpus.withColumn("bucket", lshBucket(col(cVec), planes, dims))
@@ -100,18 +121,45 @@ object VectorOps {
       .drop("bucket", "__qd", "__qn", "__cd", "__cn")
   }
 
+  /** Train the IVF coarse quantizer on a DETERMINISTIC sample of the
+    * corpus — never the full corpus: at 100 TB the quantizer only needs a
+    * representative few-hundred-per-centroid sample, and the content-hash
+    * predicate ([[graft.text.TextOps.deterministicSample]]) makes the fit
+    * reproducible across runs/partitionings, so the model can be persisted
+    * (`model.save`) and reused by every query batch instead of refit.
+    *
+    * @param samplePermille sample rate in ‰; the fit falls back to the full
+    *   corpus only when the sample has fewer rows than `nCentroids`
+    *   (tiny-corpus guard — a cheap count on the sample, not the corpus)
+    */
+  def trainQuantizer(corpus: DataFrame, nCentroids: Int, seed: Long = 42L,
+                     cId: String = "vec_id", cVec: String = "embedding",
+                     samplePermille: Int = 200): org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sampled = corpus
+      .filter(graft.text.TextOps.deterministicSample(col(cId), samplePermille, "ivf"))
+    val train = if (sampled.limit(nCentroids).count() < nCentroids) corpus else sampled
+    val trainV = train.select(array_to_vector(asDouble(col(cVec))).as("__vec"))
+    new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .fit(trainV)
+  }
+
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     * partitions the corpus into `nCentroids` cells; each query probes its
     * `nProbe` nearest cells and brute-forces only those. The standard
     * billion-scale ANN layout — candidate generation is a cell-id
-    * equijoin, the quantizer trains once on a sample and is reusable.
+    * equijoin, and the quantizer trains once on a deterministic sample
+    * ([[trainQuantizer]]) or is supplied prebuilt via `model`.
     * Deterministic for a fixed seed.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int, seed: Long = 42L,
               qId: String = "qid", qVec: String = "qv",
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
+              cId: String = "vec_id", cVec: String = "embedding",
+              model: Option[org.apache.spark.ml.clustering.KMeansModel] = None,
+              samplePermille: Int = 200): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -119,14 +167,13 @@ object VectorOps {
     val corpusV = corpus
       .withColumn("__cd", asDouble(col(cVec)))
       .withColumn("__vec", array_to_vector(col("__cd")))
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__vec").setPredictionCol("__cell")
-      .fit(corpusV)
-    val assigned = model.transform(corpusV)
+    val m = model.getOrElse(
+      trainQuantizer(corpus, nCentroids, seed, cId, cVec, samplePermille))
+    val assigned = m.transform(corpusV)
       .withColumn("__cn", sqrt(rawDot(col("__cd"), col("__cd"))))
       .drop("__vec")
 
-    val centers = model.clusterCenters.zipWithIndex
+    val centers = m.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("__cell", "__center")
 
     // nearest cells per query by ||q-c||^2 = q.q - 2 q.c + c.c (q.q const)

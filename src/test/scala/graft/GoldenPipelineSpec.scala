@@ -84,6 +84,26 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(f.filter(col("product_key").isNull || col("customer_key").isNull).count() == 0)
   }
 
+  test("fact_sales is month-partitioned and a month filter prunes the scan") {
+    val f = read("gold/fact_sales")
+    assert(f.columns.contains("order_month"))
+    val filtered = f.filter(col("order_month") === "2013-12")
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("PartitionFilters") && s.contains("order_month"),
+      s"no partition filter at the scan:\n${s.take(1500)}")
+    val scans = plan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty)
+    // pruning proof: the scan touches only the one selected month directory
+    val months = f.select("order_month").distinct().count()
+    assert(months > 12, s"expected many month partitions, got $months")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 of $months partitions read, got ${scans.head.selectedPartitions.partitionCount}")
+  }
+
   test("warehouse sink received the three gold tables") {
     assert(read("warehouse/customer_sch/dim_customers").count() == 18485)
     assert(read("warehouse/product_sch/dim_products").count() > 0)

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{RelationalQueries, VectorQueries}
+
+/** The three gate entries that are rows-only (engine-internal sketch or
+  * LSH randomness: v3, v4, r21) plus the r35 sketch quantiles carry no
+  * hash-check signal, so this spec measures their quality against the
+  * exact twins and publishes the numbers to `docs/QUALITY.json` — a
+  * committed, driver-readable artifact. All inputs/seeds are fixed, so
+  * the values are deterministic run-to-run.
+  */
+class QualityMetricsSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def gate(name: String) =
+    (RelationalQueries.all ++ VectorQueries.all).find(_.name == name).get.run(spark, sf01)
+
+  private def topkSet(name: String): Set[(Long, Long)] =
+    gate(name).select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("measure v3/v4 recall and r21/r35 sketch error; publish QUALITY.json") {
+    val exactTopk = topkSet("v1_cosine_topk")
+    val v3Recall = (exactTopk intersect topkSet("v3_lsh_topk")).size.toDouble / exactTopk.size
+    val v4Recall = (exactTopk intersect topkSet("v4_ivf_topk")).size.toDouble / exactTopk.size
+
+    val exactDistinct = gate("r20_distinct_count")
+      .select(col("l_returnflag"), col("n_parts")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approxDistinct = gate("r21_approx_distinct")
+      .select(col("l_returnflag"), col("approx_parts")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r21MaxRelErr = exactDistinct.map { case (k, e) =>
+      math.abs(e - approxDistinct(k)).toDouble / e }.max
+
+    def quantiles(name: String): Map[String, Seq[Double]] =
+      gate(name).collect().map { r =>
+        r.getString(0) -> (1 to 3).map(i => r.get(i).toString.toDouble)
+      }.toMap
+    val exactQ = quantiles("r33_median")
+    val approxQ = quantiles("r35_approx_quantile")
+    val r35MaxRelErr = exactQ.flatMap { case (k, es) =>
+      es.zip(approxQ(k)).map { case (e, a) => math.abs(e - a) / math.max(math.abs(e), 1.0) }
+    }.max
+
+    // quantitative floors for the rows-only gate entries
+    assert(v3Recall >= 0.2, s"v3 recall $v3Recall")  // 4 planes = 16 buckets
+    assert(v4Recall >= 0.3, s"v4 recall $v4Recall")
+    assert(r21MaxRelErr <= 0.05, s"r21 rel err $r21MaxRelErr") // rsd 0.02
+    assert(r35MaxRelErr <= 0.01, s"r35 rel err $r35MaxRelErr")
+
+    val json =
+      f"""{
+         |  "sf": "$sf01",
+         |  "v3_lsh_topk":        {"recall_at_5_vs_v1": $v3Recall%.4f, "floor": 0.2},
+         |  "v4_ivf_topk":        {"recall_at_5_vs_v1": $v4Recall%.4f, "floor": 0.3},
+         |  "r21_approx_distinct": {"max_rel_err_vs_r20": $r21MaxRelErr%.4f, "bound": 0.05},
+         |  "r35_approx_quantile": {"max_rel_err_vs_r33": $r35MaxRelErr%.4f, "bound": 0.01}
+         |}
+         |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/docs/QUALITY.json"),
+      json.getBytes("UTF-8"))
+    info(json)
+  }
+}

@@ -63,6 +63,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.3)
   }
 
+  test("ivf quantizer: sample-trained and prebuilt models give identical results") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // high permille so the sample genuinely trains (tiny corpus at sf0.001)
+    val model = VectorOps.trainQuantizer(emb, nCentroids = 8, samplePermille = 800)
+    val viaModel = VectorOps.ivfTopK(queries, emb, 5, nCentroids = 8, nProbe = 3,
+        model = Some(model), samplePermille = 800)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val viaFit = VectorOps.ivfTopK(queries, emb, 5, nCentroids = 8, nProbe = 3,
+        samplePermille = 800)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(viaModel == viaFit) // deterministic sample + seed ⇒ same quantizer
+    assert(viaModel.nonEmpty)
+  }
+
   test("nearDupPairs finds planted duplicates within a block") {
     val df = Seq(
       (1L, 0, Seq(1.0f, 2.0f, 3.0f)),

@@ -38,8 +38,14 @@ def canon(g: pd.DataFrame, w: pd.DataFrame):
             g[c] = pd.to_datetime(gc).astype("datetime64[ns]")
             w[c] = pd.to_datetime(wc).astype("datetime64[ns]")
         elif gc.dtype != wc.dtype and pd.api.types.is_numeric_dtype(gc) and pd.api.types.is_numeric_dtype(wc):
-            g[c] = gc.astype("float64")
-            w[c] = wc.astype("float64")
+            if pd.api.types.is_integer_dtype(gc) and pd.api.types.is_integer_dtype(wc):
+                # width-only difference: nullable Int64 keeps values above
+                # 2^53 exact, where a float64 cast would silently collide
+                g[c] = gc.astype("Int64")
+                w[c] = wc.astype("Int64")
+            else:
+                g[c] = gc.astype("float64")
+                w[c] = wc.astype("float64")
     return g, w
 
 
