@@ -85,18 +85,23 @@ object TextQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val bands = graft.functions.native.lshBands(col("sh"), 4, 2)
-        // <3-token docs have no shingles → NULL bands in the oracle (NULL
-        // || x). Filter them out BEFORE the shuffle: same join result,
-        // fewer shuffled rows, and no single hot bucket of short docs.
-        val banded = withShingles(docs).filter(size(col("sh")) > 0)
-          .select(col("doc_id") +: bands: _*)
+        // <3-token docs have no shingles → NULL bands (concat propagates,
+        // matching the oracle's `NULL || x`); the equijoin's implied
+        // isnotnull(band_val) then drops them BEFORE the shuffle — no
+        // explicit size(sh) filter, which Catalyst would push down and
+        // re-evaluate the whole interpreted shingle chain per row.
+        val banded = withShingles(docs).select(col("doc_id") +: bands: _*)
         val exploded = banded.select(col("doc_id"),
           explode(map(lit(0), col("band0"), lit(1), col("band1"))).as(Seq("band_idx", "band_val")))
-        val a = exploded.toDF("id_a", "band_idx", "band_val")
-        val b = exploded.toDF("id_b", "band_idx", "band_val")
-        a.join(b, Seq("band_idx", "band_val"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
+        // alias-only self-join: both sides canonicalize identically, so
+        // ReuseExchange computes the banding + shuffle ONCE (aliasing the
+        // id column before the join would fork the plan and double the work)
+        exploded.alias("a").join(exploded.alias("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_val") === col("b.band_val") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
       },
       Some(s"""
         WITH sig AS (
