@@ -329,6 +329,136 @@ object TextQueries {
           FROM flags)
         SELECT user_id, session_idx, count(*) AS n_events,
                CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us
-        FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""))
+        FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
+
+    // t13: Gopher/C4-style quality heuristics — mean word length, symbol
+    // ratio, alpha-word fraction, and the composite keep/drop flag.
+    // Ratios are floor-scaled to exact integers (double division of exact
+    // ints is a single IEEE op, bit-identical across engines).
+    Q("t13_gopher_quality",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          aggregate(col("t"), lit(0L), (a, x) => a + length(x)).as("sum_word_len"),
+          regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long").as("n_symbols"),
+          size(filter(col("t"), x => x.rlike("^[A-Za-z]+$"))).cast("long").as("n_alpha"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_word_len"),
+          col("n_symbols"), col("n_alpha"),
+          when(col("n_tokens") === 0, 0L)
+            .otherwise(floor(col("sum_word_len") * lit(1000.0) / col("n_tokens")).cast("long"))
+            .as("mean_word_len_e3"),
+          when(col("n_tokens") === 0, 0L)
+            .otherwise(floor(col("n_alpha") * lit(1000.0) / col("n_tokens")).cast("long"))
+            .as("alpha_frac_e3"))
+        .withColumn("keep",
+          (col("n_tokens") >= 5) && (col("n_tokens") <= 100000) &&
+            col("mean_word_len_e3").between(2000, 12000) &&
+            (col("alpha_frac_e3") >= 500)),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+        f AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(list_aggregate(list_prepend(0, list_transform(toks, x -> length(x))), 'sum') AS BIGINT) AS sum_word_len,
+                 CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_symbols,
+                 CAST(len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS BIGINT) AS n_alpha
+          FROM t),
+        r AS (
+          SELECT *,
+                 CASE WHEN n_tokens = 0 THEN 0
+                      ELSE CAST(floor(sum_word_len * 1000.0 / n_tokens) AS BIGINT) END AS mean_word_len_e3,
+                 CASE WHEN n_tokens = 0 THEN 0
+                      ELSE CAST(floor(n_alpha * 1000.0 / n_tokens) AS BIGINT) END AS alpha_frac_e3
+          FROM f)
+        SELECT doc_id, n_tokens, sum_word_len, n_symbols, n_alpha,
+               mean_word_len_e3, alpha_frac_e3,
+               (n_tokens >= 5 AND n_tokens <= 100000
+                AND mean_word_len_e3 BETWEEN 2000 AND 12000
+                AND alpha_frac_e3 >= 500) AS keep
+        FROM r ORDER BY doc_id""")),
+
+    // t14: PII detection + redaction. The corpus is synthetic word salad,
+    // so deterministic contact strings are appended in-query, then
+    // detected and masked — the operator under test is the regex
+    // match/replace pipeline, hash-checked on the redacted output.
+    Q("t14_pii_redact",
+      (s, d) => {
+        val withPii = Tables.documents(s, d)
+          .withColumn("aug", concat(col("text"),
+            lit(" contact "), col("source"), lit("@example.com or 555-"),
+            col("doc_id").cast("string")))
+        val emailRe = "[a-z0-9]+@[a-z0-9]+\\.com"
+        val phoneRe = "555-[0-9]+"
+        withPii.select(col("doc_id"),
+          regexp_count(col("aug"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("aug"), lit(phoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_fp"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 text || ' contact ' || source || '@example.com or 555-' || CAST(doc_id AS VARCHAR) AS aug
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z0-9]+\.com')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(aug, '555-[0-9]+')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(aug, '[a-z0-9]+@[a-z0-9]+\.com', '<EMAIL>', 'g'),
+                   '555-[0-9]+', '<PHONE>', 'g')) AS redacted_fp
+        FROM a ORDER BY doc_id""")),
+
+    // t15: repetition ratio — the duplicated-2-gram fraction, the
+    // standard within-document repetition signal for corpus filtering.
+    Q("t15_repetition",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"), TextOps.wordNgrams(col("t"), 2).as("g"))
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("n_2grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct_2grams"))
+        .withColumn("rep_e3",
+          when(col("n_2grams") === 0, 0L)
+            .otherwise(floor((col("n_2grams") - col("n_distinct_2grams")) * lit(1000.0)
+              / col("n_2grams")).cast("long"))),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+                      ELSE [] END AS grams
+          FROM t),
+        c AS (
+          SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_2grams,
+                 CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_2grams
+          FROM g)
+        SELECT doc_id, n_2grams, n_distinct_2grams,
+               CASE WHEN n_2grams = 0 THEN 0
+                    ELSE CAST(floor((n_2grams - n_distinct_2grams) * 1000.0 / n_2grams) AS BIGINT) END AS rep_e3
+        FROM c ORDER BY doc_id""")),
+
+    // t16: token-window chunking (size 32, stride 24 → 8-token overlap) —
+    // the training-sequence packing primitive. One explode per chunk
+    // start; chunk text is hash-checked.
+    Q("t16_chunking",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(24))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 24).cast("long").as("chunk_idx"),
+          least(lit(32), size(col("t")) - col("start")).cast("long").as("n_toks"),
+          md5(array_join(slice(col("t"), col("start") + 1, lit(32)), " ")).as("chunk_fp")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents WHERE len($tokSql) > 0),
+        c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM t)
+        SELECT doc_id,
+               CAST(start // 24 AS BIGINT) AS chunk_idx,
+               CAST(least(32, len(toks) - start) AS BIGINT) AS n_toks,
+               md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS chunk_fp
+        FROM c ORDER BY doc_id, chunk_idx"""))
   )
 }

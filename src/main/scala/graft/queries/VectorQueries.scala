@@ -73,6 +73,32 @@ object VectorQueries {
       },
       None),
 
+    // v5: per-label centroid of the embedding column — the cluster-summary
+    // primitive (class prototypes, IVF cell stats). Components are scaled
+    // to exact micro-units before the sum so the aggregation is
+    // order-independent BIGINT (raw double sums differ between engines);
+    // the mean is one exact division at the end.
+    Q("v5_label_centroids",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+        .groupBy("label", "idx")
+        .agg(sum(floor(col("v").cast("double") * lit(1000000.0) + lit(0.5)).cast("long")).as("sum_micro"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("idx").cast("long").as("idx"),
+          col("sum_micro"), col("n"),
+          (col("sum_micro").cast("double") / col("n").cast("double")).as("mean_micro")),
+      Some("""
+        WITH e AS (
+          SELECT label, i.i AS idx,
+                 CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vm
+          FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) i),
+        a AS (
+          SELECT label, idx, CAST(sum(vm) AS BIGINT) AS sum_micro, count(*) AS n
+          FROM e GROUP BY label, idx)
+        SELECT label, CAST(idx AS BIGINT) AS idx, sum_micro, n,
+               CAST(sum_micro AS DOUBLE) / CAST(n AS DOUBLE) AS mean_micro
+        FROM a ORDER BY label, idx""")),
+
     // m2: multimodal decode through the real Dataset mapPartitions path —
     // the stub codec's dimensions/frames are sha-derived, so the oracle
     // replays the same math in SQL over the same bytes.
