@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.text.TextOps
+
+/** Streaming twins of the batch dedup/upsert operators — the pieces a
+  * continuously-ingesting training-data pipeline needs on top of the
+  * reference's batch-only DAG: exact dedup of a document stream and
+  * CDC newest-version-wins keyed state (the streaming form of
+  * [[graft.operators.Relational.upsert]], r32).
+  */
+object StreamOps {
+
+  /** Streaming exact dedup by normalized-content fingerprint
+    * ([[TextOps.fingerprint]] — the same key t1 dedups on in batch).
+    * `dropDuplicatesWithinWatermark` bounds the dedup state to the
+    * watermark horizon, so state size is O(docs per lateness window),
+    * never O(corpus) — the only viable shape for an unbounded stream.
+    * Works on batch frames too (global dedup, watermark a no-op).
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts_ts",
+                  textCol: String = "text",
+                  lateness: String = "10 minutes"): DataFrame = {
+    val fp = docs.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    if (fp.isStreaming)
+      fp.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp")
+  }
+
+  case class Change(key: Long, version: Long, payload: String)
+
+  // public: janino-generated encoder code must reach the constructor
+  case class LatestState(version: Long, payload: String)
+
+  implicit private val changeEnc: Encoder[Change] = Encoders.product[Change]
+  implicit private val stateEnc: Encoder[LatestState] = Encoders.product[LatestState]
+  implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** CDC newest-version-wins over a keyed change stream: emits a row
+    * whenever a strictly newer version arrives for a key, suppressing
+    * stale/out-of-order updates. State per key is one (version, payload)
+    * pair — O(live keys), partitioned by key across executors. Update
+    * output mode; the batch twin is `Relational.upsert` (r32 semantics).
+    */
+  def latestByKey(changes: Dataset[Change]): Dataset[Change] =
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState[LatestState, Change](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[Change], state: GroupState[LatestState]) =>
+          val newest = (state.getOption.map(s => Change(key, s.version, s.payload)).iterator ++ it)
+            .maxBy(_.version)
+          val advanced = state.getOption.forall(_.version < newest.version)
+          if (advanced) {
+            state.update(LatestState(newest.version, newest.payload))
+            Iterator.single(newest)
+          } else Iterator.empty
+      }
+}

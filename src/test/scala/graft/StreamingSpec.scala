@@ -73,6 +73,57 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toMap == Map(0L -> 3L, 3600L -> 1L)) // second batch landed
   }
 
+  test("streaming dedup keeps one row per fingerprint across micro-batches") {
+    import graft.streaming.StreamOps
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val toDocs = (df: org.apache.spark.sql.DataFrame) => df
+      .toDF("doc_id", "ts_us", "text")
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+    mem.addData((1L, 100L * us, "spark  makes big data SMALL"),
+      (2L, 110L * us, "spark makes big data small"),   // dup of 1 (normalized)
+      (3L, 120L * us, "entirely different"))
+    val q = StreamOps.dedupStream(toDocs(mem.toDF()), "ts_ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName("dd_out").outputMode("append").start()
+    q.processAllAvailable()
+    // second batch: another dup of doc 1 within the watermark + a fresh doc
+    mem.addData((4L, 130L * us, "SPARK MAKES BIG DATA SMALL"),
+      (5L, 140L * us, "brand new content"))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("dd_out").select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(Set(1L, 2L, 4L)).size == 1, s"dups not collapsed: $kept")
+    assert(kept.contains(3L) && kept.contains(5L))
+  }
+
+  test("CDC latestByKey suppresses stale versions, emits only advances") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.Change
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = StreamOps.latestByKey(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_out").outputMode("update").start()
+    mem.addData(Change(1, 1, "a1"), Change(2, 5, "b5"))
+    q.processAllAvailable()
+    mem.addData(Change(1, 3, "a3"), Change(2, 2, "b2-stale"))
+    q.processAllAvailable()
+    mem.addData(Change(1, 2, "a2-stale"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("cdc_out").as[Change].collect()
+    // per key: latest version per emission round, stale rows suppressed
+    assert(out.count(_.key == 1) == 2) // v1 then v3; v2 suppressed
+    assert(out.count(_.key == 2) == 1) // v5; v2 suppressed
+    val last = out.filter(_.key == 1).maxBy(_.version)
+    assert(last.version == 3 && last.payload == "a3")
+    // agrees with the batch upsert twin (newest version wins)
+    val batch = graft.operators.Relational.upsert(
+      Seq((1L, 1L, "a1"), (2L, 5L, "b5")).toDF("key", "version", "payload"),
+      Seq((1L, 3L, "a3"), (1L, 2L, "a2-stale"), (2L, 2L, "b2-stale"))
+        .toDF("key", "version", "payload"),
+      Seq("key"), Seq(col("version").desc))
+      .as[(Long, Long, String)].collect().map(c => c._1 -> c._2).toMap
+    assert(batch == Map(1L -> 3L, 2L -> 5L))
+  }
+
   test("batch sessionize agrees with the window-based operator") {
     val events = (1 to 200).map { i =>
       ev(i.toLong, i.toLong * 600 * (i % 7 + 1) % 500000, i % 5 + 1)
