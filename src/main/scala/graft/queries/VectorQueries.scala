@@ -143,6 +143,30 @@ object VectorQueries {
         FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS i) i
         ORDER BY media_id, idx""")),
 
+    // m4: frame sampling through the Dataset flatMap path — every-64th-
+    // byte chunks of the payload stand in for frame grabs (stub codec);
+    // the oracle replays the same chunking over the identical bytes (the
+    // corpus is pure ASCII, so char slices == byte slices).
+    Q("m4_frame_sample",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, d)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+        Multimodal.sampleFrames(
+            Multimodal.fromBinary(docs, "doc_id", "payload", "video", "source"),
+            everyNth = 64)
+          .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("frame_hash"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id AS media_id,
+                 unnest(range(0, (length(text) + 63) // 64)) AS i, text
+          FROM documents)
+        SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+               md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_hash
+        FROM f ORDER BY media_id, frame_idx""")),
+
     // m1: multimodal metadata extraction — text treated as an opaque
     // binary payload: byte length, content hash, head-bytes "thumbnail".
     Q("m1_multimodal_meta",
