@@ -331,6 +331,41 @@ object TextQueries {
                CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us
         FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
 
+    // t17: SimHash near-dup pairs — Hamming distance ≤ 3 on the 32-bit
+    // hash. Pigeonhole blocking: 4 disjoint 8-bit blocks; any pair within
+    // distance 3 agrees exactly on ≥1 block, so candidates come from a
+    // block-value equijoin (never all-pairs) and the exact bit_count(xor)
+    // filter runs only inside blocks. Completes the dedup battery: exact
+    // (t1), MinHash-Jaccard (t3), SimHash-Hamming (t17), embedding (v2).
+    Q("t17_simhash_neardup",
+      (s, d) => {
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), graft.functions.native.simhash32(col("t")).as("sh"))
+        val blocked = hashed.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("blk_idx"),
+              col("sh").bitwiseAND(lit(255L << (8 * b))).as("blk_val"))): _*)).as("blk"))
+          .select(col("doc_id"), col("sh"), col("blk.blk_idx"), col("blk.blk_val"))
+        blocked.alias("a").join(blocked.alias("b"),
+            col("a.blk_idx") === col("b.blk_idx") &&
+              col("a.blk_val") === col("b.blk_val") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+      },
+      Some(s"""
+        WITH h AS ($simhashSql),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+        SELECT DISTINCT id_a, id_b, hamming FROM p ORDER BY id_a, id_b""")),
+
     // t13: Gopher/C4-style quality heuristics — mean word length, symbol
     // ratio, alpha-word fraction, and the composite keep/drop flag.
     // Ratios are floor-scaled to exact integers (double division of exact
