@@ -87,4 +87,68 @@ class PropertySpec extends SparkSpec {
       assert(keys == (1L to vs.length.toLong))
     }
   }
+
+  private val wordGen = Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+  private val textGen = Gen.choose(0, 90)
+    .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  test("chunking at stride == size covers every token exactly once") {
+    import graft.text.TextOps
+    forAll(Gen.listOfN(20, textGen), minSuccessful = 3) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+      // stride == size: chunk token counts partition the doc exactly
+      val exact = df
+        .select(col("doc_id"), size(col("t")).as("n"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(32))).as("start"))
+        .groupBy("doc_id", "n")
+        .agg(sum(least(lit(32), col("n") - col("start"))).as("covered"))
+        .filter(col("covered") =!= col("n"))
+      assert(exact.count() == 0)
+    }
+  }
+
+  test("PII redaction removes every match it counts (idempotent second pass)") {
+    forAll(Gen.listOfN(15, textGen), minSuccessful = 3) { texts =>
+      val emailRe = "[a-z0-9]+@[a-z0-9]+\\.com"
+      val df = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, s"$t user$i@mail.com tail") }.toDF("doc_id", "text")
+      val red = df.select(col("doc_id"),
+        regexp_replace(col("text"), emailRe, "<EMAIL>").as("r"))
+      // a second redaction pass is a no-op: nothing matchable remains
+      assert(red.filter(regexp_count(col("r"), lit(emailRe)) > 0).count() == 0)
+      assert(red.filter(!col("r").contains("<EMAIL>")).count() == 0)
+    }
+  }
+
+  test("simhash Hamming blocking is lossless for distance <= 3 (pigeonhole)") {
+    // brute-force all pairs on a small corpus and check the blocked join
+    // finds exactly the same qualifying set
+    forAll(Gen.listOfN(40, textGen), minSuccessful = 2) { texts =>
+      import graft.text.TextOps
+      val df = texts.distinct.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), graft.functions.native.simhash32(col("t")).as("sh"))
+        .cache()
+      val brute = df.alias("a").join(df.alias("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 3)
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val blocked = df.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("bi"), col("sh").bitwiseAND(lit(255L << (8 * b))).as("bv"))): _*)).as("blk"))
+        .select(col("doc_id"), col("sh"), col("blk.bi"), col("blk.bv"))
+      val viaBlocks = blocked.alias("a").join(blocked.alias("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 3)
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      df.unpersist()
+      assert(viaBlocks == brute)
+    }
+  }
 }
