@@ -555,9 +555,9 @@ object RelationalQueries {
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(CAST(floor(l_quantity + 0.5) AS BIGINT), 0.5, 10000)").as("median_qty"),
-          expr("approx_percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.25, 10000)").as("p25_cents"),
-          expr("approx_percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.75, 10000)").as("p75_cents")),
+          expr("approx_percentile(CAST(floor(l_quantity + 0.5) AS BIGINT), 0.5, 1000)").as("median_qty"),
+          expr("approx_percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.25, 1000)").as("p25_cents"),
+          expr("approx_percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.75, 1000)").as("p75_cents")),
       None),
 
     // r34: array function battery over tokenized part names.
