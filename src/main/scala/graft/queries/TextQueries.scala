@@ -331,6 +331,63 @@ object TextQueries {
                CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us
         FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
 
+    // t18: sequence packing — assign documents to fixed-budget (512-token)
+    // training sequences by cumulative token count, sharded: packs are
+    // contiguous WITHIN a 1000-doc shard (the last pack of each shard may
+    // run short — standard practice), so the window partitions by shard
+    // and the cumsum is one hash exchange with bounded per-task state,
+    // never a global single-partition sort. Deterministic under any input
+    // partitioning, unlike greedy bin packing.
+    Q("t18_sequence_packing",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") / 1000).cast("long").as("shard"),
+            TextOps.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("shard") * 100000 + floor(col("start") / 512)).cast("long").as("pack_id"),
+            (col("start") - floor(col("start") / 512) * 512).cast("long").as("pack_offset"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, doc_id // 1000 AS shard,
+                 CAST(len($tokSql) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+          FROM t)
+        SELECT doc_id, n_tokens,
+               CAST(shard * 100000 + start // 512 AS BIGINT) AS pack_id,
+               CAST(start % 512 AS BIGINT) AS pack_offset
+        FROM c ORDER BY doc_id""")),
+
+    // t19: corpus-level n-gram frequencies — top 2-grams by count
+    // (explode → count → top-k with total tiebreak). The shuffle carries
+    // one row per distinct gram per task (partial aggregation), not one
+    // per occurrence.
+    Q("t19_top_ngrams",
+      (s, d) => Tables.documents(s, d)
+        .select(TextOps.tokens(col("text")).as("t"))
+        .select(explode(TextOps.wordNgrams(col("t"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram").asc)
+        .limit(20),
+      Some(s"""
+        WITH t AS (SELECT $tokSql AS toks FROM documents),
+        g AS (
+          SELECT unnest(CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(len(toks) - 1),
+                          i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+                   ELSE [] END) AS gram
+          FROM t)
+        SELECT gram, count(*) AS cnt FROM g
+        GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20""")),
+
     // t17: SimHash near-dup pairs — Hamming distance ≤ 3 on the 32-bit
     // hash. Pigeonhole blocking: 4 disjoint 8-bit blocks; any pair within
     // distance 3 agrees exactly on ≥1 block, so candidates come from a
