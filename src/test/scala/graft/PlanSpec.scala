@@ -44,6 +44,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!s.contains("SortMergeJoin"), s"fact chain degraded to SMJ:\n${s.take(2000)}")
   }
 
+  test("t19 n-gram counts partial-aggregate before the shuffle") {
+    val q = graft.queries.TextQueries.all.find(_.name == "t19_top_ngrams").get
+    val s = executed(q.run(spark, sf001)).toString
+    assert(s.contains("partial_count") || s.contains("partial"),
+      s"no map-side combine before the gram shuffle:\n${s.take(1500)}")
+  }
+
+  test("t18 packing shuffles once on the shard key, never a global sort window") {
+    val q = graft.queries.TextQueries.all.find(_.name == "t18_sequence_packing").get
+    val plan = executed(q.run(spark, sf001))
+    val exchanges = collect(plan) { case e: Exchange => e }
+    assert(exchanges.size == 1, s"expected exactly 1 exchange, got ${exchanges.size}")
+    assert(exchanges.head.toString.contains("shard"),
+      s"window must partition by shard:\n${exchanges.head}")
+  }
+
   test("silver transforms are map-only (exchange count: sales=0, cust=1 for dedup)") {
     val sales = Transforms.salesDetails(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
