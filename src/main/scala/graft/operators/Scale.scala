@@ -60,4 +60,58 @@ object Scale {
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Morton (Z-order) interleave of two non-negative int columns, 16 bits
+    * each → one 32-bit locality value. Sorting/range-partitioning by it
+    * clusters rows that are close in BOTH dimensions into the same files,
+    * so parquet min/max row-group stats prune scans filtered on either
+    * column — the lakehouse data-clustering move for multi-dimension
+    * predicates. Pure codegen'd bitwise expressions, no UDF.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31)
+    (0 until bits).map { b =>
+      val xb = shiftleft(shiftright(x.cast("long"), b).bitwiseAND(1L), 2 * b)
+      val yb = shiftleft(shiftright(y.cast("long"), b).bitwiseAND(1L), 2 * b + 1)
+      (xb + yb).cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** Rewrite a DataFrame into `numFiles` Z-ordered output slices:
+    * range-partition on the interleaved value, sort within partitions so
+    * every file covers a tight rectangle in (x, y) space.
+    */
+  def zOrderBy(df: DataFrame, x: String, y: String, numFiles: Int): DataFrame = {
+    val withZ = df.withColumn("__z", zValue(col(x), col(y)))
+    withZ.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** OPTIMIZE-style compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Streaming ingest and per-partition
+    * writers leave thousands of small files per directory at 100 TB;
+    * scan-task scheduling and footer reads then dominate. The rewrite
+    * goes through a temp directory and an atomic-ish rename swap (never
+    * read-and-overwrite the same path — the lazy scan would read the
+    * half-deleted input).
+    *
+    * @return number of data files after compaction
+    */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new Path(path)
+    val totalBytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new Path(path + "__compact_bak")
+    fs.rename(src, bak)
+    fs.rename(tmp, src)
+    fs.delete(bak, true)
+    fs.listStatus(src).count(s => s.getPath.getName.endsWith(".parquet"))
+  }
 }

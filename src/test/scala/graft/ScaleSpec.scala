@@ -28,6 +28,38 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(salted == plain)
   }
 
+  test("compactParquet rewrites many small files into few, content identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 40)
+    val after = Scale.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(after == 1, s"expected 1 file, got $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    assert(back.agg(sum("id")).head().getLong(0) == 10000L * 10001 / 2)
+  }
+
+  test("zOrderBy clusters both dimensions into tight per-file rectangles") {
+    val n = 40000
+    // deterministic pseudo-uniform grid points in [0,256)^2
+    val pts = (0 until n).map(i => ((i * 2654435761L % 256).toInt,
+      (i * 40503 % 256).toInt)).toDF("x", "y")
+    def avgSpread(df: org.apache.spark.sql.DataFrame, c: String): Double =
+      df.withColumn("p", spark_partition_id())
+        .groupBy("p").agg((max(col(c)) - min(col(c))).as("spread"))
+        .agg(avg("spread")).head().getDouble(0)
+    val zed = Scale.zOrderBy(pts, "x", "y", numFiles = 16).cache()
+    val (zx, zy) = (avgSpread(zed, "x"), avgSpread(zed, "y"))
+    // single-column sort leaves the other dimension at full range
+    val xSorted = pts.repartitionByRange(16, col("x")).cache()
+    val xy = avgSpread(xSorted, "y")
+    zed.unpersist(); xSorted.unpersist()
+    assert(zx < 128 && zy < 128, s"z-order spreads too wide: x=$zx y=$zy")
+    assert(zy < xy / 1.5, s"z-order y-spread $zy not better than x-sort's $xy")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
