@@ -15,7 +15,10 @@ object Explain {
     "r7_dedup_latest", "r14_window_analytics", "e7_dim_customers",
     "e9_fact_sales", "t2_minhash_signature", "t3_lsh_dup_pairs",
     "t5_simhash", "t6_dedup_clusters", "v1_cosine_topk", "v2_neardup_pairs",
-    "v4_ivf_topk", "r28_asof_join", "s1_sessionize")
+    "v4_ivf_topk", "r28_asof_join", "s1_sessionize",
+    "r35_approx_quantile", "t13_gopher_quality", "t16_chunking",
+    "t17_simhash_neardup", "t18_sequence_packing", "t19_top_ngrams",
+    "v5_label_centroids", "m4_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
