@@ -19,7 +19,9 @@ object Bench {
     }
     // noop sink forces full computation of every operator in the plan
     // (count() would let Catalyst drop projections and wide transforms).
-    // Two timed runs per query, min reported — damps GC/compilation noise.
+    // Three timed runs per query, min reported — damps GC/codegen-compile/
+    // ambient-load noise (first runs of sketch aggregates measured 5x
+    // their steady state from one-time class init alone).
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -27,7 +29,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+      name -> Seq.fill(3)(timeOnce(name, fn)).min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
