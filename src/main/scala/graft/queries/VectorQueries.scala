@@ -49,8 +49,12 @@ object VectorQueries {
         WHERE list_cosine_similarity(${castD.format("a.embedding")}, ${castD.format("b.embedding")}) >= 0.35
         ORDER BY id_a, id_b""")),
 
-    // v3: LSH-bucketed approximate top-k (scale path; rows-only check —
-    // recall vs v1 is asserted in the ScalaTest spec instead).
+    // v3: LSH-bucketed approximate top-k (scale path). Fully
+    // oracle-checked: the hyperplane coefficients are deterministic
+    // (md5 high bit per (plane, dim)), the projections reduce
+    // left-to-right in double on both engines, so buckets, probes, and
+    // ranks replay exactly in SQL. Recall vs v1 is additionally measured
+    // in QualityMetricsSpec.
     Q("v3_lsh_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -59,7 +63,33 @@ object VectorQueries {
         VectorOps.lshTopK(queries, emb, 5, planes = 4, dims = 64)
           .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id").as("nid"))
       },
-      None),
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding,
+            array_to_string(list_transform(range(4), p ->
+              CASE WHEN list_reduce(
+                     list_prepend(0.0::DOUBLE, list_transform(range(64), i ->
+                       CAST(embedding[i + 1] AS DOUBLE) *
+                       (CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 2))::INT >= 128
+                             THEN 1.0 ELSE -1.0 END))),
+                     (a, x) -> a + x) > 0
+                   THEN '1' ELSE '0' END), '') AS bucket
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id AS qid, embedding AS qv,
+                 unnest(list_prepend(bucket, list_transform(range(4), p ->
+                   substr(bucket, 1, p) ||
+                   (CASE WHEN substr(bucket, p + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+                   substr(bucket, p + 2, 3 - p)))) AS probe
+          FROM b WHERE vec_id < 10),
+        scored AS (
+          SELECT q.qid, c.vec_id AS nid,
+                 list_cosine_similarity(${castD.format("q.qv")}, ${castD.format("c.embedding")}) AS cos
+          FROM probes q JOIN b c ON q.probe = c.bucket AND c.vec_id != q.qid),
+        ranked AS (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
     // v4: IVF approximate top-k (KMeans coarse quantizer, 8 cells, probe
     // 3). Rows-only; recall vs exact is asserted in VectorOpsSpec.
