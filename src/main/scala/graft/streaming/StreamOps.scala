@@ -43,18 +43,33 @@ object StreamOps {
     * stale/out-of-order updates. State per key is one (version, payload)
     * pair — O(live keys), partitioned by key across executors. Update
     * output mode; the batch twin is `Relational.upsert` (r32 semantics).
+    *
+    * @param idleTtl evict a key's state after this much processing-time
+    *   inactivity (e.g. "24 hours"). Without a TTL, state is O(ALL keys
+    *   ever seen) — unbounded on a 100 TB change stream. Eviction trades
+    *   exactness: a pre-eviction stale version arriving later would be
+    *   re-emitted as new. None (the default) keeps exact semantics for
+    *   bounded key domains.
     */
-  def latestByKey(changes: Dataset[Change]): Dataset[Change] =
+  def latestByKey(changes: Dataset[Change],
+                  idleTtl: Option[String] = None): Dataset[Change] = {
+    val timeoutKind = if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     changes.groupByKey(_.key)
       .flatMapGroupsWithState[LatestState, Change](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutKind) {
         (key: Long, it: Iterator[Change], state: GroupState[LatestState]) =>
-          val newest = (state.getOption.map(s => Change(key, s.version, s.payload)).iterator ++ it)
-            .maxBy(_.version)
-          val advanced = state.getOption.forall(_.version < newest.version)
-          if (advanced) {
-            state.update(LatestState(newest.version, newest.payload))
-            Iterator.single(newest)
-          } else Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val newest = (state.getOption.map(s => Change(key, s.version, s.payload)).iterator ++ it)
+              .maxBy(_.version)
+            val advanced = state.getOption.forall(_.version < newest.version)
+            if (advanced) state.update(LatestState(newest.version, newest.payload))
+            idleTtl.foreach(state.setTimeoutDuration)
+            if (advanced) Iterator.single(newest) else Iterator.empty
+          }
       }
+  }
 }
