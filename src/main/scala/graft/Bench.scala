@@ -42,9 +42,11 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
-    // after stop() so no executor/log line can land after it: the bare
-    // JSON is the final stdout line of the run.
+    // after stop() so no executor/log line can land after it. Printed
+    // twice: marker-prefixed (greppable even if sbt appends trailer
+    // lines) and bare as the final stdout line of the program.
     spark.stop()
+    println("BENCH_JSON " + json)
     println(json)
   }
 }

@@ -91,27 +91,67 @@ object Scale {
   /** OPTIMIZE-style compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files. Streaming ingest and per-partition
     * writers leave thousands of small files per directory at 100 TB;
-    * scan-task scheduling and footer reads then dominate. The rewrite
-    * goes through a temp directory and an atomic-ish rename swap (never
+    * scan-task scheduling and footer reads then dominate.
+    *
+    * PARTITION-PRESERVING: Hive-style `col=value` directory layout is
+    * discovered and each LEAF partition is compacted independently into
+    * its own right-sized files — the rewritten table keeps the exact
+    * directory structure (and therefore every downstream reader's
+    * partition pruning), and a huge partition still splits into multiple
+    * `targetBytes` files instead of one per directory. Leaf rewrites are
+    * independent Spark jobs submitted from a small fixed thread pool
+    * (the Delta OPTIMIZE shape) so a 10k-partition table pipelines
+    * through the scheduler without flooding it. The whole rewrite goes
+    * through a temp directory and an atomic-ish rename swap (never
     * read-and-overwrite the same path — the lazy scan would read the
     * half-deleted input).
     *
     * @return number of data files after compaction
     */
   def compactParquet(spark: SparkSession, path: String,
-                     targetBytes: Long = 128L * 1024 * 1024): Int = {
+                     targetBytes: Long = 128L * 1024 * 1024,
+                     maxConcurrentJobs: Int = 8): Int = {
     import org.apache.hadoop.fs.Path
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val src = new Path(path)
-    val totalBytes = fs.getContentSummary(src).getLength
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // qualify so URI-relativize against listStatus paths (always
+    // scheme-qualified) yields the partition-relative subpath
+    val src = fs.makeQualified(new Path(path))
+    // leaf partition dirs: descend while children are `name=value` dirs
+    def leaves(p: Path): Seq[Path] = {
+      val partDirs = fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (partDirs.isEmpty) Seq(p) else partDirs.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    val leafDirs = leaves(src)
     val tmp = new Path(path + "__compact_tmp")
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(tmp, true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrentJobs, leafDirs.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val jobs = leafDirs.map { leaf =>
+        Future {
+          val rel = src.toUri.relativize(leaf.toUri).toString
+          val dest = if (rel.isEmpty) tmp else new Path(tmp, rel)
+          val bytes = fs.getContentSummary(leaf).getLength
+          val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          spark.read.parquet(leaf.toString).repartition(n)
+            .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+        }
+      }
+      Await.result(Future.sequence(jobs), Duration.Inf)
+    } finally { pool.shutdown(); () }
     val bak = new Path(path + "__compact_bak")
     fs.rename(src, bak)
     fs.rename(tmp, src)
     fs.delete(bak, true)
-    fs.listStatus(src).count(s => s.getPath.getName.endsWith(".parquet"))
+    // recursive data-file count (leaves may be nested partition dirs)
+    def countParquet(p: Path): Int = fs.listStatus(p).map { s =>
+      if (s.isDirectory) countParquet(s.getPath)
+      else if (s.getPath.getName.endsWith(".parquet")) 1 else 0
+    }.sum
+    countParquet(src)
   }
 }

@@ -154,9 +154,17 @@ object TextOps {
     */
   def clusterPairs(pairs: org.apache.spark.sql.DataFrame, idA: String = "id_a",
                    idB: String = "id_b", maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
+    // Edge list is hash-partitioned ON THE JOIN KEY once and cached: every
+    // round's label join reads the cached HashPartitioning(s) directly
+    // (the planner inserts no Exchange for a side whose cached layout
+    // already satisfies the join distribution), so only the label frame —
+    // which genuinely changes each round — shuffles per iteration. The
+    // explicit partition count keeps the layout AQE-stable across rounds.
+    val np = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = pairs.select(col(idA).as("s"), col(idB).as("t"))
       .union(pairs.select(col(idB).as("s"), col(idA).as("t")))
-      .distinct().cache()
+      .distinct()
+      .repartition(np, col("s")).cache()
     // One CACHED generation lives at a time (`cur`); the superseded one is
     // unpersisted as soon as its successor is materialized — an iterative
     // driver loop must not leak O(iters) cached frames at 100 TB. Every 3

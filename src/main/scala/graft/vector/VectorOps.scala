@@ -140,10 +140,122 @@ object VectorOps {
     val sampled = corpus
       .filter(graft.text.TextOps.deterministicSample(col(cId), samplePermille, "ivf"))
     val train = if (sampled.limit(nCentroids).count() < nCentroids) corpus else sampled
-    val trainV = train.select(array_to_vector(asDouble(col(cVec))).as("__vec"))
-    new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
+    // cache across Lloyd iterations — KMeans re-reads the input per round
+    val trainV = train.select(array_to_vector(asDouble(col(cVec))).as("__vec")).cache()
+    try new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .fit(trainV)
+    finally { trainV.unpersist(); () }
+  }
+
+  /** Squared L2 distances from `vec` (array<double>) to each centroid, as
+    * one array column — sequential left-to-right folds in double, so the
+    * values (and any argmin over them) are bit-identical across engines.
+    */
+  def cellDists(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.map(c =>
+      aggregate(zip_with(vec, typedLit(c), (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (acc, x) => acc + x)): _*)
+
+  /** Nearest-centroid cell id (0-based); ties break to the lowest cell.
+    * `array_position` returns the FIRST index of the min, which is the
+    * same rule the oracle replays with `row_number() OVER (ORDER BY
+    * dist2, cell)`.
+    */
+  def assignCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val d = cellDists(vec, centroids)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** Deterministic coarse quantizer: Lloyd's KMeans with md5-ordered
+    * seeding and exact micro-unit centroid updates, so the fit — and every
+    * downstream cell assignment — is bit-replayable in any engine:
+    *
+    *  - TRAIN SET: the deterministic content-hash sample
+    *    ([[graft.text.TextOps.deterministicSample]], salt "ivf") — stable
+    *    under repartitioning, never the full corpus.
+    *  - SEEDS: the `nCentroids` sample rows with the smallest
+    *    (md5("ivfseed"‖id), id) — a portable total order, unlike KMeans++
+    *    whose RNG sequence is engine-private.
+    *  - UPDATE: component sums in micro-unit BIGINT (exact, order-free —
+    *    the same trick as the v5 centroid gate), one IEEE division at the
+    *    end; empty cells keep their previous centroid.
+    *  - A FIXED `iters` Lloyd rounds, not convergence-tested — replayable
+    *    as a fixed CTE chain.
+    *
+    * Each round is one Spark job collecting `nCentroids × dims` tiny agg
+    * rows to the driver; the sample is cached across rounds. Train once,
+    * ship the centroids as literals to every query batch ([[ivfTopK]]
+    * `centroids` overload) — at 100 TB the quantizer is fit on a ‰ sample
+    * and reused, never refit per query.
+    */
+  def deterministicCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 2,
+                             cId: String = "vec_id", cVec: String = "embedding",
+                             samplePermille: Int = 200): Array[Seq[Double]] = {
+    val sample = corpus
+      .filter(graft.text.TextOps.deterministicSample(col(cId), samplePermille, "ivf"))
+      .select(col(cId).as("__id"), asDouble(col(cVec)).as("__xd"))
+      .cache()
+    try {
+      var centroids: Array[Seq[Double]] = sample
+        .withColumn("__h", md5(concat(lit("ivfseed"), col("__id").cast("string"))))
+        .orderBy(col("__h"), col("__id"))
+        .limit(nCentroids)
+        .select("__xd").collect().map(_.getSeq[Double](0))
+      require(centroids.length == nCentroids,
+        s"sample has only ${centroids.length} rows for $nCentroids centroids — raise samplePermille")
+      for (_ <- 0 until iters) {
+        val stats = sample
+          .select(assignCell(col("__xd"), centroids.toSeq).as("__cell"),
+            posexplode(col("__xd")).as(Seq("__idx", "__v")))
+          .groupBy("__cell", "__idx")
+          .agg(sum(floor(col("__v") * lit(1000000.0) + lit(0.5)).cast("long")).as("__sm"),
+            count(lit(1)).as("__n"))
+          .collect()
+        val byCell = stats.groupBy(_.getInt(0))
+        centroids = centroids.zipWithIndex.map { case (old, cell) =>
+          byCell.get(cell).fold(old) { rows =>
+            val next = old.toArray.clone()
+            rows.foreach { r =>
+              next(r.getInt(1)) = (r.getLong(2).toDouble / r.getLong(3).toDouble) / 1000000.0
+            }
+            next.toSeq
+          }
+        }
+      }
+      centroids
+    } finally { sample.unpersist(); () }
+  }
+
+  /** IVF approximate top-k against PREBUILT centroids (e.g. from
+    * [[deterministicCentroids]]): corpus rows are cell-assigned by a
+    * map-only argmin over centroid literals, each query probes its
+    * `nProbe` nearest cells, and only those cells are brute-forced. The
+    * probe set is tiny (|Q|·nProbe) and broadcast, so the corpus is
+    * touched once with no shuffle — the billion-scale ANN layout with the
+    * training cost paid exactly once, off the query path.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: Seq[Seq[Double]], nProbe: Int,
+              qId: String, qVec: String, cId: String, cVec: String): DataFrame = {
+    val assigned = corpus.withColumn("__cd", asDouble(col(cVec)))
+      .withColumn("__cell", assignCell(col("__cd"), centroids))
+      .withColumn("__cn", sqrt(rawDot(col("__cd"), col("__cd"))))
+    val qd = queries.withColumn("__qd", asDouble(col(qVec)))
+      .withColumn("__qn", sqrt(rawDot(col("__qd"), col("__qd"))))
+      .select(col(qId), col("__qd"), col("__qn"),
+        posexplode(cellDists(col("__qd"), centroids)).as(Seq("__cell", "__dist")))
+    val wp = Window.partitionBy(qId).orderBy(col("__dist").asc, col("__cell").asc)
+    val probed = qd.withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nProbe)
+      .select(col(qId), col("__qd"), col("__qn"), col("__cell"))
+    val scored = broadcast(probed).join(assigned, "__cell")
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", rawDot(col("__qd"), col("__cd")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop("__cell", "__qd", "__qn", "__cd", "__cn")
   }
 
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer

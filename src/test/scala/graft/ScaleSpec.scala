@@ -41,6 +41,40 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(back.agg(sum("id")).head().getLong(0) == 10000L * 10001 / 2)
   }
 
+  test("compactParquet preserves hive partition layout, content, and pruning") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_p").toString + "/t"
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.repartition(6).write.partitionBy("order_month").parquet(base)
+    def partDirs = new java.io.File(base).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("order_month="))
+      .map(_.getName).toSet
+    def countFiles(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(countFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    val partsBefore = partDirs
+    val filesBefore = countFiles(new java.io.File(base))
+    assert(filesBefore > partsBefore.size, "setup should leave multiple files per partition")
+    val beforeAgg = spark.read.parquet(base)
+      .agg(count(lit(1)), sum("o_orderkey")).head()
+    val after = Scale.compactParquet(spark, base, targetBytes = 1L << 30)
+    assert(partDirs == partsBefore, "partition directories changed by compaction")
+    assert(after == partsBefore.size,
+      s"expected 1 file per partition (${partsBefore.size}), got $after")
+    val back = spark.read.parquet(base)
+    val afterAgg = back.agg(count(lit(1)), sum("o_orderkey")).head()
+    assert(afterAgg == beforeAgg, "row content changed by compaction")
+    // partition pruning must survive the rewrite
+    val month = partsBefore.head.stripPrefix("order_month=")
+    val filtered = back.filter(col("order_month") === month)
+    filtered.collect()
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 1,
+      s"month filter no longer prunes after compaction:\n${filtered.queryExecution.executedPlan.toString.take(1200)}")
+  }
+
   test("zOrderBy clusters both dimensions into tight per-file rectangles") {
     val n = 40000
     // deterministic pseudo-uniform grid points in [0,256)^2
