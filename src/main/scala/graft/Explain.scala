@@ -18,7 +18,7 @@ object Explain {
     "v4_ivf_topk", "r28_asof_join", "s1_sessionize",
     "r35_approx_quantile", "t13_gopher_quality", "t16_chunking",
     "t17_simhash_neardup", "t18_sequence_packing", "t19_top_ngrams",
-    "v5_label_centroids", "m4_frame_sample")
+    "v5_label_centroids", "m1_multimodal_meta", "m4_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -61,32 +61,43 @@ object Scale {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
-  /** Morton (Z-order) interleave of two non-negative int columns, 16 bits
-    * each → one 32-bit locality value. Sorting/range-partitioning by it
-    * clusters rows that are close in BOTH dimensions into the same files,
-    * so parquet min/max row-group stats prune scans filtered on either
-    * column — the lakehouse data-clustering move for multi-dimension
-    * predicates. Pure codegen'd bitwise expressions, no UDF.
+  /** Morton (Z-order) interleave of N non-negative int columns: bit `b`
+    * of column `i` lands at position `b*N + i` of one 64-bit locality
+    * value. Sorting/range-partitioning by it clusters rows that are close
+    * in EVERY dimension into the same files, so per-file/row-group
+    * min/max stats prune scans filtered on ANY of the columns — the
+    * lakehouse data-clustering move for multi-dimension predicates. Pure
+    * codegen'd bitwise expressions, no UDF.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits > 0 && bits <= 31)
-    (0 until bits).map { b =>
-      val xb = shiftleft(shiftright(x.cast("long"), b).bitwiseAND(1L), 2 * b)
-      val yb = shiftleft(shiftright(y.cast("long"), b).bitwiseAND(1L), 2 * b + 1)
-      (xb + yb).cast("long")
-    }.reduce(_ + _)
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 2, "z-ordering needs at least 2 columns")
+    require(bits > 0 && bits * n <= 62, s"$bits bits x $n cols overflows a long")
+    (for { b <- 0 until bits; (c, i) <- cols.zipWithIndex } yield
+      shiftleft(shiftright(c.cast("long"), b).bitwiseAND(1L), b * n + i).cast("long"))
+      .reduce(_ + _)
   }
+
+  /** 2-column Morton interleave (the common case; same bit layout as
+    * [[zValueN]] of the pair).
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
 
   /** Rewrite a DataFrame into `numFiles` Z-ordered output slices:
     * range-partition on the interleaved value, sort within partitions so
-    * every file covers a tight rectangle in (x, y) space.
+    * every file covers a tight hyper-rectangle across ALL `cols`.
     */
-  def zOrderBy(df: DataFrame, x: String, y: String, numFiles: Int): DataFrame = {
-    val withZ = df.withColumn("__z", zValue(col(x), col(y)))
+  def zOrderByN(df: DataFrame, cols: Seq[String], numFiles: Int,
+                bits: Int = 16): DataFrame = {
+    val withZ = df.withColumn("__z", zValueN(cols.map(col), bits))
     withZ.repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  def zOrderBy(df: DataFrame, x: String, y: String, numFiles: Int): DataFrame =
+    zOrderByN(df, Seq(x, y), numFiles)
 
   /** OPTIMIZE-style compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files. Streaming ingest and per-partition

@@ -120,8 +120,12 @@ object DataQuality {
     * `Dataset.observe` (CollectMetrics → no extra job, metrics collected
     * by the driver from task results).
     *
-    * `IsUnique` needs a distinct aggregate, which observed metrics
-    * disallow — those rules fall back to one standalone aggregate job at
+    * `IsUnique` is a PERMANENT exception: exact uniqueness is
+    * `count_distinct == count`, and observed metrics structurally cannot
+    * host a distinct aggregate (CollectMetrics merges bounded per-task
+    * accumulator state; a distinct needs a shuffle-sized set, and an HLL
+    * sketch is approximate so it cannot certify uniqueness). All IsUnique
+    * rules in the ruleset share ONE standalone aggregate job at
     * `report()` time; every other rule is job-free. BEST_EFFORT: errors
     * become failed results, never exceptions.
     */

@@ -4,12 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.vector.VectorOps
 
 /** Embedding similarity search over the `embeddings` table
-  * (`array<float>` 64-dim). The brute-force top-k and threshold queries
-  * are oracle-checked against DuckDB (cosines promoted to double on both
-  * sides; only rankings/threshold sets are compared, never raw floats).
-  * The LSH variant is the scale path — identical contract, bucket-join
-  * candidate generation — and is rows-only checked (its plane projections
-  * are engine-internal).
+  * (`array<float>` 64-dim). ALL variants are oracle-checked against
+  * DuckDB (cosines promoted to double on both sides; rankings/threshold
+  * sets compared, never raw floats): brute force directly; sign-LSH via
+  * deterministic md5 hyperplanes; IVF via a deterministic md5-seeded
+  * quantizer whose full Lloyd fit replays in SQL. Retrieval quality of
+  * the approximate paths is measured separately in QualityMetricsSpec.
   */
 object VectorQueries {
 

@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.queries.{RelationalQueries, VectorQueries}
 
-/** The three gate entries that are rows-only (engine-internal sketch or
-  * LSH randomness: v3, v4, r21) plus the r35 sketch quantiles carry no
-  * hash-check signal, so this spec measures their quality against the
-  * exact twins and publishes the numbers to `docs/QUALITY.json` — a
-  * committed, driver-readable artifact. All inputs/seeds are fixed, so
-  * the values are deterministic run-to-run.
+/** The rows-only gate entries (sketch-internal state: r21, r35) carry no
+  * hash-check signal, and the approximate-ANN entries (v3, v4 — both
+  * fully hash-checked for REPLAYABILITY) say nothing about retrieval
+  * QUALITY, so this spec measures recall/error against the exact twins
+  * and publishes the numbers to `docs/QUALITY.json` — a committed,
+  * driver-readable artifact. All inputs/seeds are fixed, so the values
+  * are deterministic run-to-run.
   */
 class QualityMetricsSpec extends SparkSpec {
 

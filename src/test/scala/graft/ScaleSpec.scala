@@ -94,6 +94,36 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(zy < xy / 1.5, s"z-order y-spread $zy not better than x-sort's $xy")
   }
 
+  test("zOrderByN (3 dims): per-file stats prune a non-leading dimension") {
+    // file-skipping evidence: a reader that consults per-file min/max
+    // stats (what parquet row-group pruning and lakehouse file indexes
+    // do) must touch far fewer z-ordered files for a range predicate on
+    // the LAST z-column than it would for a single-dimension sort layout.
+    val n = 32768
+    // decorrelated dims: disjoint bit-slices of a multiplicative hash
+    val pts = (0 until n).map { i =>
+      val h = i.toLong * 0x9E3779B97F4A7C15L
+      (((h >>> 10) & 63).toInt, ((h >>> 22) & 63).toInt, ((h >>> 34) & 63).toInt)
+    }.toDF("a", "b", "c")
+    def filesHit(df: org.apache.spark.sql.DataFrame, dir: String,
+                 lo: Int, hi: Int): (Int, Int) = {
+      df.write.mode("overwrite").parquet(dir)
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+        .collect()
+      (stats.count(r => r.getInt(1) <= hi && r.getInt(2) >= lo), stats.length)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val (zHit, zTot) = filesHit(
+      Scale.zOrderByN(pts, Seq("a", "b", "c"), 16, bits = 6), s"$base/z", 10, 13)
+    val (sHit, sTot) = filesHit(
+      pts.repartitionByRange(16, col("a")).sortWithinPartitions("a"), s"$base/s", 10, 13)
+    assert(zTot == 16 && sTot == 16, s"expected 16 files each, got $zTot/$sTot")
+    assert(sHit == 16, "single-dim sort leaves c at full range in every file")
+    assert(zHit <= 8, s"z-order should skip most files on a c-range predicate, hit $zHit/16")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select("l_orderkey", "l_quantity")

@@ -124,6 +124,80 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Map(1L -> 3L, 2L -> 5L))
   }
 
+  test("sessionize recovers state across a checkpointed restart") {
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+    val mem = MemoryStream[Event]
+    def start() = EventStreams.sessionize(mem.toDS(), gapUs = 1800L * us)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // run 1: open a session for user 7, then STOP with it still in state
+    val q1 = start()
+    mem.addData(ev(1, 100, 7), ev(2, 200, 7))
+    q1.processAllAvailable(); q1.stop()
+    // run 2: restart from the checkpoint; the far-future events advance
+    // the watermark past the recovered session's timeout, so it can only
+    // emit if the pre-restart state survived
+    val q2 = start()
+    mem.addData(ev(3, 100000, 7))
+    q2.processAllAvailable()
+    mem.addData(ev(4, 200000, 7))
+    q2.processAllAvailable(); q2.stop()
+    val emitted = spark.read.parquet(out).as[EventStreams.Session].collect().toSet
+    assert(emitted.contains(EventStreams.Session(7, 100 * us, 200 * us, 2)),
+      s"pre-restart session state was lost: $emitted")
+    // batch-twin equivalence: every emitted (closed) session appears in the
+    // batch sessionization of the full event sequence
+    val batchAll = EventStreams.sessionizeBatch(
+      Seq(ev(1, 100, 7), ev(2, 200, 7), ev(3, 100000, 7), ev(4, 200000, 7)).toDS(),
+      1800L * us).collect().toSet
+    assert(emitted.subsetOf(batchAll), s"streamed $emitted not in batch twin $batchAll")
+  }
+
+  test("latestByKey (TTL path) recovers version state across a restart") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.Change
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, String)]())
+    val mem = MemoryStream[Change]
+    def start() = StreamOps.latestByKey(mem.toDS(), idleTtl = Some("1 hour"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Change], _: Long) =>
+        batch.collect().foreach(c => { got.add((c.key, c.version, c.payload)); () }); ()
+      }.start()
+    // NOTE: no processAllAvailable here — with ProcessingTimeTimeout the
+    // engine reruns (empty) batches every trigger to fire timers, so
+    // processAllAvailable never settles. Poll emitted rows / progress.
+    def await(what: String)(cond: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!cond && System.currentTimeMillis - t0 < 60000) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what")
+    }
+    def rows = got.toArray.toSeq.asInstanceOf[Seq[(Long, Long, String)]]
+    val q1 = start()
+    mem.addData(Change(1, 5, "a5"))
+    await("v5 emitted")(rows.contains((1L, 5L, "a5")))
+    q1.stop()
+    // restart: send the stale v3 ALONE first — if the recovered state
+    // still knows key 1 is at v5 it is suppressed; if state was lost the
+    // engine would emit it as "new". Wait for its batch to commit before
+    // sending the advancing v7.
+    val q2 = start()
+    mem.addData(Change(1, 3, "a3-stale"))
+    await("stale batch processed")(
+      q2.recentProgress.map(_.numInputRows).sum >= 1)
+    mem.addData(Change(1, 7, "a7"))
+    await("v7 emitted")(rows.contains((1L, 7L, "a7")))
+    q2.stop()
+    assert(!rows.exists(_._2 == 3L),
+      s"stale version re-emitted after restart — state lost: $rows")
+  }
+
   test("batch sessionize agrees with the window-based operator") {
     val events = (1 to 200).map { i =>
       ev(i.toLong, i.toLong * 600 * (i % 7 + 1) % 500000, i % 5 + 1)

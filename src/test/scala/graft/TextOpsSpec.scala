@@ -78,6 +78,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 1L, 9L -> 1L))
   }
 
+  test("clusterPairs: one action per iteration — job count stays at the measured floor") {
+    // The loop's only per-iteration action is the convergence agg over the
+    // newly-cached generation; edges are pre-partitioned on the join key
+    // once. For this graph the loop converges in 3 rounds and (under AQE,
+    // which runs one job per shuffle stage) costs 23 jobs end-to-end on
+    // Spark 4.1.2. Any reintroduced per-iteration action (a count(),
+    // first(), or edges re-shuffle) adds at least one job per round —
+    // the bound catches it.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L)).toDF("id_a", "id_b")
+    TextOps.clusterPairs(pairs).collect() // warm-up: codegen + broadcast init
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = TextOps.clusterPairs(pairs).collect()
+      assert(out.length == 7)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 25, s"clusterPairs cost ${jobs.get()} jobs (floor is 23) — " +
+      "a per-iteration action or edge re-shuffle crept back into the loop")
+  }
+
   test("lshBands: empty shingle set → NULL bands, so short docs never join") {
     // <n-token docs have empty shingle arrays; every band must be NULL
     // (ANSI `||` propagation, same as the DuckDB oracle) — NOT "" — so a

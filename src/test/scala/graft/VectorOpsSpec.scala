@@ -79,6 +79,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaModel.nonEmpty)
   }
 
+  test("deterministicCentroids: invariant to partitioning, ranks exactly") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val c1 = VectorOps.deterministicCentroids(emb, 8, iters = 2, samplePermille = 800)
+    // identical fit from a differently-partitioned (shuffled) input — the
+    // md5 sample/seed order and micro-unit updates ignore physical layout
+    val c2 = VectorOps.deterministicCentroids(
+      emb.repartition(13, col("label")), 8, iters = 2, samplePermille = 800)
+    assert(c1.toSeq == c2.toSeq, "quantizer fit depends on physical layout")
+    // probing all cells through the prebuilt-centroid path == brute force
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = VectorOps.bruteForceTopK(queries, emb, 5)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val full = VectorOps.ivfTopK(queries, emb, 5, c1.toSeq, nProbe = 8,
+        "qid", "qv", "vec_id", "embedding")
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("nearDupPairs finds planted duplicates within a block") {
     val df = Seq(
       (1L, 0, Seq(1.0f, 2.0f, 3.0f)),
