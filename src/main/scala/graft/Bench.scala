@@ -1,6 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Driver tail-window budget for the final stdout line. The harness keeps
+    * only the last ~2000 chars of output; round 4's final line was 2354
+    * chars and truncated mid-JSON, so the final line must stay under this.
+    */
+  val FinalLineBudget = 1900
+
+  private def jsonNum(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+
+  private def queriesJson(results: Map[String, Double], fmt: Double => String): String =
+    results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+
+  /** Full-precision JSON — persisted to bench_out.json and the marker line. */
+  def renderFull(results: Map[String, Double], sfDir: String): String = {
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results, _.toString)},"sf":"$sfDir"}"""
+  }
+
+  /** The FINAL stdout line. Per-query values rounded to 3 dp keep the full
+    * contract while fitting the driver's tail window; if the rounded form
+    * still exceeds the budget (more queries some day), fall back to a short
+    * summary that points at bench_out.json for the per-query detail.
+    */
+  def renderFinal(results: Map[String, Double], sfDir: String): String = {
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalR = jsonNum(total)
+    val rounded = s"""{"metric":"total","value":$totalR,"unit":"sec","queries":${queriesJson(results, jsonNum)},"sf":"$sfDir"}"""
+    if (rounded.length <= FinalLineBudget) rounded
+    else s"""{"metric":"total","value":$totalR,"unit":"sec","sf":"$sfDir","detail":"bench_out.json"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,22 +64,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> Seq.fill(3)(timeOnce(name, fn)).min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver greps sbt stdout, where the JSON can drown in log noise —
-    // persist it to a file as well and print it as the FINAL line, both
-    // bare and marker-prefixed, so any "last line" / "marker" parse works.
+    val full = renderFull(results, sfDir)
+    val finalLine = renderFinal(results, sfDir)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
-    // after stop() so no executor/log line can land after it. Printed
-    // twice: marker-prefixed (greppable even if sbt appends trailer
-    // lines) and bare as the final stdout line of the program.
+    // after stop() so no executor/log line can land after it. Marker line
+    // first (greppable, full precision), short bare JSON as the final
+    // stdout line of the program.
     spark.stop()
-    println("BENCH_JSON " + json)
-    println(json)
+    println("BENCH_JSON " + full)
+    println(finalLine)
   }
 }
