@@ -99,9 +99,54 @@ object VectorQueries {
   /** The coarse quantizer is fit ONCE per data directory and memoized —
     * queries (and the 3 timed bench runs) reuse the centroids instead of
     * refitting per invocation, which is the only sane shape at scale.
+    *
+    * The memo key includes a cheap content fingerprint of the embeddings
+    * file (name/length/mtime of every data file), so rewriting a dir's
+    * data within one JVM invalidates the cache instead of silently
+    * serving stale centroids while the oracle refits from current data.
+    * A fitted quantizer is also persisted (keyed by the same fingerprint)
+    * under `GRAFT_IVF_CACHE_DIR` (default `$tmpdir/graft_ivf`) so a fresh
+    * session reloads the model artifact instead of refitting — the
+    * `KMeansModel.save` shape for the deterministic quantizer.
     */
   private val ivfCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Double]]]()
+
+  /** Test hook: drop all in-process memoized quantizers. */
+  def clearCentroidCache(): Unit = ivfCentroids.clear()
+
+  private def embeddingsFingerprint(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listing =
+      if (!fs.exists(p)) "absent"
+      else if (fs.getFileStatus(p).isFile) {
+        val st = fs.getFileStatus(p)
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      } else fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def ivfCentroidsFor(s: org.apache.spark.sql.SparkSession, dir: String,
+                              nCentroids: Int, iters: Int): Array[Seq[Double]] = {
+    val fp = embeddingsFingerprint(s, dir)
+    ivfCentroids.computeIfAbsent(s"$dir|$fp|$nCentroids|$iters", { _ =>
+      val cacheDir = sys.props.get("graft.ivf.cache.dir")
+        .orElse(sys.env.get("GRAFT_IVF_CACHE_DIR"))
+        .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_ivf")
+      val artifact = s"$cacheDir/ivf_${fp}_${nCentroids}_$iters.json"
+      VectorOps.loadCentroids(s, artifact).getOrElse {
+        val fitted = VectorOps.deterministicCentroids(
+          graft.queries.Tables.embeddings(s, dir), nCentroids, iters)
+        scala.util.Try(VectorOps.saveCentroids(s, fitted, artifact))
+        fitted
+      }
+    })
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -188,8 +233,7 @@ object VectorQueries {
     Q("v4_ivf_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val cents = ivfCentroids.computeIfAbsent(d,
-          dir => VectorOps.deterministicCentroids(Tables.embeddings(s, dir), 8, iters = 2))
+        val cents = ivfCentroidsFor(s, d, nCentroids = 8, iters = 2)
         val queries = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         VectorOps.ivfTopK(queries, emb, 5, cents.toSeq, nProbe = 3,

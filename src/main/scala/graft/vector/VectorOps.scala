@@ -227,6 +227,46 @@ object VectorOps {
     } finally { sample.unpersist(); () }
   }
 
+  /** Persist a fitted coarse quantizer (the centroid array) so the fit
+    * outlives the session — at 100 TB the quantizer is a model artifact
+    * trained once and shipped to every query batch, exactly like
+    * `KMeansModel.save`. Plain JSON of `double[][]` via the Hadoop
+    * filesystem API (works on HDFS/S3, not just local disk);
+    * `Double.toString` round-trips exactly, so a reloaded quantizer
+    * reproduces bit-identical cell assignments.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[Seq[Double]], path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val bytes = mapper.writeValueAsBytes(centroids.map(_.toArray))
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Load a quantizer saved by [[saveCentroids]]; None when absent. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Option[Array[Seq[Double]]] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      Some(mapper.readValue(bytes, classOf[Array[Array[Double]]]).map(_.toSeq))
+    }
+  }
+
   /** IVF approximate top-k against PREBUILT centroids (e.g. from
     * [[deterministicCentroids]]): corpus rows are cell-assigned by a
     * map-only argmin over centroid literals, each query probes its

@@ -98,6 +98,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("quantizer save/load round-trips exactly; fresh session reloads the artifact") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val fitted = VectorOps.deterministicCentroids(emb, 8, iters = 2, samplePermille = 800)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_persist").toString
+    val path = s"$dir/centroids.json"
+    VectorOps.saveCentroids(spark, fitted, path)
+    // Exact double round-trip — a reloaded quantizer must reproduce
+    // bit-identical cell assignments, so == on the raw doubles.
+    val loaded = VectorOps.loadCentroids(spark, path)
+    assert(loaded.isDefined && loaded.get.toSeq == fitted.toSeq)
+    assert(VectorOps.loadCentroids(spark, s"$dir/absent.json").isEmpty)
+    // Fresh-session simulation for the v4 gate: point the persisted-
+    // artifact root at an empty dir and clear the in-process memo, run v4
+    // (fits + saves), then clear the memo again and re-run — the second
+    // run must reload the artifact written by the first and produce
+    // identical output.
+    val cacheDir = java.nio.file.Files.createTempDirectory("ivf_cache").toString
+    System.setProperty("graft.ivf.cache.dir", cacheDir)
+    try {
+      val q = graft.queries.VectorQueries.all.find(_.name == "v4_ivf_topk").get
+      graft.queries.VectorQueries.clearCentroidCache()
+      val first = q.run(spark, sf001).collect().map(_.toSeq).toSeq
+      val artifacts = new java.io.File(cacheDir).listFiles()
+      assert(artifacts != null && artifacts.exists(_.getName.startsWith("ivf_")),
+        "first run did not persist the quantizer artifact")
+      graft.queries.VectorQueries.clearCentroidCache()
+      val second = q.run(spark, sf001).collect().map(_.toSeq).toSeq
+      assert(first == second)
+    } finally { System.clearProperty("graft.ivf.cache.dir"); graft.queries.VectorQueries.clearCentroidCache(); () }
+  }
+
   test("nearDupPairs finds planted duplicates within a block") {
     val df = Seq(
       (1L, 0, Seq(1.0f, 2.0f, 3.0f)),
