@@ -143,11 +143,14 @@ object TextOps {
 
   /** Connected components over duplicate-candidate pairs: each vertex ends
     * labeled with the minimum doc id reachable through the pair graph —
-    * the canonical representative of its dedup cluster. Iterative min-label
-    * propagation (small-star style): each round joins labels through the
-    * bidirected edge list and keeps the per-vertex min; converges in
-    * O(graph diameter) rounds (LSH dup clusters are shallow — near-dup
-    * graphs are dense cliques, diameter 2-3).
+    * the canonical representative of its dedup cluster. Each round (1)
+    * propagates the per-vertex min label through the bidirected edge list
+    * and (2) path-halves: a vertex additionally adopts its representative's
+    * OWN representative from the previous generation, so label distance to
+    * the component min doubles per round and convergence is O(log diameter)
+    * instead of O(diameter) — the difference between 3 and 30+ rounds on
+    * chained near-dup clusters (templated docs with gradual drift chain A~B~C
+    * without A~C, so 100 TB dup graphs are NOT all shallow cliques).
     *
     * @param pairs DataFrame with two numeric id columns (idA, idB)
     * @return (doc_id, cluster_rep) for every vertex appearing in pairs
@@ -160,7 +163,11 @@ object TextOps {
     // already satisfies the join distribution), so only the label frame —
     // which genuinely changes each round — shuffles per iteration. The
     // explicit partition count keeps the layout AQE-stable across rounds.
-    val np = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // `shuffle.partitions` can be non-numeric ("auto" under some AQE
+    // setups) — fall back to the cluster's default parallelism.
+    val np = scala.util.Try(
+      pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(pairs.sparkSession.sparkContext.defaultParallelism)
     val edges = pairs.select(col(idA).as("s"), col(idB).as("t"))
       .union(pairs.select(col(idB).as("s"), col(idA).as("t")))
       .distinct()
@@ -179,14 +186,25 @@ object TextOps {
       val viaNeighbors = cur.join(edges, col("id") === col("s"))
         .groupBy(col("t")).agg(min("rep").as("nrep"))
         .select(col("t").as("id"), col("nrep"))
+      val propagated = cur.select(col("id"), col("rep").as("orep"))
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("orep"),
+          least(col("orep"), coalesce(col("nrep"), col("orep"))).as("rep1"))
+      // Path-halving against the CACHED previous generation: rep1 is a
+      // vertex id, so cur already holds its representative — one hash
+      // join against the cached labels, no recompute of the propagate
+      // step. Using the previous generation (not this round's) keeps the
+      // lookup side cached and is still monotone-correct: labels only
+      // ever decrease toward the component min.
+      val lookup = cur.select(col("id").as("__rid"), col("rep").as("__rrep"))
       // chg rides along in the same frame, so convergence costs no extra
       // join/count job: the single agg action below both materializes the
       // cache and answers "did any label move?".
-      val stepped = cur.select("id", "rep")
-        .join(viaNeighbors, Seq("id"), "left")
+      val stepped = propagated
+        .join(lookup, propagated("rep1") === lookup("__rid"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
-          coalesce(col("nrep") < col("rep"), lit(false)).as("chg"))
+          least(col("rep1"), coalesce(col("__rrep"), col("rep1"))).as("rep"),
+          (least(col("rep1"), coalesce(col("__rrep"), col("rep1"))) < col("orep")).as("chg"))
       // localCheckpoint persists its RDD itself — caching on top would
       // double-store the checkpointed generations.
       val next =

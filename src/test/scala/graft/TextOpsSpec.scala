@@ -78,14 +78,36 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 1L, 9L -> 1L))
   }
 
+  test("clusterPairs: path-halving converges a 64-chain in O(log) rounds") {
+    // A 64-node path graph has diameter 63: pure 1-hop min-label
+    // propagation needs ~63 rounds and would NOT converge within
+    // maxIter = 12. Path halving doubles label distance per round, so the
+    // chain collapses in ~log2(64) + 1 rounds — this test fails if the
+    // shortcut step regresses to plain propagation.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = TextOps.clusterPairs(chain, maxIter = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 64)
+    assert(out.values.forall(_ == 0L), s"unconverged labels: ${out.filter(_._2 != 0L)}")
+  }
+
   test("clusterPairs: one action per iteration — job count stays at the measured floor") {
     // The loop's only per-iteration action is the convergence agg over the
     // newly-cached generation; edges are pre-partitioned on the join key
     // once. For this graph the loop converges in 3 rounds and (under AQE,
-    // which runs one job per shuffle stage) costs 23 jobs end-to-end on
-    // Spark 4.1.2. Any reintroduced per-iteration action (a count(),
-    // first(), or edges re-shuffle) adds at least one job per round —
-    // the bound catches it.
+    // which runs one job per shuffle stage) costs 27 jobs end-to-end on
+    // Spark 4.1.2 — 23 for plain propagation plus the path-halving lookup
+    // join's stage per round, which buys O(log diameter) convergence on
+    // deep graphs (see the 64-chain test above). Any reintroduced
+    // per-iteration action (a count(), first(), or edges re-shuffle) adds
+    // at least one job per round — the tight margin (29 vs floor 27)
+    // catches a +1-job-per-round regression on this 3-round graph.
+    //
+    // VERSION PIN: the absolute number counts AQE job scheduling on
+    // Spark 4.1.2. If a Spark/AQE upgrade shifts the floor WITHOUT a
+    // change to clusterPairs, re-measure and update both numbers — the
+    // invariant to preserve is "constant jobs per iteration, no
+    // per-round edge re-shuffle", not the literal 27.
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L)).toDF("id_a", "id_b")
     TextOps.clusterPairs(pairs).collect() // warm-up: codegen + broadcast init
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -100,7 +122,7 @@ class TextOpsSpec extends SparkSpec {
       val out = TextOps.clusterPairs(pairs).collect()
       assert(out.length == 7)
     } finally spark.sparkContext.removeSparkListener(listener)
-    assert(jobs.get() <= 25, s"clusterPairs cost ${jobs.get()} jobs (floor is 23) — " +
+    assert(jobs.get() <= 29, s"clusterPairs cost ${jobs.get()} jobs (floor is 27) — " +
       "a per-iteration action or edge re-shuffle crept back into the loop")
   }
 
