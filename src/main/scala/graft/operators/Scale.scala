@@ -129,11 +129,26 @@ object Scale {
     // qualify so URI-relativize against listStatus paths (always
     // scheme-qualified) yields the partition-relative subpath
     val src = fs.makeQualified(new Path(path))
-    // leaf partition dirs: descend while children are `name=value` dirs
+    // Spark's own convention: _ and . prefixed entries are metadata
+    // (_SUCCESS, .crc), invisible to readers and to this layout check.
+    def isMeta(p: Path): Boolean = p.getName.startsWith("_") || p.getName.startsWith(".")
+    // Leaf partition dirs: descend while children are `name=value` dirs.
+    // The layout must be all-or-nothing per level — data files sitting
+    // NEXT TO partition dirs would be silently dropped by the rename swap
+    // (they belong to no leaf), so that mix is an error, as is a
+    // directory level mixing partition and non-partition dirs.
     def leaves(p: Path): Seq[Path] = {
-      val partDirs = fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      if (partDirs.isEmpty) Seq(p) else partDirs.toSeq.flatMap(d => leaves(d.getPath))
+      val children = fs.listStatus(p).filterNot(s => isMeta(s.getPath))
+      val partDirs = children.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (partDirs.isEmpty) Seq(p)
+      else {
+        val strays = children.filterNot(s => s.isDirectory && s.getPath.getName.contains("="))
+        require(strays.isEmpty,
+          s"compactParquet: mixed layout under $p — partition dirs next to " +
+            s"${strays.map(_.getPath.getName).mkString(", ")}; compact the " +
+            "offending level separately or fix the layout")
+        partDirs.toSeq.flatMap(d => leaves(d.getPath))
+      }
     }
     val leafDirs = leaves(src)
     val tmp = new Path(path + "__compact_tmp")
@@ -146,10 +161,18 @@ object Scale {
         Future {
           val rel = src.toUri.relativize(leaf.toUri).toString
           val dest = if (rel.isEmpty) tmp else new Path(tmp, rel)
-          val bytes = fs.getContentSummary(leaf).getLength
-          val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-          spark.read.parquet(leaf.toString).repartition(n)
-            .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+          // A leaf with no data files (only _SUCCESS etc.) has nothing to
+          // compact and would abort schema inference — preserve the empty
+          // directory in the swapped tree and skip the Spark job.
+          val hasData = fs.listStatus(leaf)
+            .exists(s => s.isFile && !isMeta(s.getPath))
+          if (!hasData) { fs.mkdirs(dest); () }
+          else {
+            val bytes = fs.getContentSummary(leaf).getLength
+            val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+            spark.read.parquet(leaf.toString).repartition(n)
+              .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+          }
         }
       }
       Await.result(Future.sequence(jobs), Duration.Inf)

@@ -75,6 +75,40 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"month filter no longer prunes after compaction:\n${filtered.queryExecution.executedPlan.toString.take(1200)}")
   }
 
+  test("compactParquet refuses a mixed layout instead of dropping stray files") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_mix").toString + "/t"
+    val df = (1 to 100).map(i => (i, i % 3)).toDF("v", "k")
+    df.write.partitionBy("k").parquet(base)
+    // a data file sitting NEXT TO the partition dirs — the rename swap
+    // would silently drop it, so compaction must refuse up front
+    df.limit(5).drop("k").write.parquet(s"$base/__stray_tmp")
+    val strayFile = new java.io.File(s"$base/__stray_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(strayFile.toPath,
+      java.nio.file.Paths.get(s"$base/stray.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/__stray_tmp"))
+    val e = intercept[IllegalArgumentException] {
+      Scale.compactParquet(spark, base)
+    }
+    assert(e.getMessage.contains("mixed layout"))
+    // nothing was swapped: the stray file and all partition dirs survive
+    assert(new java.io.File(s"$base/stray.parquet").exists())
+    assert(new java.io.File(base).listFiles().count(_.getName.startsWith("k=")) == 3)
+  }
+
+  test("compactParquet preserves an empty leaf partition dir") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_e").toString + "/t"
+    (1 to 100).map(i => (i, i % 3)).toDF("v", "k")
+      .write.partitionBy("k").parquet(base)
+    // an empty partition (e.g. all rows deleted, _SUCCESS-only) must not
+    // abort compaction nor vanish from the swapped tree
+    assert(new java.io.File(s"$base/k=99").mkdir())
+    val n = Scale.compactParquet(spark, base, targetBytes = 1L << 30)
+    assert(n == 3, s"expected 3 data files, got $n")
+    assert(new java.io.File(s"$base/k=99").isDirectory, "empty partition dir dropped")
+    assert(spark.read.parquet(base).count() == 100)
+  }
+
   test("zOrderBy clusters both dimensions into tight per-file rectangles") {
     val n = 40000
     // deterministic pseudo-uniform grid points in [0,256)^2
