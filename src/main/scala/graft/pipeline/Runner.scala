@@ -22,7 +22,8 @@ import graft.gold.Builders
   */
 class Runner(spark: SparkSession, source: BronzeSource, outRoot: String,
              warehouse: WarehouseSink, clock: Transforms.Clock = Transforms.Clock.system,
-             ruleset: String = """Rules = [ ColumnCount > 0 ]""") {
+             ruleset: String = """Rules = [ ColumnCount > 0 ]""",
+             layout: Option[Runner.Layout] = None) {
 
   /** CSV convenience constructor (the repo's default seed-data topology). */
   def this(spark: SparkSession, csvRoot: String, outRoot: String,
@@ -101,11 +102,27 @@ class Runner(spark: SparkSession, source: BronzeSource, outRoot: String,
     // reference's partitionKeys=[], bronze/crm_cust_info_bronze.py:41) so
     // date-ranged readers get partition pruning; the warehouse table keeps
     // the reference's exact column set.
-    stage("gold", "fact_sales",
-      factSales.withColumn("order_month",
-        org.apache.spark.sql.functions.date_format(
-          org.apache.spark.sql.functions.col("order_date"), "yyyy-MM")),
-      partitionBy = Seq("order_month"))
+    import org.apache.spark.sql.functions.{col, date_format}
+    val factWithMonth = factSales.withColumn("order_month",
+      date_format(col("order_date"), "yyyy-MM"))
+    // Opt-in layout maintenance (Runner.Layout): range-partition on
+    // (month, z-value) and sort within tasks so every fact file covers a
+    // tight hyper-rectangle of the z-order columns INSIDE its month dir —
+    // min/max row-group stats then prune scans filtered on any z column,
+    // on top of the month partition pruning. Row content is unchanged.
+    val factLaidOut = layout.filter(_.zOrderCols.nonEmpty).fold(factWithMonth) { l =>
+      factWithMonth
+        .withColumn("__z", graft.operators.Scale.zValueN(l.zOrderCols.map(col)))
+        .repartitionByRange(l.zOrderSlices, col("order_month"), col("__z"))
+        .sortWithinPartitions("order_month", "__z")
+        .drop("__z")
+    }
+    stage("gold", "fact_sales", factLaidOut, partitionBy = Seq("order_month"))
+    // OPTIMIZE-style small-file compaction of the partitioned fact dir
+    // (partition-preserving — pruning above survives, see ScaleSpec).
+    layout.flatMap(_.compactTargetBytes).foreach { tb =>
+      graft.operators.Scale.compactParquet(spark, s"$outRoot/gold/fact_sales", tb); ()
+    }
     warehouse.write(factSales, "sales_sch.fact_sales")
 
     dimCustomers.unpersist(); dimProducts.unpersist(); factSales.unpersist()
@@ -115,6 +132,20 @@ class Runner(spark: SparkSession, source: BronzeSource, outRoot: String,
 }
 
 object Runner {
+  /** Opt-in gold layout maintenance (OPTIMIZE/Z-ORDER in lakehouse terms):
+    * `zOrderCols` clusters fact files on the interleaved z-value inside
+    * each month partition at write time; `compactTargetBytes` rewrites the
+    * partitioned fact dir into right-sized files afterwards. Both steps
+    * are content-identical — only file layout changes.
+    *
+    * @param zOrderSlices number of (month, z) range slices at write time —
+    *   at 100 TB size this so one slice ≈ one output file of row-group-
+    *   stats-friendly size, NOT one slice per month (a month is huge).
+    */
+  case class Layout(zOrderCols: Seq[String] = Nil,
+                    zOrderSlices: Int = 16,
+                    compactTargetBytes: Option[Long] = None)
+
   /** CLI: <csvRoot> <outRoot> — runs the whole DAG against the bundled
     * reference CSVs and prints per-stage durations + DQ results.
     */

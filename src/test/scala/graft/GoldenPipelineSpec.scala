@@ -104,6 +104,39 @@ class GoldenPipelineSpec extends SparkSpec {
       s"expected 1 of $months partitions read, got ${scans.head.selectedPartitions.partitionCount}")
   }
 
+  test("layout maintenance on: identical fact content, pruning survives, files compacted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_golden_layout").toString
+    val r = new Runner(spark, new graft.io.CsvBronzeSource("/root/reference/datasets"), dir,
+      new LocalWarehouseSink(s"$dir/warehouse"),
+      clock = Transforms.Clock.fixed("2026-01-01"),
+      layout = Some(Runner.Layout(
+        zOrderCols = Seq("customer_key", "product_key"),
+        compactTargetBytes = Some(128L * 1024 * 1024))))
+    r.runAll()
+    val plain = read("gold/fact_sales")
+    val laidOut = spark.read.parquet(s"$dir/gold/fact_sales")
+    // byte-identical content — layout maintenance must never change rows
+    assert(laidOut.count() == 60398)
+    assert(laidOut.exceptAll(plain.select(laidOut.columns.map(col): _*)).count() == 0)
+    assert(plain.select(laidOut.columns.map(col): _*).exceptAll(laidOut).count() == 0)
+    // partition pruning still works on the compacted tree
+    val filtered = laidOut.filter(col("order_month") === "2013-12")
+    filtered.collect()
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 1,
+      s"pruning lost after layout maintenance: ${scans.headOption.map(_.selectedPartitions.partitionCount)}")
+    // compaction: at this scale every month fits one target-size file
+    val monthDirs = new java.io.File(s"$dir/gold/fact_sales").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("order_month="))
+    assert(monthDirs.nonEmpty)
+    monthDirs.foreach { m =>
+      val files = m.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${m.getName}: ${files.length} files after compaction")
+    }
+  }
+
   test("warehouse sink received the three gold tables") {
     assert(read("warehouse/customer_sch/dim_customers").count() == 18485)
     assert(read("warehouse/product_sch/dim_products").count() > 0)
