@@ -50,4 +50,31 @@ class JdbcSourceSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("CST_ID"), plan)
   }
+
+  test("jdbc scan node: predicate compiled into the remote WHERE, columns pruned") {
+    // The reference's catalog scans (SURVEY.md §2.1 S1) rely on the JDBC
+    // relation doing the filtering/projection REMOTELY. Spark does not
+    // expose the generated SQL string, but the scan node carries the
+    // contract: a filter the relation accepted into its WHERE clause is
+    // rendered STARRED (*) in PushedFilters — unhandled filters appear
+    // unstarred and are re-evaluated Spark-side — and the relation's
+    // SELECT list is exactly the scan's pruned output columns.
+    val df = Sources.jdbc(spark, url, "crm_cust",
+      props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      .filter(col("CST_ID") > 90)
+      .select("CST_KEY")
+    assert(df.count() == 10)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val scan = scans.head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("*GreaterThan(CST_ID,90)"),
+      s"predicate not compiled into the remote query (unstarred = Spark-side): $pushed")
+    // column pruning: the remote SELECT list is the scan output — the
+    // filter column is consumed remotely, so only CST_KEY comes back
+    assert(scan.output.map(_.name) == Seq("CST_KEY"),
+      s"remote projection not pruned: ${scan.output.map(_.name)}")
+  }
 }
