@@ -122,6 +122,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("clusterPairs labels random graphs identically to a union-find oracle") {
+    // Path-halving must stay a pure optimization: on arbitrary random
+    // graphs (mixed cliques, chains, isolated edges) every vertex's final
+    // label equals the component minimum computed by a sequential
+    // union-find.
+    val edgeGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L)))
+      .map(_.filter(e => e._1 != e._2))
+      .suchThat(_.nonEmpty)
+    forAll(edgeGen, minSuccessful = 3) { edges =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = graft.text.TextOps.clusterPairs(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
   test("simhash Hamming blocking is lossless for distance <= 3 (pigeonhole)") {
     // brute-force all pairs on a small corpus and check the blocked join
     // finds exactly the same qualifying set
