@@ -3,10 +3,20 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
   /** Driver tail-window budget for the final stdout line. The harness keeps
-    * only the last ~2000 chars of output; round 4's final line was 2354
-    * chars and truncated mid-JSON, so the final line must stay under this.
+    * only the last ~2000 chars of output and sbt prefixes `[info] `
+    * (7 chars); round 4's final line was 2354 chars of JSON and truncated
+    * mid-line, so the JSON must stay under this (1950 + 7 + newline still
+    * fits the window with margin).
     */
-  val FinalLineBudget = 1900
+  val FinalLineBudget = 1950
+
+  /** 1-minute system load average, or -1 when the platform can't say.
+    * Embedded in every bench JSON so cross-round comparisons can tell an
+    * idle run from one fighting 32 builder threads (round 4's 62 s vs the
+    * idle 42.9 s was pure ambient load).
+    */
+  private def load1: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   private def jsonNum(v: Double): String = (math.round(v * 1000) / 1000.0).toString
 
@@ -18,7 +28,7 @@ object Bench {
   /** Full-precision JSON — persisted to bench_out.json and the marker line. */
   def renderFull(results: Map[String, Double], sfDir: String): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results, _.toString)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","load1":${jsonNum(load1)},"queries":${queriesJson(results, _.toString)},"sf":"$sfDir"}"""
   }
 
   /** The FINAL stdout line. Per-query values rounded to 3 dp keep the full
@@ -29,9 +39,9 @@ object Bench {
   def renderFinal(results: Map[String, Double], sfDir: String): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalR = jsonNum(total)
-    val rounded = s"""{"metric":"total","value":$totalR,"unit":"sec","queries":${queriesJson(results, jsonNum)},"sf":"$sfDir"}"""
+    val rounded = s"""{"metric":"total","value":$totalR,"unit":"sec","load1":${jsonNum(load1)},"queries":${queriesJson(results, jsonNum)},"sf":"$sfDir"}"""
     if (rounded.length <= FinalLineBudget) rounded
-    else s"""{"metric":"total","value":$totalR,"unit":"sec","sf":"$sfDir","detail":"bench_out.json"}"""
+    else s"""{"metric":"total","value":$totalR,"unit":"sec","load1":${jsonNum(load1)},"sf":"$sfDir","detail":"bench_out.json"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -31,6 +31,8 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("metric").asText() == "total")
     assert(node.get("unit").asText() == "sec")
     assert(node.get("value").isNumber)
+    assert(node.get("load1") != null && node.get("load1").isNumber,
+      "bench JSON must carry the ambient load average")
     assert(node.get("sf").asText() == "/root/testdata/sf0.1")
     // With today's 74 queries the rounded form fits, so per-query detail
     // must survive into the final line.
