@@ -99,6 +99,66 @@ object Scale {
   def zOrderBy(df: DataFrame, x: String, y: String, numFiles: Int): DataFrame =
     zOrderByN(df, Seq(x, y), numFiles)
 
+  /** Incremental MERGE (upsert) into a parquet table on disk: rows whose
+    * `keys` match an update are replaced by the newest version under
+    * `order` ([[graft.operators.Relational.upsert]] semantics), new keys
+    * are appended — without rewriting the whole table.
+    *
+    * With `partitionCol` set (Hive `col=value` layout), only the
+    * partitions the updates actually touch are read, merged, and swapped;
+    * every other partition's files are left byte-for-byte in place. That
+    * is the 100 TB shape for CDC-driven gold refresh: cost scales with
+    * the CHANGED slice of the table, not its size — the reference
+    * re-builds and overwrites all of gold on every run
+    * (gold-snowflake/fact_sales_gold.py full overwrite). The touched
+    * partition values are collected to the driver, which is O(touched
+    * partitions), never O(rows).
+    *
+    * CONSTRAINT: `keys` must determine a stable `partitionCol` value (a
+    * key must not move between partitions) — the same invariant every
+    * partition-scoped MERGE (Hive dynamic-partition overwrite, Delta
+    * replaceWhere) requires. The merged slice is fully written to a temp
+    * dir BEFORE any swap, so a failure mid-write leaves the table intact.
+    */
+  def mergeParquet(spark: SparkSession, path: String, updates: DataFrame,
+                   keys: Seq[String], order: Seq[Column],
+                   partitionCol: Option[String] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.makeQualified(new Path(path))
+    val tmp = new Path(path + "__merge_tmp")
+    fs.delete(tmp, true)
+    def swap(from: Path, to: Path): Unit = {
+      val bak = new Path(to.toString + "__merge_bak")
+      fs.delete(bak, true)
+      val existed = fs.exists(to)
+      if (existed) { fs.rename(to, bak); () }
+      fs.mkdirs(to.getParent)
+      fs.rename(from, to)
+      if (existed) { fs.delete(bak, true); () }
+    }
+    partitionCol match {
+      case None =>
+        val merged = graft.operators.Relational.upsert(
+          spark.read.parquet(path), updates, keys, order)
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        swap(tmp, src)
+      case Some(p) =>
+        val touched = updates.select(col(p)).distinct().collect().map(_.get(0))
+        require(touched.nonEmpty, "mergeParquet: updates are empty")
+        // partition pruning confines the base read to the touched slice
+        val base = spark.read.parquet(path).filter(col(p).isin(touched: _*))
+        val merged = graft.operators.Relational.upsert(base, updates, keys, order)
+        merged.write.mode(SaveMode.Overwrite).partitionBy(p).parquet(tmp.toString)
+        // the write above fully materialized tmp; now swap ONLY the
+        // touched leaf dirs (new partition values simply rename in)
+        fs.listStatus(tmp)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$p="))
+          .foreach(s => swap(s.getPath, new Path(src, s.getPath.getName)))
+        fs.delete(tmp, true)
+    }
+  }
+
   /** OPTIMIZE-style compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files. Streaming ingest and per-partition
     * writers leave thousands of small files per directory at 100 TB;

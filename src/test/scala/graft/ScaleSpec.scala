@@ -109,6 +109,50 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.read.parquet(base).count() == 100)
   }
 
+  test("mergeParquet rewrites only touched partitions; untouched files stay in place") {
+    val base = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    val rows = (1 to 300).map(i => (i.toLong, 1L, s"v1-$i", i % 3))
+      .toDF("k", "version", "payload", "part")
+    rows.write.partitionBy("part").parquet(base)
+    def files(part: Int) = new java.io.File(s"$base/part=$part").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val untouched1 = files(1)
+    val untouched2 = files(2)
+    // updates: newer versions for 2 keys in part=0, a brand-new key in
+    // part=0, and an entirely new partition part=3
+    val updates = Seq(
+      (3L, 2L, "v2-3", 0), (6L, 2L, "v2-6", 0), (1000L, 1L, "new", 0),
+      (2000L, 1L, "p3", 3)).toDF("k", "version", "payload", "part")
+    Scale.mergeParquet(spark, base, updates, Seq("k"),
+      Seq(col("version").desc), partitionCol = Some("part"))
+    val back = spark.read.parquet(base)
+    // content equals a full-table upsert of the same updates
+    val expected = graft.operators.Relational.upsert(rows, updates, Seq("k"),
+      Seq(col("version").desc))
+      .select("k", "version", "payload", "part")
+      .collect().map(_.toSeq).toSet
+    val got = back.select("k", "version", "payload", "part")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(back.filter(col("k") === 3L).head().getLong(1) == 2L) // new version won
+    // incremental proof: untouched partitions were not rewritten
+    assert(files(1) == untouched1 && files(2) == untouched2,
+      "untouched partition files were rewritten")
+    assert(new java.io.File(s"$base/part=3").isDirectory, "new partition not created")
+  }
+
+  test("mergeParquet (unpartitioned) swaps the whole table atomically") {
+    val base = java.nio.file.Files.createTempDirectory("graft_merge_u").toString + "/t"
+    Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "version", "payload")
+      .write.parquet(base)
+    Scale.mergeParquet(spark, base,
+      Seq((2L, 2L, "b2"), (3L, 1L, "c")).toDF("k", "version", "payload"),
+      Seq("k"), Seq(col("version").desc))
+    val got = spark.read.parquet(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 1L, "a"), (2L, 2L, "b2"), (3L, 1L, "c")))
+  }
+
   test("zOrderBy clusters both dimensions into tight per-file rectangles") {
     val n = 40000
     // deterministic pseudo-uniform grid points in [0,256)^2
