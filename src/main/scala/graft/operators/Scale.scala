@@ -128,6 +128,14 @@ object Scale {
     val src = fs.makeQualified(new Path(path))
     val tmp = new Path(path + "__merge_tmp")
     fs.delete(tmp, true)
+    if (!fs.exists(src)) {
+      // bootstrap: first delivery creates the table (streaming's batch 0);
+      // still newest-per-key so an in-batch version chain collapses
+      val first = graft.operators.Relational.dedupLatest(updates, keys, order)
+      val w = first.write.mode(SaveMode.ErrorIfExists)
+      partitionCol.fold(w)(p => w.partitionBy(p)).parquet(src.toString)
+      return
+    }
     def swap(from: Path, to: Path): Unit = {
       val bak = new Path(to.toString + "__merge_bak")
       fs.delete(bak, true)

@@ -532,12 +532,16 @@ object RelationalQueries {
     // (n-1)*p over sorted values; inputs are exact ints so the midpoint
     // arithmetic is bit-identical.
     Q("r33_median",
+      // one percentile(col, array(p25, p75)) buffers the cents column ONCE
+      // per group instead of twice — exact-percentile cost is dominated by
+      // that per-group buffer, so fusing halves the memory and the merge
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           expr("percentile(CAST(floor(l_quantity + 0.5) AS BIGINT), 0.5)").as("median_qty"),
-          expr("percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.25)").as("p25_cents"),
-          expr("percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.75)").as("p75_cents")),
+          expr("percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), array(0.25, 0.75))").as("pq"))
+        .select(col("l_returnflag"), col("median_qty"),
+          col("pq").getItem(0).as("p25_cents"), col("pq").getItem(1).as("p75_cents")),
       Some(s"""
         SELECT l_returnflag,
                quantile_cont(${sqlLong("l_quantity")}, 0.5) AS median_qty,

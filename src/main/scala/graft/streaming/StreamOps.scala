@@ -72,4 +72,35 @@ object StreamOps {
           }
       }
   }
+
+  /** Continuous incremental gold refresh: apply each micro-batch of a CDC
+    * change stream to an on-disk parquet table via
+    * [[graft.operators.Scale.mergeParquet]] (newest-per-key wins under
+    * `order`; with `partitionCol`, only touched partitions rewrite). The
+    * streaming replacement for the reference's rebuild-all-of-gold-per-run
+    * loop (gold-snowflake/fact_sales_gold.py full overwrite): steady-state
+    * cost per trigger is O(changed slice), not O(table).
+    *
+    * Restart safety: `foreachBatch` may REPLAY the last uncommitted batch
+    * after a crash. The merge is idempotent — re-merging rows already in
+    * the table changes nothing, because a tie on `order` keeps the
+    * incumbent only when `order` is a TOTAL order per key (give it a
+    * deterministic tiebreak, same as every dedupLatest call site); batch 0
+    * bootstraps the table if `path` doesn't exist yet.
+    */
+  def mergeParquetSink(changes: DataFrame, path: String, keys: Seq[String],
+                       order: Seq[org.apache.spark.sql.Column],
+                       checkpoint: String,
+                       partitionCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // empty triggers (watermark-only progress) must not touch the table
+        if (!batch.isEmpty)
+          graft.operators.Scale.mergeParquet(
+            batch.sparkSession, path, batch, keys, order, partitionCol)
+      }
+      .start()
 }

@@ -245,4 +245,46 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaState == viaWindow)
   }
+
+  test("mergeParquetSink: CDC stream incrementally refreshes a partitioned gold table") {
+    import graft.streaming.StreamOps
+    import graft.operators.Scale
+    implicit val sq = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("graft_cdc_gold").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val mem = MemoryStream[(Long, Long, String, Int)]
+    val order = Seq(col("version").desc, col("payload").desc) // total per (k, version)
+    val q = StreamOps.mergeParquetSink(
+      mem.toDF().toDF("k", "version", "payload", "part"),
+      tbl, Seq("k"), order, ckpt, partitionCol = Some("part"))
+    // batch 0 bootstraps the table
+    val b0 = (1L to 60L).map(k => (k, 1L, s"v1-$k", (k % 3).toInt))
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    assert(spark.read.parquet(tbl).count() == 60)
+    def files(part: Int) = new java.io.File(s"$tbl/part=$part").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val p1Before = files(1)
+    val p2Before = files(2)
+    // batch 1 touches only part=0 (+ a brand-new part=3)
+    val b1 = Seq((3L, 2L, "v2-3", 0), (999L, 1L, "new", 0), (1000L, 1L, "p3", 3))
+    mem.addData(b1: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(tbl)
+      .select("k", "version", "payload", "part").collect().map(_.toSeq).toSet
+    val expected = Relational.upsert(
+      b0.toDF("k", "version", "payload", "part"),
+      b1.toDF("k", "version", "payload", "part"), Seq("k"), order)
+      .select("k", "version", "payload", "part").collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(files(1) == p1Before && files(2) == p2Before,
+      "partitions untouched by the batch were rewritten")
+    // foreachBatch replay after a crash re-delivers the last batch:
+    // re-merging it must be a no-op on content
+    Scale.mergeParquet(spark, tbl, b1.toDF("k", "version", "payload", "part"),
+      Seq("k"), order, partitionCol = Some("part"))
+    val afterReplay = spark.read.parquet(tbl)
+      .select("k", "version", "payload", "part").collect().map(_.toSeq).toSet
+    assert(afterReplay == got, "batch replay was not idempotent")
+  }
 }
