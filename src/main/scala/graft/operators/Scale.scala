@@ -118,7 +118,12 @@ object Scale {
     * key must not move between partitions) — the same invariant every
     * partition-scoped MERGE (Hive dynamic-partition overwrite, Delta
     * replaceWhere) requires. The merged slice is fully written to a temp
-    * dir BEFORE any swap, so a failure mid-write leaves the table intact.
+    * dir BEFORE any swap, so a failure mid-write leaves the table intact;
+    * each partition then swaps in with one rename (atomic per partition —
+    * a crash mid-sequence can leave SOME partitions refreshed and the
+    * rest pristine, the same commit granularity as Hive dynamic-partition
+    * overwrite without a metastore transaction; re-running the merge
+    * converges because it is content-idempotent).
     */
   def mergeParquet(spark: SparkSession, path: String, updates: DataFrame,
                    keys: Seq[String], order: Seq[Column],
@@ -154,8 +159,16 @@ object Scale {
       case Some(p) =>
         val touched = updates.select(col(p)).distinct().collect().map(_.get(0))
         require(touched.nonEmpty, "mergeParquet: updates are empty")
-        // partition pruning confines the base read to the touched slice
-        val base = spark.read.parquet(path).filter(col(p).isin(touched: _*))
+        // partition pruning confines the base read to the touched slice;
+        // isin() never matches NULL, so a null partition value (Hive's
+        // __HIVE_DEFAULT_PARTITION__ dir) needs its own predicate or its
+        // existing rows would be replaced instead of merged
+        val (nullTouched, nonNull) = touched.toIndexedSeq.partition(_ == null)
+        val touchedPred =
+          if (nullTouched.isEmpty) col(p).isin(nonNull: _*)
+          else if (nonNull.isEmpty) col(p).isNull
+          else col(p).isin(nonNull: _*) || col(p).isNull
+        val base = spark.read.parquet(path).filter(touchedPred)
         val merged = graft.operators.Relational.upsert(base, updates, keys, order)
         merged.write.mode(SaveMode.Overwrite).partitionBy(p).parquet(tmp.toString)
         // the write above fully materialized tmp; now swap ONLY the

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import graft.operators.Scale
+import graft.operators.{Relational, Scale}
 
 class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   import spark.implicits._
@@ -139,6 +139,63 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(files(1) == untouched1 && files(2) == untouched2,
       "untouched partition files were rewritten")
     assert(new java.io.File(s"$base/part=3").isDirectory, "new partition not created")
+  }
+
+  test("mergeParquet merges a NULL partition value instead of replacing it") {
+    val base = java.nio.file.Files.createTempDirectory("graft_merge_n").toString + "/t"
+    // part=null lands in __HIVE_DEFAULT_PARTITION__; isin() alone would
+    // never match it and its old rows would be dropped, not merged
+    val rows = Seq((1L, 1L, "a", Some(0)), (2L, 1L, "b", Some(1)),
+      (3L, 1L, "c", None), (4L, 1L, "d", None))
+      .toDF("k", "version", "payload", "part")
+    rows.write.partitionBy("part").parquet(base)
+    val p1Before = new java.io.File(s"$base/part=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val updates = Seq((3L, 2L, "c2", None), (1L, 2L, "a2", Some(0)))
+      .toDF("k", "version", "payload", "part")
+    Scale.mergeParquet(spark, base, updates, Seq("k"),
+      Seq(col("version").desc), partitionCol = Some("part"))
+    val got = spark.read.parquet(base).select("k", "version", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 2L, "a2"), (2L, 1L, "b"), (3L, 2L, "c2"), (4L, 1L, "d")),
+      s"null-partition rows mishandled: $got")
+    val p1After = new java.io.File(s"$base/part=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(p1After == p1Before)
+  }
+
+  test("mergeParquet equals full-table upsert on seeded random change sets") {
+    val rnd = new scala.util.Random(42)
+    for (iter <- 1 to 3) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_merge_r$iter").toString + "/t"
+      val baseRows = (1 to 500).map { _ =>
+        (rnd.nextInt(200).toLong, rnd.nextInt(5).toLong + 1,
+          s"p${rnd.nextInt(1000)}", rnd.nextInt(4))
+      }
+      // order must totally order each key for determinism of BOTH sides
+      val order = Seq(col("version").desc, col("payload").desc)
+      val baseDf = Relational.dedupLatest(
+        baseRows.toDF("k", "version", "payload", "part"), Seq("k"), order)
+      baseDf.write.partitionBy("part").parquet(base)
+      // keys keep their partition (stable-partition constraint): derive it
+      val updates = (1 to 80).map { _ =>
+        val k = rnd.nextInt(250).toLong
+        (k, rnd.nextInt(9).toLong + 1, s"u${rnd.nextInt(1000)}", (k % 4).toInt)
+      }.toDF("k", "version", "payload", "part")
+        // drop update keys whose base partition differs (constraint holds)
+        .join(baseDf.select(col("k"), col("part").as("bpart")), Seq("k"), "left")
+        .filter(col("bpart").isNull || col("bpart") === col("part"))
+        .drop("bpart")
+      Scale.mergeParquet(spark, base, updates, Seq("k"), order,
+        partitionCol = Some("part"))
+      val got = spark.read.parquet(base)
+        .select("k", "version", "payload", "part").collect().map(_.toSeq).toSet
+      // baseDf/updates are in-memory lineage (toDF), so the oracle upsert
+      // is unaffected by the on-disk rewrite above
+      val expected = Relational.upsert(baseDf, updates, Seq("k"), order)
+        .select("k", "version", "payload", "part").collect().map(_.toSeq).toSet
+      assert(got == expected, s"iter $iter diverged from upsert oracle")
+    }
   }
 
   test("mergeParquet (unpartitioned) swaps the whole table atomically") {
