@@ -23,6 +23,27 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Cheap content fingerprint of one table's data files (name/length/
+    * mtime, md5-folded) — the cache key component that makes per-directory
+    * memos (IVF quantizer, t3 pairs) invalidate when a dir is rewritten
+    * in-process instead of silently serving stale results.
+    */
+  def fileFingerprint(s: SparkSession, dir: String, name: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listing =
+      if (!fs.exists(p)) "absent"
+      else if (fs.getFileStatus(p).isFile) {
+        val st = fs.getFileStatus(p)
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      } else fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** events with `ts` = epoch nanos (LongType) and `ts_ts` = truncated-to-
     * micros TimestampType. DuckDB equivalent of `ts`: `epoch_ns(ts)`.
     * The nanos-as-long conf is runtime-settable — set defensively so the

@@ -66,8 +66,12 @@ object TextQueries {
   }
 
   private def lshPairsFor(s: org.apache.spark.sql.SparkSession, d: String) =
-    lshPairsCache.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ =>
-      all.find(_.name == "t3_lsh_dup_pairs").get.run(s, d).persist())
+    // keyed on a documents-file fingerprint (same pattern as the IVF memo)
+    // so rewriting the dir's data in-process invalidates instead of
+    // serving stale pairs
+    lshPairsCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$d|${Tables.fileFingerprint(s, d, "documents")}", _ =>
+        all.find(_.name == "t3_lsh_dup_pairs").get.run(s, d).persist())
 
   val all: Seq[Q] = Seq(
 

@@ -115,21 +115,8 @@ object VectorQueries {
   /** Test hook: drop all in-process memoized quantizers. */
   def clearCentroidCache(): Unit = ivfCentroids.clear()
 
-  private def embeddingsFingerprint(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val listing =
-      if (!fs.exists(p)) "absent"
-      else if (fs.getFileStatus(p).isFile) {
-        val st = fs.getFileStatus(p)
-        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-      } else fs.listStatus(p).sortBy(_.getPath.getName)
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .mkString(",")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  private def embeddingsFingerprint(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    Tables.fileFingerprint(s, dir, "embeddings")
 
   private def ivfCentroidsFor(s: org.apache.spark.sql.SparkSession, dir: String,
                               nCentroids: Int, iters: Int): Array[Seq[Double]] = {
