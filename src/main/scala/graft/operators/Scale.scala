@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Hadoop FileSystem.rename reports some failures by RETURNING false
+    * (existing destination, missing parent, cross-filesystem) instead of
+    * throwing — an unchecked call can silently not move anything. Every
+    * swap in this module goes through this guard so a failed rename
+    * aborts loudly with the table still consistent.
+    */
+  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+                           from: org.apache.hadoop.fs.Path,
+                           to: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(from, to), s"rename failed: $from -> $to")
+
   /** Skew-safe equi-join: salt the skewed (large) side into `salt`
     * sub-keys and explode the compact side to match — the hot key's rows
     * spread across `salt` reducers instead of one straggler task.
@@ -145,9 +156,9 @@ object Scale {
       val bak = new Path(to.toString + "__merge_bak")
       fs.delete(bak, true)
       val existed = fs.exists(to)
-      if (existed) { fs.rename(to, bak); () }
+      if (existed) renameOrFail(fs, to, bak)
       fs.mkdirs(to.getParent)
-      fs.rename(from, to)
+      renameOrFail(fs, from, to)
       if (existed) { fs.delete(bak, true); () }
     }
     partitionCol match {
@@ -259,8 +270,9 @@ object Scale {
       Await.result(Future.sequence(jobs), Duration.Inf)
     } finally { pool.shutdown(); () }
     val bak = new Path(path + "__compact_bak")
-    fs.rename(src, bak)
-    fs.rename(tmp, src)
+    fs.delete(bak, true)
+    renameOrFail(fs, src, bak)
+    renameOrFail(fs, tmp, src)
     fs.delete(bak, true)
     // recursive data-file count (leaves may be nested partition dirs)
     def countParquet(p: Path): Int = fs.listStatus(p).map { s =>
