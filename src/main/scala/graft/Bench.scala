@@ -20,6 +20,11 @@ object Bench {
 
   private def jsonNum(v: Double): String = (math.round(v * 1000) / 1000.0).toString
 
+  // per-query precision in the FINAL line only: 2 dp keeps 75+ queries
+  // comfortably inside the tail-window budget (full precision is always
+  // on the BENCH_JSON marker line and in bench_out.json)
+  private def jsonNum2(v: Double): String = (math.round(v * 100) / 100.0).toString
+
   private def queriesJson(results: Map[String, Double], fmt: Double => String): String =
     results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -31,7 +36,7 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","load1":${jsonNum(load1)},"queries":${queriesJson(results, _.toString)},"sf":"$sfDir"}"""
   }
 
-  /** The FINAL stdout line. Per-query values rounded to 3 dp keep the full
+  /** The FINAL stdout line. Per-query values rounded to 2 dp keep the full
     * contract while fitting the driver's tail window; if the rounded form
     * still exceeds the budget (more queries some day), fall back to a short
     * summary that points at bench_out.json for the per-query detail.
@@ -39,7 +44,7 @@ object Bench {
   def renderFinal(results: Map[String, Double], sfDir: String): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalR = jsonNum(total)
-    val rounded = s"""{"metric":"total","value":$totalR,"unit":"sec","load1":${jsonNum(load1)},"queries":${queriesJson(results, jsonNum)},"sf":"$sfDir"}"""
+    val rounded = s"""{"metric":"total","value":$totalR,"unit":"sec","load1":${jsonNum(load1)},"queries":${queriesJson(results, jsonNum2)},"sf":"$sfDir"}"""
     if (rounded.length <= FinalLineBudget) rounded
     else s"""{"metric":"total","value":$totalR,"unit":"sec","load1":${jsonNum(load1)},"sf":"$sfDir","detail":"bench_out.json"}"""
   }

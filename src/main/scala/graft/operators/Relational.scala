@@ -58,6 +58,23 @@ object Relational {
              order: Seq[Column]): DataFrame =
     dedupLatest(base.unionByName(updates), keys, order)
 
+  /** CDC merge with DELETE tombstones: update rows whose `deleteCol` is
+    * true are deletion markers — when the tombstone is the key's newest
+    * version under `order`, the key disappears from the output (Delta
+    * MERGE's WHEN MATCHED DELETE; a stale tombstone loses to a newer
+    * upsert like any other stale row). `deleteCol` is transport metadata,
+    * not table content: it is defaulted to false on a base that lacks it
+    * and dropped from the output, so stored snapshots stay tombstone-free.
+    */
+  def upsertCdc(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                order: Seq[Column], deleteCol: String): DataFrame = {
+    val base2 = if (base.columns.contains(deleteCol)) base
+                else base.withColumn(deleteCol, lit(false))
+    dedupLatest(base2.unionByName(updates), keys, order)
+      .filter(!coalesce(col(deleteCol).cast("boolean"), lit(false)))
+      .drop(deleteCol)
+  }
+
   /** Grouped top-N: the n best rows per key under `order` (total order
     * required for determinism). One hash exchange + per-partition sort;
     * rank filter applies before any downstream shuffle.

@@ -113,7 +113,11 @@ object Scale {
   /** Incremental MERGE (upsert) into a parquet table on disk: rows whose
     * `keys` match an update are replaced by the newest version under
     * `order` ([[graft.operators.Relational.upsert]] semantics), new keys
-    * are appended — without rewriting the whole table.
+    * are appended — without rewriting the whole table. With `deleteCol`
+    * set, update rows flagged true are CDC tombstones
+    * ([[graft.operators.Relational.upsertCdc]]): a key whose newest
+    * version is a tombstone disappears, and a partition emptied entirely
+    * by tombstones is removed from disk.
     *
     * With `partitionCol` set (Hive `col=value` layout), only the
     * partitions the updates actually touch are read, merged, and swapped;
@@ -138,16 +142,22 @@ object Scale {
     */
   def mergeParquet(spark: SparkSession, path: String, updates: DataFrame,
                    keys: Seq[String], order: Seq[Column],
-                   partitionCol: Option[String] = None): Unit = {
+                   partitionCol: Option[String] = None,
+                   deleteCol: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.makeQualified(new Path(path))
     val tmp = new Path(path + "__merge_tmp")
     fs.delete(tmp, true)
+    def merge(base: DataFrame): DataFrame = deleteCol match {
+      case Some(d) => graft.operators.Relational.upsertCdc(base, updates, keys, order, d)
+      case None    => graft.operators.Relational.upsert(base, updates, keys, order)
+    }
     if (!fs.exists(src)) {
       // bootstrap: first delivery creates the table (streaming's batch 0);
-      // still newest-per-key so an in-batch version chain collapses
-      val first = graft.operators.Relational.dedupLatest(updates, keys, order)
+      // still newest-per-key (and tombstone-aware) so an in-batch version
+      // chain collapses
+      val first = merge(updates.limit(0).drop(deleteCol.toSeq: _*))
       val w = first.write.mode(SaveMode.ErrorIfExists)
       partitionCol.fold(w)(p => w.partitionBy(p)).parquet(src.toString)
       return
@@ -163,8 +173,7 @@ object Scale {
     }
     partitionCol match {
       case None =>
-        val merged = graft.operators.Relational.upsert(
-          spark.read.parquet(path), updates, keys, order)
+        val merged = merge(spark.read.parquet(path))
         merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         swap(tmp, src)
       case Some(p) =>
@@ -180,13 +189,27 @@ object Scale {
           else if (nonNull.isEmpty) col(p).isNull
           else col(p).isin(nonNull: _*) || col(p).isNull
         val base = spark.read.parquet(path).filter(touchedPred)
-        val merged = graft.operators.Relational.upsert(base, updates, keys, order)
+        val merged = merge(base)
         merged.write.mode(SaveMode.Overwrite).partitionBy(p).parquet(tmp.toString)
         // the write above fully materialized tmp; now swap ONLY the
         // touched leaf dirs (new partition values simply rename in)
-        fs.listStatus(tmp)
+        val written = fs.listStatus(tmp)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$p="))
-          .foreach(s => swap(s.getPath, new Path(src, s.getPath.getName)))
+        written.foreach(s => swap(s.getPath, new Path(src, s.getPath.getName)))
+        // a partition whose every key was tombstoned produces NO leaf in
+        // tmp — remove its live dir entirely (value→dir name via Spark's
+        // own Hive-escaping; null maps to __HIVE_DEFAULT_PARTITION__).
+        // Only reachable with deleteCol set: without tombstones a touched
+        // partition always retains at least its update rows.
+        if (deleteCol.isDefined) {
+          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          val writtenNames = written.map(_.getPath.getName).toSet
+          touched.foreach { v =>
+            val leaf = ExternalCatalogUtils.getPartitionPathString(
+              p, if (v == null) "" else String.valueOf(v))
+            if (!writtenNames.contains(leaf)) { fs.delete(new Path(src, leaf), true); () }
+          }
+        }
         fs.delete(tmp, true)
     }
   }

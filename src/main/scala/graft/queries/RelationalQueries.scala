@@ -528,6 +528,40 @@ object RelationalQueries {
         SELECT o_orderkey, version, cents, o_orderstatus
         FROM merged WHERE rn = 1 ORDER BY o_orderkey""")),
 
+    // r36: CDC merge with DELETE tombstones (r32's missing half — real
+    // change streams carry deletes). A key whose newest version is a
+    // tombstone disappears; a stale tombstone loses to a newer upsert.
+    Q("r36_cdc_merge_delete",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), lit(1L).as("version"),
+            cents(col("o_totalprice")).as("cents"), col("o_orderstatus"))
+        val updates = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit(2L).as("version"),
+            (cents(col("o_totalprice")) + 999).as("cents"),
+            lit("U").as("o_orderstatus"),
+            (col("o_orderkey") % 20 === 0).as("deleted"))
+        Relational.upsertCdc(base, updates, Seq("o_orderkey"),
+          Seq(col("version").desc), "deleted")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+                 ${sqlCents("o_totalprice")} AS cents, o_orderstatus,
+                 FALSE AS deleted
+          FROM orders),
+        updates AS (
+          SELECT o_orderkey, CAST(2 AS BIGINT) AS version,
+                 ${sqlCents("o_totalprice")} + 999 AS cents, 'U' AS o_orderstatus,
+                 o_orderkey % 20 = 0 AS deleted
+          FROM orders WHERE o_orderkey % 10 = 0),
+        merged AS (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM updates) u)
+        SELECT o_orderkey, version, cents, o_orderstatus
+        FROM merged WHERE rn = 1 AND NOT deleted ORDER BY o_orderkey""")),
+
     // r33: exact quantiles — both engines interpolate linearly at
     // (n-1)*p over sorted values; inputs are exact ints so the midpoint
     // arithmetic is bit-identical.

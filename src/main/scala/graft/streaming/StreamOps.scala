@@ -91,7 +91,8 @@ object StreamOps {
   def mergeParquetSink(changes: DataFrame, path: String, keys: Seq[String],
                        order: Seq[org.apache.spark.sql.Column],
                        checkpoint: String,
-                       partitionCol: Option[String] = None)
+                       partitionCol: Option[String] = None,
+                       deleteCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
@@ -100,7 +101,7 @@ object StreamOps {
         // empty triggers (watermark-only progress) must not touch the table
         if (!batch.isEmpty)
           graft.operators.Scale.mergeParquet(
-            batch.sparkSession, path, batch, keys, order, partitionCol)
+            batch.sparkSession, path, batch, keys, order, partitionCol, deleteCol)
       }
       .start()
 }

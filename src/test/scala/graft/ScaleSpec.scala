@@ -164,6 +164,44 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p1After == p1Before)
   }
 
+  test("mergeParquet deleteCol: tombstones drop keys, emptied partitions vanish, stale tombstones lose") {
+    val base = java.nio.file.Files.createTempDirectory("graft_merge_d").toString + "/t"
+    Seq((1L, 1L, "a", 0), (2L, 1L, "b", 0), (3L, 1L, "c", 1), (4L, 1L, "d", 1),
+      (5L, 1L, "e", 2), (6L, 1L, "f", 3))
+      .toDF("k", "version", "payload", "part")
+      .write.partitionBy("part").parquet(base)
+    val p3Before = new java.io.File(s"$base/part=3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val updates = Seq(
+      (1L, 2L, "", 0, true),    // tombstone: k=1 disappears
+      (2L, 0L, "", 0, true),    // STALE tombstone (older version): k=2 stays
+      (3L, 2L, "c2", 1, false), // plain upsert
+      (5L, 2L, "", 2, true))    // tombstones the only key in part=2
+      .toDF("k", "version", "payload", "part", "deleted")
+    Scale.mergeParquet(spark, base, updates, Seq("k"),
+      Seq(col("version").desc), partitionCol = Some("part"),
+      deleteCol = Some("deleted"))
+    val got = spark.read.parquet(base).select("k", "version", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((2L, 1L, "b"), (3L, 2L, "c2"), (4L, 1L, "d"), (6L, 1L, "f")),
+      s"tombstone semantics wrong: $got")
+    assert(!spark.read.parquet(base).columns.contains("deleted"),
+      "tombstone transport column leaked into the stored table")
+    assert(!new java.io.File(s"$base/part=2").exists(),
+      "partition emptied by tombstones still on disk")
+    val p3After = new java.io.File(s"$base/part=3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(p3After == p3Before, "untouched partition rewritten")
+    // bootstrap with tombstones: first delivery on a fresh path drops them
+    val fresh = java.nio.file.Files.createTempDirectory("graft_merge_db").toString + "/t"
+    Scale.mergeParquet(spark, fresh,
+      Seq((1L, 1L, "x", 0, false), (2L, 1L, "", 0, true))
+        .toDF("k", "version", "payload", "part", "deleted"),
+      Seq("k"), Seq(col("version").desc), partitionCol = Some("part"),
+      deleteCol = Some("deleted"))
+    assert(spark.read.parquet(fresh).select("k").as[Long].collect().toSet == Set(1L))
+  }
+
   test("mergeParquet equals full-table upsert on seeded random change sets") {
     val rnd = new scala.util.Random(42)
     for (iter <- 1 to 3) {
