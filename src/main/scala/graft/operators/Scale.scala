@@ -148,6 +148,35 @@ object Scale {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.makeQualified(new Path(path))
     val tmp = new Path(path + "__merge_tmp")
+    // Exclusive create = the mutual-exclusion primitive every FS has: two
+    // concurrent merges (or a merge racing the streaming sink's batch)
+    // would interleave rename swaps and corrupt the table. The loser
+    // fails loudly instead. A crash leaves the lock behind — the error
+    // names the path so an operator (or a retry policy that knows the
+    // writer is dead) deletes it; we deliberately don't auto-expire,
+    // because a slow live merge is indistinguishable from a dead one
+    // without a heartbeat.
+    val lock = new Path(path + "__merge_lock")
+    try fs.create(lock, false).close()
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"mergeParquet: another merge appears to be in flight on $path " +
+        s"(lock file $lock exists); if its writer crashed, delete the lock", e)
+    }
+    try mergeParquetLocked(spark, fs, src, tmp, path, updates, keys, order,
+      partitionCol, deleteCol)
+    finally { fs.delete(lock, false); () }
+  }
+
+  private def mergeParquetLocked(spark: SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 src: org.apache.hadoop.fs.Path,
+                                 tmp: org.apache.hadoop.fs.Path,
+                                 path: String, updates: DataFrame,
+                                 keys: Seq[String], order: Seq[Column],
+                                 partitionCol: Option[String],
+                                 deleteCol: Option[String]): Unit = {
+    import org.apache.hadoop.fs.Path
     fs.delete(tmp, true)
     def merge(base: DataFrame): DataFrame = deleteCol match {
       case Some(d) => graft.operators.Relational.upsertCdc(base, updates, keys, order, d)

@@ -236,6 +236,24 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("mergeParquet refuses to run while another merge holds the lock") {
+    val base = java.nio.file.Files.createTempDirectory("graft_merge_l").toString + "/t"
+    Seq((1L, 1L, "a")).toDF("k", "version", "payload").write.parquet(base)
+    val lock = new java.io.File(base + "__merge_lock")
+    assert(lock.createNewFile())
+    val updates = Seq((1L, 2L, "a2")).toDF("k", "version", "payload")
+    val ex = intercept[IllegalStateException] {
+      Scale.mergeParquet(spark, base, updates, Seq("k"), Seq(col("version").desc))
+    }
+    assert(ex.getMessage.contains("__merge_lock"))
+    // table untouched by the refused merge
+    assert(spark.read.parquet(base).head().getString(2) == "a")
+    assert(lock.delete())
+    Scale.mergeParquet(spark, base, updates, Seq("k"), Seq(col("version").desc))
+    assert(spark.read.parquet(base).head().getString(2) == "a2")
+    assert(!lock.exists(), "lock file not released after a successful merge")
+  }
+
   test("mergeParquet (unpartitioned) swaps the whole table atomically") {
     val base = java.nio.file.Files.createTempDirectory("graft_merge_u").toString + "/t"
     Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "version", "payload")
