@@ -230,6 +230,31 @@ class StreamingSpec extends SparkSpec {
       s"stale version re-emitted after restart — state lost: $rows")
   }
 
+  test("CDC chain: latestByKey suppression feeds the incremental merge sink") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.Change
+    implicit val sq = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("graft_chain_gold").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chain_ckpt").toString
+    val mem = MemoryStream[Change]
+    // stateful stale-version suppression upstream, partition-scoped merge
+    // downstream — one streaming query, update mode end to end
+    val q = StreamOps.mergeParquetSink(
+      StreamOps.latestByKey(mem.toDS()).toDF()
+        .withColumn("part", (col("key") % 2).cast("int")),
+      tbl, Seq("key"), Seq(col("version").desc), ckpt,
+      partitionCol = Some("part"))
+    mem.addData(Change(1, 1, "a1"), Change(2, 5, "b5"))
+    q.processAllAvailable()
+    mem.addData(Change(1, 3, "a3"), Change(2, 2, "b2-stale"), Change(3, 1, "c1"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(tbl)
+      .select("key", "version", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 3L, "a3"), (2L, 5L, "b5"), (3L, 1L, "c1")),
+      s"CDC chain produced: $got")
+  }
+
   test("batch sessionize agrees with the window-based operator") {
     val events = (1 to 200).map { i =>
       ev(i.toLong, i.toLong * 600 * (i % 7 + 1) % 500000, i % 5 + 1)
