@@ -16,6 +16,7 @@ object Explain {
     "e9_fact_sales", "t2_minhash_signature", "t3_lsh_dup_pairs",
     "t5_simhash", "t6_dedup_clusters", "v1_cosine_topk", "v2_neardup_pairs",
     "v4_ivf_topk", "r28_asof_join", "s1_sessionize",
+    "r32_upsert", "r36_cdc_merge_delete",
     "r35_approx_quantile", "t13_gopher_quality", "t16_chunking",
     "t17_simhash_neardup", "t18_sequence_packing", "t19_top_ngrams",
     "v5_label_centroids", "m1_multimodal_meta", "m4_frame_sample")
