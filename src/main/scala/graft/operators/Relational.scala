@@ -65,6 +65,14 @@ object Relational {
     * upsert like any other stale row). `deleteCol` is transport metadata,
     * not table content: it is defaulted to false on a base that lacks it
     * and dropped from the output, so stored snapshots stay tombstone-free.
+    *
+    * TRADEOFF (same as Delta's tombstone retention window): because the
+    * snapshot does not retain applied tombstones, a STALE update arriving
+    * in a LATER merge than the tombstone that out-versioned it will
+    * resurrect the key — within one merge the tombstone wins, across
+    * merges the evidence is gone. Feed merges from an in-order or
+    * watermarked change stream (e.g. [[graft.streaming.StreamOps
+    * .latestByKey]] upstream) when late stale updates are possible.
     */
   def upsertCdc(base: DataFrame, updates: DataFrame, keys: Seq[String],
                 order: Seq[Column], deleteCol: String): DataFrame = {

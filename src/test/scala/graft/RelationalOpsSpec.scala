@@ -97,4 +97,22 @@ class RelationalOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
   }
+
+  test("upsertCdc: tombstone wins in-merge; a later stale update resurrects (documented tradeoff)") {
+    val order = Seq(col("version").desc)
+    val base = Seq((1L, 1L, "a")).toDF("k", "version", "payload")
+    // tombstone v3 beats the v1 row within one merge
+    val afterDelete = Relational.upsertCdc(base,
+      Seq((1L, 3L, "", true)).toDF("k", "version", "payload", "deleted"),
+      Seq("k"), order, "deleted")
+    assert(afterDelete.count() == 0)
+    assert(!afterDelete.columns.contains("deleted"))
+    // the snapshot retains no tombstone, so a stale v2 arriving in a
+    // LATER merge resurrects the key — the documented retention tradeoff
+    val resurrected = Relational.upsertCdc(afterDelete,
+      Seq((1L, 2L, "late", false)).toDF("k", "version", "payload", "deleted"),
+      Seq("k"), order, "deleted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(resurrected == Set((1L, 2L, "late")))
+  }
 }
