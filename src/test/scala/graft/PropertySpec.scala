@@ -177,4 +177,42 @@ class PropertySpec extends SparkSpec {
       assert(viaBlocks == brute)
     }
   }
+
+  test("upsertCdc over random batch sequences matches a sequential map oracle") {
+    // Fold random CDC batches (upserts + tombstones, duplicate keys and
+    // versions included) through upsertCdc and replay the same batches on
+    // a mutable map: per batch the winner per key under the SAME total
+    // order (version desc, deleted desc, payload desc) either replaces or
+    // removes the entry. Exercises in-batch collapse, cross-batch
+    // newest-wins, tombstone drop, and the documented resurrect behavior.
+    val opGen = Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 9L),
+      Gen.oneOf(true, false), Gen.alphaLowerStr.map(_.take(4)))
+    val batchesGen = Gen.listOfN(4, Gen.listOfN(12, opGen))
+    forAll(batchesGen, minSuccessful = 3) { batches =>
+      val order = Seq(col("version").desc, col("deleted").desc, col("payload").desc)
+      // Spark side: fold batches into a snapshot
+      var snap = Seq.empty[(Long, Long, String)].toDF("k", "version", "payload")
+      batches.foreach { b =>
+        snap = Relational.upsertCdc(snap,
+          b.toDF("k", "version", "deleted", "payload")
+            .select("k", "version", "payload", "deleted"),
+          Seq("k"), order, "deleted")
+      }
+      val got = snap.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // oracle: (version, deleted, payload) triple ordered like `order`
+      val model = scala.collection.mutable.Map.empty[Long, (Long, String)]
+      implicit val ord: Ordering[(Long, Boolean, String)] =
+        Ordering.Tuple3(Ordering.Long, Ordering.Boolean, Ordering.String)
+      batches.foreach { b =>
+        b.groupBy(_._1).foreach { case (k, ops) =>
+          val cands = ops.map(o => (o._2, o._3, o._4)) ++
+            model.get(k).map { case (v, p) => (v, false, p) }
+          val (wv, wdel, wp) = cands.max
+          if (wdel) model.remove(k) else model(k) = (wv, wp)
+        }
+      }
+      val expected = model.map { case (k, (v, p)) => (k, v, p) }.toSet
+      assert(got == expected, s"batches=$batches")
+    }
+  }
 }
