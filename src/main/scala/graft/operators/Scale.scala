@@ -20,6 +20,26 @@ object Scale {
                            to: org.apache.hadoop.fs.Path): Unit =
     require(fs.rename(from, to), s"rename failed: $from -> $to")
 
+  /** Exclusive-create lock shared by every table-mutating maintenance op
+    * (merge, compaction): two concurrent mutators on one table would
+    * interleave rename swaps and corrupt it, so the loser fails loudly.
+    * A crash leaves the lock behind — the error names the path so an
+    * operator (or a retry policy that knows the writer is dead) deletes
+    * it; deliberately no auto-expiry, because a slow live mutator is
+    * indistinguishable from a dead one without a heartbeat.
+    */
+  private def withTableLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                               path: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(path + "__maint_lock")
+    try fs.create(lock, false).close()
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"table maintenance already in flight on $path (lock file $lock " +
+        "exists); if its writer crashed, delete the lock", e)
+    }
+    try body finally { fs.delete(lock, false); () }
+  }
+
   /** Skew-safe equi-join: salt the skewed (large) side into `salt`
     * sub-keys and explode the compact side to match — the hot key's rows
     * spread across `salt` reducers instead of one straggler task.
@@ -148,24 +168,10 @@ object Scale {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.makeQualified(new Path(path))
     val tmp = new Path(path + "__merge_tmp")
-    // Exclusive create = the mutual-exclusion primitive every FS has: two
-    // concurrent merges (or a merge racing the streaming sink's batch)
-    // would interleave rename swaps and corrupt the table. The loser
-    // fails loudly instead. A crash leaves the lock behind — the error
-    // names the path so an operator (or a retry policy that knows the
-    // writer is dead) deletes it; we deliberately don't auto-expire,
-    // because a slow live merge is indistinguishable from a dead one
-    // without a heartbeat.
-    val lock = new Path(path + "__merge_lock")
-    try fs.create(lock, false).close()
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"mergeParquet: another merge appears to be in flight on $path " +
-        s"(lock file $lock exists); if its writer crashed, delete the lock", e)
+    withTableLock(fs, path) {
+      mergeParquetLocked(spark, fs, src, tmp, path, updates, keys, order,
+        partitionCol, deleteCol)
     }
-    try mergeParquetLocked(spark, fs, src, tmp, path, updates, keys, order,
-      partitionCol, deleteCol)
-    finally { fs.delete(lock, false); () }
   }
 
   private def mergeParquetLocked(spark: SparkSession,
@@ -294,43 +300,45 @@ object Scale {
         partDirs.toSeq.flatMap(d => leaves(d.getPath))
       }
     }
-    val leafDirs = leaves(src)
-    val tmp = new Path(path + "__compact_tmp")
-    fs.delete(tmp, true)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(maxConcurrentJobs, leafDirs.size)))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val jobs = leafDirs.map { leaf =>
-        Future {
-          val rel = src.toUri.relativize(leaf.toUri).toString
-          val dest = if (rel.isEmpty) tmp else new Path(tmp, rel)
-          // A leaf with no data files (only _SUCCESS etc.) has nothing to
-          // compact and would abort schema inference — preserve the empty
-          // directory in the swapped tree and skip the Spark job.
-          val hasData = fs.listStatus(leaf)
-            .exists(s => s.isFile && !isMeta(s.getPath))
-          if (!hasData) { fs.mkdirs(dest); () }
-          else {
-            val bytes = fs.getContentSummary(leaf).getLength
-            val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-            spark.read.parquet(leaf.toString).repartition(n)
-              .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+    withTableLock(fs, path) {
+      val leafDirs = leaves(src)
+      val tmp = new Path(path + "__compact_tmp")
+      fs.delete(tmp, true)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(maxConcurrentJobs, leafDirs.size)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val jobs = leafDirs.map { leaf =>
+          Future {
+            val rel = src.toUri.relativize(leaf.toUri).toString
+            val dest = if (rel.isEmpty) tmp else new Path(tmp, rel)
+            // A leaf with no data files (only _SUCCESS etc.) has nothing to
+            // compact and would abort schema inference — preserve the empty
+            // directory in the swapped tree and skip the Spark job.
+            val hasData = fs.listStatus(leaf)
+              .exists(s => s.isFile && !isMeta(s.getPath))
+            if (!hasData) { fs.mkdirs(dest); () }
+            else {
+              val bytes = fs.getContentSummary(leaf).getLength
+              val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+              spark.read.parquet(leaf.toString).repartition(n)
+                .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+            }
           }
         }
-      }
-      Await.result(Future.sequence(jobs), Duration.Inf)
-    } finally { pool.shutdown(); () }
-    val bak = new Path(path + "__compact_bak")
-    fs.delete(bak, true)
-    renameOrFail(fs, src, bak)
-    renameOrFail(fs, tmp, src)
-    fs.delete(bak, true)
-    // recursive data-file count (leaves may be nested partition dirs)
-    def countParquet(p: Path): Int = fs.listStatus(p).map { s =>
-      if (s.isDirectory) countParquet(s.getPath)
-      else if (s.getPath.getName.endsWith(".parquet")) 1 else 0
-    }.sum
-    countParquet(src)
+        Await.result(Future.sequence(jobs), Duration.Inf)
+      } finally { pool.shutdown(); () }
+      val bak = new Path(path + "__compact_bak")
+      fs.delete(bak, true)
+      renameOrFail(fs, src, bak)
+      renameOrFail(fs, tmp, src)
+      fs.delete(bak, true)
+      // recursive data-file count (leaves may be nested partition dirs)
+      def countParquet(p: Path): Int = fs.listStatus(p).map { s =>
+        if (s.isDirectory) countParquet(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+      countParquet(src)
+    }
   }
 }

@@ -236,22 +236,27 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("mergeParquet refuses to run while another merge holds the lock") {
+  test("merge and compaction refuse to run while the maintenance lock is held") {
     val base = java.nio.file.Files.createTempDirectory("graft_merge_l").toString + "/t"
     Seq((1L, 1L, "a")).toDF("k", "version", "payload").write.parquet(base)
-    val lock = new java.io.File(base + "__merge_lock")
+    val lock = new java.io.File(base + "__maint_lock")
     assert(lock.createNewFile())
     val updates = Seq((1L, 2L, "a2")).toDF("k", "version", "payload")
     val ex = intercept[IllegalStateException] {
       Scale.mergeParquet(spark, base, updates, Seq("k"), Seq(col("version").desc))
     }
-    assert(ex.getMessage.contains("__merge_lock"))
-    // table untouched by the refused merge
+    assert(ex.getMessage.contains("__maint_lock"))
+    // compaction shares the same lock — merge racing compact is the same
+    // corruption case as merge racing merge
+    intercept[IllegalStateException] { Scale.compactParquet(spark, base) }
+    // table untouched by the refused mutators
     assert(spark.read.parquet(base).head().getString(2) == "a")
     assert(lock.delete())
     Scale.mergeParquet(spark, base, updates, Seq("k"), Seq(col("version").desc))
     assert(spark.read.parquet(base).head().getString(2) == "a2")
     assert(!lock.exists(), "lock file not released after a successful merge")
+    Scale.compactParquet(spark, base)
+    assert(!lock.exists(), "lock file not released after a successful compaction")
   }
 
   test("mergeParquet (unpartitioned) swaps the whole table atomically") {
