@@ -121,6 +121,15 @@ object native {
   private def toExpr(c: Column): Expression = bridge.expression(c)
   def simhash32(tokens: Column): Column = toCol(SimHash32(toExpr(tokens)))
   def minhash(shingles: Column, seed: Int): Column = toCol(MinHash(toExpr(shingles), seed))
+  /** `true` iff `key` MIGHT be in `bloom` (built over integral values, e.g.
+    * `df.stat.bloomFilter`); `false` is definite absence. Integral keys are
+    * widened to long to match the filter's `putLong` domain.
+    */
+  def bloomMightContain(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    toCol(BloomMightContainLong(toExpr(key.cast("long")), bos.toByteArray))
+  }
   def minhashSignature(shingles: Column, k: Int): Seq[Column] =
     (0 until k).map(s => minhash(shingles, s).as(s"mh$s"))
   // NULL components (empty shingle set) null the whole band — `concat`
