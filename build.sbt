@@ -16,6 +16,12 @@ run / fork := true
 // (the driver parses sbt stdout).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// The forked run's stdout must pass through UNPREFIXED: sbt's default
+// logger turns the bench's final JSON line into "[info] {...}", which
+// breaks a raw JSON.parse of the last stdout line (the driver's bench
+// handshake). StdoutOutput pipes the forked process's stdout straight
+// through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
