@@ -59,6 +59,45 @@ object Scale {
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Bloom-pruned equi-join: build a Bloom filter over the small side's
+    * join key, probe it with the native codegen expression
+    * [[graft.functions.BloomMightContainLong]] on the big side BEFORE its
+    * shuffle, then exact-join the survivors. At 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling only
+    * the ~selectivity slice that can possibly match — the explicit,
+    * any-plan-shape form of the runtime filter Spark's own
+    * `InjectRuntimeFilter` rule applies only under its narrow cost
+    * heuristics. Bloom filters have no false negatives, so the probe can
+    * only pass non-matching rows (at ~`fpp` rate), never drop matching
+    * ones — the exact join afterwards keeps results identical to the
+    * plain join.
+    *
+    * Restricted to join types where a big-side row without a match is
+    * dropped anyway (inner, left_semi): pruning under left/full outer
+    * would delete big-side rows the join must keep.
+    *
+    * `expectedItems` sizes the filter; when 0 the small side is counted
+    * first (one cheap job — pass the estimate at 100 TB to skip it).
+    * Overestimating just widens the filter; underestimating raises the
+    * false-positive rate but never breaks correctness.
+    */
+  def bloomPruneJoin(big: DataFrame, small: DataFrame, key: String,
+                     fpp: Double = 0.01, expectedItems: Long = 0L,
+                     joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replaceAll("[_-]", "")
+    require(Set("inner", "leftsemi", "semi").contains(jt),
+      s"bloomPruneJoin prunes the big side, so only inner/left_semi joins " +
+        s"keep their semantics; got '$joinType'")
+    import org.apache.spark.sql.types._
+    val kt = big.schema(key).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(kt),
+      s"bloomPruneJoin needs an integral key (putLong/mightContainLong domain); '$key' is $kt")
+    val items = if (expectedItems > 0) expectedItems else math.max(small.count(), 1L)
+    val bloom = small.stat.bloomFilter(col(key).cast("long"), items, fpp)
+    val pruned = big.filter(graft.functions.native.bloomMightContain(col(key), bloom))
+    pruned.join(small, Seq(key), joinType)
+  }
+
   /** Pre-aggregate-then-total pattern for skewed groupBy: partial
     * aggregation on (key, salt) first spreads a hot key over `salt`
     * reducers; the second (tiny) aggregation combines the partials.

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.Relational
+import graft.operators.{Relational, Scale}
 import graft.silver.Transforms
 import Q.{cents, sqlCents, asLong, sqlLong}
 
@@ -671,6 +671,34 @@ object RelationalQueries {
                count(*) AS cnt
         FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE c.c_custkey % 50 = 0
-        GROUP BY n.n_name ORDER BY n.n_name"""))
+        GROUP BY n.n_name ORDER BY n.n_name""")),
+
+    // r37: Bloom-pruned fact-to-dim join — the small side (top ~4% of
+    // orders by price) builds a Bloom filter whose probe drops non-matching
+    // lineitem rows in the scan stage, before any shuffle; the exact join
+    // after keeps the result identical to a plain join (no false
+    // negatives), which the oracle verifies.
+    Q("r37_bloom_prune_join",
+      (s, d) => {
+        val small = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 480000.0)
+          .select(col("o_orderkey"))
+        val big = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_quantity"), col("l_extendedprice"))
+        Scale.bloomPruneJoin(big, small, "o_orderkey")
+          .groupBy("o_orderkey")
+          .agg(sum(asLong(col("l_quantity"))).as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""
+        SELECT l_orderkey AS o_orderkey,
+               CAST(sum(${sqlLong("l_quantity")}) AS BIGINT) AS sum_qty,
+               CAST(sum(${sqlCents("l_extendedprice")}) AS BIGINT) AS sum_price_cents,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 480000.0
+        GROUP BY l_orderkey ORDER BY o_orderkey"""))
   )
 }

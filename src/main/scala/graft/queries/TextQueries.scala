@@ -573,6 +573,27 @@ object TextQueries {
                CAST(start // 24 AS BIGINT) AS chunk_idx,
                CAST(least(32, len(toks) - start) AS BIGINT) AS n_toks,
                md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS chunk_fp
-        FROM c ORDER BY doc_id, chunk_idx"""))
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // t20: t2's MinHash signature computed through the SQL extension
+    // point — GraftExtensions puts graft_minhash in the session's
+    // FunctionRegistry and the signature itself is SQL TEXT, so a
+    // SQL-first user (the reference's scripts are all SQL-shaped) reaches
+    // the native codegen expression without the Scala DSL. Same oracle as
+    // t2: identical values prove registry resolution + codegen under SQL.
+    Q("t20_minhash_sql",
+      (s, d) => {
+        graft.functions.GraftExtensions.register(s)
+        withShingles(Tables.documents(s, d)).createOrReplaceTempView("t20_docs")
+        s.sql("""
+          SELECT doc_id,
+                 graft_minhash(sh, 0) AS mh0, graft_minhash(sh, 1) AS mh1,
+                 graft_minhash(sh, 2) AS mh2, graft_minhash(sh, 3) AS mh3
+          FROM t20_docs""")
+      },
+      Some(s"""
+        SELECT doc_id,
+               ${(0 until 4).map(i => minhashSql(i, shingleSql) + s" AS mh$i").mkString(",\n               ")}
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -19,6 +19,54 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(salted == plain)
   }
 
+  test("bloomPruneJoin equals the plain join and shuffles strictly fewer rows") {
+    // 20k big rows over 5k keys; small side holds 100 of those keys, so
+    // ~2% of big survives the probe (+ ~fpp false positives) — the rest
+    // must never reach the shuffle
+    val big = (1 to 20000).map(i => (i.toLong % 5000, i)).toDF("k", "v")
+    val small = (0 until 5000 by 50).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // force a shuffle join so shuffled-row counts are the observable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def shuffledRows(df: org.apache.spark.sql.DataFrame): (Long, Set[Seq[Any]]) = {
+        val rows = df.collect().map(_.toSeq).toSet
+        val written = collect(df.queryExecution.executedPlan) {
+          case e: ShuffleExchangeExec => e.metrics("shuffleRecordsWritten").value
+        }.sum
+        (written, rows)
+      }
+      val (plainShuffled, plainRows) =
+        shuffledRows(big.join(small, Seq("k"), "inner").select("k", "v", "name"))
+      val (prunedShuffled, prunedRows) =
+        shuffledRows(Scale.bloomPruneJoin(big, small, "k").select("k", "v", "name"))
+      assert(prunedRows == plainRows, "bloom-pruned join changed the result")
+      assert(plainShuffled >= 20000L, s"plain join should shuffle the full big side, saw $plainShuffled")
+      assert(prunedShuffled < plainShuffled / 10,
+        s"bloom probe did not prune before the shuffle: $prunedShuffled vs $plainShuffled")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bloomPruneJoin: null keys, left_semi, and outer-join refusal") {
+    val big = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "c"), (Some(9L), "d"))
+      .toDF("k", "v")
+    val small = Seq((1L, "x"), (3L, "y")).toDF("k", "name")
+    // null big keys never equi-join; the probe dropping them is invisible
+    val inner = Scale.bloomPruneJoin(big, small, "k")
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(inner == Set(Seq(1L, "a", "x")))
+    val semi = Scale.bloomPruneJoin(big, small, "k", joinType = "left_semi")
+      .select("k", "v").collect().map(_.toSeq).toSet
+    assert(semi == Set(Seq(1L, "a")))
+    val e = intercept[IllegalArgumentException] {
+      Scale.bloomPruneJoin(big, small, "k", joinType = "left_outer")
+    }
+    assert(e.getMessage.contains("inner/left_semi"))
+    intercept[IllegalArgumentException] {
+      Scale.bloomPruneJoin(big.withColumn("k", col("k").cast("string")), small, "k")
+    }
+  }
+
   test("saltedSum equals plain aggregation") {
     val df = (1 to 5000).map(i => (i % 3, i.toLong)).toDF("k", "v")
     val plain = df.groupBy("k").agg(sum("v").as("sum"))
