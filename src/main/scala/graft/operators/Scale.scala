@@ -198,6 +198,20 @@ object Scale {
     * rest pristine, the same commit granularity as Hive dynamic-partition
     * overwrite without a metastore transaction; re-running the merge
     * converges because it is content-idempotent).
+    *
+    * READ-SIDE CONTRACT (plain parquet directories have no snapshot
+    * manifest, so this is the strongest isolation a rename swap can give):
+    * a scan PLANNED before the merge and executed after it fails loudly
+    * with FileNotFoundException — the swap renames the old leaf away, so
+    * stale file lists can never return a torn mix of old and new rows; a
+    * scan planned after the merge sees exactly the merged table. Each
+    * touched leaf is additionally absent for the instant between its two
+    * renames, so a reader listing precisely then can miss it. Readers
+    * that need stronger isolation must quiesce during maintenance, retry
+    * on FileNotFound, or read through a catalog/manifest layer that pins
+    * snapshots — the same operational rule as Hive dynamic-partition
+    * overwrite. Both halves are pinned by ScaleSpec
+    * ("read-side contract").
     */
   def mergeParquet(spark: SparkSession, path: String, updates: DataFrame,
                    keys: Seq[String], order: Seq[Column],

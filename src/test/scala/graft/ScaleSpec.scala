@@ -307,6 +307,33 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!lock.exists(), "lock file not released after a successful compaction")
   }
 
+  test("mergeParquet read-side contract: stale plans fail loudly, fresh reads see the merge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_merge_rc").toString + "/t"
+    (1 to 100).map(i => (i.toLong, 1L, s"v1-$i", i % 2))
+      .toDF("k", "version", "payload", "part")
+      .write.partitionBy("part").parquet(base)
+    // plan (and pin the file listing of) a scan BEFORE the merge; read one
+    // row so the scan is fully realized against the pre-merge files
+    val stale = spark.read.parquet(base)
+    assert(stale.count() == 100)
+    val updates = Seq((2L, 2L, "v2-2", 0)).toDF("k", "version", "payload", "part")
+    Scale.mergeParquet(spark, base, updates, Seq("k"),
+      Seq(col("version").desc), partitionCol = Some("part"))
+    // the swap renamed part=0's old files away: the stale plan must fail
+    // loudly (FileNotFoundException), never silently return torn rows
+    val e = intercept[org.apache.spark.SparkException] {
+      stale.filter(col("part") === 0).collect()
+    }
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: rootCauses(t.getCause)
+    assert(rootCauses(e).exists(_.isInstanceOf[java.io.FileNotFoundException]),
+      s"stale read should surface FileNotFoundException, got $e")
+    // a reader planned after the merge sees exactly the merged table
+    val fresh = spark.read.parquet(base)
+    assert(fresh.count() == 100)
+    assert(fresh.filter(col("k") === 2L).head().getLong(1) == 2L)
+  }
+
   test("mergeParquet (unpartitioned) swaps the whole table atomically") {
     val base = java.nio.file.Files.createTempDirectory("graft_merge_u").toString + "/t"
     Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "version", "payload")

@@ -126,6 +126,46 @@ class TextOpsSpec extends SparkSpec {
       "a per-iteration action or edge re-shuffle crept back into the loop")
   }
 
+  test("clusterPairs: total shuffle-read bytes stay under the measured ceiling") {
+    // Wall-clock regressions on t6 under ambient load are noise (driver
+    // rounds measured the same code at 4x its idle time); shuffle volume
+    // is load-independent, so THIS is the regression pin. A reintroduced
+    // per-round edge re-shuffle or a leaked cached generation multiplies
+    // shuffle-read bytes regardless of machine load.
+    //
+    // VERSION PIN: measured 2715 bytes end-to-end on this 3-round graph
+    // (Spark 4.1.2, AQE on — shuffle-read counts compressed record data
+    // only, so even a tiny graph's regression shows as a multiple, not a
+    // rounding error). Ceiling is ~3x the measurement: re-shuffling the
+    // ~900-byte edge frame once per round alone would breach it;
+    // re-measure and update on a Spark upgrade.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L)).toDF("id_a", "id_b")
+    TextOps.clusterPairs(pairs).collect() // warm-up: codegen + broadcast init
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) { bytes.addAndGet(m.shuffleReadMetrics.totalBytesRead); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val total = try {
+      TextOps.clusterPairs(pairs).collect()
+      // listener delivery is async: settle until the counter stops moving
+      var prev = -1L
+      var curv = bytes.get()
+      var n = 0
+      while (curv != prev && n < 50) { Thread.sleep(100); prev = curv; curv = bytes.get(); n += 1 }
+      curv
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(s"clusterPairs shuffle-read bytes: $total")
+    assert(total > 0, "listener recorded no shuffle at all — measurement broken")
+    assert(total <= 8192L,
+      s"clusterPairs shuffle-read $total bytes exceeds the 8 KB ceiling " +
+        "(measured 2715) — a per-round edge re-shuffle or cache leak crept in")
+  }
+
   test("lshBands: empty shingle set → NULL bands, so short docs never join") {
     // <n-token docs have empty shingle arrays; every band must be NULL
     // (ANSI `||` propagation, same as the DuckDB oracle) — NOT "" — so a
