@@ -19,7 +19,8 @@ object Explain {
     "r32_upsert", "r36_cdc_merge_delete",
     "r35_approx_quantile", "t13_gopher_quality", "t16_chunking",
     "t17_simhash_neardup", "t18_sequence_packing", "t19_top_ngrams",
-    "v5_label_centroids", "m1_multimodal_meta", "m4_frame_sample")
+    "v5_label_centroids", "m1_multimodal_meta", "m4_frame_sample",
+    "r37_bloom_prune_join", "t20_minhash_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

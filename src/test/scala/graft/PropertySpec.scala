@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import graft.silver.Transforms
-import graft.operators.Relational
+import graft.operators.{Relational, Scale}
 
 /** Property-based invariants of the cleansing semantics (SURVEY.md §5.3.4)
   * over randomly generated dirty inputs.
@@ -25,6 +25,25 @@ class PropertySpec extends SparkSpec {
   private val dirtyInt = Gen.oneOf(Gen.const[Option[Int]](None),
     Gen.choose(-100, 100000).map(Some(_)))
   private val dirtyDate = Gen.oneOf(0, 1234567, 20200101, 20231215, 99, 20190230)
+
+  test("bloomPruneJoin == plain join on random key sets (no false negatives ever)") {
+    // keys drawn from a small domain so overlap, misses, dupes, and nulls
+    // all occur; fpp varied to stress the probe — correctness must be
+    // independent of the false-positive rate
+    val gen = Gen.zip(
+      Gen.listOfN(120, Gen.zip(Gen.option(Gen.choose(0L, 60L)), Gen.choose(0, 1000))),
+      Gen.listOfN(25, Gen.choose(0L, 90L)),
+      Gen.oneOf(0.5, 0.1, 0.01))
+    forAll(gen) { case (bigRows, smallKeys, fpp) =>
+      val big = bigRows.toDF("k", "v")
+      val small = smallKeys.distinct.map(k => (k, s"d$k")).toDF("k", "name")
+      val plain = big.join(small, Seq("k"), "inner")
+        .collect().map(_.toSeq).toSet
+      val pruned = Scale.bloomPruneJoin(big, small, "k", fpp = fpp)
+        .collect().map(_.toSeq).toSet
+      assert(pruned == plain, s"fpp=$fpp diverged from the plain join")
+    }
+  }
 
   test("custInfo outputs stay in the decoded label domains, one row per id") {
     forAll(Gen.listOfN(60, Gen.zip(Gen.choose(1, 10), dirtyCode, dirtyCode))) { rows =>
