@@ -80,6 +80,12 @@ object Scale {
     * first (one cheap job — pass the estimate at 100 TB to skip it).
     * Overestimating just widens the filter; underestimating raises the
     * false-positive rate but never breaks correctness.
+    *
+    * Integral keys probe on the raw value (putLong domain); any other
+    * key type (string doc ids, URLs, binary) is normalized to
+    * `xxhash64(key)` on BOTH sides — hash collisions can only ADD false
+    * positives, which the exact join removes, so correctness is
+    * type-independent.
     */
   def bloomPruneJoin(big: DataFrame, small: DataFrame, key: String,
                      fpp: Double = 0.01, expectedItems: Long = 0L,
@@ -89,12 +95,14 @@ object Scale {
       s"bloomPruneJoin prunes the big side, so only inner/left_semi joins " +
         s"keep their semantics; got '$joinType'")
     import org.apache.spark.sql.types._
-    val kt = big.schema(key).dataType
-    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(kt),
-      s"bloomPruneJoin needs an integral key (putLong/mightContainLong domain); '$key' is $kt")
+    val integral = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(big.schema(key).dataType)
+    def probeKey(df: DataFrame): Column =
+      if (integral) df(key).cast("long") else xxhash64(df(key))
     val items = if (expectedItems > 0) expectedItems else math.max(small.count(), 1L)
-    val bloom = small.stat.bloomFilter(col(key).cast("long"), items, fpp)
-    val pruned = big.filter(graft.functions.native.bloomMightContain(col(key), bloom))
+    val bloom = small.stat.bloomFilter(probeKey(small), items, fpp)
+    val pruned = big.filter(
+      graft.functions.native.bloomMightContain(probeKey(big), bloom))
     pruned.join(small, Seq(key), joinType)
   }
 

@@ -62,9 +62,37 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Scale.bloomPruneJoin(big, small, "k", joinType = "left_outer")
     }
     assert(e.getMessage.contains("inner/left_semi"))
-    intercept[IllegalArgumentException] {
-      Scale.bloomPruneJoin(big.withColumn("k", col("k").cast("string")), small, "k")
-    }
+  }
+
+  test("bloomPruneJoin on string keys: xxhash64 normalization, result identical, shuffle pruned") {
+    // dedup-by-URL shape: string keys hash to the putLong domain on both
+    // sides; collisions only add false positives, removed by the exact join
+    val big = (1 to 20000).map(i => (s"https://host/page-${i % 5000}", i)).toDF("url", "v")
+    val small = (0 until 5000 by 50).map(k => (s"https://host/page-$k", s"d$k")).toDF("url", "name")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def shuffledRows(df: org.apache.spark.sql.DataFrame): (Long, Set[Seq[Any]]) = {
+        val rows = df.collect().map(_.toSeq).toSet
+        val written = collect(df.queryExecution.executedPlan) {
+          case e: ShuffleExchangeExec => e.metrics("shuffleRecordsWritten").value
+        }.sum
+        (written, rows)
+      }
+      val (plainShuffled, plainRows) =
+        shuffledRows(big.join(small, Seq("url"), "inner").select("url", "v", "name"))
+      val (prunedShuffled, prunedRows) =
+        shuffledRows(Scale.bloomPruneJoin(big, small, "url").select("url", "v", "name"))
+      assert(prunedRows == plainRows, "string-key bloom join changed the result")
+      assert(prunedShuffled < plainShuffled / 10,
+        s"string-key probe did not prune before the shuffle: $prunedShuffled vs $plainShuffled")
+      // null string keys hash to a non-null constant but can never join:
+      // result must still match the plain join exactly
+      val bigN = Seq((Some("a"), 1), (None, 2), (Some("zz"), 3)).toDF("url", "v")
+      val smallN = Seq(("a", "x")).toDF("url", "name")
+      assert(Scale.bloomPruneJoin(bigN, smallN, "url").collect().map(_.toSeq).toSet ==
+        bigN.join(smallN, Seq("url"), "inner").collect().map(_.toSeq).toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("saltedSum equals plain aggregation") {
