@@ -219,6 +219,42 @@ object TextOps {
     cur.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** LSH candidate pairs from an exploded `(id, band_idx, band_val)`
+    * frame, with a hot-bucket guard: buckets larger than `maxBucketSize`
+    * contribute NO pairs. At 100 TB a band value shared by 100k
+    * boilerplate/spam documents would alone emit ~5×10⁹ candidate pairs
+    * (O(bucket²)) and straggle or OOM the join stage — and those pairs
+    * carry no information LSH is needed for, because documents that
+    * collide on every band that hard are caught by exact/fingerprint
+    * dedup upstream. The cap bounds the worst bucket's cost at
+    * maxBucketSize² while leaving every normal bucket's output
+    * byte-identical; skipped-bucket recall loss is confined to clusters
+    * exact dedup already collapses. (The same guard ships in production
+    * LSH systems, e.g. spark.ml's MinHashLSH users bound join keys the
+    * same way.)
+    *
+    * The bucket size is computed with one unordered window count over
+    * the band key — a single shuffle shared with the self-join's own
+    * partitioning, no extra aggregation pass.
+    */
+  def lshPairsBounded(exploded: org.apache.spark.sql.DataFrame,
+                      maxBucketSize: Int, idCol: String = "doc_id",
+                      bandIdx: String = "band_idx",
+                      bandVal: String = "band_val"): org.apache.spark.sql.DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(bandIdx, bandVal)
+    val ok = exploded
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    ok.alias("a").join(ok.alias("b"),
+        col(s"a.$bandIdx") === col(s"b.$bandIdx") &&
+          col(s"a.$bandVal") === col(s"b.$bandVal") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
   /** Karp-Rabin rolling polynomial hash (base 31, mod 1e9+7) over the
     * document's characters — order-sensitive unlike [[fingerprint]].
     * Engine-native integer arithmetic, single pass; the modulus keeps

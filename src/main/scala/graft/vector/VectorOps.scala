@@ -351,6 +351,15 @@ object VectorOps {
   /** Near-duplicate pairs by cosine threshold, blocked by a partition
     * column (e.g. a cluster label or LSH bucket) so the pair space is
     * O(Σ block²) instead of O(n²).
+    *
+    * SCALE CONTRACT: block occupancy, not input size, sets the cost —
+    * the caller must grow the block key's cardinality with the data
+    * (more sign-LSH bits, finer cluster labels) so mean occupancy stays
+    * roughly constant; a resolution frozen while data grows 10× makes
+    * the within-block join ~100× (the scaling sweep's v2 row shows the
+    * onset of exactly this curve). Pathologically hot blocks should be
+    * capped upstream the same way [[graft.text.TextOps.lshPairsBounded]]
+    * bounds LSH buckets.
     */
   def nearDupPairs(df: DataFrame, blockCol: String, idCol: String,
                    vecCol: String, threshold: Double): DataFrame = {

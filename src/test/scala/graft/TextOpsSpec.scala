@@ -166,6 +166,25 @@ class TextOpsSpec extends SparkSpec {
         "(measured 2715) — a per-round edge re-shuffle or cache leak crept in")
   }
 
+  test("lshPairsBounded: hot buckets emit no pairs, normal buckets are byte-identical") {
+    // one spam bucket (40 docs share band value "HOT" → 780 pairs
+    // uncapped) next to two normal buckets
+    val hot = (1L to 40L).map(i => (i, 0, "HOT"))
+    val normal = Seq((100L, 0, "n1"), (101L, 0, "n1"), (102L, 0, "n1"),
+      (200L, 1, "n2"), (201L, 1, "n2"))
+    val exploded = (hot ++ normal).toDF("doc_id", "band_idx", "band_val")
+    val capped = TextOps.lshPairsBounded(exploded, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // normal buckets: all C(3,2)+C(2,2) pairs, ordered id_a < id_b
+    assert(capped == Set((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L)),
+      s"capped pairs wrong: $capped")
+    // a cap above every bucket size reproduces the unbounded join exactly
+    val unbounded = TextOps.lshPairsBounded(exploded, maxBucketSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded.size == 780 + 4)
+    assert(capped.subsetOf(unbounded))
+  }
+
   test("lshBands: empty shingle set → NULL bands, so short docs never join") {
     // <n-token docs have empty shingle arrays; every band must be NULL
     // (ANSI `||` propagation, same as the DuckDB oracle) — NOT "" — so a
