@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Replays what session construction does with a `spark.sql.extensions`
+    * class: drain the extensions object's injected functions into a
+    * registry. Lets a shared-session test suite prove the
+    * `SparkSessionExtensions => Unit` wiring end-to-end without tearing
+    * down the session (extensions only apply at session CREATION).
+    */
+  def registerInjectedFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
 }

@@ -23,4 +23,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_minhash(array('a','b'))").head().getString(0) ==
       spark.sql("SELECT graft_minhash(array('a','b'), 0)").head().getString(0))
   }
+
+  test("GraftExtensions class wires every function through SparkSessionExtensions") {
+    // the spark.sql.extensions path: session construction instantiates the
+    // class and drains its injections into the session's FunctionRegistry.
+    // A shared-session suite can't rebuild the session, so replay exactly
+    // that drain against a fresh registry and prove both functions land
+    // and build working expressions.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.graft.bridge.registerInjectedFunctions(
+      ext, org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    assert(reg.functionExists(FunctionIdentifier("graft_simhash32")))
+    assert(reg.functionExists(FunctionIdentifier("graft_minhash")))
+    // builders produce evaluable expressions (not just registry entries)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = Literal.create(
+      ArrayData.toArrayData(Array(UTF8String.fromString("a"), UTF8String.fromString("b"))),
+      ArrayType(StringType))
+    val mh = reg.lookupFunction(FunctionIdentifier("graft_minhash"), Seq(arr))
+    assert(mh.eval(null) == graft.functions.HashAlgos.minhash(
+      ArrayData.toArrayData(Array(UTF8String.fromString("a"), UTF8String.fromString("b"))),
+      UTF8String.fromString("s0")))
+  }
 }
