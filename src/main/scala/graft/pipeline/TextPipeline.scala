@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** End-to-end training-data curation DAG over a `documents` table — the
+  * north-star twin of [[Runner]]'s ETL DAG: language/quality gate →
+  * exact dedup → MinHash-LSH near-dup clustering → canonical-
+  * representative filter → deterministic sample → token chunks. Stages
+  * materialize to parquet (reprocessing checkpoints, same contract as
+  * Runner's bronze/silver/gold) with per-stage durations and row counts.
+  *
+  * Every stage reuses the gate-verified operators (TextOps + the native
+  * MinHash expressions), so pipeline semantics are exactly the
+  * oracle-checked ones: the quality gate is t9/t10's heuristics, exact
+  * dedup is t1's fingerprint, the near-dup chain is t2→t3→t6 with the
+  * hot-bucket guard, sampling is t7, chunking is t16.
+  *
+  * 100 TB shape: every stage is a scan + hash shuffle bounded by its
+  * stage's OWN output (no all-pairs, no driver-side data); the LSH
+  * bucket cap bounds the worst spam bucket; each checkpoint is a plain
+  * parquet dir, so a failed run resumes from the last good stage and
+  * downstream consumers (packing, tokenizing) read partition-pruned
+  * parquet, not a recompute.
+  */
+class TextPipeline(spark: SparkSession, docsPath: String, outRoot: String,
+                   cfg: TextPipeline.Config = TextPipeline.Config()) {
+
+  val durations = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+  val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
+  private def stage(name: String)(df: => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val path = s"$outRoot/$name"
+    df.write.mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+    durations(name) = (System.nanoTime() - t0) / 1e9
+    counts(name) = back.count()
+    back
+  }
+
+  private def docs(): DataFrame = spark.read.parquet(docsPath)
+
+  /** Stage 1 — language + quality gate (t9/t10 heuristics): keep docs
+    * that look like the target language and clear the token-count and
+    * stopword-ratio floors. Pure map-side filter.
+    */
+  def runQuality(): DataFrame = stage("quality") {
+    val t = TextOps.tokens(col("text"))
+    docs()
+      .withColumn("__toks", t)
+      .filter(size(col("__toks")) >= cfg.minTokens &&
+        TextOps.stopwordRatio(col("__toks")) >= cfg.minStopwordRatio &&
+        TextOps.langIdHeuristic(col("__toks"), cfg.langThreshold) === "en")
+      .drop("__toks")
+  }
+
+  /** Stage 2 — exact dedup (t1): one surviving doc (min doc_id) per
+    * normalized-text fingerprint. Hash shuffle on the 128-bit
+    * fingerprint, never on text.
+    */
+  def runExactDedup(in: DataFrame): DataFrame = stage("exact_dedup") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__fp").orderBy(col("doc_id"))
+    in.withColumn("__fp", TextOps.fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Stage 3 — near-dup removal (t2→t3→t6): MinHash bands → bounded
+    * LSH candidate pairs → connected components → keep only each
+    * cluster's canonical representative (the min doc_id); docs in no
+    * pair survive untouched.
+    */
+  def runNearDedup(in: DataFrame): DataFrame = stage("near_dedup") {
+    val shingled = in
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), TextOps.wordNgrams(col("__t"), 3).as("__sh"))
+    val bands = graft.functions.native.lshBands(col("__sh"), cfg.minhashK, cfg.rowsPerBand)
+    val banded = shingled.select(col("doc_id") +: bands: _*)
+    val exploded = banded.select(col("doc_id"),
+      explode(map((0 until cfg.minhashK / cfg.rowsPerBand)
+        .flatMap(b => Seq(lit(b), col(s"band$b"))): _*)).as(Seq("band_idx", "band_val")))
+    val pairs = TextOps.lshPairsBounded(exploded, cfg.maxBucketSize)
+    val reps = TextOps.clusterPairs(pairs)
+    // anti-join on the non-representatives: clustered docs keep exactly
+    // their min-id member, unclustered docs pass through
+    val losers = reps.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+    in.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 4 — deterministic sample (t7): md5-bucket keep/drop, stable
+    * across runs and partitionings.
+    */
+  def runSample(in: DataFrame): DataFrame = stage("sample") {
+    in.filter(TextOps.deterministicSample(col("doc_id"), cfg.samplePermille))
+  }
+
+  /** Stage 5 — training chunks (t16): fixed-size token windows with
+    * overlap, the unit downstream tokenization consumes.
+    */
+  def runChunks(in: DataFrame): DataFrame = stage("chunks") {
+    in.select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0), size(col("__t")) - 1, lit(cfg.chunkStride))).as("__start"))
+      .select(col("doc_id"),
+        (col("__start") / cfg.chunkStride).cast("long").as("chunk_idx"),
+        array_join(slice(col("__t"), col("__start") + 1, lit(cfg.chunkSize)), " ").as("chunk_text"))
+  }
+
+  /** The whole DAG; returns the final chunks frame. */
+  def runAll(): DataFrame =
+    runChunks(runSample(runNearDedup(runExactDedup(runQuality()))))
+}
+
+object TextPipeline {
+  /** Curation thresholds; defaults match the gate queries' parameters
+    * (t9 language threshold, t2/t3 MinHash geometry, t16 chunk shape).
+    */
+  case class Config(minTokens: Int = 5,
+                    minStopwordRatio: Double = 0.05,
+                    langThreshold: Double = 0.15,
+                    minhashK: Int = 4,
+                    rowsPerBand: Int = 2,
+                    maxBucketSize: Int = 1000,
+                    samplePermille: Int = 800,
+                    chunkSize: Int = 32,
+                    chunkStride: Int = 24)
+
+  /** CLI: <docsDir> <outRoot> — runs the curation DAG and prints
+    * per-stage durations + surviving row counts.
+    */
+  def main(args: Array[String]): Unit = {
+    val docsDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outRoot = if (args.length > 1) args(1) else "/tmp/graft_text_lake"
+    val spark = graft.core.Sessions.local()
+    val p = new TextPipeline(spark, s"$docsDir/documents.parquet", outRoot)
+    p.runAll()
+    p.durations.foreach { case (k, v) => println(f"[textpipe] $k%-12s ${v}%8.2f s  ${p.counts(k)}%8d rows") }
+    spark.stop()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.TextPipeline
+import graft.text.TextOps
+
+class TextPipelineSpec extends SparkSpec {
+
+  private def freshRoot(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_textpipe_$tag").toString + "/lake"
+
+  // permissive quality gate: the synthetic corpus is stopword-light, and
+  // the dedup stages only see real work when most of the 500 docs pass
+  private val openGate = TextPipeline.Config(
+    minTokens = 1, minStopwordRatio = 0.0, langThreshold = 0.0)
+
+  test("curation DAG: stages materialize, shrink monotonically, and agree with the operators") {
+    val out = freshRoot("a")
+    val p = new TextPipeline(spark, s"$sf001/documents.parquet", out, openGate)
+    val chunks = p.runAll()
+    val c = p.counts
+    assert(c("quality") == 500, s"open gate should pass the whole corpus: $c")
+    // monotone shrink through the filter stages; the corpus HAS near-dups
+    // (the t3/t6 gate queries find them), so near-dedup must remove some
+    assert(c("quality") >= c("exact_dedup"))
+    assert(c("near_dedup") < c("exact_dedup"),
+      s"near-dedup removed nothing from a corpus with known near-dups: $c")
+    assert(c("near_dedup") >= c("sample"))
+    assert(c.values.forall(_ > 0), s"a stage emptied the corpus: $c")
+    // exact-dedup agrees with the fingerprint operator: one survivor per
+    // distinct fingerprint of the quality-gated corpus
+    val distinctFp = spark.read.parquet(s"$out/quality")
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+      .distinct().count()
+    assert(c("exact_dedup") == distinctFp)
+    // every stage is a readable checkpoint with the doc schema intact
+    Seq("quality", "exact_dedup", "near_dedup", "sample").foreach { s =>
+      val cols = spark.read.parquet(s"$out/$s").columns.toSet
+      assert(cols.contains("doc_id") && cols.contains("text"), s"$s lost doc columns: $cols")
+    }
+    assert(chunks.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk_text"))
+  }
+
+  test("near-dup stage is a fixed point: re-running it on its output removes nothing") {
+    // any two survivors that still shared an LSH bucket would have been in
+    // the same connected component — so exactly one of them survived; a
+    // second pass must find zero losers
+    val p = new TextPipeline(spark, s"$sf001/documents.parquet", freshRoot("b"), openGate)
+    val survivors = p.runNearDedup(p.runExactDedup(p.runQuality()))
+    // second pass goes to its own root: a stage must never overwrite the
+    // checkpoint its input is lazily reading from
+    val p2 = new TextPipeline(spark, s"$sf001/documents.parquet", freshRoot("b2"), openGate)
+    val again = p2.runNearDedup(survivors)
+    assert(again.count() == survivors.count(),
+      "near-dedup removed docs on a second pass — clustering is not converging")
+  }
+
+  test("the DAG is deterministic: two runs produce identical chunk sets") {
+    val (outA, outB) = (freshRoot("c1"), freshRoot("c2"))
+    def runOnce(out: String): Set[(Long, Long, String)] = {
+      new TextPipeline(spark, s"$sf001/documents.parquet", out, openGate).runAll()
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    val a = runOnce(outA)
+    val b = runOnce(outB)
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
