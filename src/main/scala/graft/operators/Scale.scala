@@ -106,6 +106,42 @@ object Scale {
     pruned.join(small, Seq(key), joinType)
   }
 
+  /** Range (point-in-interval) join as a binned equijoin. Catalyst plans
+    * a pure inequality join (`p >= lo AND p < hi`, no equi key) as
+    * BroadcastNestedLoop or a cartesian product — O(points × intervals)
+    * comparisons, dead at 100 TB. Exploding each interval into the
+    * fixed-size bins it covers and equijoining on the point's single bin
+    * turns it into one hash shuffle plus an exact residual filter —
+    * the same move behind Databricks' range-join hints and
+    * GeoSpark-style spatial binning.
+    *
+    * Each (point, interval) match is produced exactly once — a point
+    * lives in ONE bin, and an interval emits each covered bin once — so
+    * no dedup pass is needed. Cost is Σ(span/binSize + 1) interval rows:
+    * pick `binSize` near the typical interval span; a binSize far below
+    * the span multiplies interval replication, far above it degrades
+    * toward a few giant buckets.
+    *
+    * Binning uses exact integer `div` — epoch-micros values (~10¹⁸ for
+    * nanos) are beyond double's 2⁵³ mantissa, where a floating floor
+    * division would misbin boundary values. Truncating division is
+    * monotone, so bin assignment stays consistent for negative values
+    * too (the zero-straddling bin is wider but identical on both sides).
+    * Inner join only: points outside every interval are dropped.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    def bin(c: String) = expr(s"`$c` div $binSize")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(bin(loCol), bin(hiCol))))
+    points.withColumn("__bin", bin(pointCol))
+      .join(binned, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** Pre-aggregate-then-total pattern for skewed groupBy: partial
     * aggregation on (key, salt) first spreads a hot key over `salt`
     * reducers; the second (tiny) aggregation combines the partials.

@@ -699,6 +699,35 @@ object RelationalQueries {
                count(*) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 480000.0
-        GROUP BY l_orderkey ORDER BY o_orderkey"""))
+        GROUP BY l_orderkey ORDER BY o_orderkey""")),
+
+    // r38: range (point-in-interval) join — every event inside the hour
+    // after a sampled signup, via Scale.rangeJoin's binned equijoin
+    // instead of the nested-loop plan Catalyst gives a pure inequality
+    // join. Both engines work in epoch-MICROS: DuckDB truncates the
+    // parquet NANOS column to µs on read, and Spark's `ts div 1000`
+    // floors the same way, so window boundaries align exactly.
+    Q("r38_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val points = ev.select(expr("ts div 1000").as("p_us"), col("value"))
+        val intervals = ev
+          .filter(col("event_type") === "signup" && col("user_id") % 50 === 0)
+          .select(col("event_id").as("sg_id"), expr("ts div 1000").as("lo"),
+            (expr("ts div 1000") + lit(3600000000L)).as("hi"))
+        Scale.rangeJoin(points, "p_us", intervals, "lo", "hi",
+            binSize = 600000000L) // 10-min bins over 1-hour windows: 7 rows/interval
+          .groupBy("sg_id")
+          .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+      },
+      Some(s"""
+        WITH sg AS (
+          SELECT event_id AS sg_id, epoch_us(ts) AS lo,
+                 epoch_us(ts) + 3600000000 AS hi
+          FROM events WHERE event_type = 'signup' AND user_id % 50 = 0)
+        SELECT sg_id, count(*) AS n_events,
+               CAST(sum(${sqlCents("e.value")}) AS BIGINT) AS value_cents
+        FROM events e JOIN sg ON epoch_us(e.ts) >= sg.lo AND epoch_us(e.ts) < sg.hi
+        GROUP BY sg_id ORDER BY sg_id"""))
   )
 }

@@ -95,6 +95,34 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("rangeJoin equals the naive inequality join without its nested-loop plan") {
+    // pseudo-random points/intervals spanning negatives, boundary hits
+    // (p == lo is in, p == hi is out), and bin-straddling spans
+    val points = (0 until 3000)
+      .map(i => ((i * 2654435761L % 10000) - 2000, i)).toDF("p", "pid")
+    val intervals = (0 until 60).map { i =>
+      val lo = (i * 40503L % 9000) - 2000
+      (lo, lo + 1 + i * 7 % 500, i)
+    }.toDF("lo", "hi", "iid")
+    val naive = points.join(intervals,
+      col("p") >= col("lo") && col("p") < col("hi"))
+    val binned = Scale.rangeJoin(points, "p", intervals, "lo", "hi", binSize = 128)
+    assert(binned.select("pid", "iid").collect().map(_.toSeq).toSet ==
+      naive.select("pid", "iid").collect().map(_.toSeq).toSet)
+    // the naive plan is a nested loop / cartesian; the binned one must not be
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    naive.collect(); binned.collect()
+    def loops(df: org.apache.spark.sql.DataFrame) =
+      collect(df.queryExecution.executedPlan) {
+        case e: BroadcastNestedLoopJoinExec => e
+        case e: CartesianProductExec => e
+      }
+    assert(loops(naive).nonEmpty, "expected the inequality join to plan as a nested loop")
+    assert(loops(binned).isEmpty,
+      s"binned range join still nested-loops:\n${binned.queryExecution.executedPlan.toString.take(800)}")
+  }
+
   test("saltedSum equals plain aggregation") {
     val df = (1 to 5000).map(i => (i % 3, i.toLong)).toDF("k", "v")
     val plain = df.groupBy("k").agg(sum("v").as("sum"))
