@@ -45,6 +45,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin == naive inequality join on random intervals and bin sizes") {
+    // intervals may be empty (lo == hi), overlapping, or duplicated;
+    // points may sit exactly on either boundary; binSize varies from
+    // smaller-than-span to larger-than-domain — correctness must be
+    // independent of the binning geometry
+    val gen = Gen.zip(
+      Gen.listOfN(200, Gen.choose(-500L, 500L)),
+      Gen.listOfN(30, Gen.zip(Gen.choose(-500L, 500L), Gen.choose(0L, 200L))),
+      Gen.oneOf(7L, 64L, 1000L, 5000L))
+    forAll(gen) { case (ps, ivs, binSize) =>
+      val points = ps.zipWithIndex.toDF("p", "pid")
+      val intervals = ivs.zipWithIndex.map { case ((lo, len), i) => (lo, lo + len, i) }
+        .toDF("lo", "hi", "iid")
+      val naive = points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+        .select("pid", "iid").collect().map(_.toSeq).toSet
+      val binned = Scale.rangeJoin(points, "p", intervals, "lo", "hi", binSize)
+        .select("pid", "iid").collect().map(_.toSeq).toSet
+      assert(binned == naive, s"binSize=$binSize diverged")
+    }
+  }
+
   test("custInfo outputs stay in the decoded label domains, one row per id") {
     forAll(Gen.listOfN(60, Gen.zip(Gen.choose(1, 10), dirtyCode, dirtyCode))) { rows =>
       val df = rows.zipWithIndex.map { case ((id, ms, g), i) =>
