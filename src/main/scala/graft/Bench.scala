@@ -76,9 +76,15 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> Seq.fill(3)(timeOnce(name, fn)).min
-    }.toMap
+    // SPARK_GRAFT_ONLY="e9_fact_sales,e3_..." restricts the run — the
+    // iteration loop for benchmarking one operator without the full gate
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> Seq.fill(3)(timeOnce(name, fn)).min
+      }.toMap
     val full = renderFull(results, sfDir)
     val finalLine = renderFinal(results, sfDir)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")

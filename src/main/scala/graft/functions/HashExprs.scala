@@ -132,6 +132,8 @@ object native {
   }
   def minhashSignature(shingles: Column, k: Int): Seq[Column] =
     (0 until k).map(s => minhash(shingles, s).as(s"mh$s"))
+  /** yyyyMMdd int → DATE, NULL on any invalid value (see [[YyyymmddToDate]]). */
+  def yyyymmddToDate(c: Column): Column = toCol(YyyymmddToDate(toExpr(c.cast("int"))))
   // NULL components (empty shingle set) null the whole band — `concat`
   // propagation, matching TextOps.lshBands and ANSI `||`; a NULL band
   // never equijoins, so short docs can't form a hot bucket.

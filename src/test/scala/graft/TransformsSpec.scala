@@ -9,6 +9,37 @@ import graft.silver.Transforms
 class TransformsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repairIntDate arithmetic == try_to_date string parse over the int domain") {
+    // every (y, m, d) shape that exercises the calendar guard — leap
+    // century (1900 no, 2000 yes), ordinary leap (2020), month 0/13,
+    // day 0/29/30/31/32 — plus non-8-digit and degenerate values
+    val ymd = for {
+      y <- Seq(1900, 1999, 2000, 2019, 2020)
+      m <- 0 to 13
+      d <- Seq(0, 1, 27, 28, 29, 30, 31, 32)
+    } yield y * 10000 + m * 100 + d
+    val odd = Seq(0, 1, 99, -20200101, 1234567, 100000000, 20200000,
+      Int.MaxValue, Int.MinValue, 10000000, 99999999)
+    val df = (ymd ++ odd).toDF("c")
+    val out = df.select(
+        col("c"),
+        Transforms.repairIntDate(col("c")).as("arith"),
+        when(col("c") === 0 || length(col("c").cast("string")) =!= 8,
+          lit(null).cast("date"))
+          .otherwise(try_to_date(col("c").cast("string"), "yyyyMMdd")).as("parsed"))
+      .collect()
+    val diffs = out.filter(r => r.get(1) != r.get(2))
+    assert(diffs.isEmpty,
+      s"arithmetic date repair diverges: ${diffs.take(5).mkString(", ")}")
+    // spot-check semantics, not just agreement
+    val m = out.map(r => r.getInt(0) -> Option(r.getDate(1))).toMap
+    assert(m(20200229).contains(java.sql.Date.valueOf("2020-02-29")))
+    assert(m(19000229).isEmpty) // 1900 is not a leap year
+    assert(m(20000229).contains(java.sql.Date.valueOf("2000-02-29")))
+    assert(m(20190230).isEmpty)
+    assert(m(1234567).isEmpty)
+  }
+
   test("custInfo: code decode is case/space-insensitive, dedup keeps latest") {
     val df = Seq(
       (1, "K1", "  Ann ", " Lee  ", "s", " m ", "2020-01-01"),
