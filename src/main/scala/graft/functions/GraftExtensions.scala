@@ -16,10 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.simhash32)
-    ext.injectFunction(GraftExtensions.minhash)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -42,10 +40,23 @@ object GraftExtensions {
         s"graft_minhash(array, [int seed]) — got ${other.length} args")
     })
 
+  val yyyymmddToDate: FnDesc = (
+    FunctionIdentifier("graft_yyyymmdd_to_date"),
+    new ExpressionInfo(classOf[YyyymmddToDate].getName, "graft_yyyymmdd_to_date"),
+    // widen any integral SQL argument to the expression's int domain
+    (args: Seq[Expression]) => YyyymmddToDate(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        args.head, org.apache.spark.sql.types.IntegerType)))
+
+  /** Every injectable function — the single list both the extensions
+    * class and imperative registration drain.
+    */
+  val all: Seq[FnDesc] = Seq(simhash32, minhash, yyyymmddToDate)
+
   /** Imperative registration for an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(simhash32, minhash).foreach { case (id, info, builder) =>
+    all.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)
     }
   }

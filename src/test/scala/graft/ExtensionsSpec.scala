@@ -22,6 +22,11 @@ class ExtensionsSpec extends SparkSpec {
     // default seed form
     assert(spark.sql("SELECT graft_minhash(array('a','b'))").head().getString(0) ==
       spark.sql("SELECT graft_minhash(array('a','b'), 0)").head().getString(0))
+    // date repair from SQL, including the NULL-on-invalid arm
+    val dates = spark.sql(
+      "SELECT graft_yyyymmdd_to_date(20200229), graft_yyyymmdd_to_date(20190230)").head()
+    assert(dates.getDate(0) == java.sql.Date.valueOf("2020-02-29"))
+    assert(dates.isNullAt(1))
   }
 
   test("GraftExtensions class wires every function through SparkSessionExtensions") {
@@ -35,8 +40,8 @@ class ExtensionsSpec extends SparkSpec {
     val reg = org.apache.spark.sql.graft.bridge.registerInjectedFunctions(
       ext, org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    assert(reg.functionExists(FunctionIdentifier("graft_simhash32")))
-    assert(reg.functionExists(FunctionIdentifier("graft_minhash")))
+    assert(GraftExtensions.all.forall { case (id, _, _) => reg.functionExists(id) },
+      "an injected function is missing from the drained registry")
     // builders produce evaluable expressions (not just registry entries)
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
