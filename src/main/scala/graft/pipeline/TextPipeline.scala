@@ -130,14 +130,19 @@ object TextPipeline {
                     chunkSize: Int = 32,
                     chunkStride: Int = 24)
 
-  /** CLI: <docsDir> <outRoot> — runs the curation DAG and prints
-    * per-stage durations + surviving row counts.
+  /** CLI: <docsDir> <outRoot> [open] — runs the curation DAG and prints
+    * per-stage durations + surviving row counts. `open` disables the
+    * language/quality gate (the synthetic corpus is stopword-light), so
+    * the dedup stages run over the full corpus — the stress shape.
     */
   def main(args: Array[String]): Unit = {
     val docsDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft_text_lake"
+    val cfg = if (args.length > 2 && args(2) == "open")
+      Config(minTokens = 1, minStopwordRatio = 0.0, langThreshold = 0.0)
+    else Config()
     val spark = graft.core.Sessions.local()
-    val p = new TextPipeline(spark, s"$docsDir/documents.parquet", outRoot)
+    val p = new TextPipeline(spark, s"$docsDir/documents.parquet", outRoot, cfg)
     p.runAll()
     p.durations.foreach { case (k, v) => println(f"[textpipe] $k%-12s ${v}%8.2f s  ${p.counts(k)}%8d rows") }
     spark.stop()
