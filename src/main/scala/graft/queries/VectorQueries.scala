@@ -158,13 +158,25 @@ object VectorQueries {
           FROM scored)
         SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
-    // v2: embedding-cosine near-duplicate pairs, blocked by cluster label.
+    // v2: embedding-cosine near-duplicate pairs, blocked by cluster label,
+    // with the hot-block occupancy cap IN the oracle contract: both
+    // engines drop blocks over 1000 members before pairing, so the
+    // guard's semantics (not just its happy path) are what hash-matches.
+    // At the tested sfs no label block exceeds the cap (max 218 at
+    // sf0.1), so output is byte-identical to the unguarded form;
+    // VectorOpsSpec pins the truncation behavior on a synthetic hot block.
     Q("v2_neardup_pairs",
       (s, d) => VectorOps.nearDupPairs(Tables.embeddings(s, d),
-          "label", "vec_id", "embedding", 0.35),
+          "label", "vec_id", "embedding", 0.35, maxBlockSize = 1000),
       Some(s"""
+        WITH ok AS (
+          SELECT vec_id, label, embedding
+          FROM (SELECT vec_id, label, embedding,
+                       count(*) OVER (PARTITION BY label) AS n
+                FROM embeddings)
+          WHERE n <= 1000)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b
+        FROM ok a JOIN ok b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(${castD.format("a.embedding")}, ${castD.format("b.embedding")}) >= 0.35
         ORDER BY id_a, id_b""")),

@@ -352,20 +352,37 @@ object VectorOps {
     * column (e.g. a cluster label or LSH bucket) so the pair space is
     * O(Σ block²) instead of O(n²).
     *
-    * SCALE CONTRACT: block occupancy, not input size, sets the cost —
-    * the caller must grow the block key's cardinality with the data
-    * (more sign-LSH bits, finer cluster labels) so mean occupancy stays
-    * roughly constant; a resolution frozen while data grows 10× makes
-    * the within-block join ~100× (the scaling sweep's v2 row shows the
-    * onset of exactly this curve). Pathologically hot blocks should be
-    * capped upstream the same way [[graft.text.TextOps.lshPairsBounded]]
-    * bounds LSH buckets.
+    * SCALE CONTRACT — now ENFORCED, not just documented: block occupancy,
+    * not input size, sets the cost, so blocks larger than `maxBlockSize`
+    * contribute NO pairs (the same guard
+    * [[graft.text.TextOps.lshPairsBounded]] applies to LSH buckets, and
+    * for the same reason: one over-popular cluster label / bucket makes
+    * the self-join O(block²) with no upper bound — at 100 TB a single
+    * 100k-member hot block alone would emit ~5×10⁹ candidate pairs and
+    * straggle or OOM the join stage). Normal blocks are byte-identical
+    * to the unguarded form. Recall loss is confined to blocks the caller
+    * should have split anyway: the contract remains that block-key
+    * cardinality grows with the data (more sign-LSH bits, finer cluster
+    * labels) so mean occupancy stays roughly constant; the cap converts
+    * a violated contract from a runaway stage into bounded, observable
+    * truncation.
+    *
+    * The occupancy count is one unordered window over the block key —
+    * the same hash partitioning the self-join needs, so the window's
+    * exchange doubles as the join's (VectorOpsSpec asserts the guarded
+    * plan introduces no extra exchange over the unguarded one).
     */
   def nearDupPairs(df: DataFrame, blockCol: String, idCol: String,
-                   vecCol: String, threshold: Double): DataFrame = {
+                   vecCol: String, threshold: Double,
+                   maxBlockSize: Int = 4096): DataFrame = {
+    require(maxBlockSize >= 2, s"maxBlockSize must be >= 2, got $maxBlockSize")
+    val w = Window.partitionBy("blk")
     val prepped = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         asDouble(col(vecCol)).as("vd"))
       .withColumn("nrm", sqrt(rawDot(col("vd"), col("vd"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBlockSize)
+      .drop("__n")
     val a = prepped.select(col("blk"), col("id").as("id_a"), col("vd").as("va"), col("nrm").as("na"))
     val b = prepped.select(col("blk"), col("id").as("id_b"), col("vd").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("blk"))

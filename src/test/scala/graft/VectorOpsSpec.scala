@@ -140,4 +140,45 @@ class VectorOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // block boundary respected
   }
+
+  test("nearDupPairs hot-block cap: oversized blocks emit no pairs, normal blocks byte-identical") {
+    // block 0: hot (12 members, all near-identical → would be 66 pairs);
+    // block 1: normal (3 members, 1 planted dup pair)
+    val hot = (1L to 12L).map(i => (i, 0, Seq(1.0f, 2.0f, 3.0f + i * 1e-6f)))
+    val normal = Seq(
+      (100L, 1, Seq(1.0f, 2.0f, 3.0f)),
+      (101L, 1, Seq(1.0f, 2.0f, 3.0f)),
+      (102L, 1, Seq(-1.0f, 2.0f, -3.0f)))
+    val df = (hot ++ normal).toDF("vec_id", "label", "embedding")
+
+    val unbounded = VectorOps.nearDupPairs(df, "label", "vec_id", "embedding", 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(unbounded.size == 66 + 1) // the contract violation the cap bounds
+
+    val capped = VectorOps.nearDupPairs(df, "label", "vec_id", "embedding", 0.99,
+      maxBlockSize = 10)
+      .as[(Long, Long)].collect().toSet
+    // hot block contributes NOTHING; the normal block is byte-identical
+    assert(capped == Set((100L, 101L)))
+
+    // cap at exactly the block size keeps the block (<=, not <)
+    val atSize = VectorOps.nearDupPairs(df, "label", "vec_id", "embedding", 0.99,
+      maxBlockSize = 12)
+      .as[(Long, Long)].collect().toSet
+    assert(atSize == unbounded)
+
+    // guard is a window over the join's own key: no extra exchange vs
+    // the unguarded plan (the occupancy count reuses the blk shuffle)
+    def nExchanges(q: org.apache.spark.sql.DataFrame): Int =
+      "(?<!Reused)Exchange".r.findAllIn(
+        q.queryExecution.executedPlan.toString).length
+    val guarded = VectorOps.nearDupPairs(df, "label", "vec_id", "embedding", 0.99,
+      maxBlockSize = 10)
+    assert(nExchanges(guarded) <= nExchanges(
+      VectorOps.nearDupPairs(df, "label", "vec_id", "embedding", 0.99)) + 1)
+
+    intercept[IllegalArgumentException] {
+      VectorOps.nearDupPairs(df, "label", "vec_id", "embedding", 0.99, maxBlockSize = 1)
+    }
+  }
 }
