@@ -44,9 +44,13 @@ object GraftExtensions {
     FunctionIdentifier("graft_yyyymmdd_to_date"),
     new ExpressionInfo(classOf[YyyymmddToDate].getName, "graft_yyyymmdd_to_date"),
     // widen any integral SQL argument to the expression's int domain
-    (args: Seq[Expression]) => YyyymmddToDate(
-      org.apache.spark.sql.catalyst.expressions.Cast(
-        args.head, org.apache.spark.sql.types.IntegerType)))
+    (args: Seq[Expression]) => args match {
+      case Seq(one) => YyyymmddToDate(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          one, org.apache.spark.sql.types.IntegerType))
+      case other => throw new IllegalArgumentException(
+        s"graft_yyyymmdd_to_date(int) — got ${other.length} args")
+    })
 
   /** Every injectable function — the single list both the extensions
     * class and imperative registration drain.

@@ -95,6 +95,15 @@ object Scale {
       s"bloomPruneJoin prunes the big side, so only inner/left_semi joins " +
         s"keep their semantics; got '$joinType'")
     import org.apache.spark.sql.types._
+    // the probe path is chosen from the key TYPE; if the two sides
+    // disagreed, the bloom would be built over one coercion and the exact
+    // join over Spark's own — the no-false-negative guarantee would then
+    // rest on cast/coercion alignment instead of construction. Make it
+    // structural: identical types or no deal (callers cast explicitly).
+    require(big.schema(key).dataType == small.schema(key).dataType,
+      s"bloomPruneJoin: key '$key' differs in type between sides " +
+        s"(${big.schema(key).dataType.simpleString} vs " +
+        s"${small.schema(key).dataType.simpleString}); cast one side first")
     val integral = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
       .contains(big.schema(key).dataType)
     def probeKey(df: DataFrame): Column =
@@ -128,14 +137,34 @@ object Scale {
     * monotone, so bin assignment stays consistent for negative values
     * too (the zero-straddling bin is wider but identical on both sides).
     * Inner join only: points outside every interval are dropped.
+    *
+    * Degenerate intervals (lo >= hi) match nothing under the half-open
+    * predicate, so they are filtered out BEFORE binning — previously an
+    * inverted interval fed `sequence(start, stop)` a start > stop, which
+    * silently generates a DESCENDING bin list (default step -1) whose
+    * junk rows only the residual filter discarded. An interval spanning
+    * more than `maxBinsPerInterval` bins fails loudly at run time (via
+    * `raise_error`, no extra driver job) instead of exploding a
+    * million-element array per row or hitting sequence's length cap with
+    * a confusing error: that shape means `binSize` is mis-chosen for the
+    * data and silent acceptance would hide a quadratic blowup.
     */
   def rangeJoin(points: DataFrame, pointCol: String,
                 intervals: DataFrame, loCol: String, hiCol: String,
-                binSize: Long): DataFrame = {
+                binSize: Long, maxBinsPerInterval: Long = 1L << 20): DataFrame = {
     require(binSize > 0, s"binSize must be positive, got $binSize")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     def bin(c: String) = expr(s"`$c` div $binSize")
-    val binned = intervals.withColumn("__bin",
-      explode(sequence(bin(loCol), bin(hiCol))))
+    val hiBinGuarded = when(bin(hiCol) - bin(loCol) >= lit(maxBinsPerInterval),
+        raise_error(concat(
+          lit(s"rangeJoin: interval ["), col(loCol).cast("string"), lit(", "),
+          col(hiCol).cast("string"),
+          lit(s") spans >= $maxBinsPerInterval bins of size $binSize — raise binSize"))))
+      .otherwise(bin(hiCol))
+    val binned = intervals
+      .filter(col(loCol) < col(hiCol))
+      .withColumn("__bin", explode(sequence(bin(loCol), hiBinGuarded)))
     points.withColumn("__bin", bin(pointCol))
       .join(binned, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))

@@ -30,10 +30,25 @@ class TextPipeline(spark: SparkSession, docsPath: String, outRoot: String,
   val durations = scala.collection.mutable.LinkedHashMap.empty[String, Double]
   val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
+  /** Materialize a stage to `outRoot/<name>` via temp-dir + rename swap
+    * (mirroring `Scale.mergeParquet`): the stage's input DataFrame may
+    * lazily read an EARLIER checkpoint of the same name under this
+    * outRoot (re-running a stage, resuming a pipeline), and a direct
+    * mode(overwrite) would delete the files being read mid-scan. Writing
+    * to `__<name>_tmp` first means the plan fully materializes before
+    * the old checkpoint is touched; the swap is then a delete + rename.
+    */
   private def stage(name: String)(df: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
     val path = s"$outRoot/$name"
-    df.write.mode("overwrite").parquet(path)
+    val tmp = s"$outRoot/__${name}_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path)
+    fs.delete(dst, true)
+    require(fs.rename(new Path(tmp), dst), s"rename failed: $tmp -> $dst")
     val back = spark.read.parquet(path)
     durations(name) = (System.nanoTime() - t0) / 1e9
     counts(name) = back.count()

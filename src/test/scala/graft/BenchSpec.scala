@@ -40,6 +40,43 @@ class BenchSpec extends AnyFunSuite {
     assert(qs != null && qs.size() == SparkEntry.queries.size)
   }
 
+  test("per-query detail survives at 90 queries (short-key tier)") {
+    // The real gate plus synthetic x-family queries, gate-style names:
+    // detail must survive the budget via one of the compression tiers,
+    // not collapse to the totals-only summary.
+    val extra = (1 to (90 - SparkEntry.queries.size))
+      .map(i => f"x$i%d_synthetic_gate_growth" -> 1.23456)
+    val ninety = fakeResults ++ extra
+    assert(ninety.size == 90)
+    val line = Bench.renderFinal(ninety, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.FinalLineBudget)
+    val node = mapper.readTree(line)
+    val qs = node.get("queries")
+    assert(qs != null && qs.size() == 90, "per-query detail was dropped at 90 queries")
+    // short-key tier must be self-describing and collision-free
+    if (node.get("keys") != null && node.get("keys").asText() == "short") {
+      assert(qs.has("e1") || qs.has(Bench.shortKey(fakeResults.keys.head)))
+    }
+  }
+
+  test("short keys are collision-free for the real gate and map back uniquely") {
+    val names = SparkEntry.queries.keys.toSeq
+    val shorts = names.map(Bench.shortKey)
+    assert(shorts.distinct.size == names.size,
+      s"short-key collision: ${shorts.diff(shorts.distinct).distinct}")
+  }
+
+  test("short-key collision disables the short tier, never emits ambiguous keys") {
+    val colliding = Map("q1_alpha" -> 1.0, "q1_beta" -> 2.0) ++
+      (1 to 200).map(i => f"z${i}_long_enough_to_overflow_the_rounded_tiers" -> 1.23456)
+    val line = Bench.renderFinal(colliding, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.FinalLineBudget)
+    val node = mapper.readTree(line)
+    // with shorts disabled and 202 long names, only the summary fits
+    assert(node.get("keys") == null)
+    assert(node.get("queries") == null || node.get("queries").size() == colliding.size)
+  }
+
   test("fallback summary is valid JSON and under budget when queries overflow") {
     // Enough synthetic queries that even the rounded form cannot fit.
     val many = (1 to 300).map(i => f"q$i%03d_synthetic_overflow_name" -> 1.234).toMap

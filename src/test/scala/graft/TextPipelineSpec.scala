@@ -45,13 +45,16 @@ class TextPipelineSpec extends SparkSpec {
     // any two survivors that still shared an LSH bucket would have been in
     // the same connected component — so exactly one of them survived; a
     // second pass must find zero losers
-    val p = new TextPipeline(spark, s"$sf001/documents.parquet", freshRoot("b"), openGate)
+    val root = freshRoot("b")
+    val p = new TextPipeline(spark, s"$sf001/documents.parquet", root, openGate)
     val survivors = p.runNearDedup(p.runExactDedup(p.runQuality()))
-    // second pass goes to its own root: a stage must never overwrite the
-    // checkpoint its input is lazily reading from
-    val p2 = new TextPipeline(spark, s"$sf001/documents.parquet", freshRoot("b2"), openGate)
-    val again = p2.runNearDedup(survivors)
-    assert(again.count() == survivors.count(),
+    val nSurvivors = survivors.count()
+    // second pass reuses the SAME root: `survivors` lazily reads
+    // root/near_dedup while the stage rewrites that very checkpoint —
+    // safe only because stage() materializes to a temp dir and swaps
+    // (this is the regression test for that swap)
+    val again = p.runNearDedup(survivors)
+    assert(again.count() == nSurvivors,
       "near-dedup removed docs on a second pass — clustering is not converging")
   }
 
