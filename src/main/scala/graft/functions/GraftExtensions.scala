@@ -52,10 +52,90 @@ object GraftExtensions {
         s"graft_yyyymmdd_to_date(int) — got ${other.length} args")
     })
 
+  // ---- text/quality curation family ---------------------------------
+  // These are Column-composed operators (graft.text.TextOps), exposed to
+  // SQL through the Column↔Expression bridge so TextOps stays the single
+  // source of truth — the SQL form and the Column form are the SAME
+  // expression tree, not a re-implementation that could drift. Builders
+  // run at analysis time, so the unresolved lambda/function nodes inside
+  // resolve through the normal analyzer pass.
+  import org.apache.spark.sql.{graft => sqlgraft}
+  import graft.text.TextOps
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  private val textOpsClass = "graft.text.TextOps"
+
+  private def unary(name: String,
+                    f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): FnDesc = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(textOpsClass, name),
+    (args: Seq[Expression]) => args match {
+      case Seq(one) =>
+        sqlgraft.bridge.toExpression(f(sqlgraft.bridge.column(one)))
+      case other => throw new IllegalArgumentException(
+        s"$name(expr) — got ${other.length} args")
+    })
+
+  /** md5 over lowercased, whitespace-collapsed, trimmed text (t1/t12). */
+  val fingerprint: FnDesc = unary("graft_fingerprint", TextOps.fingerprint)
+
+  /** Whitespace tokenization, empty tokens dropped (the token column the
+    * ratio/ID functions consume).
+    */
+  val tokens: FnDesc = unary("graft_tokens", TextOps.tokens)
+
+  /** Fraction of tokens that are English stopwords (t9/t10). */
+  val stopwordRatio: FnDesc = unary("graft_stopword_ratio", TextOps.stopwordRatio)
+
+  /** BPE-ish pre-tokenizer upper-bound count (t10/t11). */
+  val bpeishTokenCount: FnDesc =
+    unary("graft_bpeish_token_count", TextOps.bpeishTokenCount)
+
+  /** Whitespace token count (t11). */
+  val tokenCount: FnDesc = unary("graft_token_count", TextOps.tokenCount)
+
+  /** Karp-Rabin rolling hash (t12). */
+  val rollingHash: FnDesc = unary("graft_rolling_hash", TextOps.rollingHash)
+
+  /** 'en'/'unk' by stopword-ratio threshold; threshold must be a literal
+    * (it parameterizes the expression tree, same contract as
+    * graft_minhash's seed).
+    */
+  val langId: FnDesc = (
+    FunctionIdentifier("graft_lang_id"),
+    new ExpressionInfo(textOpsClass, "graft_lang_id"),
+    (args: Seq[Expression]) => args match {
+      case Seq(toks) => sqlgraft.bridge.toExpression(
+        TextOps.langIdHeuristic(sqlgraft.bridge.column(toks)))
+      case Seq(toks, Literal(th: Double, _)) => sqlgraft.bridge.toExpression(
+        TextOps.langIdHeuristic(sqlgraft.bridge.column(toks), th))
+      case other => throw new IllegalArgumentException(
+        s"graft_lang_id(tokens, [double literal threshold]) — got ${other.length} args")
+    })
+
+  /** Deterministic content-hash sample predicate (t7/t8): permille (and
+    * the optional salt) must be literals.
+    */
+  val deterministicSample: FnDesc = (
+    FunctionIdentifier("graft_deterministic_sample"),
+    new ExpressionInfo(textOpsClass, "graft_deterministic_sample"),
+    (args: Seq[Expression]) => args match {
+      case Seq(id, Literal(pm: Int, _)) => sqlgraft.bridge.toExpression(
+        TextOps.deterministicSample(sqlgraft.bridge.column(id), pm))
+      case Seq(id, Literal(pm: Int, _), Literal(salt, _)) if salt != null =>
+        sqlgraft.bridge.toExpression(TextOps.deterministicSample(
+          sqlgraft.bridge.column(id), pm, salt.toString))
+      case other => throw new IllegalArgumentException(
+        "graft_deterministic_sample(id, int literal permille, [string literal salt])" +
+          s" — got ${other.length} args")
+    })
+
   /** Every injectable function — the single list both the extensions
     * class and imperative registration drain.
     */
-  val all: Seq[FnDesc] = Seq(simhash32, minhash, yyyymmddToDate)
+  val all: Seq[FnDesc] = Seq(simhash32, minhash, yyyymmddToDate,
+    fingerprint, tokens, stopwordRatio, bpeishTokenCount, tokenCount,
+    rollingHash, langId, deterministicSample)
 
   /** Imperative registration for an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -594,6 +594,48 @@ object TextQueries {
       Some(s"""
         SELECT doc_id,
                ${(0 until 4).map(i => minhashSql(i, shingleSql) + s" AS mh$i").mkString(",\n               ")}
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // t21: the curation surface reached PURELY through spark.sql — a
+    // silver-style quality/sample filter where every graft-specific
+    // operator (fingerprint, token counts, stopword ratio, language ID,
+    // deterministic sampling) is a registered SQL function. Proves an
+    // analyst session with GraftExtensions gets the same oracle-checked
+    // semantics as the Column API: the SQL builders reuse the TextOps
+    // expression trees via the Column bridge, so this can't drift.
+    Q("t21_quality_sql",
+      (s, d) => {
+        graft.functions.GraftExtensions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("t21_docs")
+        s.sql("""
+          SELECT doc_id,
+                 graft_fingerprint(text) AS fp,
+                 graft_bpeish_token_count(text) AS n_bpeish,
+                 graft_lang_id(graft_tokens(text), 0.05D) AS lang_pred,
+                 CAST(floor(graft_stopword_ratio(graft_tokens(text)) * 1000) AS BIGINT) AS sw_pm
+          FROM t21_docs
+          WHERE graft_deterministic_sample(doc_id, 500)
+            AND graft_token_count(text) >= 5""")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text, $tokSql AS toks FROM documents),
+        r AS (
+          SELECT doc_id, text, toks,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                      ['the','a','an','of','and','to','in','is','are','for','on','with','as','at','by','it','this','that','was','be'],
+                      lower(x)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS sw
+          FROM t)
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish,
+               CASE WHEN sw >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred,
+               CAST(floor(sw * 1000) AS BIGINT) AS sw_pm
+        FROM r
+        WHERE ('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 1000
+              < 500 * 65536
+          AND len(toks) >= 5
+        ORDER BY doc_id"""))
   )
 }

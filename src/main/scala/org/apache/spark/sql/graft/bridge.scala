@@ -13,6 +13,18 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER ColumnNode → Expression conversion. `expression` above wraps
+    * the node in a lazy `ColumnNodeExpression` placeholder that only the
+    * session's plan-construction path unwraps — fine as a child of a
+    * native expression inside a DataFrame transform, but Unevaluable if
+    * returned directly from a FunctionRegistry builder (analysis keeps
+    * the placeholder and codegen throws). SQL function builders that
+    * expose Column-composed operators use this conversion instead, so
+    * the registered function IS the resolved expression tree.
+    */
+  def toExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Replays what session construction does with a `spark.sql.extensions`
     * class: drain the extensions object's injected functions into a
     * registry. Lets a shared-session test suite prove the

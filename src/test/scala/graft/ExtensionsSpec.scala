@@ -29,6 +29,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(dates.isNullAt(1))
   }
 
+  test("text/quality family from SQL matches the Column API exactly") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sf001/documents.parquet").limit(50)
+      .createOrReplaceTempView("ext_docs2")
+    val viaSql = spark.sql("""
+      SELECT doc_id,
+             graft_fingerprint(text) AS fp,
+             graft_rolling_hash(text) AS roll,
+             graft_token_count(text) AS n_ws,
+             graft_bpeish_token_count(text) AS n_bp,
+             graft_stopword_ratio(graft_tokens(text)) AS sw,
+             graft_lang_id(graft_tokens(text)) AS lang,
+             graft_deterministic_sample(doc_id, 500) AS keep
+      FROM ext_docs2""").collect().map(_.toSeq).toSeq
+    val t = TextOps.tokens(col("text"))
+    val viaApi = spark.table("ext_docs2").select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.rollingHash(col("text")).as("roll"),
+      TextOps.tokenCount(col("text")).as("n_ws"),
+      TextOps.bpeishTokenCount(col("text")).as("n_bp"),
+      TextOps.stopwordRatio(t).as("sw"),
+      TextOps.langIdHeuristic(t).as("lang"),
+      TextOps.deterministicSample(col("doc_id"), 500).as("keep"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql == viaApi)
+    // explicit threshold and salt forms
+    // stopword ratio of the array is 2/3 ≈ 0.667
+    assert(spark.sql("SELECT graft_lang_id(array('the','of','xyz'), 0.8D)").head().getString(0) == "unk")
+    assert(spark.sql("SELECT graft_lang_id(array('the','of','xyz'), 0.5D)").head().getString(0) == "en")
+    assert(spark.sql("SELECT graft_deterministic_sample(7, 1000, 'x')").head().getBoolean(0))
+    // arity misuse fails with a usage message, not a bare head-of-empty
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_fingerprint()").collect()
+    }
+    assert(err.getMessage.contains("graft_fingerprint") ||
+      err.getCause != null && err.getCause.getMessage.contains("graft_fingerprint"))
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT graft_yyyymmdd_to_date()").collect()
+    }
+    assert(err2.getMessage.contains("graft_yyyymmdd_to_date") ||
+      err2.getCause != null && err2.getCause.getMessage.contains("graft_yyyymmdd_to_date"))
+  }
+
   test("GraftExtensions class wires every function through SparkSessionExtensions") {
     // the spark.sql.extensions path: session construction instantiates the
     // class and drains its injections into the session's FunctionRegistry.
