@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.TextPipeline
+
+/** The end-to-end curation DAG as a single gate entry: p1 runs the real
+  * [[TextPipeline]] (checkpointed parquet stages and all) and emits one
+  * row per stage — surviving row count plus a deterministic signature —
+  * so the PIPELINE composition, not just its constituent operators
+  * (t1/t3/t6/t7/t9/t16), is oracle-pinned. The DuckDB oracle re-derives
+  * every stage as one CTE chain.
+  *
+  * Signatures are scale-safe: doc stages sign with `sum(doc_id)` (which
+  * docs survived is exactly the stage's semantic), the chunk stage signs
+  * content with `sum(md5-prefix % 1e9+7)` — commutative sums, so both
+  * engines agree regardless of partitioning/order, and the modulus keeps
+  * the sum far from BIGINT overflow at any corpus size.
+  */
+object PipelineQueries {
+
+  private val tokSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private val swSql =
+    s"""CASE WHEN len($tokSql) = 0 THEN 0.0
+        ELSE CAST(len(list_filter($tokSql, x -> list_contains(
+             ['the','a','an','of','and','to','in','is','are','for','on','with','as','at','by','it','this','that','was','be'],
+             lower(x)))) AS DOUBLE) / CAST(len($tokSql) AS DOUBLE) END"""
+  private def minhashSql(seed: Int) =
+    s"list_aggregate(list_transform(sh, x -> md5('s$seed' || x)), 'min')"
+  private val shingleSql =
+    s"""CASE WHEN len($tokSql) >= 3
+        THEN list_transform(range(len($tokSql) - 2),
+               i -> array_to_string(list_slice($tokSql, i + 1, i + 3), ' '))
+        ELSE [] END"""
+
+  /** Gate config: the default thresholds keep 12/500 docs at sf0.01 (the
+    * synthetic corpus is stopword-light), which would starve the dedup
+    * stages of input — langThreshold 0.05 keeps ~62%, so every stage does
+    * real work AND really filters.
+    */
+  private val gateCfg = TextPipeline.Config(
+    minTokens = 5, minStopwordRatio = 0.05, langThreshold = 0.05)
+
+  val all: Seq[Q] = Seq(
+
+    Q("p1_curation_pipeline",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_p1_").toString
+        val p = new TextPipeline(s, s"$d/documents.parquet", out, gateCfg)
+        p.runAll()
+        def docStage(name: String) = s.read.parquet(s"$out/$name")
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sig"))
+          .select(lit(name).as("stage"), col("n_rows"), col("sig"))
+        val chunkStage = s.read.parquet(s"$out/chunks")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(conv(substring(md5(col("chunk_text")), 1, 10), 16, 10)
+              .cast("long") % lit(1000000007L)).as("sig"))
+          .select(lit("chunks").as("stage"), col("n_rows"), col("sig"))
+        Seq("quality", "exact_dedup", "near_dedup", "sample")
+          .map(docStage).reduce(_.union(_)).union(chunkStage)
+      },
+      Some(s"""
+        WITH RECURSIVE
+        quality AS (
+          SELECT doc_id, text FROM documents
+          WHERE len($tokSql) >= ${gateCfg.minTokens}
+            AND $swSql >= ${gateCfg.minStopwordRatio}
+            AND $swSql >= ${gateCfg.langThreshold}),
+        exact_dedup AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER (
+              PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+              ORDER BY doc_id) AS rn
+            FROM quality) WHERE rn = 1),
+        sig AS (
+          SELECT doc_id,
+                 ${minhashSql(0)} || '|' || ${minhashSql(1)} AS band0,
+                 ${minhashSql(2)} || '|' || ${minhashSql(3)} AS band1
+          FROM (SELECT doc_id, $shingleSql AS sh FROM exact_dedup)),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig
+          UNION ALL
+          SELECT doc_id, 1, band1 FROM sig),
+        bcnt AS (
+          SELECT band_idx, band_val, count(*) AS c FROM bands
+          WHERE band_val IS NOT NULL GROUP BY 1, 2),
+        okbands AS (
+          SELECT b.doc_id, b.band_idx, b.band_val
+          FROM bands b JOIN bcnt USING (band_idx, band_val)
+          WHERE c <= ${gateCfg.maxBucketSize}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM okbands a JOIN okbands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(src, node) AS (
+          SELECT s, s FROM (SELECT DISTINCT s FROM edges) v
+          UNION
+          SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s),
+        reps AS (
+          SELECT src AS doc_id, min(node) AS rep FROM reach GROUP BY src),
+        near_dedup AS (
+          SELECT doc_id, text FROM exact_dedup
+          WHERE doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != rep)),
+        smp AS (
+          SELECT doc_id, text FROM near_dedup
+          WHERE ('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 1000
+                < ${gateCfg.samplePermille} * 65536),
+        ct AS (
+          SELECT doc_id, $tokSql AS toks FROM smp WHERE len($tokSql) > 0),
+        chunks AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(toks, start + 1, start + ${gateCfg.chunkSize}), ' ') AS chunk_text
+          FROM (SELECT doc_id, toks,
+                  unnest(range(0, len(toks), ${gateCfg.chunkStride})) AS start FROM ct))
+        SELECT stage, n_rows, sig FROM (
+          SELECT 'quality' AS stage, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sig FROM quality
+          UNION ALL
+          SELECT 'exact_dedup', count(*), CAST(sum(doc_id) AS BIGINT) FROM exact_dedup
+          UNION ALL
+          SELECT 'near_dedup', count(*), CAST(sum(doc_id) AS BIGINT) FROM near_dedup
+          UNION ALL
+          SELECT 'sample', count(*), CAST(sum(doc_id) AS BIGINT) FROM smp
+          UNION ALL
+          SELECT 'chunks', count(*),
+                 CAST(sum(('0x' || substr(md5(chunk_text), 1, 10))::BIGINT % 1000000007) AS BIGINT)
+          FROM chunks)
+        ORDER BY stage"""))
+  )
+}

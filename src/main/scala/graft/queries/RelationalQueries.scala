@@ -360,13 +360,28 @@ object RelationalQueries {
 
     // r21: HLL-sketch distinct (approx_count_distinct) — the map-side-
     // combinable form that replaces r20's value shuffle at 100 TB.
-    // Engine sketches differ, so this is a rows-only check; the spec
-    // asserts the estimate lands within rsd of the exact count.
+    // Engine sketches differ, so raw estimates can never hash-match;
+    // instead each engine checks ITS OWN sketch against its own exact
+    // count and emits the bound verdict (integer arithmetic, 10% bound
+    // vs rsd 0.02 ≈ 5σ — QUALITY.json records observed err ≤1%). The
+    // exact column is co-computed only to make the bound driver-visible;
+    // the production 100 TB form is the sketch alone (r20 is the exact
+    // twin).
     Q("r21_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
-      None),
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("approx") - col("n_parts")) * lit(10L) <= col("n_parts")).as("approx_ok")),
+      Some("""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               abs(CAST(approx_count_distinct(l_partkey) AS BIGINT)
+                   - CAST(count(DISTINCT l_partkey) AS BIGINT)) * 10
+                 <= CAST(count(DISTINCT l_partkey) AS BIGINT) AS approx_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // r22: array explode — word frequencies from part names.
     Q("r22_explode_words",
@@ -587,16 +602,35 @@ object RelationalQueries {
     // map-side merge) — the 100 TB scale twin of r33's exact percentile,
     // mirroring the r20/r21 exact/sketch pairing. r33's exact form buffers
     // every group value in executor memory; this one is O(1/accuracy) per
-    // group. Engine sketches differ → rows-only; QuantileSpec bounds the
-    // error vs the exact result.
+    // group. Engine digests differ (Spark QuantileSummaries vs DuckDB
+    // t-digest), so like r21 each engine verifies its own sketch against
+    // its own exact quantile and emits the bound verdict (10% bound vs
+    // observed err ≤0.2% in QUALITY.json). The exact side is co-computed
+    // only for the oracle contract; at 100 TB you run the digest alone.
     Q("r35_approx_quantile",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(CAST(floor(l_quantity + 0.5) AS BIGINT), 0.5, 1000)").as("median_qty"),
-          expr("approx_percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.25, 1000)").as("p25_cents"),
-          expr("approx_percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.75, 1000)").as("p75_cents")),
-      None),
+          expr("percentile(CAST(floor(l_quantity + 0.5) AS BIGINT), 0.5)").as("em"),
+          expr("approx_percentile(CAST(floor(l_quantity + 0.5) AS BIGINT), 0.5, 1000)").as("am"),
+          expr("percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), array(0.25, 0.75))").as("eq"),
+          expr("approx_percentile(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), array(0.25, 0.75), 1000)").as("aq"))
+        .select(col("l_returnflag"),
+          (abs(col("am") - col("em")) * lit(10) <= abs(col("em"))).as("median_ok"),
+          (abs(col("aq").getItem(0) - col("eq").getItem(0)) * lit(10) <= abs(col("eq").getItem(0))).as("p25_ok"),
+          (abs(col("aq").getItem(1) - col("eq").getItem(1)) * lit(10) <= abs(col("eq").getItem(1))).as("p75_ok")),
+      Some(s"""
+        SELECT l_returnflag,
+               abs(approx_quantile(${sqlLong("l_quantity")}, 0.5)
+                   - quantile_cont(${sqlLong("l_quantity")}, 0.5)) * 10
+                 <= abs(quantile_cont(${sqlLong("l_quantity")}, 0.5)) AS median_ok,
+               abs(approx_quantile(${sqlCents("l_extendedprice")}, 0.25)
+                   - quantile_cont(${sqlCents("l_extendedprice")}, 0.25)) * 10
+                 <= abs(quantile_cont(${sqlCents("l_extendedprice")}, 0.25)) AS p25_ok,
+               abs(approx_quantile(${sqlCents("l_extendedprice")}, 0.75)
+                   - quantile_cont(${sqlCents("l_extendedprice")}, 0.75)) * 10
+                 <= abs(quantile_cont(${sqlCents("l_extendedprice")}, 0.75)) AS p75_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // r34: array function battery over tokenized part names.
     Q("r34_array_funcs",

@@ -16,6 +16,26 @@ object VectorOps {
 
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Cast + L2-norm a vector column ONCE: adds `cd` (array<double>) and
+    * `cn` (norm). [[bruteForceTopK]], [[lshTopK]], [[ivfTopK]] and
+    * [[nearDupPairs]] skip their own cast/norm when these columns are
+    * already present, so a pipeline (or the gate's per-dir memo in
+    * VectorQueries) can persist this projection once and share it across
+    * every similarity query — at 100 TB the cast+norm pass over the
+    * corpus is a real scan you pay exactly once, and on a loaded machine
+    * it is the difference between re-deriving the projection per run and
+    * reading a cached columnar frame.
+    */
+  def prepareVectors(df: DataFrame, vecCol: String,
+                     cd: String = "__cd", cn: String = "__cn"): DataFrame =
+    df.withColumn(cd, asDouble(col(vecCol)))
+      .withColumn(cn, sqrt(rawDot(col(cd), col(cd))))
+
+  private def ensurePrepared(df: DataFrame, vecCol: String,
+                             cd: String, cn: String): DataFrame =
+    if (df.columns.contains(cd) && df.columns.contains(cn)) df
+    else prepareVectors(df, vecCol, cd, cn)
+
   /** Dot product of two ALREADY-double arrays (no per-call cast) —
     * sequential left-to-right, engine-portable.
     */
@@ -37,12 +57,11 @@ object VectorOps {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "qid", qVec: String = "qv",
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    // cast + norm each side ONCE before the join; per-pair work is a
-    // single dot product (same values as cosine-per-pair, 3x fewer flops)
-    val q = queries.withColumn("__qd", asDouble(col(qVec)))
-      .withColumn("__qn", sqrt(rawDot(col("__qd"), col("__qd"))))
-    val c = corpus.withColumn("__cd", asDouble(col(cVec)))
-      .withColumn("__cn", sqrt(rawDot(col("__cd"), col("__cd"))))
+    // cast + norm each side ONCE before the join (skipped when the caller
+    // passes a [[prepareVectors]] projection); per-pair work is a single
+    // dot product (same values as cosine-per-pair, 3x fewer flops)
+    val q = ensurePrepared(queries, qVec, "__qd", "__qn")
+    val c = ensurePrepared(corpus, cVec, "__cd", "__cn")
     val scored = broadcast(q).crossJoin(c)
       .filter(col(qId) =!= col(cId))
       .withColumn("cos", rawDot(col("__qd"), col("__cd")) / (col("__qn") * col("__cn")))
@@ -104,14 +123,14 @@ object VectorOps {
               cId: String = "vec_id", cVec: String = "embedding",
               multiprobe: Boolean = true): DataFrame = {
     val qb0 = queries.withColumn("__b0", lshBucket(col(qVec), planes, dims))
-    val qb = (if (multiprobe)
+    val qb = ensurePrepared(
+      (if (multiprobe)
         qb0.withColumn("bucket", explode(lshProbes(col("__b0"), planes)))
-      else qb0.withColumn("bucket", col("__b0"))).drop("__b0")
-      .withColumn("__qd", asDouble(col(qVec)))
-      .withColumn("__qn", sqrt(rawDot(col("__qd"), col("__qd"))))
-    val cb = corpus.withColumn("bucket", lshBucket(col(cVec), planes, dims))
-      .withColumn("__cd", asDouble(col(cVec)))
-      .withColumn("__cn", sqrt(rawDot(col("__cd"), col("__cd"))))
+      else qb0.withColumn("bucket", col("__b0"))).drop("__b0"),
+      qVec, "__qd", "__qn")
+    val cb = ensurePrepared(
+      corpus.withColumn("bucket", lshBucket(col(cVec), planes, dims)),
+      cVec, "__cd", "__cn")
     val scored = qb.join(cb, "bucket")
       .filter(col(qId) =!= col(cId))
       .withColumn("cos", rawDot(col("__qd"), col("__cd")) / (col("__qn") * col("__cn")))
@@ -278,11 +297,9 @@ object VectorOps {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               centroids: Seq[Seq[Double]], nProbe: Int,
               qId: String, qVec: String, cId: String, cVec: String): DataFrame = {
-    val assigned = corpus.withColumn("__cd", asDouble(col(cVec)))
+    val assigned = ensurePrepared(corpus, cVec, "__cd", "__cn")
       .withColumn("__cell", assignCell(col("__cd"), centroids))
-      .withColumn("__cn", sqrt(rawDot(col("__cd"), col("__cd"))))
-    val qd = queries.withColumn("__qd", asDouble(col(qVec)))
-      .withColumn("__qn", sqrt(rawDot(col("__qd"), col("__qd"))))
+    val qd = ensurePrepared(queries, qVec, "__qd", "__qn")
       .select(col(qId), col("__qd"), col("__qn"),
         posexplode(cellDists(col("__qd"), centroids)).as(Seq("__cell", "__dist")))
     val wp = Window.partitionBy(qId).orderBy(col("__dist").asc, col("__cell").asc)
@@ -377,9 +394,14 @@ object VectorOps {
                    maxBlockSize: Int = 4096): DataFrame = {
     require(maxBlockSize >= 2, s"maxBlockSize must be >= 2, got $maxBlockSize")
     val w = Window.partitionBy("blk")
-    val prepped = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        asDouble(col(vecCol)).as("vd"))
-      .withColumn("nrm", sqrt(rawDot(col("vd"), col("vd"))))
+    val base =
+      if (df.columns.contains("__cd") && df.columns.contains("__cn"))
+        df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+          col("__cd").as("vd"), col("__cn").as("nrm"))
+      else df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+          asDouble(col(vecCol)).as("vd"))
+        .withColumn("nrm", sqrt(rawDot(col("vd"), col("vd"))))
+    val prepped = base
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") <= maxBlockSize)
       .drop("__n")
