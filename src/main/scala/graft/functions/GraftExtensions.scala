@@ -27,7 +27,20 @@ object GraftExtensions {
   val simhash32: FnDesc = (
     FunctionIdentifier("graft_simhash32"),
     new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
-    (args: Seq[Expression]) => SimHash32(args.head))
+    (args: Seq[Expression]) => args match {
+      case Seq(one) => SimHash32(one)
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash32(array<string>) — got ${other.length} args")
+    })
+
+  val simhash64: FnDesc = (
+    FunctionIdentifier("graft_simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+    (args: Seq[Expression]) => args match {
+      case Seq(one) => SimHash64(one)
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash64(array<string>) — got ${other.length} args")
+    })
 
   val minhash: FnDesc = (
     FunctionIdentifier("graft_minhash"),
@@ -133,7 +146,7 @@ object GraftExtensions {
   /** Every injectable function — the single list both the extensions
     * class and imperative registration drain.
     */
-  val all: Seq[FnDesc] = Seq(simhash32, minhash, yyyymmddToDate,
+  val all: Seq[FnDesc] = Seq(simhash32, simhash64, minhash, yyyymmddToDate,
     fingerprint, tokens, stopwordRatio, bpeishTokenCount, tokenCount,
     rollingHash, langId, deterministicSample)
 

@@ -65,6 +65,44 @@ object HashAlgos {
     h
   }
 
+  /** 64-bit SimHash: TWO votes per md5 hex nibble (bits 8 and 4), so the
+    * 32 nibbles yield 64 independent votes. The wider hash exists for
+    * BLOCK-SPACE, not precision: pigeonhole blocking on a 32-bit hash has
+    * only 2^8 values per 4-way block, so bucket occupancy — and the
+    * within-bucket O(occupancy²) candidate join — grows linearly with the
+    * corpus (measured superlinear wall-clock past ~10k docs, see
+    * docs/SCALING.md); 16-bit blocks give 2^16 values per block and push
+    * the same saturation out by 256×.
+    */
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val md = digest.get(); md.reset()
+        val d = md.digest(s.getBytes)
+        var j = 0
+        while (j < 64) {
+          val k = j >> 1
+          val nib = if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xf else d(k >> 1) & 0xf
+          val mask = if ((j & 1) == 0) 8 else 4
+          votes(j) += (if ((nib & mask) != 0) 1 else -1)
+          j += 1
+        }
+      } else {
+        var j = 0
+        while (j < 64) { votes(j) -= 1; j += 1 }
+      }
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) h |= 1L << j; j += 1 }
+    h
+  }
+
   /** MinHash component: lexicographic min of md5(prefix‖shingle) hex —
     * exactly TextOps.minhash's semantics. Null for empty/all-null input.
     */
@@ -97,6 +135,16 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 case class MinHash(child: Expression, seed: Int) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -120,6 +168,7 @@ object native {
   private def toCol(e: Expression): Column = bridge.column(e)
   private def toExpr(c: Column): Expression = bridge.expression(c)
   def simhash32(tokens: Column): Column = toCol(SimHash32(toExpr(tokens)))
+  def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
   def minhash(shingles: Column, seed: Int): Column = toCol(MinHash(toExpr(shingles), seed))
   /** `true` iff `key` MIGHT be in `bloom` (built over integral values, e.g.
     * `df.stat.bloomFilter`); `false` is definite absence. Integral keys are

@@ -50,6 +50,31 @@ object TextQueries {
       FROM bits ORDER BY doc_id"""
   }
 
+  // 64-bit simhash SQL: two conditional sums per md5 nibble (bits 8 and
+  // 4), sign bit added as -(2^63) to stay inside BIGINT — validated
+  // bit-identical to HashAlgos.simhash64 including the sign bit.
+  private val simhash64Sql: String = {
+    def nibChars(mask: Int): String =
+      "0123456789abcdef".zipWithIndex.collect { case (c, n) if (n & mask) != 0 => c }.mkString("','")
+    val sums = (0 until 64).map { j =>
+      val mask = if ((j & 1) == 0) 8 else 4
+      s"sum(CASE WHEN substring(md5(tok), ${(j >> 1) + 1}, 1) IN ('${nibChars(mask)}') THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n           ")
+    val low = (0 until 63).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val value = s"$low + (CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END)"
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest($tokSql) AS tok FROM documents
+        WHERE len($tokSql) > 0),
+      bits AS (
+        SELECT doc_id,
+           $sums
+        FROM toks GROUP BY doc_id)
+      SELECT doc_id, CAST($value AS BIGINT) AS simhash
+      FROM bits"""
+  }
+
   /** t3's LSH candidate pairs, materialized once per (session, dir) and
     * reused — t6's clustering consumes exactly t3's output, and in a real
     * pipeline that upstream stage IS materialized, so t6's cost is the
@@ -438,6 +463,43 @@ object TextQueries {
       },
       Some(s"""
         WITH h AS ($simhashSql),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+        SELECT DISTINCT id_a, id_b, hamming FROM p ORDER BY id_a, id_b""")),
+
+    // t22: t17's SCALE twin — 64-bit SimHash, pigeonhole on 4 disjoint
+    // 16-bit blocks (still lossless for Hamming ≤ 3). The point is block
+    // SPACE: t17's 8-bit blocks have 2^8 values, so bucket occupancy —
+    // and the O(occupancy²) within-bucket join — grows linearly with the
+    // corpus (measured superlinear past ~10k docs, docs/SCALING.md);
+    // 2^16 values per block push that saturation out 256×. Same
+    // exact-verify step, same output shape; the r20/r21 pairing pattern
+    // applied to near-dup blocking geometry.
+    Q("t22_simhash64_neardup",
+      (s, d) => {
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), graft.functions.native.simhash64(col("t")).as("sh"))
+        val blocked = hashed.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("blk_idx"),
+              col("sh").bitwiseAND(lit(0xFFFFL << (16 * b))).as("blk_val"))): _*)).as("blk"))
+          .select(col("doc_id"), col("sh"), col("blk.blk_idx"), col("blk.blk_val"))
+        blocked.alias("a").join(blocked.alias("b"),
+            col("a.blk_idx") === col("b.blk_idx") &&
+              col("a.blk_val") === col("b.blk_val") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+      },
+      Some(s"""
+        WITH h AS ($simhash64Sql),
         p AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

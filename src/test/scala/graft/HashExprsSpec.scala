@@ -54,4 +54,25 @@ class HashExprsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
   }
+
+  test("simhash64: deterministic, content-sensitive, 64-bit range, codegen'd") {
+    // no builtin twin exists (the 64-bit form is native-only; DuckDB
+    // re-derives it in the t22 oracle) — pin the algebraic contract:
+    // equal token arrays hash equal, a one-token change moves few bits,
+    // and the sign bit is reachable (the hash uses all 64 bits).
+    val a = Seq("the", "quick", "brown", "fox").map(lit(_))
+    val r = spark.range(1).select(
+      native.simhash64(array(a: _*)).as("h1"),
+      native.simhash64(array(a: _*)).as("h2"),
+      native.simhash64(array((a :+ lit("jumps")): _*)).as("h3")).head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+    val hams = docs.select(TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(native.simhash64(col("t")).as("h")).collect().map(_.getLong(0))
+    assert(hams.exists(_ < 0), "sign bit never set across the corpus — bit 63 unreachable?")
+    val plan = docs.select(native.simhash64(TextOps.tokens(col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
 }

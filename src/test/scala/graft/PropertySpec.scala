@@ -218,6 +218,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash64 16-bit-block pigeonhole is lossless for distance <= 3") {
+    // same property as the 32-bit test but for t22's scale geometry:
+    // 4 disjoint 16-bit blocks of the 64-bit hash (incl. the sign-bit
+    // block, a negative Long mask) find exactly the brute-force set
+    forAll(Gen.listOfN(40, textGen), minSuccessful = 2) { texts =>
+      import graft.text.TextOps
+      val df = texts.distinct.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), graft.functions.native.simhash64(col("t")).as("sh"))
+        .cache()
+      val brute = df.alias("a").join(df.alias("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 3)
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val blocked = df.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("bi"), col("sh").bitwiseAND(lit(0xFFFFL << (16 * b))).as("bv"))): _*)).as("blk"))
+        .select(col("doc_id"), col("sh"), col("blk.bi"), col("blk.bv"))
+      val viaBlocks = blocked.alias("a").join(blocked.alias("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 3)
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      df.unpersist()
+      assert(viaBlocks == brute)
+    }
+  }
+
   test("upsertCdc over random batch sequences matches a sequential map oracle") {
     // Fold random CDC batches (upserts + tombstones, duplicate keys and
     // versions included) through upsertCdc and replay the same batches on
