@@ -45,6 +45,15 @@ object PipelineQueries {
     Q("p1_curation_pipeline",
       (s, d) => {
         val out = java.nio.file.Files.createTempDirectory("graft_p1_").toString
+        // the returned frame lazily re-reads the checkpoints, so they must
+        // outlive this call — reap the temp dir at JVM exit instead
+        // (min-of-3 bench runs would otherwise leak three stage trees)
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(out))
+        }
         val p = new TextPipeline(s, s"$d/documents.parquet", out, gateCfg)
         p.runAll()
         def docStage(name: String) = s.read.parquet(s"$out/$name")
