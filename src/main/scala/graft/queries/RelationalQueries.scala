@@ -368,13 +368,22 @@ object RelationalQueries {
     // the production 100 TB form is the sketch alone (r20 is the exact
     // twin).
     Q("r21_approx_distinct",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
-        .select(col("l_returnflag"), col("n_parts"),
-          (abs(col("approx") - col("n_parts")) * lit(10L) <= col("n_parts")).as("approx_ok")),
+      (s, d) => {
+        // the exact and sketch aggs run as SEPARATE plans joined on the
+        // 3-row output: one combined agg would mix distinct and
+        // non-distinct aggregates, and Spark's Expand-based rewrite then
+        // keeps an HLL buffer (~4 KB at rsd 0.02) per (flag, partkey)
+        // group instead of per flag — measured 7× superlinear at 5× data,
+        // while the split form stays flat alongside r20
+        val li = Tables.lineitem(s, d)
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        val sketch = li.groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+        exact.join(sketch, "l_returnflag")
+          .select(col("l_returnflag"), col("n_parts"),
+            (abs(col("approx") - col("n_parts")) * lit(10L) <= col("n_parts")).as("approx_ok"))
+      },
       Some("""
         SELECT l_returnflag,
                CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
