@@ -50,11 +50,12 @@ object VectorQueries {
           SELECT p.cell, coalesce(u.ctr, p.ctr) AS ctr
           FROM $prev p LEFT JOIN n_$next u ON p.cell = u.cell)"""
 
-  /** Full v4 oracle: replays the deterministic quantizer fit (md5-ordered
-    * seeds + `iters` Lloyd rounds) and the probe/rank query in SQL.
+  /** The quantizer fit + corpus cell-assignment CTE prefix shared by the
+    * v4 (probe/rank) and v6 (cell-blocked near-dup) oracles: md5-ordered
+    * seeds, `iters` Lloyd rounds, then every corpus vector assigned to
+    * its nearest centroid with its norm.
     */
-  private def ivfOracle(nCentroids: Int, nProbe: Int, k: Int, iters: Int,
-                        permille: Int): String = {
+  private def ivfFitCtes(nCentroids: Int, iters: Int, permille: Int): String = {
     val rounds = (1 to iters)
       .map(r => lloydRound(nCentroids, if (r == 1) "c0" else s"c${r - 1}", s"c$r"))
       .mkString(",")
@@ -79,7 +80,17 @@ object VectorQueries {
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${dDist2("e.cd", "c.ctr")} ASC, c.cell ASC) AS rn
             FROM corp e CROSS JOIN $cf c)
-          WHERE rn = 1),
+          WHERE rn = 1)"""
+  }
+
+  /** Full v4 oracle: replays the deterministic quantizer fit (md5-ordered
+    * seeds + `iters` Lloyd rounds) and the probe/rank query in SQL.
+    */
+  private def ivfOracle(nCentroids: Int, nProbe: Int, k: Int, iters: Int,
+                        permille: Int): String = {
+    val cf = s"c$iters"
+    s"""
+        ${ivfFitCtes(nCentroids, iters, permille)},
         probes AS (
           SELECT qid, qd, qn, cell FROM (
             SELECT q.vec_id AS qid, q.cd AS qd, sqrt(${dDot("q.cd", "q.cd")}) AS qn, c.cell,
@@ -206,6 +217,38 @@ object VectorQueries {
         FROM ok a JOIN ok b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(${castD.format("a.embedding")}, ${castD.format("b.embedding")}) >= 0.35
+        ORDER BY id_a, id_b""")),
+
+    // v6: LABEL-FREE embedding near-dup — v2 blocks on a label column,
+    // but a real 100 TB corpus has no labels: here the blocking key is
+    // the deterministic IVF quantizer's cell (the same memoized fit as
+    // v4, bit-replayed in SQL), so block-key cardinality is a KNOB
+    // (nCentroids) that grows with the corpus — the enforced occupancy
+    // contract with a content-derived key. Same capped self-join as v2.
+    // Caveat (documented, inherent to single-assignment blocking): pairs
+    // straddling a cell boundary are missed; the recall lever is
+    // multi-probe assignment, the same trade as v4's nProbe.
+    Q("v6_ivf_neardup",
+      (s, d) => {
+        val emb = preparedEmbeddings(s, d)
+        val cents = ivfCentroidsFor(s, d, nCentroids = 8, iters = 2)
+        val assigned = emb.withColumn("__cell",
+          VectorOps.assignCell(col("__cd"), cents.toSeq))
+        VectorOps.nearDupPairs(assigned, "__cell", "vec_id", "embedding",
+          0.35, maxBlockSize = 1000)
+      },
+      Some(s"""
+        ${ivfFitCtes(nCentroids = 8, iters = 2, permille = 200)},
+        ok AS (
+          SELECT vec_id, cd, cell, cn FROM (
+            SELECT vec_id, cd, cell, cn,
+                   count(*) OVER (PARTITION BY cell) AS n
+            FROM acorp)
+          WHERE n <= 1000)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM ok a JOIN ok b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${dDot("a.cd", "b.cd")} / (a.cn * b.cn) >= 0.35
         ORDER BY id_a, id_b""")),
 
     // v3: LSH-bucketed approximate top-k (scale path). Fully
