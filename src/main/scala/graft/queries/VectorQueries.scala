@@ -224,28 +224,44 @@ object VectorQueries {
     // the deterministic IVF quantizer's cell (the same memoized fit as
     // v4, bit-replayed in SQL), so block-key cardinality is a KNOB
     // (nCentroids) that grows with the corpus — the enforced occupancy
-    // contract with a content-derived key. Same capped self-join as v2.
-    // Caveat (documented, inherent to single-assignment blocking): pairs
-    // straddling a cell boundary are missed; the recall lever is
-    // multi-probe assignment, the same trade as v4's nProbe.
+    // contract with a content-derived key. Each vector joins its TWO
+    // nearest cells (multi-probe assignment, v4's nProbe trade): with
+    // single assignment, pairs straddling a cell boundary are missed —
+    // measured pair-recall 0.37 vs 0.80 with 2 probes at sf0.01
+    // (QUALITY.json); a pair sharing both cells would emit twice, hence
+    // the distinct. Same capped self-join as v2 on the exploded frame.
     Q("v6_ivf_neardup",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val emb = preparedEmbeddings(s, d)
         val cents = ivfCentroidsFor(s, d, nCentroids = 8, iters = 2)
-        val assigned = emb.withColumn("__cell",
-          VectorOps.assignCell(col("__cd"), cents.toSeq))
+        val dists = emb.select(col("vec_id"), col("embedding"),
+          col("__cd"), col("__cn"),
+          posexplode(VectorOps.cellDists(col("__cd"), cents.toSeq))
+            .as(Seq("__cell", "__dist")))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("__dist").asc, col("__cell").asc)
+        val assigned = dists.withColumn("__pr", row_number().over(w))
+          .filter(col("__pr") <= 2).drop("__dist", "__pr")
         VectorOps.nearDupPairs(assigned, "__cell", "vec_id", "embedding",
-          0.35, maxBlockSize = 1000)
+          0.35, maxBlockSize = 1000).distinct()
       },
       Some(s"""
         ${ivfFitCtes(nCentroids = 8, iters = 2, permille = 200)},
+        a2 AS (
+          SELECT vec_id, cd, cell, sqrt(${dDot("cd", "cd")}) AS cn FROM (
+            SELECT e.vec_id, e.cd, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${dDist2("e.cd", "c.ctr")} ASC, c.cell ASC) AS rn
+            FROM corp e CROSS JOIN c2 c)
+          WHERE rn <= 2),
         ok AS (
           SELECT vec_id, cd, cell, cn FROM (
             SELECT vec_id, cd, cell, cn,
                    count(*) OVER (PARTITION BY cell) AS n
-            FROM acorp)
+            FROM a2)
           WHERE n <= 1000)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM ok a JOIN ok b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE ${dDot("a.cd", "b.cd")} / (a.cn * b.cn) >= 0.35

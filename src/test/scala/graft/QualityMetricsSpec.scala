@@ -22,10 +22,28 @@ class QualityMetricsSpec extends SparkSpec {
     gate(name).select(col("qid"), col("nid")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("measure v3/v4 recall and r21/r35 sketch error; publish QUALITY.json") {
+  test("measure v3/v4/v6 recall and r21/r35 sketch error; publish QUALITY.json") {
     val exactTopk = topkSet("v1_cosine_topk")
     val v3Recall = (exactTopk intersect topkSet("v3_lsh_topk")).size.toDouble / exactTopk.size
     val v4Recall = (exactTopk intersect topkSet("v4_ivf_topk")).size.toDouble / exactTopk.size
+
+    // v6 pair recall vs the exhaustive threshold set: how many true
+    // cos>=0.35 pairs does single-assignment cell blocking keep? (the
+    // misses are cell-boundary pairs — the documented trade)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = graft.queries.Tables.embeddings(spark, sf01)
+    val prepped = graft.vector.VectorOps.prepareVectors(emb, "embedding")
+    val a = prepped.select(col("vec_id").as("id_a"), col("__cd").as("va"), col("__cn").as("na"))
+    val b = prepped.select(col("vec_id").as("id_b"), col("__cd").as("vb"), col("__cn").as("nb"))
+    val allPairs = pairSet(a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")) >= 0.35))
+    val v6Pairs = pairSet(gate("v6_ivf_neardup"))
+    assert(v6Pairs.subsetOf(allPairs), "v6 emitted a pair below threshold")
+    val v6Recall = if (allPairs.isEmpty) 1.0
+      else (allPairs intersect v6Pairs).size.toDouble / allPairs.size
 
     val exactDistinct = gate("r20_distinct_count")
       .select(col("l_returnflag"), col("n_parts")).collect()
@@ -58,6 +76,7 @@ class QualityMetricsSpec extends SparkSpec {
     // quantitative floors for the rows-only gate entries
     assert(v3Recall >= 0.2, s"v3 recall $v3Recall")  // 4 planes = 16 buckets
     assert(v4Recall >= 0.3, s"v4 recall $v4Recall")
+    assert(v6Recall >= 0.5, s"v6 pair recall $v6Recall")
     assert(r21MaxRelErr <= 0.05, s"r21 rel err $r21MaxRelErr") // rsd 0.02
     assert(r35MaxRelErr <= 0.01, s"r35 rel err $r35MaxRelErr")
 
@@ -66,6 +85,7 @@ class QualityMetricsSpec extends SparkSpec {
          |  "sf": "$sf01",
          |  "v3_lsh_topk":        {"recall_at_5_vs_v1": $v3Recall%.4f, "floor": 0.2},
          |  "v4_ivf_topk":        {"recall_at_5_vs_v1": $v4Recall%.4f, "floor": 0.3},
+         |  "v6_ivf_neardup":     {"pair_recall_vs_exhaustive": $v6Recall%.4f, "floor": 0.5},
          |  "r21_approx_distinct": {"max_rel_err_vs_r20": $r21MaxRelErr%.4f, "bound": 0.05},
          |  "r35_approx_quantile": {"max_rel_err_vs_r33": $r35MaxRelErr%.4f, "bound": 0.01}
          |}
