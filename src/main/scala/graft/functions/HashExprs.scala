@@ -169,6 +169,12 @@ object native {
   private def toExpr(c: Column): Expression = bridge.expression(c)
   def simhash32(tokens: Column): Column = toCol(SimHash32(toExpr(tokens)))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+  /** Codegen'd Σ a(i)·b(i) over two array<double> columns — identical
+    * values and null semantics to `aggregate(zip_with(a, b, _*_), 0.0, _+_)`.
+    */
+  def dotD(a: Column, b: Column): Column = toCol(DotProductD(toExpr(a), toExpr(b)))
+  /** Codegen'd Σ (a(i)−b(i))² — the cell-distance kernel. */
+  def dist2D(a: Column, b: Column): Column = toCol(L2Dist2D(toExpr(a), toExpr(b)))
   def minhash(shingles: Column, seed: Int): Column = toCol(MinHash(toExpr(shingles), seed))
   /** `true` iff `key` MIGHT be in `bloom` (built over integral values, e.g.
     * `df.stat.bloomFilter`); `false` is definite absence. Integral keys are
