@@ -12,12 +12,13 @@ class ExtensionsSpec extends SparkSpec {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .createOrReplaceTempView("ext_docs")
     val viaSql = spark.sql(
-      "SELECT doc_id, graft_simhash32(t) AS sh, graft_minhash(t, 1) AS mh FROM ext_docs")
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      "SELECT doc_id, graft_simhash32(t) AS sh, graft_simhash64(t) AS sh64, graft_minhash(t, 1) AS mh FROM ext_docs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     val viaApi = spark.table("ext_docs")
       .select(col("doc_id"), graft.functions.native.simhash32(col("t")).as("sh"),
+        graft.functions.native.simhash64(col("t")).as("sh64"),
         graft.functions.native.minhash(col("t"), 1).as("mh"))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(viaSql == viaApi)
     // default seed form
     assert(spark.sql("SELECT graft_minhash(array('a','b'))").head().getString(0) ==

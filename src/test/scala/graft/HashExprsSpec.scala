@@ -55,6 +55,34 @@ class HashExprsSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
   }
 
+  test("native dotD/dist2D == interpreted aggregate(zip_with) folds") {
+    // the vector kernels replaced the portable higher-order folds in
+    // VectorOps.rawDot/cellDists — pin value identity (same sequential
+    // left-to-right order; doubles are sum-order-sensitive) on real
+    // embeddings, plus the null contract the composition implies
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(transform(col("embedding"), _.cast("double")).as("a"))
+    val pairs = emb.withColumn("b", reverse(col("a")))
+    def interpDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def interpDist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val diff = pairs.select(
+        interpDot(col("a"), col("b")).as("id"), native.dotD(col("a"), col("b")).as("nd"),
+        interpDist2(col("a"), col("b")).as("i2"), native.dist2D(col("a"), col("b")).as("n2"))
+      .filter(col("id") =!= col("nd") || col("i2") =!= col("n2"))
+    assert(diff.count() == 0)
+    // null element or length mismatch → null, matching zip_with padding
+    val edge = spark.range(1).select(
+      native.dotD(array(lit(1.0), lit(null).cast("double")), array(lit(2.0), lit(3.0))).as("n1"),
+      native.dotD(array(lit(1.0)), array(lit(2.0), lit(3.0))).as("n2"),
+      native.dist2D(array(lit(1.0)), array(lit(2.0), lit(3.0))).as("n3")).head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    val plan = pairs.select(native.dotD(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
+
   test("simhash64: deterministic, content-sensitive, 64-bit range, codegen'd") {
     // no builtin twin exists (the 64-bit form is native-only; DuckDB
     // re-derives it in the t22 oracle) — pin the algebraic contract:
