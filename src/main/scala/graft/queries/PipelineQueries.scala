@@ -40,20 +40,38 @@ object PipelineQueries {
   private val gateCfg = TextPipeline.Config(
     minTokens = 5, minStopwordRatio = 0.05, langThreshold = 0.05)
 
+  /** One shared parent for every p1 checkpoint tree, reaped by ONE JVM
+    * shutdown hook — a per-invocation hook would grow the hook registry
+    * (and the orphaned trees) without bound in a long-lived session that
+    * re-runs the gate. RAM-backed `/dev/shm` is preferred when writable:
+    * the checkpoints are rewritten-then-discarded scratch whose only
+    * consumer is the stage signature query, so routing them off the disk
+    * removes p1's 5-stage write amplification from ambient-I/O exposure
+    * (round 7: 7.9 s idle vs 37.2 s under interference). Durability is
+    * irrelevant — a crashed JVM reaps them by definition.
+    */
+  private[graft] lazy val checkpointParent: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val root = java.nio.file.Files.createTempDirectory(base, "graft_p1_root_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+    root
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("p1_curation_pipeline",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_p1_").toString
-        // the returned frame lazily re-reads the checkpoints, so they must
-        // outlive this call — reap the temp dir at JVM exit instead
-        // (min-of-3 bench runs would otherwise leak three stage trees)
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(out))
-        }
+        // the returned frame lazily re-reads the checkpoints, so each
+        // invocation gets its own subtree under the shared reaped parent
+        val out = java.nio.file.Files.createTempDirectory(checkpointParent, "run_").toString
         val p = new TextPipeline(s, s"$d/documents.parquet", out, gateCfg)
         p.runAll()
         def docStage(name: String) = s.read.parquet(s"$out/$name")

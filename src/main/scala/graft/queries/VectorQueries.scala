@@ -29,7 +29,7 @@ object VectorQueries {
     * [[VectorOps.assignCell]]), then recompute centroids from exact
     * micro-unit BIGINT sums; empty cells keep their previous centroid.
     */
-  private def lloydRound(k: Int, prev: String, next: String): String = s"""
+  private def lloydRound(prev: String, next: String): String = s"""
         a_$next AS (
           SELECT vec_id, xd, cell FROM (
             SELECT s.vec_id, s.xd, c.cell,
@@ -53,15 +53,20 @@ object VectorQueries {
   /** The quantizer fit + corpus cell-assignment CTE prefix shared by the
     * v4 (probe/rank) and v6 (cell-blocked near-dup) oracles: md5-ordered
     * seeds, `iters` Lloyd rounds, then every corpus vector assigned to
-    * its nearest centroid with its norm.
+    * its nearest centroid with its norm. `nCentroids` is a SQL expression
+    * (a literal for v4's fixed probe geometry; v6 passes the
+    * corpus-derived `(SELECT k FROM ncent)` so the oracle replays the
+    * growing-keyspace formula, not a pinned constant); `prefixCtes` lets
+    * the caller define such helper CTEs before the fit chain.
     */
-  private def ivfFitCtes(nCentroids: Int, iters: Int, permille: Int): String = {
+  private def ivfFitCtes(nCentroids: String, iters: Int, permille: Int,
+                         prefixCtes: String = ""): String = {
     val rounds = (1 to iters)
-      .map(r => lloydRound(nCentroids, if (r == 1) "c0" else s"c${r - 1}", s"c$r"))
+      .map(r => lloydRound(if (r == 1) "c0" else s"c${r - 1}", s"c$r"))
       .mkString(",")
     val cf = s"c$iters"
     s"""
-        WITH smp AS (
+        WITH $prefixCtes smp AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
           FROM embeddings
           WHERE ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < $permille * 65536),
@@ -90,7 +95,7 @@ object VectorQueries {
                         permille: Int): String = {
     val cf = s"c$iters"
     s"""
-        ${ivfFitCtes(nCentroids, iters, permille)},
+        ${ivfFitCtes(nCentroids.toString, iters, permille)},
         probes AS (
           SELECT qid, qd, qn, cell FROM (
             SELECT q.vec_id AS qid, q.cd AS qd, sqrt(${dDot("q.cd", "q.cd")}) AS qn, c.cell,
@@ -151,6 +156,28 @@ object VectorQueries {
 
   /** Test hook: drop all in-process memoized quantizers. */
   def clearCentroidCache(): Unit = ivfCentroids.clear()
+
+  /** v6's growing-keyspace contract, as a FORMULA both engines evaluate:
+    * the IVF cell count scales with the corpus so mean single-assignment
+    * occupancy stays ≈ [[VectorCellTargetOccupancy]] (2-probe occupancy
+    * ≈ 2×that, giving 2× skew headroom under the 1000-member block cap).
+    * A pinned cell count is exactly the fixed-cardinality blocking key
+    * the repo's scale contract forbids — round 7's sweep measured v6's
+    * k=8 gate config truncating hot cells at sf0.5 (≈2500-member 2-probe
+    * cells); with k = max(8, ⌈n/250⌉) the same sweep point gets k=40 and
+    * ≈500-member cells. Integer ceil here ≡ `ceil(n/250.0)` in the
+    * oracle's SQL for any corpus size below 2^53.
+    */
+  private[graft] val VectorCellTargetOccupancy = 250L
+  private[graft] def derivedNCentroids(n: Long): Int =
+    math.max(8L,
+      (n + VectorCellTargetOccupancy - 1) / VectorCellTargetOccupancy).toInt
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingsCount(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    corpusCounts.computeIfAbsent(
+      s"$dir|${embeddingsFingerprint(s, dir)}",
+      _ => Tables.embeddings(s, dir).count())
 
   private def embeddingsFingerprint(s: org.apache.spark.sql.SparkSession, dir: String): String =
     Tables.fileFingerprint(s, dir, "embeddings")
@@ -222,11 +249,14 @@ object VectorQueries {
     // v6: LABEL-FREE embedding near-dup — v2 blocks on a label column,
     // but a real 100 TB corpus has no labels: here the blocking key is
     // the deterministic IVF quantizer's cell (the same memoized fit as
-    // v4, bit-replayed in SQL), so block-key cardinality is a KNOB
-    // (nCentroids) that grows with the corpus — the enforced occupancy
-    // contract with a content-derived key. Each vector joins its TWO
-    // nearest cells (multi-probe assignment, v4's nProbe trade): with
-    // single assignment, pairs straddling a cell boundary are missed —
+    // v4, bit-replayed in SQL), and the cell count is DERIVED from the
+    // corpus size (`derivedNCentroids`: max(8, ⌈n/250⌉), the identical
+    // formula in the oracle's `ncent` CTE) — the gate demonstrates the
+    // growing-cardinality contract itself, not a pinned k that would
+    // saturate and truncate at scale (round 7's sweep caught exactly
+    // that at sf0.5). Each vector joins its TWO nearest cells
+    // (multi-probe assignment, v4's nProbe trade): with single
+    // assignment, pairs straddling a cell boundary are missed —
     // measured pair-recall 0.37 vs 0.80 with 2 probes at sf0.01
     // (QUALITY.json); a pair sharing both cells would emit twice, hence
     // the distinct. Same capped self-join as v2 on the exploded frame.
@@ -234,7 +264,8 @@ object VectorQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val emb = preparedEmbeddings(s, d)
-        val cents = ivfCentroidsFor(s, d, nCentroids = 8, iters = 2)
+        val cents = ivfCentroidsFor(s, d,
+          nCentroids = derivedNCentroids(embeddingsCount(s, d)), iters = 2)
         val dists = emb.select(col("vec_id"), col("embedding"),
           col("__cd"), col("__cn"),
           posexplode(VectorOps.cellDists(col("__cd"), cents.toSeq))
@@ -247,7 +278,11 @@ object VectorQueries {
           0.35, maxBlockSize = 1000).distinct()
       },
       Some(s"""
-        ${ivfFitCtes(nCentroids = 8, iters = 2, permille = 200)},
+        ${ivfFitCtes(
+          nCentroids = "(SELECT k FROM ncent)", iters = 2, permille = 200,
+          prefixCtes = s"""ncent AS (
+          SELECT greatest(8, CAST(ceil(count(*) / $VectorCellTargetOccupancy.0) AS INT)) AS k
+          FROM embeddings),""")},
         a2 AS (
           SELECT vec_id, cd, cell, sqrt(${dDot("cd", "cd")}) AS cn FROM (
             SELECT e.vec_id, e.cd, c.cell,
