@@ -75,6 +75,42 @@ object TextQueries {
       FROM bits"""
   }
 
+  /** DuckDB twin of [[TextOps.pigeonholePairs]] — blocking, occupancy
+    * cap, and exact Hamming verify all replayed, so the cap is INSIDE
+    * the oracle contract (same pattern as v2/t3): both engines drop
+    * blocks hotter than `maxBlockSize` before pairing, making the
+    * saturating-geometry guard itself hash-matched, not just the happy
+    * path. Block masks are precomputed signed-Long literals (DuckDB's
+    * `<<` raises on signed overflow, so `65535 << 48` can't be written
+    * as a shift there).
+    */
+  private def pigeonholeOracle(hashCte: String, blockBits: Int, nBlocks: Int,
+                               maxHamming: Int, maxBlockSize: Int): String = {
+    val blocks = (0 until nBlocks).map { b =>
+      val mask = ((1L << blockBits) - 1) << (blockBits * b)
+      s"SELECT doc_id, simhash, $b AS blk_idx, simhash & CAST($mask AS BIGINT) AS blk_val FROM h"
+    }.mkString("\n          UNION ALL ")
+    s"""
+        WITH h AS ($hashCte),
+        blocks AS (
+          $blocks),
+        bcnt AS (
+          SELECT blk_idx, blk_val, count(*) AS c
+          FROM blocks GROUP BY 1, 2),
+        okb AS (
+          SELECT bl.doc_id, bl.simhash, bl.blk_idx, bl.blk_val
+          FROM blocks bl JOIN bcnt USING (blk_idx, blk_val)
+          WHERE c <= $maxBlockSize),
+        p AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM okb a JOIN okb b
+            ON a.blk_idx = b.blk_idx AND a.blk_val = b.blk_val
+               AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)
+        SELECT id_a, id_b, hamming FROM p ORDER BY id_a, id_b"""
+  }
+
   /** t3's LSH candidate pairs, materialized once per (session, dir) and
     * reused — t6's clustering consumes exactly t3's output, and in a real
     * pipeline that upstream stage IS materialized, so t6's cost is the
@@ -435,40 +471,30 @@ object TextQueries {
         SELECT gram, count(*) AS cnt FROM g
         GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20""")),
 
-    // t17: SimHash near-dup pairs — Hamming distance ≤ 3 on the 32-bit
-    // hash. Pigeonhole blocking: 4 disjoint 8-bit blocks; any pair within
-    // distance 3 agrees exactly on ≥1 block, so candidates come from a
-    // block-value equijoin (never all-pairs) and the exact bit_count(xor)
-    // filter runs only inside blocks. Completes the dedup battery: exact
+    // t17: SimHash near-dup pairs, Hamming ≤ 3 on the 32-bit hash via
+    // TextOps.pigeonholePairs (4 disjoint 8-bit blocks). ROLE MARKER —
+    // t17 is t22's SATURATING-GEOMETRY ORACLE TWIN, not the scale path
+    // (the r33-exact↔r35-sketch pairing applied to blocking geometry):
+    // its 256-value block keyspace grows candidates as n²/256 (the
+    // round-7 sweep measured 18× wall-clock at 5× data), and it stays in
+    // the gate to pin the 32-bit hash + pigeonhole SEMANTICS at small sf.
+    // Its cost is now BOUNDED, not just documented: the shared occupancy
+    // cap (1000, inside the oracle contract — both engines drop hotter
+    // blocks before pairing) means a bigger-sf gate run truncates
+    // observably instead of going quadratic; TextOpsSpec pins the
+    // truncation and PropertySpec the losslessness. At the gate sfs no
+    // block nears the cap, so output is byte-identical to the unguarded
+    // form. Scale users run t22. Completes the dedup battery: exact
     // (t1), MinHash-Jaccard (t3), SimHash-Hamming (t17), embedding (v2).
     Q("t17_simhash_neardup",
-      (s, d) => {
-        val hashed = Tables.documents(s, d)
+      (s, d) => TextOps.pigeonholePairs(
+        Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
           .filter(size(col("t")) > 0)
-          .select(col("doc_id"), graft.functions.native.simhash32(col("t")).as("sh"))
-        val blocked = hashed.select(col("doc_id"), col("sh"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("blk_idx"),
-              col("sh").bitwiseAND(lit(255L << (8 * b))).as("blk_val"))): _*)).as("blk"))
-          .select(col("doc_id"), col("sh"), col("blk.blk_idx"), col("blk.blk_val"))
-        blocked.alias("a").join(blocked.alias("b"),
-            col("a.blk_idx") === col("b.blk_idx") &&
-              col("a.blk_val") === col("b.blk_val") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-          .filter(col("hamming") <= 3)
-          .distinct()
-      },
-      Some(s"""
-        WITH h AS ($simhashSql),
-        p AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-          FROM h a JOIN h b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
-        SELECT DISTINCT id_a, id_b, hamming FROM p ORDER BY id_a, id_b""")),
+          .select(col("doc_id"), graft.functions.native.simhash32(col("t")).as("sh")),
+        blockBits = 8, nBlocks = 4, maxHamming = 3, maxBlockSize = 1000),
+      Some(pigeonholeOracle(simhashSql, blockBits = 8, nBlocks = 4,
+        maxHamming = 3, maxBlockSize = 1000))),
 
     // t22: t17's SCALE twin — 64-bit SimHash, pigeonhole on 4 disjoint
     // 16-bit blocks (still lossless for Hamming ≤ 3). The point is block
@@ -476,36 +502,16 @@ object TextQueries {
     // and the O(occupancy²) within-bucket join — grows linearly with the
     // corpus (measured superlinear past ~10k docs, docs/SCALING.md);
     // 2^16 values per block push that saturation out 256×. Same
-    // exact-verify step, same output shape; the r20/r21 pairing pattern
-    // applied to near-dup blocking geometry.
+    // exact-verify step, same output shape, same capped operator.
     Q("t22_simhash64_neardup",
-      (s, d) => {
-        val hashed = Tables.documents(s, d)
+      (s, d) => TextOps.pigeonholePairs(
+        Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
           .filter(size(col("t")) > 0)
-          .select(col("doc_id"), graft.functions.native.simhash64(col("t")).as("sh"))
-        val blocked = hashed.select(col("doc_id"), col("sh"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("blk_idx"),
-              col("sh").bitwiseAND(lit(0xFFFFL << (16 * b))).as("blk_val"))): _*)).as("blk"))
-          .select(col("doc_id"), col("sh"), col("blk.blk_idx"), col("blk.blk_val"))
-        blocked.alias("a").join(blocked.alias("b"),
-            col("a.blk_idx") === col("b.blk_idx") &&
-              col("a.blk_val") === col("b.blk_val") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-          .filter(col("hamming") <= 3)
-          .distinct()
-      },
-      Some(s"""
-        WITH h AS ($simhash64Sql),
-        p AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-          FROM h a JOIN h b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
-        SELECT DISTINCT id_a, id_b, hamming FROM p ORDER BY id_a, id_b""")),
+          .select(col("doc_id"), graft.functions.native.simhash64(col("t")).as("sh")),
+        blockBits = 16, nBlocks = 4, maxHamming = 3, maxBlockSize = 1000),
+      Some(pigeonholeOracle(simhash64Sql, blockBits = 16, nBlocks = 4,
+        maxHamming = 3, maxBlockSize = 1000))),
 
     // t13: Gopher/C4-style quality heuristics — mean word length, symbol
     // ratio, alpha-word fraction, and the composite keep/drop flag.

@@ -255,6 +255,57 @@ object TextOps {
       .distinct()
   }
 
+  /** SimHash pigeonhole near-dup pairs: split `hashCol` into `nBlocks`
+    * disjoint `blockBits`-bit blocks; any pair within Hamming distance
+    * `maxHamming` < nBlocks agrees EXACTLY on ≥1 block (pigeonhole), so
+    * candidates come from a block-value equijoin — never all-pairs — and
+    * the exact `bit_count(xor) <= maxHamming` check runs only inside
+    * blocks. Blocking is lossless for the threshold (the require below),
+    * approximate only through the occupancy cap: blocks hotter than
+    * `maxBlockSize` contribute NO pairs — the same enforced contract as
+    * [[lshPairsBounded]] and `VectorOps.nearDupPairs`, turning saturating
+    * block geometry into bounded, observable truncation instead of an
+    * O(occupancy²) runaway join. The occupancy window's hash exchange is
+    * the self-join's own partitioning.
+    *
+    * GEOMETRY IS THE SCALE KNOB: candidates grow as n²/2^blockBits per
+    * block, so blockBits must grow with the corpus. The gate runs this
+    * twice — t17 (32-bit hash, 8-bit blocks: the saturating-geometry
+    * oracle twin, measured 18× wall-clock at 5× data before the cap) and
+    * t22 (64-bit hash, 16-bit blocks: the scale path, 256× more block
+    * values) — the r33↔r35 exact-vs-scale pairing applied to blocking
+    * geometry.
+    */
+  def pigeonholePairs(hashed: org.apache.spark.sql.DataFrame,
+                      blockBits: Int, nBlocks: Int, maxHamming: Int,
+                      maxBlockSize: Int = 1000,
+                      idCol: String = "doc_id",
+                      hashCol: String = "sh"): org.apache.spark.sql.DataFrame = {
+    require(maxHamming < nBlocks,
+      s"pigeonhole is lossless only for maxHamming < nBlocks, got $maxHamming >= $nBlocks")
+    require(maxBlockSize >= 2, s"maxBlockSize must be >= 2, got $maxBlockSize")
+    val blocked = hashed.select(col(idCol), col(hashCol),
+      explode(array((0 until nBlocks).map { b =>
+        val mask = (((1L << blockBits) - 1) << (blockBits * b))
+        struct(lit(b).as("blk_idx"),
+          col(hashCol).bitwiseAND(lit(mask)).as("blk_val"))
+      }: _*)).as("blk"))
+      .select(col(idCol), col(hashCol), col("blk.blk_idx"), col("blk.blk_val"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("blk_idx", "blk_val")
+    val ok = blocked
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBlockSize)
+      .drop("__n")
+    ok.alias("a").join(ok.alias("b"),
+        col("a.blk_idx") === col("b.blk_idx") &&
+          col("a.blk_val") === col("b.blk_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Karp-Rabin rolling polynomial hash (base 31, mod 1e9+7) over the
     * document's characters — order-sensitive unlike [[fingerprint]].
     * Engine-native integer arithmetic, single pass; the modulus keeps

@@ -185,6 +185,53 @@ class TextOpsSpec extends SparkSpec {
     assert(capped.subsetOf(unbounded))
   }
 
+  test("pigeonholePairs: finds all Hamming<=3 pairs, misses none (losslessness)") {
+    // hand-built 32-bit hashes: pairs at distance 0..3 must all surface,
+    // a distance-4 pair must not, regardless of which blocks differ
+    val hashes = Seq(
+      1L -> 0x12345678L,
+      2L -> 0x12345678L,              // d=0 vs 1
+      3L -> 0x12345679L,              // d=1 vs 1 (block 0)
+      4L -> (0x12345678L ^ 0x80000001L), // d=2, bits in blocks 0 and 3
+      5L -> (0x12345678L ^ 0x01010100L), // d=3, spread over 3 blocks
+      6L -> (0x12345678L ^ 0x01010101L)) // d=4 vs 1: must NOT pair with 1
+    val df = hashes.toDF("doc_id", "sh")
+    val got = TextOps.pigeonholePairs(df, blockBits = 8, nBlocks = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force truth over the same hashes
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want, s"got $got\nwant $want")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 6L))
+  }
+
+  test("pigeonholePairs: hot blocks emit no pairs — the t17 candidate ceiling") {
+    // 30 docs share EVERY block (identical hash): with the cap at 10 the
+    // whole cluster is dropped — this is the enforced ceiling that keeps
+    // t17's 256-value geometry from going quadratic at a bigger sf — while
+    // a small near-dup pair in cold blocks still surfaces.
+    val hot = (1L to 30L).map(_ -> 0x0F0F0F0FL)
+    val cold = Seq(100L -> 0x12345678L, 101L -> 0x12345679L)
+    val df = (hot ++ cold).toDF("doc_id", "sh")
+    val capped = TextOps.pigeonholePairs(df, blockBits = 8, nBlocks = 4,
+        maxHamming = 3, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"capped pairs wrong: $capped")
+    // cap above every occupancy reproduces the unguarded join: the hot
+    // clique's C(30,2) pairs plus the cold pair
+    val unbounded = TextOps.pigeonholePairs(df, blockBits = 8, nBlocks = 4,
+        maxHamming = 3, maxBlockSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded.size == 435 + 1)
+    assert(capped.subsetOf(unbounded))
+    // the losslessness precondition is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      TextOps.pigeonholePairs(df, blockBits = 8, nBlocks = 4, maxHamming = 4)
+    }
+  }
+
   test("lshBands: empty shingle set → NULL bands, so short docs never join") {
     // <n-token docs have empty shingle arrays; every band must be NULL
     // (ANSI `||` propagation, same as the DuckDB oracle) — NOT "" — so a
