@@ -302,6 +302,43 @@ object VectorQueries {
         WHERE ${dDot("a.cd", "b.cd")} / (a.cn * b.cn) >= 0.35
         ORDER BY id_a, id_b""")),
 
+    // v7: v1's cosine top-k reached PURELY through spark.sql — the
+    // vector twin of t20/t21's SQL-registry proof: graft_cosine is the
+    // same native DotProductD kernel behind the Column↔Expression
+    // bridge, so an analyst session with GraftExtensions gets the
+    // oracle-checked similarity surface with no Column API at all.
+    // Same plan shape as v1 (broadcast query side, corpus scanned once).
+    Q("v7_cosine_topk_sql",
+      (s, d) => {
+        graft.functions.GraftExtensions.register(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("v7_emb")
+        s.sql("""
+          WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM v7_emb WHERE vec_id < 10),
+          scored AS (
+            SELECT /*+ BROADCAST(q) */ qid, e.vec_id AS nid,
+                   graft_cosine(qv, e.embedding) AS cos
+            FROM q JOIN v7_emb e ON e.vec_id != qid),
+          ranked AS (
+            SELECT qid, nid, CAST(row_number() OVER (
+                     PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rnk
+            FROM scored)
+          SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5""")
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT qid, e.vec_id AS nid,
+                 ${dDot(castD.format("qv"), castD.format("e.embedding"))} /
+                 (sqrt(${dDot(castD.format("qv"), castD.format("qv"))}) *
+                  sqrt(${dDot(castD.format("e.embedding"), castD.format("e.embedding"))})) AS cos
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid),
+        ranked AS (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     // v3: LSH-bucketed approximate top-k (scale path). Fully
     // oracle-checked: the hyperplane coefficients are deterministic
     // (md5 high bit per (plane, dim)), the projections reduce

@@ -54,6 +54,13 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Squared L2 distance in double precision (casts each side first) —
+    * the [[graft.functions.native.dist2D]] kernel behind a cast, the
+    * companion of [[dot]] for SQL registration (`graft_l2dist2`).
+    */
+  def l2Dist2(a: Column, b: Column): Column =
+    graft.functions.native.dist2D(asDouble(a), asDouble(b))
+
   /** Exact top-k neighbors for each query vector: broadcast the (small)
     * query set, stream the corpus through a map-side cross join, rank per
     * query. No corpus shuffle — the heavy side is touched exactly once.

@@ -74,6 +74,36 @@ class ExtensionsSpec extends SparkSpec {
       err2.getCause != null && err2.getCause.getMessage.contains("graft_yyyymmdd_to_date"))
   }
 
+  test("vector family from SQL matches the Column API bit-exactly") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sf001/embeddings.parquet").limit(40)
+      .createOrReplaceTempView("ext_emb")
+    // self-join a float-typed embedding column: the SQL functions must
+    // cast exactly like VectorOps (array<float> → array<double> then the
+    // native sequential fold), so values compare with ==, not tolerance
+    val viaSql = spark.sql("""
+      SELECT a.vec_id, b.vec_id,
+             graft_dot(a.embedding, b.embedding) AS d,
+             graft_l2dist2(a.embedding, b.embedding) AS l2,
+             graft_cosine(a.embedding, b.embedding) AS cos
+      FROM ext_emb a JOIN ext_emb b ON b.vec_id = a.vec_id + 1""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val a = spark.table("ext_emb")
+    val b = spark.table("ext_emb").select(col("vec_id").as("vid2"), col("embedding").as("emb2"))
+    val viaApi = a.join(b, col("vid2") === col("vec_id") + 1)
+      .select(col("vec_id"), col("vid2"),
+        graft.vector.VectorOps.dot(col("embedding"), col("emb2")).as("d"),
+        graft.vector.VectorOps.l2Dist2(col("embedding"), col("emb2")).as("l2"),
+        graft.vector.VectorOps.cosine(col("embedding"), col("emb2")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+    // sanity anchors: cos(v,v)≈1 (sqrt(d)·sqrt(d) is an ulp off d in
+    // IEEE, so not ==), l2dist2(v,v)=0 exactly
+    val self = spark.sql(
+      "SELECT graft_cosine(embedding, embedding), graft_l2dist2(embedding, embedding) FROM ext_emb LIMIT 1").head()
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-12 && self.getDouble(1) == 0.0)
+  }
+
   test("GraftExtensions class wires every function through SparkSessionExtensions") {
     // the spark.sql.extensions path: session construction instantiates the
     // class and drains its injections into the session's FunctionRegistry.
