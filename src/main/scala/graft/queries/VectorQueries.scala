@@ -139,20 +139,37 @@ object VectorQueries {
     * times purely from re-deriving this projection per timed run under
     * ambient load.
     */
-  private val preparedCorpus =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private val preparedCorpus = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
 
   /** Test hook: unpersist and drop all cached corpus projections. */
   def clearCorpusCache(): Unit = {
-    preparedCorpus.values.forEach(df => { df.unpersist(); () })
+    preparedCorpus.values.forEach { case (s, df) =>
+      if (!s.sparkContext.isStopped) { df.unpersist(); () }
+    }
     preparedCorpus.clear()
   }
 
+  /** Keyed on the session's UUID (stable and unique for the session's
+    * lifetime — `identityHashCode` can collide across session
+    * generations), and entries whose session has stopped are evicted on
+    * the next lookup, so a long-running multi-session process doesn't
+    * accumulate dead cached-RDD references. `sessionUUID` is public on
+    * the concrete classic session but absent from the abstract API,
+    * hence the match.
+    */
+  private def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    org.apache.spark.sql.graft.bridge.sessionUUID(s)
+
   private def preparedEmbeddings(s: org.apache.spark.sql.SparkSession,
-                                 dir: String): org.apache.spark.sql.DataFrame =
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    preparedCorpus.forEach { (k, v) =>
+      if (v._1.sparkContext.isStopped) { preparedCorpus.remove(k, v); () }
+    }
     preparedCorpus.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir|${embeddingsFingerprint(s, dir)}", _ =>
-        VectorOps.prepareVectors(Tables.embeddings(s, dir), "embedding").persist())
+      s"${sessionKey(s)}|$dir|${embeddingsFingerprint(s, dir)}", _ =>
+        (s, VectorOps.prepareVectors(Tables.embeddings(s, dir), "embedding").persist()))._2
+  }
 
   /** Test hook: drop all in-process memoized quantizers. */
   def clearCentroidCache(): Unit = ivfCentroids.clear()

@@ -26,15 +26,43 @@ object VectorOps {
     * it is the difference between re-deriving the projection per run and
     * reading a cached columnar frame.
     */
-  def prepareVectors(df: DataFrame, vecCol: String,
-                     cd: String = "__cd", cn: String = "__cn"): DataFrame =
-    df.withColumn(cd, asDouble(col(vecCol)))
-      .withColumn(cn, sqrt(rawDot(col(cd), col(cd))))
+  /** Column metadata key recording which source column a prepared `__cd`
+    * was derived from — [[ensurePrepared]] checks it so a frame prepared
+    * from column X can't silently serve a query asking about column Y.
+    */
+  private[vector] val SourceColKey = "graft.vector.source"
 
+  def prepareVectors(df: DataFrame, vecCol: String,
+                     cd: String = "__cd", cn: String = "__cn"): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(SourceColKey, vecCol).build()
+    df.withColumn(cd, asDouble(col(vecCol)).as(cd, meta))
+      .withColumn(cn, sqrt(rawDot(col(cd), col(cd))))
+  }
+
+  /** Reuse an existing `cd`/`cn` projection when present, else derive it.
+    * When the prepared column carries [[prepareVectors]]' source metadata
+    * AND that source column is still in the frame under its original
+    * name, a `vecCol` mismatch throws — passing a frame whose `__cd` came
+    * from a different (still-present) column would otherwise return wrong
+    * similarities with no error. A recorded source that is no longer a
+    * column was renamed or dropped alongside the prepared projection
+    * (e.g. `embedding→qv` with `__cd→__qd`), which the check cannot
+    * adjudicate — those, and hand-built projections without the metadata,
+    * are accepted on the documented contract that `cd` IS derived from
+    * `vecCol`.
+    */
   private def ensurePrepared(df: DataFrame, vecCol: String,
                              cd: String, cn: String): DataFrame =
-    if (df.columns.contains(cd) && df.columns.contains(cn)) df
-    else prepareVectors(df, vecCol, cd, cn)
+    if (df.columns.contains(cd) && df.columns.contains(cn)) {
+      val meta = df.schema(cd).metadata
+      if (meta.contains(SourceColKey)) {
+        val src = meta.getString(SourceColKey)
+        require(src == vecCol || !df.columns.contains(src),
+          s"prepared column $cd was derived from '$src' but the query asks about '$vecCol'")
+      }
+      df
+    } else prepareVectors(df, vecCol, cd, cn)
 
   /** Dot product of two ALREADY-double arrays (no per-call cast) —
     * sequential left-to-right, engine-portable. Native codegen expression
@@ -403,13 +431,11 @@ object VectorOps {
                    maxBlockSize: Int = 4096): DataFrame = {
     require(maxBlockSize >= 2, s"maxBlockSize must be >= 2, got $maxBlockSize")
     val w = Window.partitionBy("blk")
-    val base =
-      if (df.columns.contains("__cd") && df.columns.contains("__cn"))
-        df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-          col("__cd").as("vd"), col("__cn").as("nrm"))
-      else df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-          asDouble(col(vecCol)).as("vd"))
-        .withColumn("nrm", sqrt(rawDot(col("vd"), col("vd"))))
+    // reuse-or-derive via ensurePrepared, which also enforces that a
+    // pre-prepared __cd really came from vecCol (source metadata check)
+    val base = ensurePrepared(df, vecCol, "__cd", "__cn")
+      .select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col("__cd").as("vd"), col("__cn").as("nrm"))
     val prepped = base
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") <= maxBlockSize)

@@ -36,4 +36,14 @@ object bridge {
       reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)
+
+  /** The session's lifetime-unique UUID when the concrete classic session
+    * exposes one (`private[sql]` in the API, hence this shim), else an
+    * identity-hash fallback. Cache keys use it so entries from two
+    * session generations can never collide the way identityHashCode can.
+    */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): String = s match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => s"idh${System.identityHashCode(other)}"
+  }
 }

@@ -141,6 +141,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L))) // block boundary respected
   }
 
+  test("prepared-projection source guard: wrong still-present column throws, rename passes") {
+    val two = Seq((1L, 0, Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (2L, 0, Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("vec_id", "label", "emb_a", "emb_b")
+    val prepped = VectorOps.prepareVectors(two, "emb_a")
+    // asking about emb_b while __cd was derived from the still-present
+    // emb_a is exactly the silent-wrong-similarity case — must throw
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.nearDupPairs(prepped, "label", "vec_id", "emb_b", 0.5).collect()
+    }
+    assert(e.getMessage.contains("emb_a") && e.getMessage.contains("emb_b"))
+    // matching column passes
+    assert(VectorOps.nearDupPairs(prepped, "label", "vec_id", "emb_a", 0.5).count() == 1)
+    // renaming the source together with the projection stays accepted
+    // (the gate's qv/__qd pattern): the recorded source is gone
+    val renamed = prepped.select(col("vec_id"), col("label"),
+      col("emb_a").as("qv"), col("__cd"), col("__cn"))
+    assert(VectorOps.nearDupPairs(renamed, "label", "vec_id", "qv", 0.5).count() == 1)
+  }
+
   test("nearDupPairs hot-block cap: oversized blocks emit no pairs, normal blocks byte-identical") {
     // block 0: hot (12 members, all near-identical → would be 66 pairs);
     // block 1: normal (3 members, 1 planted dup pair)

@@ -61,9 +61,20 @@ def main(root):
               COPY (SELECT {sel} FROM parquet_scan('{SRC}/{t}.parquet')
                     CROSS JOIN (SELECT unnest(range({mult})) AS k) k)
               TO '{out}/{t}.parquet' (FORMAT PARQUET)""")
+        # replica id blocks must not overlap: derive each offset from the
+        # source table's max id (rounded up to a clean decade) instead of
+        # assuming the corpus stays under a hardcoded 1e6 rows
+        def id_offset(table, idcol):
+            mx = con.execute(
+                f"SELECT max({idcol}) FROM parquet_scan('{SRC}/{table}.parquet')").fetchone()[0]
+            off = 10 ** max(6, len(str(int(mx))))
+            assert mx < off, (table, mx, off)
+            return off
+        doc_off = id_offset("documents", "doc_id")
+        vec_off = id_offset("embeddings", "vec_id")
         con.execute(f"""
           COPY (
-            SELECT doc_id + k.k * 1000000 AS doc_id,
+            SELECT doc_id + k.k * {doc_off} AS doc_id,
                    CASE WHEN k.k = 0 THEN text
                         ELSE 'r' || k.k || ' ' || text END AS text,
                    lang, source, n_chars
@@ -72,7 +83,7 @@ def main(root):
           ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
         con.execute(f"""
           COPY (
-            SELECT vec_id + k.k * 1000000 AS vec_id,
+            SELECT vec_id + k.k * {vec_off} AS vec_id,
                    CASE WHEN k.k = 0 THEN embedding
                         ELSE list_prepend(
                           CAST(embedding[1] + k.k * 0.001953125 AS FLOAT),
