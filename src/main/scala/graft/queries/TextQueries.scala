@@ -471,6 +471,31 @@ object TextQueries {
         SELECT gram, count(*) AS cnt FROM g
         GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20""")),
 
+    // t23: duplicated-span fraction per document — the exact-substring
+    // dedup signal (hashed 8-token span inverted index; see
+    // TextOps.spanDupStats for the scale argument: linear shuffle, no
+    // pairwise step). Complements t1 (whole-doc exact), t3/t17/t22
+    // (whole-doc near-dup): a doc that is 40% boilerplate spans is
+    // invisible to all of those and caught here.
+    Q("t23_span_dedup",
+      (s, d) => TextOps.spanDupStats(Tables.documents(s, d), "text", "doc_id", 8)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        sp AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+                   THEN list_transform(range(len(toks) - 7),
+                          i -> md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')))
+                   ELSE [] END) AS h
+          FROM t),
+        idx AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+        SELECT sp.doc_id, count(*) AS total_spans,
+               CAST(sum(CASE WHEN idx.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+               CAST(floor(CAST(sum(CASE WHEN idx.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS dup_frac_e4
+        FROM sp JOIN idx USING (h)
+        GROUP BY sp.doc_id ORDER BY sp.doc_id""")),
+
     // t17: SimHash near-dup pairs, Hamming ≤ 3 on the 32-bit hash via
     // TextOps.pigeonholePairs (4 disjoint 8-bit blocks). ROLE MARKER —
     // t17 is t22's SATURATING-GEOMETRY ORACLE TWIN, not the scale path

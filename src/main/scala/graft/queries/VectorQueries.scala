@@ -60,13 +60,13 @@ object VectorQueries {
     * the caller define such helper CTEs before the fit chain.
     */
   private def ivfFitCtes(nCentroids: String, iters: Int, permille: Int,
-                         prefixCtes: String = ""): String = {
+                         prefixCtes: String = "", recursive: Boolean = false): String = {
     val rounds = (1 to iters)
       .map(r => lloydRound(if (r == 1) "c0" else s"c${r - 1}", s"c$r"))
       .mkString(",")
     val cf = s"c$iters"
     s"""
-        WITH $prefixCtes smp AS (
+        WITH ${if (recursive) "RECURSIVE " else ""}$prefixCtes smp AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
           FROM embeddings
           WHERE ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < $permille * 65536),
@@ -216,6 +216,59 @@ object VectorQueries {
     })
   }
 
+  /** v6's pair generation, shared verbatim by v8's keep-set: 2-probe
+    * assignment to the corpus-derived quantizer cells (see
+    * [[derivedNCentroids]]), then the capped within-cell self-join. A
+    * pair sharing both probed cells would emit twice, hence the distinct.
+    */
+  private def ivfNearDupPairs(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = preparedEmbeddings(s, d)
+    val cents = ivfCentroidsFor(s, d,
+      nCentroids = derivedNCentroids(embeddingsCount(s, d)), iters = 2)
+    val dists = emb.select(col("vec_id"), col("embedding"),
+      col("__cd"), col("__cn"),
+      posexplode(VectorOps.cellDists(col("__cd"), cents.toSeq))
+        .as(Seq("__cell", "__dist")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("__dist").asc, col("__cell").asc)
+    val assigned = dists.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= 2).drop("__dist", "__pr")
+    VectorOps.nearDupPairs(assigned, "__cell", "vec_id", "embedding",
+      0.35, maxBlockSize = 1000).distinct()
+  }
+
+  /** The DuckDB twin of [[ivfNearDupPairs]] as a CTE chain ending in
+    * `pairs (id_a, id_b)`. `recursive = true` emits `WITH RECURSIVE` so
+    * a consumer (v8) can append a recursive closure CTE — the keyword
+    * scopes the whole WITH list in both DuckDB and ANSI SQL.
+    */
+  private def ivfNearDupPairCtes(recursive: Boolean): String = s"""
+        ${ivfFitCtes(
+          nCentroids = "(SELECT k FROM ncent)", iters = 2, permille = 200,
+          prefixCtes = s"""ncent AS (
+          SELECT greatest(8, CAST(ceil(count(*) / $VectorCellTargetOccupancy.0) AS INT)) AS k
+          FROM embeddings),""", recursive = recursive)},
+        a2 AS (
+          SELECT vec_id, cd, cell, sqrt(${dDot("cd", "cd")}) AS cn FROM (
+            SELECT e.vec_id, e.cd, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${dDist2("e.cd", "c.ctr")} ASC, c.cell ASC) AS rn
+            FROM corp e CROSS JOIN c2 c)
+          WHERE rn <= 2),
+        ok AS (
+          SELECT vec_id, cd, cell, cn FROM (
+            SELECT vec_id, cd, cell, cn,
+                   count(*) OVER (PARTITION BY cell) AS n
+            FROM a2)
+          WHERE n <= 1000),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM ok a JOIN ok b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ${dDot("a.cd", "b.cd")} / (a.cn * b.cn) >= 0.35)"""
+
   val all: Seq[Q] = Seq(
 
     // v1: exact cosine top-5 for the first 10 vectors (ids + rank only).
@@ -278,46 +331,40 @@ object VectorQueries {
     // (QUALITY.json); a pair sharing both cells would emit twice, hence
     // the distinct. Same capped self-join as v2 on the exploded frame.
     Q("v6_ivf_neardup",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val emb = preparedEmbeddings(s, d)
-        val cents = ivfCentroidsFor(s, d,
-          nCentroids = derivedNCentroids(embeddingsCount(s, d)), iters = 2)
-        val dists = emb.select(col("vec_id"), col("embedding"),
-          col("__cd"), col("__cn"),
-          posexplode(VectorOps.cellDists(col("__cd"), cents.toSeq))
-            .as(Seq("__cell", "__dist")))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("__dist").asc, col("__cell").asc)
-        val assigned = dists.withColumn("__pr", row_number().over(w))
-          .filter(col("__pr") <= 2).drop("__dist", "__pr")
-        VectorOps.nearDupPairs(assigned, "__cell", "vec_id", "embedding",
-          0.35, maxBlockSize = 1000).distinct()
-      },
-      Some(s"""
-        ${ivfFitCtes(
-          nCentroids = "(SELECT k FROM ncent)", iters = 2, permille = 200,
-          prefixCtes = s"""ncent AS (
-          SELECT greatest(8, CAST(ceil(count(*) / $VectorCellTargetOccupancy.0) AS INT)) AS k
-          FROM embeddings),""")},
-        a2 AS (
-          SELECT vec_id, cd, cell, sqrt(${dDot("cd", "cd")}) AS cn FROM (
-            SELECT e.vec_id, e.cd, c.cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${dDist2("e.cd", "c.ctr")} ASC, c.cell ASC) AS rn
-            FROM corp e CROSS JOIN c2 c)
-          WHERE rn <= 2),
-        ok AS (
-          SELECT vec_id, cd, cell, cn FROM (
-            SELECT vec_id, cd, cell, cn,
-                   count(*) OVER (PARTITION BY cell) AS n
-            FROM a2)
-          WHERE n <= 1000)
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM ok a JOIN ok b
-          ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE ${dDot("a.cd", "b.cd")} / (a.cn * b.cn) >= 0.35
-        ORDER BY id_a, id_b""")),
+      (s, d) => ivfNearDupPairs(s, d),
+      Some(s"""${ivfNearDupPairCtes(recursive = false)}
+        SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""")),
+
+    // v8: SemDeDup-style semantic dedup KEEP-SET — v6 answers "which
+    // pairs are near-dups"; a curation pipeline needs "which rows do I
+    // DELETE". Near-dup is not transitive (A~B, B~C without A~C on
+    // gradually drifting templates), so keep-one-per-pair over- or
+    // under-deletes depending on pair order; the deterministic,
+    // order-free rule is keep-one-per-CLUSTER: connected components over
+    // the v6 pair graph ([[graft.text.TextOps.clusterPairs]] — the same
+    // O(log d) min-label propagation the text family's t6 uses, reused
+    // verbatim on vector ids), keep the min vec_id of each component,
+    // emit (drop_id, keep_id) for everything else. The oracle replays
+    // the entire chain — quantizer fit, 2-probe assignment, capped
+    // self-join, then the component closure as a recursive CTE (t6's
+    // pattern). Scale shape: v6's bounded cell join + t6's pinned
+    // per-round shuffle — no new quadratic or driver-side step; output
+    // is the smallest artifact of the family (only dropped rows).
+    Q("v8_semdedup",
+      (s, d) => graft.text.TextOps.clusterPairs(ivfNearDupPairs(s, d))
+        .filter(col("cluster_rep") < col("doc_id"))
+        .select(col("doc_id").as("drop_id"), col("cluster_rep").as("keep_id")),
+      Some(s"""${ivfNearDupPairCtes(recursive = true)},
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(src, node) AS (
+          SELECT s, s FROM (SELECT DISTINCT s FROM edges) v
+          UNION
+          SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s)
+        SELECT src AS drop_id, CAST(min(node) AS BIGINT) AS keep_id
+        FROM reach GROUP BY src HAVING min(node) < src
+        ORDER BY drop_id""")),
 
     // v7: v1's cosine top-k reached PURELY through spark.sql — the
     // vector twin of t20/t21's SQL-registry proof: graft_cosine is the

@@ -21,6 +21,26 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("spanDupStats: shared spans counted cross-doc, repeats within a doc don't") {
+    // doc 1 and 2 share one 4-token span ("w x y z"); doc 3 repeats its
+    // own span twice but shares nothing; doc 4 is too short for any span.
+    val docs = Seq(
+      (1L, "w x y z tail1"),        // spans: "w x y z", "x y z tail1"
+      (2L, "head2 w x y z"),        // spans: "head2 w x y", "w x y z"
+      (3L, "p q r s p q r s"),      // 5 spans, all self-only
+      (4L, "a b c")                 // no 4-token span
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDupStats(docs, "text", "doc_id", 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byId(1L) == ((2L, 1L, 5000L)))  // 1 of 2 spans duplicated
+    assert(byId(2L) == ((2L, 1L, 5000L)))
+    // "p q r s" occurs twice in doc 3 but in only ONE distinct doc —
+    // not duplicated; both occurrences still count toward total_spans
+    assert(byId(3L) == ((5L, 0L, 0L)))
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq(("A  B\tc", 1), ("a b C", 2), ("a b d", 3)).toDF("text", "id")
     val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
