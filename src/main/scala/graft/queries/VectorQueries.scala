@@ -221,8 +221,13 @@ object VectorQueries {
     * [[derivedNCentroids]]), then the capped within-cell self-join. A
     * pair sharing both probed cells would emit twice, hence the distinct.
     */
-  private def ivfNearDupPairs(s: org.apache.spark.sql.SparkSession,
-                              d: String): org.apache.spark.sql.DataFrame = {
+  /** v6's 2-probe cell assignment (one row per vector per probed cell),
+    * exposed for the occupancy diagnostic ([[graft.Occupancy]]) so the
+    * growing-keyspace contract is MEASURABLE per corpus, not only
+    * asserted: the probe reports max cell occupancy vs the 1000 cap.
+    */
+  private[graft] def ivfAssignedCells(s: org.apache.spark.sql.SparkSession,
+                                      d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = preparedEmbeddings(s, d)
     val cents = ivfCentroidsFor(s, d,
@@ -233,10 +238,36 @@ object VectorQueries {
         .as(Seq("__cell", "__dist")))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("__dist").asc, col("__cell").asc)
-    val assigned = dists.withColumn("__pr", row_number().over(w))
+    dists.withColumn("__pr", row_number().over(w))
       .filter(col("__pr") <= 2).drop("__dist", "__pr")
-    VectorOps.nearDupPairs(assigned, "__cell", "vec_id", "embedding",
-      0.35, maxBlockSize = 1000).distinct()
+  }
+
+  private val ivfPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+
+  /** Test hook: unpersist and drop all cached near-dup pair frames. */
+  def clearIvfPairsCache(): Unit = {
+    ivfPairsCache.values.forEach { case (s, df) =>
+      if (!s.sparkContext.isStopped) { df.unpersist(); () }
+    }
+    ivfPairsCache.clear()
+  }
+
+  /** Memoized + persisted per (session, dir, content fingerprint) — the
+    * same pattern as the text family's `lshPairsFor` (t3→t6): the pair
+    * set is consumed twice by v8's edge union and again by every
+    * clustering round's lineage, and recomputing the quantizer-blocked
+    * self-join per consumer would dominate the clustering itself.
+    */
+  private def ivfNearDupPairs(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    ivfPairsCache.forEach { (k, v) =>
+      if (v._1.sparkContext.isStopped) { ivfPairsCache.remove(k, v); () }
+    }
+    ivfPairsCache.computeIfAbsent(
+      s"${sessionKey(s)}|$d|${embeddingsFingerprint(s, d)}", _ =>
+        (s, VectorOps.nearDupPairs(ivfAssignedCells(s, d), "__cell", "vec_id",
+          "embedding", 0.35, maxBlockSize = 1000).distinct().persist()))._2
   }
 
   /** The DuckDB twin of [[ivfNearDupPairs]] as a CTE chain ending in

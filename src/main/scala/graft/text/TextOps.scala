@@ -193,8 +193,55 @@ object TextOps {
     * @param pairs DataFrame with two numeric id columns (idA, idB)
     * @return (doc_id, cluster_rep) for every vertex appearing in pairs
     */
+  /** Edge-count ceiling for the single-task union-find path of
+    * [[clusterPairs]]: 4M (bidirected) edges ≈ 64 MB of long pairs in
+    * one task — comfortably inside an executor core's working memory,
+    * far above any gate corpus, far below a 100 TB dup graph (which
+    * takes the iterative path).
+    */
+  private[graft] val LocalClusterMaxEdges: Long = 4L << 20
+
+  /** Single-task closure of a (bidirected, cached) edge frame: classic
+    * union-find with path compression + union-by-min, emitting every
+    * vertex with its component MINIMUM — bit-identical to the iterative
+    * path's fixpoint. Output is sorted by vertex id inside the single
+    * partition so the parquet bytes are replay-stable too.
+    */
+  private[graft] def clusterEdgesLocal(
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    val idType = edges.schema("s").dataType
+    edges.select(col("s").cast("long"), col("t").cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        while (it.hasNext) {
+          val (a, b) = it.next()
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val ids = parent.keySet.toArray(Array.empty[java.lang.Long])
+          .map(_.longValue)
+        java.util.Arrays.sort(ids)
+        ids.iterator.map(id => (id, find(id)))
+      }
+      .toDF("doc_id", "cluster_rep")
+      .select(col("doc_id").cast(idType), col("cluster_rep").cast(idType))
+  }
+
   def clusterPairs(pairs: org.apache.spark.sql.DataFrame, idA: String = "id_a",
-                   idB: String = "id_b", maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
+                   idB: String = "id_b", maxIter: Int = 20,
+                   localMaxEdges: Long = LocalClusterMaxEdges): org.apache.spark.sql.DataFrame = {
     // Edge list is hash-partitioned ON THE JOIN KEY once and cached: every
     // round's label join reads the cached HashPartitioning(s) directly
     // (the planner inserts no Exchange for a side whose cached layout
@@ -210,6 +257,27 @@ object TextOps {
       .union(pairs.select(col(idB).as("s"), col(idA).as("t")))
       .distinct()
       .repartition(np, col("s")).cache()
+    // ADAPTIVE CUTOVER (the AQE broadcast-join analogue for iterative
+    // graph closure): the count below both materializes the cache and
+    // sizes the problem. An edge multiset that fits one task runs as a
+    // single-pass union-find — one job, no per-round scheduling floor —
+    // because on a chained component the distributed loop needs O(log
+    // diameter) ROUNDS of 3 shuffles each, and at small edge counts
+    // those rounds are pure latency (measured: v8's 1,868-vertex chained
+    // graph took 9 rounds ≈ 11 s at sf0.1; the local path is < 1 s).
+    // Path choice depends only on the DATA (edge count), never on
+    // parallelism, so outputs stay replay-identical across cluster
+    // shapes; both paths produce exactly (vertex, component-min).
+    val edgeCount = edges.count()
+    if (edgeCount <= localMaxEdges) {
+      // Like the loop below, the result generation stays cached (one
+      // generation alive); materialize it before dropping the edge cache
+      // beneath its lineage.
+      val out = clusterEdgesLocal(edges).cache()
+      out.count()
+      edges.unpersist()
+      return out
+    }
     // One CACHED generation lives at a time (`cur`); the superseded one is
     // unpersisted as soon as its successor is materialized — an iterative
     // driver loop must not leak O(iters) cached frames at 100 TB. Every 3
@@ -251,6 +319,7 @@ object TextOps {
       cur.unpersist()
       cur = next
       converged = !changed
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] round=$i changed=$changed t=${System.nanoTime}")
       i += 1
     }
     edges.unpersist()

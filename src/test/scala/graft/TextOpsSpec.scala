@@ -105,10 +105,32 @@ class TextOpsSpec extends SparkSpec {
     // chain collapses in ~log2(64) + 1 rounds — this test fails if the
     // shortcut step regresses to plain propagation.
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = TextOps.clusterPairs(chain, maxIter = 12).collect()
+    val out = TextOps.clusterPairs(chain, maxIter = 12, localMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size == 64)
     assert(out.values.forall(_ == 0L), s"unconverged labels: ${out.filter(_._2 != 0L)}")
+  }
+
+  test("clusterPairs: local union-find path is identical to the iterative path") {
+    // The adaptive cutover (edge count <= localMaxEdges runs a
+    // single-task union-find) must be invisible in the output: both
+    // paths emit (vertex, component-min) for exactly the vertices that
+    // appear in pairs. Graph mixes a deep chain, a clique, a 2-cycle
+    // duplicate edge, and an isolated pair.
+    val pairs = ((0L until 40L).map(i => (i, i + 1)) ++       // 41-chain
+      Seq((100L, 101L), (101L, 102L), (100L, 102L),           // clique
+        (200L, 201L), (201L, 200L),                           // dup both ways
+        (300L, 301L))).toDF("id_a", "id_b")
+    val local = TextOps.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val iter = TextOps.clusterPairs(pairs, localMaxEdges = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(local.sameElements(iter), "cutover paths disagree")
+    assert(local.length == 48)
+    val reps = local.toMap
+    assert((0L to 40L).forall(reps(_) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(reps(_) == 100L))
+    assert(reps(201L) == 200L && reps(301L) == 300L)
   }
 
   test("clusterPairs: one action per iteration — job count stays at the measured floor") {
@@ -129,7 +151,9 @@ class TextOpsSpec extends SparkSpec {
     // invariant to preserve is "constant jobs per iteration, no
     // per-round edge re-shuffle", not the literal 27.
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L)).toDF("id_a", "id_b")
-    TextOps.clusterPairs(pairs).collect() // warm-up: codegen + broadcast init
+    // localMaxEdges = 0 forces the ITERATIVE path — these pins guard the
+    // distributed loop; the small-graph cutover has its own spec below.
+    TextOps.clusterPairs(pairs, localMaxEdges = 0).collect() // warm-up: codegen + broadcast init
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -139,7 +163,7 @@ class TextOpsSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val out = TextOps.clusterPairs(pairs).collect()
+      val out = TextOps.clusterPairs(pairs, localMaxEdges = 0).collect()
       assert(out.length == 7)
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(jobs.get() <= 29, s"clusterPairs cost ${jobs.get()} jobs (floor is 27) — " +
@@ -160,7 +184,9 @@ class TextOpsSpec extends SparkSpec {
     // ~900-byte edge frame once per round alone would breach it;
     // re-measure and update on a Spark upgrade.
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L)).toDF("id_a", "id_b")
-    TextOps.clusterPairs(pairs).collect() // warm-up: codegen + broadcast init
+    // localMaxEdges = 0 forces the ITERATIVE path — these pins guard the
+    // distributed loop; the small-graph cutover has its own spec below.
+    TextOps.clusterPairs(pairs, localMaxEdges = 0).collect() // warm-up: codegen + broadcast init
     val bytes = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
@@ -171,7 +197,7 @@ class TextOpsSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     val total = try {
-      TextOps.clusterPairs(pairs).collect()
+      TextOps.clusterPairs(pairs, localMaxEdges = 0).collect()
       // listener delivery is async: settle until the counter stops moving
       var prev = -1L
       var curv = bytes.get()
