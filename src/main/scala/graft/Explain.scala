@@ -21,7 +21,9 @@ object Explain {
     "t17_simhash_neardup", "t18_sequence_packing", "t19_top_ngrams",
     "v5_label_centroids", "m1_multimodal_meta", "m4_frame_sample",
     "r37_bloom_prune_join", "t20_minhash_sql", "r38_range_join",
-    "t22_simhash64_neardup", "r21_approx_distinct", "v6_ivf_neardup")
+    "t22_simhash64_neardup", "r21_approx_distinct", "v6_ivf_neardup",
+    "v7_cosine_topk_sql", "v8_semdedup", "t23_span_dedup",
+    "r39_surrogate_key_scalable")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -485,7 +485,7 @@ object TextQueries {
         sp AS (
           SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
                    THEN list_transform(range(len(toks) - 7),
-                          i -> md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')))
+                          i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 15))::BIGINT)
                    ELSE [] END) AS h
           FROM t),
         idx AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)

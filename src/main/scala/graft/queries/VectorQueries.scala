@@ -397,6 +397,67 @@ object VectorQueries {
         FROM reach GROUP BY src HAVING min(node) < src
         ORDER BY drop_id""")),
 
+    // v9: SQ8 scalar-quantized cosine top-k (the FAISS-SQ8 shape) — the
+    // MEMORY scale path of the family: per-dimension corpus min/max (the
+    // "fit": one linear aggregation, O(dims) on the driver, exact
+    // selection so it replays bit-identically), each component snapped to
+    // one of 256 levels, similarity computed on the DEQUANTIZED doubles
+    // with the same native kernel as v1. At 100 TB the int8 corpus is 4×
+    // smaller than float32 (16× vs the double working set) — the scan
+    // becomes I/O-bound on a quarter of the bytes, and the top-k plan is
+    // v1's: broadcast query side, corpus touched once, no shuffle. The
+    // oracle replays fit, quantize, dequantize, and ranking exactly; the
+    // quantized ranking's agreement with exact v1 is measured in
+    // QualityMetricsSpec, not assumed.
+    Q("v9_sq8_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val st = emb.select(posexplode(col("embedding")).as(Seq("idx", "v")))
+          .groupBy("idx")
+          .agg(min(col("v").cast("double")).as("lo"),
+            max(col("v").cast("double")).as("hi"))
+          .orderBy("idx").collect()
+        val loC = typedLit(st.map(_.getDouble(1)).toIndexedSeq)
+        val hiC = typedLit(st.map(_.getDouble(2)).toIndexedSeq)
+        val dq = transform(sequence(lit(0), lit(63)), i => {
+          val x = element_at(col("embedding"), i + 1).cast("double")
+          val l = element_at(loC, i + 1)
+          val h = element_at(hiC, i + 1)
+          when(h === l, l).otherwise(
+            l + floor((x - l) / (h - l) * lit(255.0) + lit(0.5)) * (h - l) / lit(255.0))
+        })
+        val corp = emb.select(col("vec_id"), dq.as("dq"))
+        val qs = corp.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("dq").as("qv"))
+        VectorOps.bruteForceTopK(qs, corp, 5, qVec = "qv", cVec = "dq")
+          .select(col("qid"), col("rnk").cast("long").as("rnk"),
+            col("vec_id").as("nid"))
+      },
+      Some(s"""
+        WITH st AS (
+          SELECT i.i AS idx,
+                 min(CAST(embedding[i.i + 1] AS DOUBLE)) AS lo,
+                 max(CAST(embedding[i.i + 1] AS DOUBLE)) AS hi
+          FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) i
+          GROUP BY i.i),
+        lh AS (SELECT list(lo ORDER BY idx) AS lo, list(hi ORDER BY idx) AS hi FROM st),
+        dqv AS (
+          SELECT vec_id, list_transform(range(64), i ->
+            CASE WHEN lh.hi[i + 1] = lh.lo[i + 1] THEN lh.lo[i + 1]
+                 ELSE lh.lo[i + 1] + floor((CAST(embedding[i + 1] AS DOUBLE) - lh.lo[i + 1])
+                      / (lh.hi[i + 1] - lh.lo[i + 1]) * 255.0 + 0.5)
+                      * (lh.hi[i + 1] - lh.lo[i + 1]) / 255.0 END) AS dd
+          FROM embeddings CROSS JOIN lh),
+        nrm AS (SELECT vec_id, dd, sqrt(${dDot("dd", "dd")}) AS nn FROM dqv),
+        q AS (SELECT vec_id AS qid, dd AS qd, nn AS qn FROM nrm WHERE vec_id < 10),
+        scored AS (
+          SELECT q.qid, c.vec_id AS nid, ${dDot("q.qd", "c.dd")} / (q.qn * c.nn) AS cos
+          FROM q CROSS JOIN nrm c WHERE c.vec_id != q.qid),
+        ranked AS (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     // v7: v1's cosine top-k reached PURELY through spark.sql — the
     // vector twin of t20/t21's SQL-registry proof: graft_cosine is the
     // same native DotProductD kernel behind the Column↔Expression

@@ -56,15 +56,27 @@ object TextOps {
   def spanDupStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
                    idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // 60-bit integer span hash (top 15 hex digits of md5): the span hash
+    // is the shuffle key of the whole operator, and 8 bytes vs a 32-char
+    // hex string is ~5x less shuffle volume; collisions (~n²/2^60) are
+    // noise for a dup-fraction SIGNAL and both engines hash identically.
     val spans = toks
       .select(col(idCol), explode(wordNgrams(col("__t"), n)).as("__span"))
-      .select(col(idCol), md5(col("__span")).as("__h"))
-    val index = spans.groupBy("__h")
-      .agg(count_distinct(col(idCol)).as("__nd"))
-    spans.join(index, "__h")
+      .select(col(idCol),
+        conv(substring(md5(col("__span")), 1, 15), 16, 10).cast("long").as("__h"))
+    // The span explosion (interpreted n-gram lambda + one md5 per span)
+    // is the dominant cost, so it must run ONCE: fold occurrences to
+    // (hash, doc) in the same shuffle that would build an inverted
+    // index, then a window over the hash counts distinct docs on the
+    // already-reduced frame — two shuffles of the reduced data, no
+    // second scan, no index join-back carrying one row per occurrence.
+    val perDoc = spans.groupBy(col("__h"), col(idCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    perDoc.withColumn("__nd", count(lit(1)).over(w))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("total_spans"),
-        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .agg(sum(col("__c")).as("total_spans"),
+        sum(when(col("__nd") >= 2, col("__c")).otherwise(0L)).as("dup_spans"))
       .select(col(idCol), col("total_spans"), col("dup_spans"),
         floor(col("dup_spans").cast("double") / col("total_spans").cast("double")
           * lit(10000.0) + lit(0.5)).cast("long").as("dup_frac_e4"))
