@@ -496,6 +496,28 @@ object TextQueries {
         FROM sp JOIN idx USING (h)
         GROUP BY sp.doc_id ORDER BY sp.doc_id""")),
 
+    // t24: corpus mixture rebalancing (data mixing) — per-source keep
+    // rates derived so every source downsamples toward the smallest one,
+    // applied with the t7 md5 law; output is the audit table. The rate
+    // pass is a column-pruned count, the sampling pass a broadcast-joined
+    // map-side filter — no corpus shuffle (see TextOps.sourceMix).
+    Q("t24_source_mix",
+      (s, d) => TextOps.sourceMix(Tables.documents(s, d), "source", "doc_id")
+        .orderBy("source"),
+      Some("""
+        WITH c AS (SELECT source, count(*) AS total FROM documents GROUP BY source),
+        m AS (SELECT min(total) AS m FROM c),
+        r AS (SELECT source, total,
+                CAST(floor(CAST(m.m AS DOUBLE) / CAST(total AS DOUBLE) * 1000.0) AS BIGINT) AS keep_pm
+              FROM c CROSS JOIN m),
+        k AS (SELECT d.source, count(*) AS kept
+              FROM documents d JOIN r USING (source)
+              WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 1000
+                    < keep_pm * 65536
+              GROUP BY d.source)
+        SELECT r.source, r.total, r.keep_pm, CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept
+        FROM r LEFT JOIN k USING (source) ORDER BY r.source""")),
+
     // t17: SimHash near-dup pairs, Hamming ≤ 3 on the 32-bit hash via
     // TextOps.pigeonholePairs (4 disjoint 8-bit blocks). ROLE MARKER —
     // t17 is t22's SATURATING-GEOMETRY ORACLE TWIN, not the scale path

@@ -191,6 +191,45 @@ object TextOps {
       .cast("long") * 1000 < lit(permille.toLong * 65536)
   }
 
+  /** Column-rate variant of [[deterministicSample]]: the keep threshold
+    * is a per-row COLUMN (e.g. a per-source rate joined in) under the
+    * same md5 law, so heterogeneous quotas stay replayable.
+    */
+  def deterministicSampleCol(id: Column, permille: Column,
+                             salt: String = "smp"): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long") * 1000 < permille.cast("long") * lit(65536L)
+
+  /** Corpus mixture rebalancing — the "data mixing" curation step: every
+    * group (source/domain/language) is downsampled toward the SMALLEST
+    * group's size by a derived per-group keep-rate (‰, floored), applied
+    * with the deterministic content-hash law, and the result is the
+    * per-group audit (total, rate, kept) a pipeline records next to the
+    * sampled output.
+    *
+    * Scale shape: the rate derivation reads one column of the corpus
+    * (count per group — column-pruned scan, partial agg), the rate table
+    * is group-cardinality-sized and broadcast back, and the sampling
+    * pass is a map-side filter — no corpus shuffle anywhere. Uniform
+    * within-group sampling is the md5 law, so the kept set is
+    * partitioning- and engine-independent.
+    */
+  def sourceMix(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+                idCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("total"))
+    val target = counts.agg(min("total").as("__m"))
+    val rates = counts.crossJoin(broadcast(target))
+      .select(col(groupCol), col("total"),
+        floor(col("__m").cast("double") / col("total").cast("double")
+          * lit(1000.0)).cast("long").as("keep_pm"))
+    val kept = docs.join(broadcast(rates), groupCol)
+      .filter(deterministicSampleCol(col(idCol), col("keep_pm"), "mix"))
+      .groupBy(groupCol).agg(count(lit(1)).as("kept"))
+    rates.join(kept, Seq(groupCol), "left")
+      .select(col(groupCol), col("total"), col("keep_pm"),
+        coalesce(col("kept"), lit(0L)).as("kept"))
+  }
+
   /** Connected components over duplicate-candidate pairs: each vertex ends
     * labeled with the minimum doc id reachable through the pair graph —
     * the canonical representative of its dedup cluster. Each round (1)

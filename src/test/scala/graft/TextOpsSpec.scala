@@ -41,6 +41,21 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(3L) == ((5L, 0L, 0L)))
   }
 
+  test("sourceMix: rates derived toward the smallest group, kept via the md5 law") {
+    val docs = ((1L to 20L).map(i => (i, "big")) ++ (21L to 25L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val out = TextOps.sourceMix(docs, "source", "doc_id").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("small") == ((5L, 1000L, 5L)))   // smallest group: keep everything
+    val (bigTotal, bigPm, bigKept) = out("big")
+    assert(bigTotal == 20L && bigPm == 250L)    // floor(5/20 * 1000)
+    // kept must equal the deterministic law applied directly
+    val expect = docs.filter(col("source") === "big")
+      .filter(TextOps.deterministicSampleCol(col("doc_id"), lit(250L), "mix"))
+      .count()
+    assert(bigKept == expect)
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq(("A  B\tc", 1), ("a b C", 2), ("a b d", 3)).toDF("text", "id")
     val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
