@@ -23,7 +23,8 @@ object Explain {
     "r37_bloom_prune_join", "t20_minhash_sql", "r38_range_join",
     "t22_simhash64_neardup", "r21_approx_distinct", "v6_ivf_neardup",
     "v7_cosine_topk_sql", "v8_semdedup", "t23_span_dedup",
-    "r39_surrogate_key_scalable", "v9_sq8_topk")
+    "r39_surrogate_key_scalable", "v9_sq8_topk", "t24_source_mix",
+    "r40_window_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

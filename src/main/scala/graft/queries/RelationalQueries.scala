@@ -788,6 +788,52 @@ object RelationalQueries {
       Some("""
         SELECT row_number() OVER (ORDER BY o_orderkey) AS order_sk,
                o_orderkey, o_custkey
-        FROM orders ORDER BY order_sk"""))
+        FROM orders ORDER BY order_sk""")),
+
+    // r40: explicit window FRAMES — trailing 4-row moving sum (ROWS
+    // BETWEEN, total order so the frame content is deterministic) and a
+    // peer-inclusive trailing-30-day sum (RANGE BETWEEN over an integer
+    // day number — range frames need no tiebreak because peers are
+    // always all-in). The reference's windows are rank-only (§2.7 "no
+    // frame specs"); this is the analytic-frame surface beyond it. Sums
+    // are exact BIGINT cents; one partition-keyed sort serves both
+    // frames (same partition + compatible order), no extra exchange.
+    Q("r40_window_frames",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), Q.cents(col("o_totalprice")).as("cents"),
+          datediff(col("o_orderdate").cast("date"),
+            to_date(lit("1992-01-01"))).cast("long").as("dayn"))
+        val wRows = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(-3, 0)
+        val wRange = Window.partitionBy("o_custkey").orderBy(col("dayn"))
+          .rangeBetween(-30, 0)
+        o.select(col("o_custkey"), col("o_orderkey"),
+            sum("cents").over(wRows).as("sum4_cents"),
+            count(lit(1)).over(wRows).as("n4"),
+            sum("cents").over(wRange).as("sum30d_cents"),
+            count(lit(1)).over(wRange).as("n30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 ${Q.sqlCents("o_totalprice")} AS cents,
+                 date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dayn
+          FROM orders)
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(cents) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum4_cents,
+               count(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n4,
+               CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY dayn
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum30d_cents,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY dayn
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n30d
+        FROM o ORDER BY o_custkey, o_orderkey"""))
   )
 }

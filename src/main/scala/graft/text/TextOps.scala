@@ -225,7 +225,7 @@ object TextOps {
     val kept = docs.join(broadcast(rates), groupCol)
       .filter(deterministicSampleCol(col(idCol), col("keep_pm"), "mix"))
       .groupBy(groupCol).agg(count(lit(1)).as("kept"))
-    rates.join(kept, Seq(groupCol), "left")
+    rates.join(broadcast(kept), Seq(groupCol), "left")
       .select(col(groupCol), col("total"), col("keep_pm"),
         coalesce(col("kept"), lit(0L)).as("kept"))
   }
