@@ -518,6 +518,31 @@ object TextQueries {
         SELECT r.source, r.total, r.keep_pm, CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept
         FROM r LEFT JOIN k USING (source) ORDER BY r.source""")),
 
+    // t25: benchmark decontamination — the GPT-3 13-gram rule with
+    // src0 standing in as the held-out eval set: training docs (every
+    // other source) sharing any 13-token span with it are flagged with
+    // their distinct-hit count. Semi-join-with-count on 60-bit span
+    // hashes; the benchmark side reduces to distinct hashes first
+    // (broadcast-eligible at real eval-set sizes).
+    Q("t25_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextOps.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 13)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, $tokSql AS toks FROM documents),
+        sp AS (SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 13
+                 THEN list_transform(range(len(toks) - 12),
+                        i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 13), ' ')), 1, 15))::BIGINT)
+                 ELSE [] END) AS h FROM t),
+        b AS (SELECT DISTINCT h FROM sp WHERE source = 'src0'),
+        tr AS (SELECT DISTINCT doc_id, h FROM sp WHERE source != 'src0')
+        SELECT doc_id, count(*) AS n_hits FROM tr JOIN b USING (h)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // t17: SimHash near-dup pairs, Hamming ≤ 3 on the 32-bit hash via
     // TextOps.pigeonholePairs (4 disjoint 8-bit blocks). ROLE MARKER —
     // t17 is t22's SATURATING-GEOMETRY ORACLE TWIN, not the scale path

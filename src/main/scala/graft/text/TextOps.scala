@@ -53,17 +53,22 @@ object TextOps {
     *         with ≥ n tokens; dup_frac_e4 is basis points (exact IEEE
     *         divide + floor, portable across engines)
     */
-  def spanDupStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
-                   idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
-    // 60-bit integer span hash (top 15 hex digits of md5): the span hash
-    // is the shuffle key of the whole operator, and 8 bytes vs a 32-char
-    // hex string is ~5x less shuffle volume; collisions (~n²/2^60) are
-    // noise for a dup-fraction SIGNAL and both engines hash identically.
-    val spans = toks
+  /** (id, span-hash) pairs: every n-token span as a 60-bit integer hash
+    * (top 15 hex digits of md5). The span hash is the shuffle key of
+    * every span-level operator, and 8 bytes vs a 32-char hex string is
+    * ~5x less shuffle volume; collisions (~n²/2^60) are noise for
+    * dup/contamination SIGNALS and both engines hash identically.
+    */
+  def spanHashes(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 idCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), explode(wordNgrams(col("__t"), n)).as("__span"))
       .select(col(idCol),
         conv(substring(md5(col("__span")), 1, 15), 16, 10).cast("long").as("__h"))
+
+  def spanDupStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val spans = spanHashes(docs, textCol, idCol, n)
     // The span explosion (interpreted n-gram lambda + one md5 per span)
     // is the dominant cost, so it must run ONCE: fold occurrences to
     // (hash, doc) in the same shuffle that would build an inverted
@@ -80,6 +85,29 @@ object TextOps {
       .select(col(idCol), col("total_spans"), col("dup_spans"),
         floor(col("dup_spans").cast("double") / col("total_spans").cast("double")
           * lit(10000.0) + lit(0.5)).cast("long").as("dup_frac_e4"))
+  }
+
+  /** Benchmark decontamination (the GPT-3 rule: a training document is
+    * contaminated if it shares any ≥n-token span with the evaluation
+    * set): emits each contaminated training doc with how many DISTINCT
+    * benchmark spans it contains. Downstream either drops the doc or
+    * masks the spans; the hit count is the triage signal.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT span hashes
+    * (eval sets are corpus-tiny, so the join side Spark sees is small —
+    * broadcast-eligible), the training side streams through one
+    * hash-keyed semi-join-with-count, shuffle O(train spans) worst case
+    * and zero when the benchmark side broadcasts. No pairwise step.
+    */
+  def decontaminate(train: org.apache.spark.sql.DataFrame,
+                    bench: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val benchSpans = spanHashes(bench, textCol, idCol, n)
+      .select(col("__h")).distinct()
+    spanHashes(train, textCol, idCol, n).distinct()
+      .join(benchSpans, "__h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   /** One MinHash component: min over the shingle set of md5(seed‖shingle).

@@ -41,6 +41,18 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(3L) == ((5L, 0L, 0L)))
   }
 
+  test("decontaminate: flags only train docs sharing a full n-token span") {
+    val bench = Seq((100L, "a b c d e suffix-b")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x a b c d e y"),     // contains bench span "a b c d e"
+      (2L, "a b c z d e"),       // shares words but no 5-token span
+      (3L, "p q")                // too short for any span
+    ).toDF("doc_id", "text")
+    val out = TextOps.decontaminate(train, bench, "text", "doc_id", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L))
+  }
+
   test("sourceMix: rates derived toward the smallest group, kept via the md5 law") {
     val docs = ((1L to 20L).map(i => (i, "big")) ++ (21L to 25L).map(i => (i, "small")))
       .toDF("doc_id", "source")
