@@ -495,6 +495,58 @@ object VectorQueries {
           FROM scored)
         SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
+    // v10: 1-BIT binarized Hamming top-k — the compression extreme of
+    // the family (v1 float64 work set → v9 int8 → v10 one bit/dim, 32×
+    // smaller than float32): each vector becomes two 32-bit sign masks
+    // (two BIGINTs rather than one 64-bit word because DuckDB BIGINT
+    // overflow errors at bit 63 — packing must replay in the oracle),
+    // similarity is popcount(xor) — integer-only, codegen'd bit_count,
+    // no floating point anywhere in the hot loop. Rank by (hamming asc,
+    // nid asc); agreement with exact cosine is measured in
+    // QualityMetricsSpec like the other approximate paths.
+    Q("v10_bitpack_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        def mask(lo: Int): org.apache.spark.sql.Column =
+          (0 until 32).map { j =>
+            when(element_at(col("embedding"), lo + j + 1).cast("double") > 0.0,
+              lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        val packed = emb.select(col("vec_id"),
+          mask(0).as("b_lo"), mask(32).as("b_hi"))
+        val q = packed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
+        val scored = broadcast(q).join(packed, col("qid") =!= col("vec_id"))
+          .withColumn("ham",
+            (bit_count(col("q_lo").bitwiseXOR(col("b_lo"))) +
+              bit_count(col("q_hi").bitwiseXOR(col("b_hi")))).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"),
+            col("vec_id").as("nid"), col("ham"))
+      },
+      Some(s"""
+        WITH packed AS (
+          SELECT vec_id,
+            list_reduce(list_prepend(0::BIGINT, list_transform(range(32), j ->
+              CASE WHEN CAST(embedding[j + 1] AS DOUBLE) > 0.0
+                   THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (a, x) -> a + x) AS b_lo,
+            list_reduce(list_prepend(0::BIGINT, list_transform(range(32), j ->
+              CASE WHEN CAST(embedding[32 + j + 1] AS DOUBLE) > 0.0
+                   THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (a, x) -> a + x) AS b_hi
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, b_lo AS q_lo, b_hi AS q_hi FROM packed WHERE vec_id < 10),
+        scored AS (
+          SELECT q.qid, p.vec_id AS nid,
+                 CAST(bit_count(xor(q.q_lo, p.b_lo)) + bit_count(xor(q.q_hi, p.b_hi)) AS BIGINT) AS ham
+          FROM q CROSS JOIN packed p WHERE p.vec_id != q.qid),
+        ranked AS (
+          SELECT qid, nid, ham, row_number() OVER (PARTITION BY qid ORDER BY ham ASC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, rnk, nid, ham FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     // v3: LSH-bucketed approximate top-k (scale path). Fully
     // oracle-checked: the hyperplane coefficients are deterministic
     // (md5 high bit per (plane, dim)), the projections reduce
