@@ -51,19 +51,22 @@ class BenchSpec extends AnyFunSuite {
     assert(qs != null && qs.size() == SparkEntry.queries.size)
   }
 
-  test("per-query detail survives at 90 queries (short-key tier)") {
+  test("per-query detail survives past 100 queries (short-key tier)") {
     // The real gate plus synthetic x-family queries, gate-style names:
     // detail must survive the budget via one of the compression tiers,
-    // not collapse to the totals-only summary.
-    val extra = quiet((1 to (90 - SparkEntry.queries.size))
+    // not collapse to the totals-only summary. Padded relative to the
+    // CURRENT gate so the margin holds as the gate keeps growing.
+    val target = SparkEntry.queries.size + 10
+    val extra = quiet((1 to (target - SparkEntry.queries.size))
       .map(i => f"x$i%d_synthetic_gate_growth"))
-    val ninety = fakeResults ++ extra
-    assert(ninety.size == 90)
-    val line = Bench.renderFinal(ninety, "/root/testdata/sf0.1")
+    val grown = fakeResults ++ extra
+    assert(grown.size == target)
+    val line = Bench.renderFinal(grown, "/root/testdata/sf0.1")
     assert(line.length <= Bench.FinalLineBudget)
     val node = mapper.readTree(line)
     val qs = node.get("queries")
-    assert(qs != null && qs.size() == 90, "per-query detail was dropped at 90 queries")
+    assert(qs != null && qs.size() == target,
+      s"per-query detail was dropped at $target queries")
     // short-key tier must be self-describing and collision-free
     if (node.get("keys") != null && node.get("keys").asText() == "short") {
       assert(qs.has("e1") || qs.has(Bench.shortKey(fakeResults.keys.head)))
