@@ -835,5 +835,30 @@ object RelationalQueries {
                count(*) OVER (PARTITION BY o_custkey ORDER BY dayn
                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n30d
         FROM o ORDER BY o_custkey, o_orderkey"""))
+  ,
+
+    // r41: GROUPING SETS — the third grouping-extension surface next to
+    // CUBE (r6) and ROLLUP (r16), via the Dataset groupingSets API. One
+    // Expand + one hash agg, same physical shape as cube; grouping()
+    // flags disambiguate aggregate NULLs from data NULLs (the r6
+    // convention — no engine-specific grouping_id bit order to match).
+    Q("r41_grouping_sets",
+      (s, d) => Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(Q.cents(col("o_totalprice"))).as("total_cents"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio")),
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               CAST(sum(${Q.sqlCents("o_totalprice")}) AS BIGINT) AS total_cents,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio,
+                 o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
   )
 }

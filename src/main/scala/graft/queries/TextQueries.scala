@@ -776,6 +776,130 @@ object TextQueries {
         WHERE ('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 1000
               < 500 * 65536
           AND len(toks) >= 5
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // t26: corpus-rarity quality bucketing — the CCNet-style
+    // head/middle/tail split, expressed without floating logs so the
+    // cross-engine hash stays exact: instead of a unigram-LM perplexity
+    // (whose ln() last-ulp differs between libm and the JVM), each doc is
+    // scored by (a) the fraction of its tokens OUTSIDE the top-16 corpus
+    // vocabulary and (b) its mean corpus token count — both ratios of
+    // exact integer sums, fixed-point-scaled with identical IEEE ops in
+    // both engines. Shape: one token-level shuffle agg builds the vocab,
+    // the corpus→vocab equijoin is the standard big-big shuffle (vocab is
+    // O(|V|), not O(corpus)), the top-K common set is broadcast. At
+    // 100 TB nothing here is all-pairs; the vocab agg is map-side
+    // partial-combined.
+    Q("t26_rarity_quality",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val top16 = vocab.orderBy(col("cnt").desc, col("tok").asc).limit(16)
+          .select(col("tok"), lit(1L).as("is_common"))
+        toks.join(vocab, "tok")
+          .join(broadcast(top16), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("cnt")).as("sum_cnt"),
+            sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
+          .select(col("doc_id"), col("n_tokens"), col("sum_cnt"),
+            floor((col("n_tokens") - col("n_common")) * lit(10000.0)
+              / col("n_tokens") + lit(0.5)).cast("long").as("oov_frac_e4"),
+            floor(col("sum_cnt") * lit(100.0) / col("n_tokens") + lit(0.5))
+              .cast("long").as("mean_cnt_e2"))
+          .withColumn("bucket",
+            when(col("oov_frac_e4") <= 4600, "head")
+              .when(col("oov_frac_e4") <= 5000, "middle")
+              .otherwise("tail"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+        v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        top AS (SELECT tok FROM v ORDER BY cnt DESC, tok ASC LIMIT 16),
+        j AS (
+          SELECT t.doc_id, v.cnt,
+                 CASE WHEN top.tok IS NOT NULL THEN 1 ELSE 0 END AS is_common
+          FROM t JOIN v USING (tok) LEFT JOIN top USING (tok)),
+        a AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+                 CAST(sum(is_common) AS BIGINT) AS n_common
+          FROM j GROUP BY doc_id),
+        f AS (
+          SELECT doc_id, n_tokens, sum_cnt,
+                 CAST(floor((n_tokens - n_common) * 10000.0 / n_tokens + 0.5) AS BIGINT) AS oov_frac_e4,
+                 CAST(floor(sum_cnt * 100.0 / n_tokens + 0.5) AS BIGINT) AS mean_cnt_e2
+          FROM a)
+        SELECT doc_id, n_tokens, sum_cnt, oov_frac_e4, mean_cnt_e2,
+               CASE WHEN oov_frac_e4 <= 4600 THEN 'head'
+                    WHEN oov_frac_e4 <= 5000 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM f ORDER BY doc_id""")),
+
+    // t27: TF-IDF keyword extraction — top-1 distinctive token per doc,
+    // scored tf·1e6/df in exact fixed point (floor of one IEEE division
+    // of exact ints; no ln(), see t26). tf/df are two shuffle aggs; the
+    // df side is O(|V|) so AQE broadcasts it at gate scale and it stays
+    // an equijoin (never all-pairs) at any scale; top-1 is a per-doc
+    // row_number window over the doc's own tokens (bounded partitions).
+    Q("t27_tfidf_keyword",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+        tf.join(dfreq, "tok")
+          .withColumn("score", floor(col("tf") * lit(1000000.0) / col("df")).cast("long"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("doc_id"), col("tok").as("keyword"),
+            col("tf"), col("df"), col("score"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        sc AS (
+          SELECT doc_id, tok, tf.tf, df.df,
+                 CAST(floor(tf.tf * 1000000.0 / df.df) AS BIGINT) AS score
+          FROM tf JOIN df USING (tok)),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, tok ASC) AS rnk
+          FROM sc)
+        SELECT doc_id, tok AS keyword, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, score
+        FROM r WHERE rnk = 1 ORDER BY doc_id""")),
+
+    // s3: the streaming module's time-bounded attribution join run on
+    // batch input (the exact code path two readStream inputs take; the
+    // watermarks are no-ops in batch). Pairs each 'view' with same-user
+    // 'click's within 1 hour. StreamingSpec pins MemoryStream ==
+    // batch-twin equality for the streaming path.
+    Q("s3_attribution_join",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        graft.streaming.EventStreams.attributionJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          windowSec = 3600)
+      },
+      Some("""
+        WITH v AS (
+          SELECT event_id AS imp_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'view'),
+        c AS (
+          SELECT event_id AS conv_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'click')
+        SELECT v.user_id, imp_id, conv_id,
+               CAST(c.ts_us - v.ts_us AS BIGINT) AS delay_us
+        FROM v JOIN c
+          ON v.user_id = c.user_id
+         AND c.ts_us >= v.ts_us
+         AND c.ts_us <= v.ts_us + 3600000000
+        ORDER BY v.user_id, imp_id, conv_id"""))
   )
 }

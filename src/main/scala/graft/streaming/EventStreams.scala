@@ -90,6 +90,41 @@ object EventStreams {
       }
   }
 
+  /** Time-bounded attribution join — the stream-stream join surface
+    * (SURVEY.md §2.8; the reference pipeline has no streaming at all).
+    * Pairs each impression with every conversion by the same user whose
+    * event time falls in `[imp_ts, imp_ts + windowSec]`.
+    *
+    * Inputs need `event_id`, `user_id`, `ts_us` (epoch micros). On
+    * streaming frames both sides get a watermark and the join carries an
+    * event-time range constraint, so Spark can expire join state past
+    * `lateness + windowSec` — state is O(events per horizon), never
+    * O(stream). On batch frames the same code is a plain hash equijoin
+    * on `user_id` with a residual time filter (the equi-key bounds the
+    * pair blow-up; no all-pairs step), which is what the s3 gate query
+    * hash-matches against DuckDB.
+    */
+  def attributionJoin(imps: DataFrame, convs: DataFrame,
+                      windowSec: Long = 3600,
+                      lateness: String = "1 hour"): DataFrame = {
+    def prep(df: DataFrame, side: String): DataFrame = {
+      val withTs = df.select(
+        col("event_id").as(s"${side}_id"),
+        col("user_id").as(s"${side}_user"),
+        col("ts_us").as(s"${side}_us"),
+        timestamp_micros(col("ts_us")).as(s"${side}_ts"))
+      if (df.isStreaming) withTs.withWatermark(s"${side}_ts", lateness) else withTs
+    }
+    val i = prep(imps, "imp")
+    val c = prep(convs, "conv")
+    i.join(c,
+        col("imp_user") === col("conv_user") &&
+          col("conv_ts") >= col("imp_ts") &&
+          col("conv_ts") <= col("imp_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("imp_user").as("user_id"), col("imp_id"), col("conv_id"),
+        (col("conv_us") - col("imp_us")).as("delay_us"))
+  }
+
   /** Batch flush helper for tests/backfills: sessionize a bounded
     * dataset, emitting ALL sessions including still-open ones (batch
     * flatMapGroupsWithState never times out, so open sessions would

@@ -312,4 +312,34 @@ class StreamingSpec extends SparkSpec {
       .select("k", "version", "payload", "part").collect().map(_.toSeq).toSet
     assert(afterReplay == got, "batch replay was not idempotent")
   }
+
+  test("attributionJoin: two MemoryStreams match the batch twin") {
+    implicit val sq = spark.sqlContext
+    // user 1: views at t=100 and t=5000; clicks at 200 (inside w1),
+    // 4100 (outside w1 [100,3700], inside w2) and 90 (before both).
+    // user 2: view at 100, click only for user 1 → no pairs.
+    val views = Seq(ev(10, 100, 1, "view"), ev(11, 5000, 1, "view"),
+      ev(12, 100, 2, "view"))
+    val clicks = Seq(ev(20, 200, 1), ev(21, 4100, 1), ev(22, 90, 1))
+    val memV = MemoryStream[Event]
+    val memC = MemoryStream[Event]
+    memV.addData(views: _*)
+    memC.addData(clicks: _*)
+    val q = EventStreams.attributionJoin(memV.toDF(), memC.toDF(),
+        windowSec = 3600, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "imp_id", "conv_id", "delay_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = rows(spark.table("attr_out"))
+    val batch = rows(EventStreams.attributionJoin(
+      views.toDF(), clicks.toDF(), windowSec = 3600))
+    assert(streamed == batch)
+    // (view 10, click 20) Δ=100s is the only pair: click 21 is 4000s
+    // after view 10 (> 3600s) and 900s BEFORE view 11; click 22 precedes
+    // everything; user 2 has no clicks.
+    assert(streamed == Set((1L, 10L, 20L, 100L * us)))
+  }
 }
