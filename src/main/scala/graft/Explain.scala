@@ -24,7 +24,9 @@ object Explain {
     "t22_simhash64_neardup", "r21_approx_distinct", "v6_ivf_neardup",
     "v7_cosine_topk_sql", "v8_semdedup", "t23_span_dedup",
     "r39_surrogate_key_scalable", "v9_sq8_topk", "t24_source_mix",
-    "r40_window_frames", "t25_decontaminate", "v10_bitpack_topk")
+    "r40_window_frames", "t25_decontaminate", "v10_bitpack_topk",
+    "r41_grouping_sets", "t26_rarity_quality", "t27_tfidf_keyword",
+    "s3_attribution_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

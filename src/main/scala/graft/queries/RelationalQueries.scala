@@ -859,6 +859,74 @@ object RelationalQueries {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY g_status, g_prio,
-                 o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+                 o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // r42: UNPIVOT (wide→long melt) — the inverse of r17/r27's pivots,
+    // via the Dataset unpivot API. The wide input is a 3-row aggregate,
+    // so the melt itself is O(rows × measures) on already-reduced data —
+    // at 100 TB the heavy lifting stays in the map-side-combined agg.
+    Q("r42_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum(cents(col("l_extendedprice"))).as("extendedprice_cents"),
+          sum(cents(col("l_discount"))).as("discount_cents"),
+          sum(cents(col("l_tax"))).as("tax_cents"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("extendedprice_cents"), col("discount_cents"), col("tax_cents")),
+          "measure", "value_cents"),
+      Some(s"""
+        WITH w AS (
+          SELECT l_returnflag,
+                 CAST(sum(${sqlCents("l_extendedprice")}) AS BIGINT) AS extendedprice_cents,
+                 CAST(sum(${sqlCents("l_discount")}) AS BIGINT) AS discount_cents,
+                 CAST(sum(${sqlCents("l_tax")}) AS BIGINT) AS tax_cents
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT * FROM w
+        UNPIVOT (value_cents FOR measure IN (extendedprice_cents, discount_cents, tax_cents))
+        ORDER BY l_returnflag, measure""")),
+
+    // r43: the TPC-H Q5 shape — six-table join with the nation-alignment
+    // trick (supplier must share the customer's nation), the canonical
+    // join-composition benchmark. Plan shape at scale: customer⋈orders
+    // and orders⋈lineitem are key-partitioned shuffles; supplier, nation,
+    // region are dim-sized and broadcast, so the nation-alignment
+    // predicate rides the broadcast join instead of forcing another
+    // exchange. Revenue is one IEEE multiply per row floored to exact
+    // cents, then an exact BIGINT sum.
+    Q("r43_regional_volume",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        val l = Tables.lineitem(s, d)
+        val sup = broadcast(Tables.supplier(s, d))
+        val n = broadcast(Tables.nation(s, d))
+        val r = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_cents"),
+            count(lit(1)).as("n_lineitems"))
+      },
+      Some(s"""
+        SELECT n_name,
+               CAST(sum(${sqlCents("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_cents,
+               count(*) AS n_lineitems
+        FROM customer c
+        JOIN orders o ON c_custkey = o_custkey
+        JOIN lineitem l ON l_orderkey = o_orderkey
+        JOIN supplier s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation n ON c_nationkey = n_nationkey
+        JOIN region r ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY n_name"""))
   )
 }
