@@ -927,6 +927,26 @@ object RelationalQueries {
         WHERE r_name = 'ASIA'
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
-        GROUP BY n_name ORDER BY n_name"""))
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // r44: skew-salted join, oracle-pinned — Scale.saltedJoin fans the
+    // small side out over `salt` replicas and scatters the big side's
+    // hot keys across them, so one skewed key spreads over `salt` tasks
+    // instead of straggling on one. The point of the gate row: the oracle
+    // is a PLAIN join, proving salting is physical-only (same rows out,
+    // any salt, any partitioning). ScaleSpec pins the fan-out mechanics.
+    Q("r44_salted_join",
+      (s, d) => graft.operators.Scale.saltedJoin(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_suppkey").as("suppkey"),
+            cents(col("l_extendedprice")).as("price_cents")),
+          Tables.supplier(s, d).select(col("s_suppkey").as("suppkey"), col("s_name")),
+          keys = Seq("suppkey"), salt = 8)
+        .select("l_orderkey", "l_linenumber", "suppkey", "s_name", "price_cents"),
+      Some(s"""
+        SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name,
+               ${sqlCents("l_extendedprice")} AS price_cents
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY l_orderkey, l_linenumber"""))
   )
 }

@@ -874,6 +874,44 @@ object TextQueries {
                CAST(df AS BIGINT) AS df, score
         FROM r WHERE rnk = 1 ORDER BY doc_id""")),
 
+    // t28: count-min-sketch heavy hitters — the sketch twin of the exact
+    // t19 top-ngrams (the r20↔r21 exact↔sketch pattern): a 4×1024
+    // fixed-memory mergeable sketch built in one map-side-combined agg,
+    // point-estimated for every vocab token and compared against the
+    // exact counts IN the hash-matched contract (est ≥ true always;
+    // overcount is the collision cost made visible). At 100 TB the
+    // sketch is the only option for streaming/windowed heavy hitters —
+    // the exact path needs a full-vocab shuffle per window.
+    Q("t28_cms_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        val sketch = TextOps.countMinSketch(toks, "tok", depth = 4, width = 1024)
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        TextOps.cmsEstimate(sketch, exact, "tok", depth = 4, width = 1024)
+          .join(exact, "tok")
+          .select(col("tok"), col("true_cnt"), col("est_cnt"),
+            (col("est_cnt") - col("true_cnt")).as("overcount"))
+      },
+      Some(s"""
+        WITH t AS (SELECT unnest($tokSql) AS tok FROM documents),
+        rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        cells AS (
+          SELECT tok, r,
+                 ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || tok), 1, 8))::BIGINT % 1024 AS cell
+          FROM t CROSS JOIN rows_),
+        sketch AS (SELECT r, cell, count(*) AS cnt FROM cells GROUP BY r, cell),
+        exact AS (SELECT tok, count(*) AS true_cnt FROM t GROUP BY tok),
+        cand AS (
+          SELECT tok, r,
+                 ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || tok), 1, 8))::BIGINT % 1024 AS cell
+          FROM exact CROSS JOIN rows_),
+        est AS (
+          SELECT cand.tok, CAST(min(cnt) AS BIGINT) AS est_cnt
+          FROM cand JOIN sketch USING (r, cell) GROUP BY cand.tok)
+        SELECT e.tok, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+        FROM exact e JOIN est ON e.tok = est.tok ORDER BY e.tok""")),
+
     // s3: the streaming module's time-bounded attribution join run on
     // batch input (the exact code path two readStream inputs take; the
     // watermarks are no-ops in batch). Pairs each 'view' with same-user

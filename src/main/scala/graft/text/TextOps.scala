@@ -258,6 +258,50 @@ object TextOps {
         coalesce(col("kept"), lit(0L)).as("kept"))
   }
 
+  /** Count–min sketch over a token column: `depth` md5-derived hash rows
+    * × `width` counters, returned as sparse `(r, cell, cnt)` rows. The
+    * sketch is (1) DETERMINISTIC — cell indices are content hashes, so
+    * the same corpus gives the same sketch on any engine/partitioning
+    * (the t28 oracle re-derives it in DuckDB and hash-matches); (2)
+    * MERGEABLE — cells are plain sums, so partial sketches from
+    * partitions, days, or streams merge by addition in any order; (3)
+    * FIXED MEMORY — depth×width counters regardless of corpus size,
+    * which is the 100 TB story: the exact t19 top-k needs a full-vocab
+    * shuffle, the sketch needs one map-side-combined agg into ≤
+    * depth×width cells.
+    */
+  def countMinSketch(toks: org.apache.spark.sql.DataFrame, tokCol: String,
+                     depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
+    toks
+      .select(posexplode(array((0 until depth).map(r => cmsCell(col(tokCol), r, width)): _*))
+        .as(Seq("r", "cell")))
+      .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point estimate for each candidate token: min over the sketch's
+    * `depth` counters at the token's cells. Always ≥ the true count
+    * (cells only ever over-count). The sketch side is ≤ depth×width rows
+    * and is broadcast; candidates can be any frame with `tokCol`.
+    */
+  def cmsEstimate(sketch: org.apache.spark.sql.DataFrame,
+                  candidates: org.apache.spark.sql.DataFrame, tokCol: String,
+                  depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
+    candidates
+      .select(col(tokCol),
+        posexplode(array((0 until depth).map(r => cmsCell(col(tokCol), r, width)): _*))
+          .as(Seq("r", "cell")))
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy(tokCol).agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  /** Row-`r` CMS cell index: first 8 md5 hex chars of `"cms<r>" + tok`
+    * mod width — the same md5 law every deterministic operator here uses,
+    * so DuckDB replays it exactly.
+    */
+  private def cmsCell(tok: Column, r: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"cms$r"), tok)), 1, 8), 16, 10)
+      .cast("long") % width
+
   /** Connected components over duplicate-candidate pairs: each vertex ends
     * labeled with the minimum doc id reachable through the pair graph —
     * the canonical representative of its dedup cluster. Each round (1)

@@ -335,4 +335,31 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.langIdHeuristic(TextOps.tokens(col("text")))).head().getString(0)
     assert(zz == "unk")
   }
+
+  test("countMinSketch: estimates never undercount, and collisions overcount") {
+    // 200 distinct tokens into a deliberately tiny 2x16 sketch: collisions
+    // are guaranteed, so some estimate must strictly overcount.
+    val toks = (0 until 400).map(i => s"tok${i % 200}").toDF("tok")
+    val sketch = TextOps.countMinSketch(toks, "tok", depth = 2, width = 16)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+    val est = TextOps.cmsEstimate(sketch, exact, "tok", depth = 2, width = 16)
+      .join(exact, "tok")
+      .select(col("tok"), col("true_cnt"), col("est_cnt")).collect()
+    assert(est.length == 200)
+    assert(est.forall(r => r.getLong(2) >= r.getLong(1)), "CMS undercounted")
+    assert(est.exists(r => r.getLong(2) > r.getLong(1)),
+      "2x16 cells for 200 tokens must collide somewhere")
+  }
+
+  test("countMinSketch: partial sketches merge by cell addition") {
+    val a = Seq("x", "y", "x").toDF("tok")
+    val b = Seq("x", "z").toDF("tok")
+    val whole = TextOps.countMinSketch(a.union(b), "tok", depth = 4, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = TextOps.countMinSketch(a, "tok", depth = 4, width = 64)
+      .union(TextOps.countMinSketch(b, "tok", depth = 4, width = 64))
+      .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole == merged, "sum-merge of partial sketches != whole-corpus sketch")
+  }
 }
