@@ -16,8 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    // conf-gated (spark.graft.rangeJoin.binWidth); a no-op until set
+    ext.injectOptimizerRule(graft.plans.BinnedRangeJoinRule(_))
+  }
 }
 
 object GraftExtensions {

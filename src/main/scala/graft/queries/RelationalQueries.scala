@@ -947,6 +947,47 @@ object RelationalQueries {
         SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name,
                ${sqlCents("l_extendedprice")} AS price_cents
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // r45: r38's interval join written as the NAIVE inequality join a
+    // user would type — Catalyst's native plan is a nested loop — and
+    // rewritten to the binned equijoin transparently by the conf-gated
+    // [[graft.plans.BinnedRangeJoinRule]] (injected via
+    // experimental.extraOptimizations here; GraftExtensions injects the
+    // same rule at session build). The rewrite keeps the original
+    // condition as a residual, so this hash-matches r38's oracle
+    // verbatim; ExtensionsSpec pins plan shape, result equality, and the
+    // max-bins loud-failure guard. localCheckpoint materializes while
+    // the width conf is armed (plans are lazy; the conf is unset before
+    // returning so no other gate query is affected).
+    Q("r45_range_join_rule",
+      (s, d) => {
+        import graft.plans.BinnedRangeJoinRule
+        if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[BinnedRangeJoinRule]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ BinnedRangeJoinRule(s)
+        val ev = Tables.events(s, d)
+        val points = ev.select(expr("ts div 1000").as("p_us"), col("value"))
+        val intervals = ev
+          .filter(col("event_type") === "signup" && col("user_id") % 50 === 0)
+          .select(col("event_id").as("sg_id"), expr("ts div 1000").as("lo"),
+            (expr("ts div 1000") + lit(3600000000L)).as("hi"))
+        s.conf.set(BinnedRangeJoinRule.WidthConf, "600000000")
+        try {
+          points.join(intervals, col("p_us") >= col("lo") && col("p_us") < col("hi"))
+            .groupBy("sg_id")
+            .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+            .localCheckpoint(true)
+        } finally s.conf.unset(BinnedRangeJoinRule.WidthConf)
+      },
+      Some(s"""
+        WITH sg AS (
+          SELECT event_id AS sg_id, epoch_us(ts) AS lo,
+                 epoch_us(ts) + 3600000000 AS hi
+          FROM events WHERE event_type = 'signup' AND user_id % 50 = 0)
+        SELECT sg_id, count(*) AS n_events,
+               CAST(sum(${sqlCents("e.value")}) AS BIGINT) AS value_cents
+        FROM events e JOIN sg ON epoch_us(e.ts) >= sg.lo AND epoch_us(e.ts) < sg.hi
+        GROUP BY sg_id ORDER BY sg_id"""))
   )
 }

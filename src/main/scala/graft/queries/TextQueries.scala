@@ -896,12 +896,12 @@ object TextQueries {
       Some(s"""
         WITH t AS (SELECT unnest($tokSql) AS tok FROM documents),
         rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
-        cells AS (
-          SELECT tok, r,
-                 ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || tok), 1, 8))::BIGINT % 1024 AS cell
-          FROM t CROSS JOIN rows_),
-        sketch AS (SELECT r, cell, count(*) AS cnt FROM cells GROUP BY r, cell),
         exact AS (SELECT tok, count(*) AS true_cnt FROM t GROUP BY tok),
+        cells AS (
+          SELECT tok, true_cnt, r,
+                 ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || tok), 1, 8))::BIGINT % 1024 AS cell
+          FROM exact CROSS JOIN rows_),
+        sketch AS (SELECT r, cell, CAST(sum(true_cnt) AS BIGINT) AS cnt FROM cells GROUP BY r, cell),
         cand AS (
           SELECT tok, r,
                  ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || tok), 1, 8))::BIGINT % 1024 AS cell
@@ -911,6 +911,57 @@ object TextQueries {
           FROM cand JOIN sketch USING (r, cell) GROUP BY cand.tok)
         SELECT e.tok, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
         FROM exact e JOIN est ON e.tok = est.tok ORDER BY e.tok""")),
+
+    // t29: bigram language-model table — the KenLM-style counting
+    // primitive: c(w1,w2) and c(w1·) from one n-gram explode, conditional
+    // probability in exact fixed point (floor(c12·1e6/c1) — one IEEE
+    // division of exact ints, no logs), and the argmax next-word per
+    // left-context. Shape: the bigram agg is map-side combined into
+    // O(|V|²)-bounded groups; the context-marginal c1 comes from
+    // re-aggregating the BIGRAM table (O(|V|²) rows, not the corpus);
+    // top-1 is a window over per-context groups. At 100 TB this is the
+    // standard distributed n-gram-LM count pipeline (prune/backoff would
+    // filter the same tables).
+    Q("t29_bigram_lm",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(TextOps.tokens(col("text")).as("t"))
+          .select(explode(TextOps.wordNgrams(col("t"), 2)).as("gram"))
+          .select(substring_index(col("gram"), " ", 1).as("w1"),
+            substring_index(col("gram"), " ", -1).as("w2"))
+        val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("w1").orderBy(col("p_e6").desc, col("w2").asc)
+        big.join(ctx, "w1")
+          .withColumn("p_e6", floor(col("c12") * lit(1000000.0) / col("c1")).cast("long"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("w1"), col("w2").as("next_word"), col("c12"), col("c1"), col("p_e6"))
+      },
+      Some(s"""
+        WITH t AS (SELECT $tokSql AS toks FROM documents),
+        g AS (
+          SELECT unnest(CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(len(toks) - 1),
+                          i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+                   ELSE [] END) AS gram
+          FROM t),
+        b AS (
+          SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+                 count(*) AS c12
+          FROM g GROUP BY 1, 2),
+        c AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM b GROUP BY w1),
+        p AS (
+          SELECT b.w1, b.w2, b.c12, c.c1,
+                 CAST(floor(b.c12 * 1000000.0 / c.c1) AS BIGINT) AS p_e6
+          FROM b JOIN c USING (w1)),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY w1
+                    ORDER BY p_e6 DESC, w2 ASC) AS rnk
+          FROM p)
+        SELECT w1, w2 AS next_word, c12, c1, p_e6
+        FROM r WHERE rnk = 1 ORDER BY w1""")),
 
     // s3: the streaming module's time-bounded attribution join run on
     // batch input (the exact code path two readStream inputs take; the

@@ -130,4 +130,43 @@ class ExtensionsSpec extends SparkSpec {
       ArrayData.toArrayData(Array(UTF8String.fromString("a"), UTF8String.fromString("b"))),
       UTF8String.fromString("s0")))
   }
+
+  test("BinnedRangeJoinRule: range join becomes an equijoin, same rows, loud guard") {
+    import graft.plans.BinnedRangeJoinRule
+    import org.apache.spark.sql.functions._
+    val sq = spark
+    import sq.implicits._
+    // negative points included: truncating div is monotone, so binning
+    // stays correct below zero as long as BOTH sides use the same formula
+    val points = (-100L until 2000L).map(i => (i, i % 7)).toDF("p", "v")
+    val ivs = Seq((1L, 100L, 160L), (2L, 500L, 900L), (3L, 1990L, 2050L),
+      (4L, -80L, -20L)).toDF("id", "lo", "hi")
+    def q = points.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("id", "p", "v")
+    val plain = q.collect().map(_.toSeq).toSet
+    assert(plain.size == 60 + 400 + 10 + 60)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[BinnedRangeJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BinnedRangeJoinRule(spark)
+    spark.conf.set(BinnedRangeJoinRule.WidthConf, "64")
+    try {
+      val df = q
+      val got = df.collect().map(_.toSeq).toSet
+      assert(got == plain, "rewrite changed the join's rows")
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"rule did not remove the nested loop:\n$s")
+      assert(s.contains("Generate"), s"expected the bin explode in:\n$s")
+      // an interval spanning >= maxBins bins must raise, not explode
+      spark.conf.set(BinnedRangeJoinRule.MaxBinsConf, "4")
+      val err = intercept[Exception] { q.collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("graft.rangeJoinRule")),
+        s"guard raised the wrong error: ${messages(err).mkString(" | ")}")
+    } finally {
+      spark.conf.unset(BinnedRangeJoinRule.WidthConf)
+      spark.conf.unset(BinnedRangeJoinRule.MaxBinsConf)
+    }
+  }
 }

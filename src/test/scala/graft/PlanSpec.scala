@@ -85,4 +85,27 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // codegen'd stages print as "*(n)" in the physical plan
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
+
+  test("r43 Q5-shape keeps supplier/nation/region broadcast — no SMJ on dims") {
+    val q = RelationalQueries.all.find(_.name == "r43_regional_volume").get
+    val s = executed(q.run(spark, sf001)).toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast dim joins in:\n${s.take(2000)}")
+    // the two fact-side equijoins (cust⟗orders, orders⟗lineitem) may be
+    // SMJ or shuffled-hash at scale; the three dim joins must never be.
+    val smjCount = "SortMergeJoin".r.findAllIn(s).length
+    assert(smjCount <= 2, s"a dimension join degraded to SMJ ($smjCount total):\n${s.take(2000)}")
+  }
+
+  test("t26 joins the top-16 common set broadcast, never shuffling the corpus for it") {
+    val q = graft.queries.TextQueries.all.find(_.name == "t26_rarity_quality").get
+    val s = executed(q.run(spark, sf001)).toString
+    assert(s.contains("BroadcastHashJoin"), s"top-16 set must broadcast:\n${s.take(2000)}")
+  }
+
+  test("s3 attribution join is a single equijoin on user_id with a residual time filter") {
+    val q = graft.queries.TextQueries.all.find(_.name == "s3_attribution_join").get
+    val s = executed(q.run(spark, sf001)).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"attribution join must stay an equijoin:\n${s.take(2000)}")
+  }
 }
