@@ -26,7 +26,12 @@ object Explain {
     "r39_surrogate_key_scalable", "v9_sq8_topk", "t24_source_mix",
     "r40_window_frames", "t25_decontaminate", "v10_bitpack_topk",
     "r41_grouping_sets", "t26_rarity_quality", "t27_tfidf_keyword",
-    "s3_attribution_join")
+    "s3_attribution_join", "t28_cms_heavy_hitters", "t29_bigram_lm",
+    "r43_regional_volume")
+  // r45_range_join_rule is deliberately absent: its gate query returns a
+  // localCheckpoint (materialized while the rule's conf is armed), so its
+  // explain is just the checkpoint scan — the rewrite's plan shape is
+  // asserted in ExtensionsSpec instead.
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
