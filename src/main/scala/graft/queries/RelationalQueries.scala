@@ -988,6 +988,87 @@ object RelationalQueries {
         SELECT sg_id, count(*) AS n_events,
                CAST(sum(${sqlCents("e.value")}) AS BIGINT) AS value_cents
         FROM events e JOIN sg ON epoch_us(e.ts) >= sg.lo AND epoch_us(e.ts) < sg.hi
-        GROUP BY sg_id ORDER BY sg_id"""))
+        GROUP BY sg_id ORDER BY sg_id""")),
+
+    // r46: TPC-H Q3-shape shipping priority — the classic three-way
+    // customer ⨝ orders ⨝ lineitem revenue ranking with a date cut on
+    // both fact sides. Segment/date predicates sit directly on the scans
+    // (pushed + pruned); the orders⨝lineitem equijoin shuffles on the
+    // order key at scale while AQE broadcasts the filtered customer side
+    // when it fits — the canonical 100 TB plan for this shape. Top-10 is
+    // TakeOrdered (no global sort), tiebreak on l_orderkey keeps the cut
+    // deterministic cross-engine.
+    Q("r46_shipping_priority",
+      (s, d) => {
+        val cutoff = java.sql.Date.valueOf("1998-06-01")
+        val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, d).filter(col("o_orderdate").cast("date") < lit(cutoff))
+        val li = Tables.lineitem(s, d).filter(col("l_shipdate").cast("date") > lit(cutoff))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+            col("o_orderpriority"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some(s"""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+               CAST(sum(${sqlCents("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+                 AS revenue_cents
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+          AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_cents DESC, l_orderkey ASC
+        LIMIT 10""")),
+
+    // r47: FULL OUTER reconciliation — day-of-month order revenue vs
+    // day-of-month event value, with presence flags and coalesced
+    // totals. Both inputs collapse to ≤31 keys via map-side partial
+    // aggregation BEFORE the outer join, so the join cost is constant
+    // however large the fact tables are — the shape to reach for when
+    // reconciling two 100 TB sources on a low-cardinality audit key.
+    // February orders (28 days) vs January events (30 days) exercises
+    // matched, left-only-null and right-only-null rows in one result.
+    Q("r47_full_outer_recon",
+      (s, d) => {
+        val od = col("o_orderdate").cast("date")
+        val ord = Tables.orders(s, d)
+          .filter(year(od) === 1995 && month(od) === 2)
+          .groupBy(dayofmonth(od).cast("long").as("dom"))
+          .agg(sum(cents(col("o_totalprice"))).as("order_cents"))
+        val ev = Tables.events(s, d)
+          .groupBy(dayofmonth(col("ts_ts")).cast("long").as("dom"))
+          .agg(sum(cents(col("value"))).as("event_cents"))
+        ord.join(ev, Seq("dom"), "full_outer")
+          .select(col("dom"),
+            coalesce(col("order_cents"), lit(0L)).as("order_cents"),
+            coalesce(col("event_cents"), lit(0L)).as("event_cents"),
+            col("order_cents").isNotNull.as("has_orders"),
+            col("event_cents").isNotNull.as("has_events"))
+          .orderBy("dom")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT CAST(day(o_orderdate) AS BIGINT) AS dom,
+                 CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS order_cents
+          FROM orders
+          WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
+          GROUP BY 1),
+        e AS (
+          SELECT CAST(day(ts) AS BIGINT) AS dom,
+                 CAST(sum(${sqlCents("value")}) AS BIGINT) AS event_cents
+          FROM events GROUP BY 1)
+        SELECT COALESCE(o.dom, e.dom) AS dom,
+               COALESCE(order_cents, 0) AS order_cents,
+               COALESCE(event_cents, 0) AS event_cents,
+               order_cents IS NOT NULL AS has_orders,
+               event_cents IS NOT NULL AS has_events
+        FROM o FULL OUTER JOIN e ON o.dom = e.dom
+        ORDER BY dom"""))
   )
 }

@@ -989,6 +989,106 @@ object TextQueries {
           ON v.user_id = c.user_id
          AND c.ts_us >= v.ts_us
          AND c.ts_us <= v.ts_us + 3600000000
-        ORDER BY v.user_id, imp_id, conv_id"""))
+        ORDER BY v.user_id, imp_id, conv_id""")),
+
+    // t30: LM-based document scoring — the CCNet-style "fit a language
+    // model on a corpus, score every document with it" curation filter
+    // (here the t29 bigram LM fit on the corpus itself, so the score is
+    // an integer-exact predictability proxy, not float perplexity — no
+    // ln() is allowed in an oracle-checked output). Both passes over the
+    // bigrams are partial-agg shuffles on (w1,w2); the score join is a
+    // plain equijoin on the same key, so the whole query is three
+    // bounded shuffles regardless of corpus size. At 100 TB the LM
+    // table itself is the growth concern: the production variants are a
+    // pruned top-K LM broadcast, or the t28 count-min sketch as the
+    // probability source.
+    Q("t30_lm_doc_score",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .select(col("doc_id"), explode(TextOps.wordNgrams(col("t"), 2)).as("gram"))
+          .select(col("doc_id"),
+            substring_index(col("gram"), " ", 1).as("w1"),
+            substring_index(col("gram"), " ", -1).as("w2"))
+        val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        val lm = big.join(ctx, "w1")
+          .select(col("w1"), col("w2"),
+            floor(col("c12") * lit(1000000.0) / col("c1")).cast("long").as("p_e6"))
+        grams.join(lm, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e6")).as("sum_p_e6"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_p_e6"),
+            floor(col("sum_p_e6") * lit(1.0) / col("n_bigrams")).cast("long").as("score_e6"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        g AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(len(toks) - 1),
+                          i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+                   ELSE [] END) AS gram
+          FROM t),
+        gs AS (
+          SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+                 split_part(gram, ' ', 2) AS w2
+          FROM g),
+        b AS (SELECT w1, w2, count(*) AS c12 FROM gs GROUP BY 1, 2),
+        c AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM b GROUP BY w1),
+        lm AS (
+          SELECT b.w1, b.w2,
+                 CAST(floor(b.c12 * 1000000.0 / c.c1) AS BIGINT) AS p_e6
+          FROM b JOIN c USING (w1))
+        SELECT gs.doc_id, count(*) AS n_bigrams,
+               CAST(sum(p_e6) AS BIGINT) AS sum_p_e6,
+               CAST(floor(sum(p_e6) * 1.0 / count(*)) AS BIGINT) AS score_e6
+        FROM gs JOIN lm USING (w1, w2)
+        GROUP BY gs.doc_id ORDER BY doc_id""")),
+
+    // t31: keyword search — multi-term retrieval with tf·idf ranking
+    // (idf as the integer fixed point floor(1e6·N/df); no log, so the
+    // ranking is oracle-exact). The inverted-index shape: explode →
+    // isin-filter to the query terms (selectivity ~|terms|/|vocab|, so
+    // the per-doc posting lists are tiny), tf via one partial-agg
+    // shuffle on (doc, term), df + corpus size both broadcast (≤|terms|
+    // rows and 1 row). Top-20 is TakeOrdered with a doc_id tiebreak —
+    // no global sort. This is the scan side of a search engine: at
+    // 100 TB the same plan holds because everything after the filter is
+    // proportional to matching postings, not corpus size.
+    Q("t31_keyword_search",
+      (s, d) => {
+        val terms = Seq("vector", "stream", "merge")
+        val docs = Tables.documents(s, d)
+        val hits = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+        val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("tf"),
+            floor(lit(1000000.0) * col("n_docs") / col("df")).cast("long").as("idf_e6"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("tf") * col("idf_e6")).as("score_e6"))
+          .orderBy(col("score_e6").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+        hits AS (
+          SELECT doc_id, tok FROM toks WHERE tok IN ('vector', 'stream', 'merge')),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY 1, 2),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, count(*) AS n_terms,
+               CAST(sum(tf * CAST(floor(1000000.0 * n_docs / df) AS BIGINT)) AS BIGINT)
+                 AS score_e6
+        FROM tf JOIN dfreq USING (tok), n
+        GROUP BY doc_id
+        ORDER BY score_e6 DESC, doc_id ASC
+        LIMIT 20"""))
   )
 }
