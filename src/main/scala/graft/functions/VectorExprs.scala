@@ -55,10 +55,16 @@ case class DotProductD(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorAlgos.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.functions.VectorAlgos.dotD($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh name: two kernel calls can be inlined into ONE generated
+      // function (e.g. the v11 per-subspace dot sum), where a fixed
+      // local would collide and kick the whole stage to interpreted
+      val r = ctx.freshName("dotR")
+      s"""
+      java.lang.Double $r = graft.functions.VectorAlgos.dotD($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+    """
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductD =
     copy(left = newLeft, right = newRight)
@@ -71,10 +77,13 @@ case class L2Dist2D(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorAlgos.dist2D(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.functions.VectorAlgos.dist2D($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("distR")
+      s"""
+      java.lang.Double $r = graft.functions.VectorAlgos.dist2D($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+    """
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2Dist2D =
     copy(left = newLeft, right = newRight)

@@ -216,6 +216,107 @@ object VectorQueries {
     })
   }
 
+  /** v11 (PQ) codebooks: one deterministic md5-seeded quantizer per
+    * subspace, fit on the SAME content-hash sample and seed rows as the
+    * v4 coarse quantizer (so one sample/seed CTE pair serves every
+    * subspace in the oracle), memoized in-process and persisted per
+    * (dir, fingerprint, geometry) exactly like v4's model artifact.
+    */
+  private def pqCodebooksFor(s: org.apache.spark.sql.SparkSession, dir: String,
+                             m: Int, subDims: Int, k: Int,
+                             iters: Int): Seq[Array[Seq[Double]]] = {
+    val fp = embeddingsFingerprint(s, dir)
+    (0 until m).map { mi =>
+      ivfCentroids.computeIfAbsent(s"pq|$dir|$fp|$mi|$subDims|$k|$iters", { _ =>
+        val cacheDir = sys.props.get("graft.ivf.cache.dir")
+          .orElse(sys.env.get("GRAFT_IVF_CACHE_DIR"))
+          .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_ivf")
+        val artifact = s"$cacheDir/pq_${fp}_${mi}_${subDims}_${k}_$iters.json"
+        VectorOps.loadCentroids(s, artifact).getOrElse {
+          val sliced = Tables.embeddings(s, dir).select(col("vec_id"),
+            slice(col("embedding"), mi * subDims + 1, subDims).as("sub"))
+          val fitted = VectorOps.deterministicCentroids(sliced, k, iters, cVec = "sub")
+          scala.util.Try(VectorOps.saveCentroids(s, fitted, artifact))
+          fitted
+        }
+      })
+    }
+  }
+
+  /** v11 oracle: replays the per-subspace deterministic fits (shared
+    * sample + seed rows), the corpus encoding, and the asymmetric-
+    * distance ranking in SQL — the PQ analogue of [[ivfOracle]].
+    */
+  private def pqOracle(m: Int, subDims: Int, k: Int, iters: Int, topK: Int,
+                       permille: Int): String = {
+    def sl(x: String, mi: Int) =
+      s"list_slice($x, ${mi * subDims + 1}, ${(mi + 1) * subDims})"
+    def sDist2(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($subDims), i -> ($a[i + 1] - $b[i + 1]) * ($a[i + 1] - $b[i + 1]))), (acc, x) -> acc + x)"
+    def lloyd(mi: Int, prev: String, next: String) = s"""
+        a_$next AS (
+          SELECT vec_id, xd, cell FROM (
+            SELECT s.vec_id, s.xd, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id
+                     ORDER BY ${sDist2("s.xd", "c.ctr")} ASC, c.cell ASC) AS rn
+            FROM smp_$mi s CROSS JOIN $prev c)
+          WHERE rn = 1),
+        s_$next AS (
+          SELECT cell, i.i AS idx,
+                 CAST(sum(CAST(floor(xd[i.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sm,
+                 count(*) AS n
+          FROM a_$next CROSS JOIN (SELECT unnest(range($subDims)) AS i) i
+          GROUP BY cell, i.i),
+        n_$next AS (
+          SELECT cell, list((CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 ORDER BY idx) AS ctr
+          FROM s_$next GROUP BY cell),
+        $next AS (
+          SELECT p.cell, coalesce(u.ctr, p.ctr) AS ctr
+          FROM $prev p LEFT JOIN n_$next u ON p.cell = u.cell)"""
+    val perSub = (0 until m).map { mi =>
+      val rounds = (1 to iters).map(r =>
+        lloyd(mi, if (r == 1) s"cb0_$mi" else s"cb${r - 1}_$mi", s"cb${r}_$mi")).mkString(",")
+      s"""
+        smp_$mi AS (SELECT vec_id, ${sl("xd", mi)} AS xd FROM smp),
+        cb0_$mi AS (SELECT cell, ${sl("xd", mi)} AS ctr FROM seeds WHERE cell < $k),$rounds,
+        code_$mi AS (
+          SELECT vec_id, ctr AS ctr_$mi FROM (
+            SELECT e.vec_id, c.ctr,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sDist2(sl("e.cd", mi), "c.ctr")} ASC, c.cell ASC) AS rn
+            FROM corp e CROSS JOIN cb${iters}_$mi c)
+          WHERE rn = 1)"""
+    }.mkString(",")
+    def sDot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($subDims), i -> ($a[i + 1]) * ($b[i + 1]))), (acc, x) -> acc + x)"
+    val joins = (1 until m).map(mi => s"JOIN code_$mi USING (vec_id)").mkString(" ")
+    val cn2 = (0 until m).map(mi => sDot(s"ctr_$mi", s"ctr_$mi")).mkString(" + ")
+    val adcDot = (0 until m).map(mi => sDot(sl("p.qd", mi), s"e.ctr_$mi")).mkString(" + ")
+    s"""
+        WITH smp AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+          FROM embeddings
+          WHERE ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < $permille * 65536),
+        seeds AS (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY md5('ivfseed' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell, xd
+          FROM smp),
+        corp AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cd
+          FROM embeddings),$perSub,
+        enc AS (SELECT *, sqrt($cn2) AS cn FROM (SELECT * FROM code_0 $joins)),
+        probes AS (
+          SELECT vec_id AS qid, cd AS qd, sqrt(${dDot("cd", "cd")}) AS qn
+          FROM corp WHERE vec_id < 10),
+        scored AS (
+          SELECT p.qid, e.vec_id AS nid, ($adcDot) / (p.qn * e.cn) AS cos
+          FROM enc e CROSS JOIN probes p WHERE e.vec_id != p.qid),
+        ranked AS (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid FROM ranked WHERE rnk <= $topK ORDER BY qid, rnk"""
+  }
+
   /** v6's pair generation, shared verbatim by v8's keep-set: 2-probe
     * assignment to the corpus-derived quantizer cells (see
     * [[derivedNCentroids]]), then the capped within-cell self-join. A
@@ -546,6 +647,54 @@ object VectorQueries {
           SELECT qid, nid, ham, row_number() OVER (PARTITION BY qid ORDER BY ham ASC, nid ASC) AS rnk
           FROM scored)
         SELECT qid, rnk, nid, ham FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // v11: product-quantization ADC top-k — the codebook point on the
+    // family's compression curve (v1 float64 → v9 int8 4× → v11 PQ codes
+    // ~42× → v10 1-bit 32×): 8 subspaces × 8 dims, 64 centroids each, so
+    // a corpus vector stores as eight 6-bit codes (48 bits) and the scan
+    // side of the index never touches corpus floats — even the corpus
+    // norm is reconstructed from codebook entries. Codebooks are the
+    // SAME deterministic md5-seeded Lloyd fit as v4's coarse quantizer —
+    // one per subspace over the shared ‰ sample and seed rows — memoized
+    // and persisted like v4's model artifact. Ranking is asymmetric-
+    // distance COSINE (the query side stays exact, matching v1's
+    // metric): eight 8-dim native-kernel dots against code-indexed
+    // literal centroids, codegen throughout, broadcast probe side,
+    // corpus touched once, no shuffle before the per-query top-k. Fit,
+    // encode, and ranking replay exactly in SQL; agreement vs exact v1
+    // is measured in QualityMetricsSpec like every other approximate
+    // path.
+    Q("v11_pq_topk",
+      (s, d) => {
+        val (m, subDims, k) = (8, 8, 64)
+        val cbs = pqCodebooksFor(s, d, m, subDims, k, iters = 1)
+        val emb = preparedEmbeddings(s, d)
+        def sel(mi: Int) = element_at(
+          array(cbs(mi).map(c => typedLit(c)): _*), col(s"code_$mi") + 1)
+        val codes = (0 until m).map(mi => VectorOps.assignCell(
+          slice(col("__cd"), mi * subDims + 1, subDims), cbs(mi).toSeq).as(s"code_$mi"))
+        val cn = sqrt((0 until m).map(mi =>
+          graft.functions.native.dotD(sel(mi), sel(mi))).reduce(_ + _))
+        val coded = emb.select((col("vec_id") +: codes): _*)
+          .withColumn("cn", cn)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("__cd").as("qd"),
+            col("__cn").as("qn"))
+        val adcDot = (0 until m).map { mi =>
+          graft.functions.native.dotD(
+            slice(col("qd"), mi * subDims + 1, subDims), sel(mi))
+        }.reduce(_ + _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+        coded.join(broadcast(probes), col("vec_id") =!= col("qid"))
+          .withColumn("cos", adcDot / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"),
+            col("vec_id").as("nid"))
+      },
+      Some(pqOracle(m = 8, subDims = 8, k = 64, iters = 1, topK = 5,
+        permille = 200))),
 
     // v3: LSH-bucketed approximate top-k (scale path). Fully
     // oracle-checked: the hyperplane coefficients are deterministic

@@ -33,6 +33,10 @@ class QualityMetricsSpec extends SparkSpec {
     // v10 is 1-bit binarization - the lossiest path; its floor documents
     // that popcount(xor) still carries real signal, not rank fidelity
     val v10Agree = (exactTopk intersect topkSet("v10_bitpack_topk")).size.toDouble / exactTopk.size
+    // v11 is PQ-ADC: codebook quantization error PLUS an L2-vs-cosine
+    // metric gap (the corpus is unnormalized), so its floor sits between
+    // v10's binarized extreme and v9's near-exact agreement
+    val v11Agree = (exactTopk intersect topkSet("v11_pq_topk")).size.toDouble / exactTopk.size
 
     // v6 pair recall vs the exhaustive threshold set: how many true
     // cos>=0.35 pairs does single-assignment cell blocking keep? (the
@@ -85,6 +89,7 @@ class QualityMetricsSpec extends SparkSpec {
     assert(v4Recall >= 0.3, s"v4 recall $v4Recall")
     assert(v9Agree >= 0.8, s"v9 top-5 agreement $v9Agree")
     assert(v10Agree >= 0.1, s"v10 top-5 agreement $v10Agree")
+    assert(v11Agree >= 0.1, s"v11 top-5 agreement $v11Agree")
     assert(v6Recall >= 0.5, s"v6 pair recall $v6Recall")
     assert(r21MaxRelErr <= 0.05, s"r21 rel err $r21MaxRelErr") // rsd 0.02
     assert(r35MaxRelErr <= 0.01, s"r35 rel err $r35MaxRelErr")
@@ -97,6 +102,7 @@ class QualityMetricsSpec extends SparkSpec {
          |  "v6_ivf_neardup":     {"pair_recall_vs_exhaustive": $v6Recall%.4f, "floor": 0.5},
          |  "v9_sq8_topk":        {"topk_agreement_vs_v1": $v9Agree%.4f, "floor": 0.8},
          |  "v10_bitpack_topk":   {"topk_agreement_vs_v1": $v10Agree%.4f, "floor": 0.1},
+         |  "v11_pq_topk":        {"topk_agreement_vs_v1": $v11Agree%.4f, "floor": 0.1},
          |  "r21_approx_distinct": {"max_rel_err_vs_r20": $r21MaxRelErr%.4f, "bound": 0.05},
          |  "r35_approx_quantile": {"max_rel_err_vs_r33": $r35MaxRelErr%.4f, "bound": 0.01}
          |}
