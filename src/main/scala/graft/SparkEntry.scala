@@ -11,7 +11,7 @@ import graft.queries._
 object SparkEntry {
   private def modules: Seq[Q] =
     RelationalQueries.all ++ EtlParityQueries.all ++ TextQueries.all ++
-      VectorQueries.all ++ PipelineQueries.all
+      VectorQueries.all ++ PipelineQueries.all ++ IoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1069,6 +1069,56 @@ object RelationalQueries {
                order_cents IS NOT NULL AS has_orders,
                event_cents IS NOT NULL AS has_events
         FROM o FULL OUTER JOIN e ON o.dom = e.dom
-        ORDER BY dom"""))
+        ORDER BY dom""")),
+
+    // r48: NOT IN null-awareness — the classic three-valued-logic trap,
+    // pinned as one row of three counts: NOT IN against a clean subquery
+    // (a plain anti join), NOT IN against a subquery containing a NULL
+    // (ALWAYS empty — `x NOT IN (…, NULL)` is UNKNOWN for every
+    // non-matching x, which is why Spark needs its dedicated
+    // null-aware anti-join physical operator), and NOT EXISTS over the
+    // same nullable key (null keys never equal, so rows survive — the
+    // form a user almost always wants). Both engines evaluate all three
+    // from the same tables, so the hash match certifies identical NULL
+    // semantics, not just identical data.
+    Q("r48_notin_nullaware",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("r48_ord")
+        Tables.customer(s, d).createOrReplaceTempView("r48_cust")
+        s.sql("""
+          WITH probe AS (
+            SELECT o_orderkey, o_custkey FROM r48_ord WHERE o_totalprice > 400000),
+          nonull AS (
+            SELECT c_custkey FROM r48_cust WHERE c_mktsegment = 'BUILDING'),
+          withnull AS (
+            SELECT CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+                        ELSE c_custkey END AS k
+            FROM r48_cust)
+          SELECT
+            (SELECT count(*) FROM probe
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM nonull)) AS n_clean,
+            (SELECT count(*) FROM probe
+              WHERE o_custkey NOT IN (SELECT k FROM withnull)) AS n_nullaware,
+            (SELECT count(*) FROM probe p
+              WHERE NOT EXISTS (SELECT 1 FROM withnull w WHERE w.k = p.o_custkey))
+              AS n_notexists""")
+      },
+      Some("""
+        WITH probe AS (
+          SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000),
+        nonull AS (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        withnull AS (
+          SELECT CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+                      ELSE c_custkey END AS k
+          FROM customer)
+        SELECT
+          (SELECT count(*) FROM probe
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM nonull)) AS n_clean,
+          (SELECT count(*) FROM probe
+            WHERE o_custkey NOT IN (SELECT k FROM withnull)) AS n_nullaware,
+          (SELECT count(*) FROM probe p
+            WHERE NOT EXISTS (SELECT 1 FROM withnull w WHERE w.k = p.o_custkey))
+            AS n_notexists"""))
   )
 }
