@@ -53,7 +53,9 @@ object TextQueries {
   // 64-bit simhash SQL: two conditional sums per md5 nibble (bits 8 and
   // 4), sign bit added as -(2^63) to stay inside BIGINT — validated
   // bit-identical to HashAlgos.simhash64 including the sign bit.
-  private val simhash64Sql: String = {
+  /** 64-bit simhash over an arbitrary (doc_id, tok) source CTE —
+    * reused by t22 (word tokens) and m5 (frame hashes). */
+  private[queries] def simhash64SqlOver(toksCte: String): String = {
     def nibChars(mask: Int): String =
       "0123456789abcdef".zipWithIndex.collect { case (c, n) if (n & mask) != 0 => c }.mkString("','")
     val sums = (0 until 64).map { j =>
@@ -65,8 +67,7 @@ object TextQueries {
     val value = s"$low + (CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END)"
     s"""
       WITH toks AS (
-        SELECT doc_id, unnest($tokSql) AS tok FROM documents
-        WHERE len($tokSql) > 0),
+        $toksCte),
       bits AS (
         SELECT doc_id,
            $sums
@@ -74,6 +75,10 @@ object TextQueries {
       SELECT doc_id, CAST($value AS BIGINT) AS simhash
       FROM bits"""
   }
+
+  private val simhash64Sql: String = simhash64SqlOver(
+    s"""SELECT doc_id, unnest($tokSql) AS tok FROM documents
+        WHERE len($tokSql) > 0""")
 
   /** DuckDB twin of [[TextOps.pigeonholePairs]] — blocking, occupancy
     * cap, and exact Hamming verify all replayed, so the cap is INSIDE
@@ -84,8 +89,8 @@ object TextQueries {
     * `<<` raises on signed overflow, so `65535 << 48` can't be written
     * as a shift there).
     */
-  private def pigeonholeOracle(hashCte: String, blockBits: Int, nBlocks: Int,
-                               maxHamming: Int, maxBlockSize: Int): String = {
+  private[queries] def pigeonholeOracle(hashCte: String, blockBits: Int, nBlocks: Int,
+                                        maxHamming: Int, maxBlockSize: Int): String = {
     val blocks = (0 until nBlocks).map { b =>
       val mask = ((1L << blockBits) - 1) << (blockBits * b)
       s"SELECT doc_id, simhash, $b AS blk_idx, simhash & CAST($mask AS BIGINT) AS blk_val FROM h"

@@ -865,6 +865,46 @@ object VectorQueries {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS content_sha,
                lower(hex(encode(substring(text, 1, 16)))) AS head_hex
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // m5: perceptual-hash near-dup over the media payload — the video-
+    // dedup shape end to end: normalize the payload (the stub "decode"
+    // step, standing in for resize/grayscale), sample frames (m4's
+    // every-64-byte chunk rule through the real mapPartitions media
+    // path), 64-bit simhash over the frame-hash SET (order-independent
+    // integer sums, so collect_list order can't leak), then the t22
+    // pigeonhole block join at a WIDER radius: frame-level edits move
+    // several bits, so the dedup radius is Hamming ≤ 8, which needs 9
+    // blocks (9 × 7 bits, lossless by pigeonhole — ≤8 differing bits
+    // across 9 blocks leave one block clean). The 2^7 per-block keyspace
+    // is t17's saturating geometry, so the occupancy cap (inside the
+    // oracle contract) bounds the worst case; a 100 TB video corpus
+    // would run the t22 geometry (16-bit blocks, radius 3) over
+    // longer phashes instead. Frames stream through one mapPartitions
+    // pass; payloads never shuffle — only (id, 64-bit hash) does.
+    Q("m5_phash_neardup",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, d)
+          .withColumn("payload",
+            encode(trim(regexp_replace(lower(col("text")), "\\s+", " ")), "UTF-8"))
+        val frames = Multimodal.sampleFrames(
+          Multimodal.fromBinary(docs, "doc_id", "payload", "video", "source"),
+          everyNth = 64)
+        val ph = frames.groupBy("media_id")
+          .agg(collect_list(col("frame_hash")).as("fh"))
+          .select(col("media_id").as("doc_id"),
+            graft.functions.native.simhash64(col("fh")).as("sh"))
+        graft.text.TextOps.pigeonholePairs(ph,
+          blockBits = 7, nBlocks = 9, maxHamming = 8, maxBlockSize = 1000)
+      },
+      Some(TextQueries.pigeonholeOracle(
+        TextQueries.simhash64SqlOver("""
+          SELECT doc_id, md5(substring(nt, CAST(i * 64 + 1 AS INT), 64)) AS tok
+          FROM (SELECT doc_id, unnest(range(0, (length(nt) + 63) // 64)) AS i, nt
+                FROM (SELECT doc_id,
+                             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+                      FROM documents))"""),
+        blockBits = 7, nBlocks = 9, maxHamming = 8, maxBlockSize = 1000)))
   )
 }
