@@ -996,6 +996,34 @@ object TextQueries {
          AND c.ts_us <= v.ts_us + 3600000000
         ORDER BY v.user_id, imp_id, conv_id""")),
 
+    // s4: stream-static enrichment through EventStreams.enrichJoin —
+    // the per-micro-batch broadcast dim join every production stream
+    // runs (events against a slowly-changing reference table). The dim
+    // side (nation⨝region, 25 rows) broadcasts so the stream side never
+    // shuffles before its aggregation; batch input takes the identical
+    // code path, which is what hash-matches here. StreamingSpec pins
+    // MemoryStream == batch-twin equality for the streaming path.
+    Q("s4_stream_enrich",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("n_key", (col("user_id") % 25).cast("int"))
+        val dim = Tables.nation(s, d)
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("r_name"))
+        graft.streaming.EventStreams.enrichJoin(ev, dim, "n_key", "n_nationkey")
+          .groupBy("r_name", "event_type")
+          .agg(count(lit(1)).as("cnt"), sum(Q.cents(col("value"))).as("value_cents"))
+          .orderBy("r_name", "event_type")
+      },
+      Some(s"""
+        WITH dim AS (
+          SELECT n_nationkey, r_name
+          FROM nation JOIN region ON n_regionkey = r_regionkey)
+        SELECT r_name, event_type, count(*) AS cnt,
+               CAST(sum(${Q.sqlCents("value")}) AS BIGINT) AS value_cents
+        FROM events e LEFT JOIN dim ON CAST(e.user_id % 25 AS INT) = n_nationkey
+        GROUP BY 1, 2 ORDER BY r_name, event_type""")),
+
     // t30: LM-based document scoring — the CCNet-style "fit a language
     // model on a corpus, score every document with it" curation filter
     // (here the t29 bigram LM fit on the corpus itself, so the score is

@@ -342,4 +342,26 @@ class StreamingSpec extends SparkSpec {
     // everything; user 2 has no clicks.
     assert(streamed == Set((1L, 10L, 20L, 100L * us)))
   }
+
+  test("enrichJoin: stream-static broadcast join matches the batch twin") {
+    implicit val sq = spark.sqlContext
+    val data = Seq((1L, 1L, 1.0), (2L, 2L, 2.0), (3L, 5L, 3.0))
+    def toEv(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "value")
+        .withColumn("n_key", (col("user_id") % 3).cast("int"))
+    val dim = Seq((0, "alpha"), (1, "beta"), (2, "gamma")).toDF("k", "tier")
+    val mem = MemoryStream[(Long, Long, Double)]
+    mem.addData(data: _*)
+    val q = EventStreams.enrichJoin(toEv(mem.toDF()), dim, "n_key", "k")
+      .writeStream.format("memory").queryName("s4_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = rows(spark.table("s4_out"))
+    val batch = rows(EventStreams.enrichJoin(toEv(data.toDF()), dim, "n_key", "k"))
+    assert(streamed == batch)
+    assert(streamed == Set((1L, "beta"), (2L, "gamma"), (3L, "gamma")))
+  }
 }
