@@ -36,11 +36,19 @@ object Bench {
     */
   final case class QueryResult(runs: Seq[Double], load1AtStart: Double) {
     def best: Double = runs.min
-    /** max/min across this query's runs; 1.0 when a single run (no spread
-      * evidence) or when the best time is ~0 (spread of noise, not signal).
+    /** max/min across this query's STEADY-STATE runs. With ≥3 runs the
+      * first is excluded: run 1 deterministically carries codegen/JIT/
+      * datasource-init warmup and upstream-cache priming (measured 3–4×
+      * on e1/j1/t6 on an IDLE machine), and the reported min is already
+      * insulated from it — spread among the remaining runs is what
+      * distinguishes "the min is trustworthy" from "something external
+      * was stealing the machine mid-run". 1.0 when a single run (no
+      * spread evidence) or when the best time is ~0 (noise, not signal).
       */
-    def spread: Double =
-      if (runs.size < 2 || runs.min <= 1e-9) 1.0 else runs.max / runs.min
+    def spread: Double = {
+      val obs = if (runs.size >= 3) runs.tail else runs
+      if (obs.size < 2 || obs.min <= 1e-9) 1.0 else obs.max / obs.min
+    }
   }
 
   /** Interference verdict: a run is suspect when SEVERAL non-trivial

@@ -1119,6 +1119,57 @@ object RelationalQueries {
             WHERE o_custkey NOT IN (SELECT k FROM withnull)) AS n_nullaware,
           (SELECT count(*) FROM probe p
             WHERE NOT EXISTS (SELECT 1 FROM withnull w WHERE w.k = p.o_custkey))
-            AS n_notexists"""))
+            AS n_notexists""")),
+
+    // r49: time-series gap filling + forward-fill interpolation — the
+    // missing-bucket repair every metrics pipeline needs: aggregate to
+    // hourly buckets, expand to the DENSE grid (distinct keys × one
+    // broadcast global [min,max] sequence — the grid is generated, never
+    // scanned), left-join the actuals back, then forward-fill the last
+    // observed value per key with an ignoreNulls running window. Costs
+    // one partial-agg shuffle + one join keyed on (type, bucket) + one
+    // window exchange on type — grid size is keys × hours regardless of
+    // event volume, so the repair is O(output), not O(input).
+    Q("r49_gap_fill",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            unix_timestamp(date_trunc("hour", col("ts_ts"))).as("bucket"))
+          .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
+        val bounds = hourly.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        val grid = hourly.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("bucket"))
+        val w = Window.partitionBy("event_type").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("event_type", "bucket"), "left")
+          .select(col("event_type"), col("bucket"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"),
+            last(col("value_cents"), ignoreNulls = true).over(w).as("ffill_cents"),
+            col("value_cents").isNull.as("is_gap"))
+          .orderBy("event_type", "bucket")
+      },
+      Some(s"""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+                 count(*) AS cnt,
+                 CAST(sum(${sqlCents("value")}) AS BIGINT) AS value_cents
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM hourly),
+        grid AS (
+          SELECT t.event_type, g.bucket
+          FROM (SELECT DISTINCT event_type FROM hourly) t,
+               (SELECT unnest(range(lo, hi + 3600, 3600)) AS bucket FROM bounds) g),
+        filled AS (
+          SELECT g.event_type, g.bucket, h.cnt, h.value_cents
+          FROM grid g LEFT JOIN hourly h USING (event_type, bucket))
+        SELECT event_type, bucket, COALESCE(cnt, 0) AS cnt,
+               last_value(value_cents IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents,
+               value_cents IS NULL AS is_gap
+        FROM filled ORDER BY event_type, bucket"""))
   )
 }

@@ -140,6 +140,18 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("flagged").size() >= 4)
   }
 
+  test("interference verdict: first-run warmup spread does not flag") {
+    // Run 1 carrying 3-4x codegen/JIT/cache warmup with stable later
+    // runs is the IDLE-machine shape (e1/j1/t6 measured) — the min is
+    // trustworthy, so the artifact must not cry interference.
+    val warm = fakeResults ++ Map(
+      "e1_silver_cust_info" -> QueryResult(Seq(3.17, 0.85, 0.79), 2.0),
+      "j1_jsonl_roundtrip" -> QueryResult(Seq(1.60, 0.47, 0.45), 2.0),
+      "t6_dedup_clusters" -> QueryResult(Seq(2.27, 0.41, 0.37), 2.0))
+    assert(!Bench.interferenceSuspected(warm))
+    assert(Bench.flaggedQueries(warm).isEmpty)
+  }
+
   test("interference verdict: one noisy query or tiny queries do not flag") {
     // A single big spread is GC/codegen luck, not interference.
     val oneOff = fakeResults + ("t6_dedup_clusters" -> QueryResult(Seq(3.7, 25.8, 5.0), 2.0))
