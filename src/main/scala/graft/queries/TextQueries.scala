@@ -548,6 +548,63 @@ object TextQueries {
         SELECT doc_id, count(*) AS n_hits FROM tr JOIN b USING (h)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // t32: cross-source contamination MATRIX — t25 generalized from
+    // "train vs one benchmark" to every source pair: distinct 13-token
+    // span hashes per source (the t23/t25 60-bit law), self-joined on
+    // the hash, counted per (src_a, src_b) with exact span-Jaccard in
+    // fixed point. The eval-safety artifact a data org keeps on the
+    // wall: which corpora leak into which. Scale shape: the heavy
+    // explosion reduces to DISTINCT (source, hash) FIRST (one shuffle,
+    // ∝ distinct spans), and the self-join fan-out per hash is bounded
+    // by sources² — never doc-pairwise. Totals are a broadcast-sized
+    // per-source frame joined twice.
+    Q("t32_overlap_matrix",
+      (s, d) => {
+        // the interpreted n-gram explosion is referenced FOUR times below
+        // (both self-join sides + both totals joins) — materialize the
+        // reduced DISTINCT frame once (r45's localCheckpoint pattern) so
+        // the heavy scan runs once and the joins read a tiny cached frame
+        val sh = TextOps.spanHashes(
+            Tables.documents(s, d).select(col("source").as("sid"), col("text")),
+            "text", "sid", 13)
+          .select(col("sid"), col("__h")).distinct()
+          .localCheckpoint(true)
+        val tot = sh.groupBy("sid").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.__h") === col("b.__h") && col("a.sid") < col("b.sid"))
+          .groupBy(col("a.sid").as("src_a"), col("b.sid").as("src_b"))
+          .agg(count(lit(1)).as("shared_spans"))
+        pairs
+          .join(broadcast(tot.select(col("sid").as("src_a"), col("n").as("a_spans"))), "src_a")
+          .join(broadcast(tot.select(col("sid").as("src_b"), col("n").as("b_spans"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("shared_spans"),
+            col("a_spans"), col("b_spans"),
+            floor(lit(1000000.0) * col("shared_spans") /
+              (col("a_spans") + col("b_spans") - col("shared_spans")))
+              .cast("long").as("jaccard_e6"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""
+        WITH t AS (SELECT source, $tokSql AS toks FROM documents),
+        sp AS (
+          SELECT DISTINCT source, h FROM (
+            SELECT source, unnest(CASE WHEN len(toks) >= 13
+                     THEN list_transform(range(len(toks) - 12),
+                            i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 13), ' ')), 1, 15))::BIGINT)
+                     ELSE [] END) AS h
+            FROM t)),
+        tot AS (SELECT source, count(*) AS n FROM sp GROUP BY source),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_spans
+          FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, shared_spans, ta.n AS a_spans, tb.n AS b_spans,
+               CAST(floor(1000000.0 * shared_spans / (ta.n + tb.n - shared_spans)) AS BIGINT)
+                 AS jaccard_e6
+        FROM pairs JOIN tot ta ON ta.source = src_a
+                   JOIN tot tb ON tb.source = src_b
+        ORDER BY src_a, src_b""")),
+
     // t17: SimHash near-dup pairs, Hamming ≤ 3 on the 32-bit hash via
     // TextOps.pigeonholePairs (4 disjoint 8-bit blocks). ROLE MARKER —
     // t17 is t22's SATURATING-GEOMETRY ORACLE TWIN, not the scale path
