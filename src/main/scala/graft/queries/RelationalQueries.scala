@@ -1170,6 +1170,77 @@ object RelationalQueries {
                  PARTITION BY event_type ORDER BY bucket
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents,
                value_cents IS NULL AS is_gap
-        FROM filled ORDER BY event_type, bucket"""))
+        FROM filled ORDER BY event_type, bucket""")),
+
+    // r50: TPC-H Q18-shape large-volume orders — join-against-aggregate
+    // (the Spark-idiomatic form of `IN (SELECT … HAVING …)`): the
+    // heavy-hitter order list is one partial-agg shuffle over lineitem
+    // with the HAVING cut applied BEFORE any join, so the frame entering
+    // the three-way join is heavy-hitters-sized (broadcast-eligible at
+    // scale) — never the full fact table twice. Top-100 is TakeOrdered
+    // with an orderkey tiebreak. The oracle states the same query in
+    // the classic IN-subquery form, so the gate also certifies the two
+    // formulations agree.
+    Q("r50_large_orders",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(asLong(col("l_quantity"))).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        Tables.orders(s, d)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("order_date"),
+            cents(col("o_totalprice")).as("total_cents"), col("sum_qty"))
+          .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some(s"""
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum(${sqlLong("l_quantity")}) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING CAST(sum(${sqlLong("l_quantity")}) AS BIGINT) > 250)
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               ${sqlCents("o_totalprice")} AS total_cents, sum_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        ORDER BY total_cents DESC, o_orderkey ASC
+        LIMIT 100""")),
+
+    // r51: distribution window functions — ntile deciles, percent_rank,
+    // cume_dist within each order-priority class, completing the window
+    // battery r14 started (running sums / rank / lag). One hash exchange
+    // on the partition key serves all three functions; the rank
+    // arithmetic ((rank-1)/(n-1), rows≤current/n) is exact-integer
+    // division in double, bit-identical across engines, and the ORDER BY
+    // is total (price desc, orderkey asc) so bucket boundaries are
+    // deterministic.
+    Q("r51_window_percentiles",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .withColumn("price_cents", cents(col("o_totalprice")))
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+        o.select(col("o_orderpriority"), col("o_orderkey"), col("price_cents"),
+            ntile(10).over(w).cast("long").as("decile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some(s"""
+        WITH o AS (SELECT o_orderpriority, o_orderkey,
+                     ${sqlCents("o_totalprice")} AS price_cents FROM orders)
+        SELECT o_orderpriority, o_orderkey, price_cents,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM o
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY price_cents DESC, o_orderkey ASC)
+        ORDER BY o_orderpriority, o_orderkey"""))
   )
 }

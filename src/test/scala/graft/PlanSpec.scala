@@ -108,4 +108,32 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"attribution join must stay an equijoin:\n${s.take(2000)}")
   }
+
+  test("r46 Q3-shape: filters pushed to all three scans, top-10 as TakeOrdered") {
+    val q = RelationalQueries.all.find(_.name == "r46_shipping_priority").get
+    val s = executed(q.run(spark, sf001)).toString
+    assert(s.contains("TakeOrderedAndProject"), s"top-10 must be TakeOrdered, not global sort:\n${s.take(2000)}")
+    assert(s.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter not pushed:\n${s.take(2000)}")
+    assert(s.contains("LessThan(o_orderdate") && s.contains("GreaterThanOrEqual(l_shipdate"),
+      s"date filters not pushed:\n${s.take(2000)}")
+  }
+
+  test("t31 keyword search broadcasts df and corpus-size sides; top-20 is TakeOrdered") {
+    val q = graft.queries.TextQueries.all.find(_.name == "t31_keyword_search").get
+    val s = executed(q.run(spark, sf001)).toString
+    assert(s.contains("TakeOrderedAndProject"), s"top-20 must be TakeOrdered:\n${s.take(2000)}")
+    assert(!s.contains("SortMergeJoin"), s"df/corpus-size joins must broadcast:\n${s.take(2000)}")
+  }
+
+  test("r50 Q18-shape: the HAVING aggregate is cut before any join") {
+    val q = RelationalQueries.all.find(_.name == "r50_large_orders").get
+    val df = q.run(spark, sf001)
+    val s = executed(df).toString
+    assert(s.contains("TakeOrderedAndProject"), s"top-100 must be TakeOrdered:\n${s.take(2000)}")
+    // the sum_qty > 250 filter must sit on the aggregate, NOT post-join
+    // (a post-join cut would carry every lineitem group through the join)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val filterIdx = optimized.indexOf("sum_qty")
+    assert(filterIdx >= 0, s"aggregate alias missing from optimized plan:\n$optimized")
+  }
 }
