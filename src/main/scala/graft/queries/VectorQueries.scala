@@ -425,6 +425,50 @@ object VectorQueries {
           FROM scored)
         SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
+    // v12: FILTERED (hybrid) search — exact cosine top-5 restricted to
+    // the probe's own label, the "search within a category" query every
+    // vector store bolts a metadata predicate onto. The filter changes
+    // the PLAN CLASS: the probe side carries its label, so the
+    // cross join collapses to a label EQUIJOIN (broadcast probes, no
+    // corpus shuffle, candidates ∝ label-partition size instead of the
+    // whole corpus) — at 100 TB the predicate is the cheapest index
+    // there is. Same cosine law and tiebreaks as v1/v7.
+    Q("v12_filtered_topk",
+      (s, d) => {
+        val emb = preparedEmbeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("__cd").as("qd"), col("__cn").as("qn"))
+        val scored = emb.join(broadcast(probes),
+            col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            graft.functions.native.dotD(col("qd"), col("__cd")) /
+              (col("qn") * col("__cn")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"),
+            col("vec_id").as("nid"), col("label").cast("long").as("label"))
+      },
+      Some(s"""
+        WITH corp AS (
+          SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cd
+          FROM embeddings),
+        n AS (SELECT vec_id, label, cd, sqrt(${dDot("cd", "cd")}) AS cn FROM corp),
+        q AS (SELECT vec_id AS qid, label AS qlabel, cd AS qd, cn AS qn
+              FROM n WHERE vec_id < 10),
+        scored AS (
+          SELECT q.qid, e.vec_id AS nid, e.label,
+                 ${dDot("q.qd", "e.cd")} / (q.qn * e.cn) AS cos
+          FROM q JOIN n e ON e.label = q.qlabel AND e.vec_id != q.qid),
+        ranked AS (
+          SELECT qid, nid, label, row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, rnk, nid, CAST(label AS BIGINT) AS label
+        FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     // v2: embedding-cosine near-duplicate pairs, blocked by cluster label,
     // with the hot-block occupancy cap IN the oracle contract: both
     // engines drop blocks over 1000 members before pairing, so the
