@@ -44,8 +44,12 @@ object IoQueries {
   private def roundTrip(s: SparkSession, d: String, fmt: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val out = java.nio.file.Files.createTempDirectory(scratchParent, s"${fmt}_").toString
-    docs.write.mode("overwrite").format(fmt).save(out)
-    s.read.schema(docs.schema).format(fmt).load(out)
+    // CSV needs the quoting/header contract stated on BOTH sides; the
+    // columnar formats carry their schema in-file
+    val wo = if (fmt == "csv") Map("header" -> "true", "quoteAll" -> "true")
+             else Map.empty[String, String]
+    docs.write.mode("overwrite").options(wo).format(fmt).save(out)
+    s.read.schema(docs.schema).options(wo).format(fmt).load(out)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
@@ -63,5 +67,6 @@ object IoQueries {
 
   val all: Seq[Q] = Seq(
     Q("j1_jsonl_roundtrip", (s, d) => roundTrip(s, d, "json"), Some(oracleAgg)),
-    Q("o1_orc_roundtrip", (s, d) => roundTrip(s, d, "orc"), Some(oracleAgg)))
+    Q("o1_orc_roundtrip", (s, d) => roundTrip(s, d, "orc"), Some(oracleAgg)),
+    Q("c1_csv_roundtrip", (s, d) => roundTrip(s, d, "csv"), Some(oracleAgg)))
 }
