@@ -41,15 +41,36 @@ object IoQueries {
     root
   }
 
-  private def roundTrip(s: SparkSession, d: String, fmt: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** Write `df` out in `fmt` and read it back with the explicit schema —
+    * the whole lossless-round-trip contract in one place. CSV states the
+    * quoting contract on both sides: quoteAll + header on write,
+    * multiLine on read (embedded newlines live inside quotes). Exposed
+    * package-wide so IoRoundTripSpec can drive it with adversarial
+    * strings (commas, quotes, newlines, unicode) the synthetic corpus
+    * never contains.
+    */
+  private[graft] def writeRead(s: SparkSession, df: DataFrame, fmt: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory(scratchParent, s"${fmt}_").toString
-    // CSV needs the quoting/header contract stated on BOTH sides; the
-    // columnar formats carry their schema in-file
-    val wo = if (fmt == "csv") Map("header" -> "true", "quoteAll" -> "true")
+    // CSV's writer TRIMS whitespace by default (ignore*WhiteSpace default
+    // true on write, false on read), and its reader maps the default
+    // nullValue ("") onto quoted-empty strings — lossless needs the trim
+    // off and a null sentinel that can't collide with real data, so ""
+    // stays a string and NULL round-trips as \N (the classic dump marker)
+    val wo = if (fmt == "csv") Map("header" -> "true", "quoteAll" -> "true",
+      "ignoreLeadingWhiteSpace" -> "false", "ignoreTrailingWhiteSpace" -> "false",
+      "nullValue" -> "\\N")
              else Map.empty[String, String]
-    docs.write.mode("overwrite").options(wo).format(fmt).save(out)
-    s.read.schema(docs.schema).options(wo).format(fmt).load(out)
+    // multiLine makes a CSV file non-splittable (quoted newlines span
+    // row boundaries) — parallelism becomes the FILE count, which the
+    // sharded write already provides; at 100 TB you keep shards at
+    // maxPartitionBytes size and lose nothing
+    val ro = if (fmt == "csv") wo + ("multiLine" -> "true") else wo
+    df.write.mode("overwrite").options(wo).format(fmt).save(out)
+    s.read.schema(df.schema).options(ro).format(fmt).load(out)
+  }
+
+  private def roundTrip(s: SparkSession, d: String, fmt: String): DataFrame = {
+    writeRead(s, Tables.documents(s, d), fmt)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
