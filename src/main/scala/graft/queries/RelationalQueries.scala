@@ -1241,6 +1241,42 @@ object RelationalQueries {
         FROM o
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY price_cents DESC, o_orderkey ASC)
-        ORDER BY o_orderpriority, o_orderkey"""))
+        ORDER BY o_orderpriority, o_orderkey""")),
+
+    // r52: funnel analysis — ordered-sequence completion counts
+    // (signup → first view after it → first click after that) folded
+    // into ONE map-side-combined aggregation per user and one global
+    // roll-up: the first-touch timestamps are conditional MINs (no
+    // window, no self-join — the naive N-way event self-join explodes
+    // at scale), and stage completion is NULL-safe ordering on those
+    // mins. Cost: one partial-agg shuffle on user_id, one single-row
+    // reduce — however many events there are.
+    Q("r52_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        val stages = ev.groupBy("user_id").agg(
+          min(when(col("event_type") === "signup", col("ts_us"))).as("t_signup"),
+          min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts_us"))).as("t_click"))
+        stages.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("t_signup") < col("t_view"), 1L).otherwise(0L))
+            .as("n_signup_then_view"),
+          sum(when(col("t_signup") < col("t_view") && col("t_view") < col("t_click"),
+            1L).otherwise(0L)).as("n_full_funnel"))
+      },
+      Some("""
+        WITH st AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+                 min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click
+          FROM events GROUP BY user_id)
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_then_view,
+               CAST(sum(CASE WHEN t_signup < t_view AND t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        FROM st"""))
   )
 }
