@@ -425,6 +425,60 @@ object VectorQueries {
           FROM scored)
         SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
+    // t33: semantic cluster profiles — the text and vector families
+    // crossed: every document's embedding is assigned to its v4 IVF
+    // cell (the SAME memoized deterministic quantizer — no second fit),
+    // joined back to the documents table on the shared id, and profiled
+    // per cell (doc count, token mass, dominant language with a
+    // deterministic mode tiebreak). This is the corpus-exploration
+    // artifact behind semantic dedup decisions: which clusters are big,
+    // what language they're in, how much token budget they hold. One
+    // equijoin + two partial-agg shuffles on an 8-value key; the full
+    // quantizer fit + assignment + profile replays in SQL.
+    Q("t33_cluster_profile",
+      (s, d) => {
+        val emb = preparedEmbeddings(s, d)
+        val cents = ivfCentroidsFor(s, d, nCentroids = 8, iters = 2)
+        val assigned = emb.select(col("vec_id"),
+          VectorOps.assignCell(col("__cd"), cents.toSeq).as("cell"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        val joined = assigned.join(docs, col("vec_id") === col("doc_id"))
+        val byLang = joined.groupBy("cell", "lang").agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(col("c").desc, col("lang").asc)
+        val topLang = byLang.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cell"), col("lang").as("top_lang"), col("c").as("top_lang_docs"))
+        joined.groupBy("cell")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+          .join(topLang, "cell")
+          .select(col("cell").cast("long").as("cell"), col("n_docs"),
+            col("sum_tokens"), col("top_lang"), col("top_lang_docs"))
+          .orderBy("cell")
+      },
+      Some(s"""
+        ${ivfFitCtes("8", 2, 200)},
+        dtok AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        j AS (
+          SELECT a.cell, d.lang, d.n_tokens
+          FROM acorp a JOIN dtok d ON a.vec_id = d.doc_id),
+        bl AS (SELECT cell, lang, count(*) AS c FROM j GROUP BY 1, 2),
+        tl AS (
+          SELECT cell, lang AS top_lang, c AS top_lang_docs,
+                 row_number() OVER (PARTITION BY cell ORDER BY c DESC, lang ASC) AS rn
+          FROM bl),
+        stc AS (
+          SELECT cell, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+          FROM j GROUP BY cell)
+        SELECT CAST(s.cell AS BIGINT) AS cell, n_docs, sum_tokens, top_lang, top_lang_docs
+        FROM stc s JOIN tl t ON s.cell = t.cell AND t.rn = 1
+        ORDER BY cell""")),
+
     // v12: FILTERED (hybrid) search — exact cosine top-5 restricted to
     // the probe's own label, the "search within a category" query every
     // vector store bolts a metadata predicate onto. The filter changes
