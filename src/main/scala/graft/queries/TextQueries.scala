@@ -1094,6 +1094,11 @@ object TextQueries {
     // probability source.
     Q("t30_lm_doc_score",
       (s, d) => {
+        // NOTE: the bigram explosion is referenced by both the LM build
+        // and the scoring join; measured, recomputing it (0.89 s at
+        // sf0.1) beats materializing it (localCheckpoint tried: 1.74 s —
+        // the (doc,w1,w2) frame is wide relative to the fused codegen
+        // scan, unlike t32's reduced distinct-hash frame)
         val grams = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
           .select(col("doc_id"), explode(TextOps.wordNgrams(col("t"), 2)).as("gram"))
