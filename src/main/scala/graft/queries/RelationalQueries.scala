@@ -1277,6 +1277,35 @@ object RelationalQueries {
                CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                CAST(sum(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_then_view,
                CAST(sum(CASE WHEN t_signup < t_view AND t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-        FROM st"""))
+        FROM st""")),
+
+    // r53: cohort retention — users cohorted by first-activity day,
+    // counted per (cohort day, day offset) they return on. The matrix
+    // every growth dashboard is built from, in three bounded steps:
+    // distinct (user, day) activity (one partial-agg shuffle), per-user
+    // cohort day (an agg over that reduced frame), and the join-back +
+    // count — all keyed on user or on the tiny (cohort, offset) grid,
+    // never on raw events.
+    Q("r53_cohort_retention",
+      (s, d) => {
+        val act = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts_ts")).as("day"))
+          .distinct()
+        val cohort = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        act.join(cohort, "user_id")
+          .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day"))
+            .cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohort AS (
+          SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+        SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM act a JOIN cohort c USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
   )
 }
