@@ -32,7 +32,9 @@ object Explain {
     "r48_notin_nullaware", "m5_phash_neardup", "s4_stream_enrich",
     "r49_gap_fill", "t32_overlap_matrix", "r50_large_orders",
     "r51_window_percentiles", "v12_filtered_topk", "r52_funnel",
-    "t33_cluster_profile", "r53_cohort_retention")
+    "t33_cluster_profile", "r53_cohort_retention", "r54_incremental_agg",
+    "r55_column_profile", "t34_mix_rebalance", "t35_quality_buckets",
+    "m6_scene_cuts")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is

@@ -1306,6 +1306,88 @@ object RelationalQueries {
         SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
         FROM act a JOIN cohort c USING (user_id)
-        GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")),
+
+    // r54: incremental aggregate maintenance — the 100 TB pattern where
+    // yesterday's partition is already reduced to mergeable partial
+    // states (count / sum / min / max per key) and only today's delta
+    // touches raw rows; the nightly "refresh" is a merge of partials,
+    // never a rescan of history. The oracle recomputes from scratch over
+    // all rows, so the hash-match IS the mergeability proof. (countDistinct
+    // is deliberately absent: it has no exact mergeable partial — that is
+    // the r20-exact vs r21-HLL boundary.) avg is derived from the merged
+    // state with a single division (identical IEEE both engines).
+    Q("r54_incremental_agg",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_type"), to_date(col("ts_ts")).as("day"),
+          cents(col("value")).as("v_c"))
+        def partials(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("event_type").agg(
+            count(lit(1)).as("n"), sum("v_c").as("sum_c"),
+            min("v_c").as("min_c"), max("v_c").as("max_c"))
+        val base  = partials(ev.filter(col("day") <  lit("2024-01-21")))
+        val delta = partials(ev.filter(col("day") >= lit("2024-01-21")))
+        base.unionByName(delta)
+          .groupBy("event_type")
+          .agg(sum("n").as("n"), sum("sum_c").as("sum_c"),
+            min("min_c").as("min_c"), max("max_c").as("max_c"))
+          .select(col("event_type"), col("n"), col("sum_c"), col("min_c"),
+            col("max_c"),
+            floor(col("sum_c").cast("double") / col("n").cast("double"))
+              .cast("long").as("avg_c_floor"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(${sqlCents("\"value\"")}) AS BIGINT) AS sum_c,
+               min(${sqlCents("\"value\"")}) AS min_c,
+               max(${sqlCents("\"value\"")}) AS max_c,
+               CAST(floor(CAST(sum(${sqlCents("\"value\"")}) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_c_floor
+        FROM events
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // r55: one-pass column profiler — the stats-collection sweep every
+    // 100 TB warehouse runs before planning (null fractions, NDVs): a
+    // single aggregate over the table computing per-column null counts
+    // and exact distinct counts, unpivoted to one row per column.
+    // Multiple exact countDistincts cost one Expand (x#cols row
+    // multiplier) — the oracle-checkable form; at 100 TB you swap each
+    // for approx_count_distinct (single pass, no Expand) exactly as
+    // r20→r21 demonstrates, trading +-2% NDV error for a plan with no
+    // row multiplication.
+    Q("r55_column_profile",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val profCols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+        val aggs =
+          count(lit(1)).as("n_rows") +:
+          profCols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"ndv_$c")))
+        val stackExpr = profCols
+          .map(c => s"'$c', nn_$c, ndv_$c").mkString(", ")
+        o.agg(aggs.head, aggs.tail: _*)
+          .selectExpr("n_rows",
+            s"stack(${profCols.size}, $stackExpr) AS (col_name, n_nulls, ndv)")
+          .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"))
+          .orderBy("col_name")
+      },
+      Some("""
+        WITH p AS (
+          SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', count(*),
+                 CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', count(*),
+                 CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+        SELECT col_name, n_rows, n_nulls, ndv FROM p ORDER BY col_name"""))
   )
 }

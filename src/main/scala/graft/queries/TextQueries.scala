@@ -1184,6 +1184,124 @@ object TextQueries {
         FROM tf JOIN dfreq USING (tok), n
         GROUP BY doc_id
         ORDER BY score_e6 DESC, doc_id ASC
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // t34: deterministic corpus mix rebalance — downsample every language
+    // to the smallest language's volume (the "balanced mix" move when
+    // assembling a training corpus from skewed sources). Per-language
+    // acceptance thresholds are derived from the corpus itself
+    // (floor(min_cnt * 1000 / cnt) per-mille), then applied with the
+    // md5-prefix law (t7/t8's primitive) so the SAME documents are kept
+    // on any cluster size, any engine, any run. The per-language count
+    // frame is tiny (one row per language) and broadcast back onto the
+    // corpus — one partial-agg shuffle over documents, no repartition of
+    // the corpus itself; at 100 TB the plan is identical, only the scan
+    // grows. Threshold math is integer-in, single-division, floor —
+    // bit-identical IEEE in both engines.
+    Q("t34_mix_rebalance",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cnts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val minc = cnts.agg(min("cnt").as("min_cnt"))
+        val thr = cnts.crossJoin(broadcast(minc)).select(
+          col("lang"), col("cnt"),
+          floor(col("min_cnt").cast("double") * lit(1000.0) /
+            col("cnt").cast("double")).cast("long").as("thr_pm"))
+        val kept = docs.join(broadcast(thr.select("lang", "thr_pm")), "lang")
+          .filter(conv(substring(md5(concat(lit("mix"),
+            col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") * 1000
+            < col("thr_pm") * 65536)
+          .groupBy("lang").agg(count(lit(1)).as("kept"))
+        thr.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("cnt"), col("thr_pm"),
+            coalesce(col("kept"), lit(0L)).as("kept"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        m AS (SELECT min(cnt) AS min_cnt FROM c),
+        t AS (SELECT lang, cnt,
+                     CAST(floor(CAST(min_cnt AS DOUBLE) * 1000.0
+                          / CAST(cnt AS DOUBLE)) AS BIGINT) AS thr_pm
+              FROM c, m),
+        k AS (SELECT d.lang, count(*) AS kept
+              FROM documents d JOIN t USING (lang)
+              WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 1000
+                    < thr_pm * 65536
+              GROUP BY d.lang)
+        SELECT t.lang, t.cnt, t.thr_pm,
+               CAST(coalesce(k.kept, 0) AS BIGINT) AS kept
+        FROM t LEFT JOIN k USING (lang) ORDER BY lang""")),
+
+    // t35: CCNet-style quality bucketing — score every document with the
+    // corpus LM (t30's integer-exact predictability score), then split
+    // the corpus into head/middle/tail terciles by score. The bucket
+    // assignment is ntile(3) over (score DESC, doc_id) — the doc_id
+    // tiebreak makes the cut deterministic across engines and cluster
+    // sizes. ntile needs a total order over the PER-DOC frame (one row
+    // per document, already reduced from bigrams), not over raw data; at
+    // 100 TB the swap is r35's pattern — approx-quantile the two cut
+    // scores on a sample, broadcast them, and bucket with a comparison
+    // instead of a global sort.
+    Q("t35_quality_buckets",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .select(col("doc_id"), explode(TextOps.wordNgrams(col("t"), 2)).as("gram"))
+          .select(col("doc_id"),
+            substring_index(col("gram"), " ", 1).as("w1"),
+            substring_index(col("gram"), " ", -1).as("w2"))
+        val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        val lm = big.join(ctx, "w1")
+          .select(col("w1"), col("w2"),
+            floor(col("c12") * lit(1000000.0) / col("c1")).cast("long").as("p_e6"))
+        val scored = grams.join(lm, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e6")).as("sum_p_e6"))
+          .select(col("doc_id"), col("n_bigrams"),
+            floor(col("sum_p_e6") * lit(1.0) / col("n_bigrams")).cast("long").as("score_e6"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_e6").desc, col("doc_id").asc)
+        scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bigrams").as("sum_bigrams"),
+            min("score_e6").as("min_score_e6"),
+            max("score_e6").as("max_score_e6"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        g AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(len(toks) - 1),
+                          i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+                   ELSE [] END) AS gram
+          FROM t),
+        gs AS (
+          SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+                 split_part(gram, ' ', 2) AS w2
+          FROM g),
+        b AS (SELECT w1, w2, count(*) AS c12 FROM gs GROUP BY 1, 2),
+        c AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM b GROUP BY w1),
+        lm AS (
+          SELECT b.w1, b.w2,
+                 CAST(floor(b.c12 * 1000000.0 / c.c1) AS BIGINT) AS p_e6
+          FROM b JOIN c USING (w1)),
+        sc AS (
+          SELECT gs.doc_id, count(*) AS n_bigrams,
+                 CAST(floor(sum(p_e6) * 1.0 / count(*)) AS BIGINT) AS score_e6
+          FROM gs JOIN lm USING (w1, w2)
+          GROUP BY gs.doc_id),
+        bk AS (
+          SELECT doc_id, n_bigrams, score_e6,
+                 CAST(ntile(3) OVER (ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS bucket
+          FROM sc)
+        SELECT bucket, count(*) AS n_docs,
+               CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+               min(score_e6) AS min_score_e6,
+               max(score_e6) AS max_score_e6
+        FROM bk GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -1003,6 +1003,77 @@ object VectorQueries {
                 FROM (SELECT doc_id,
                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
                       FROM documents))"""),
-        blockBits = 7, nBlocks = 9, maxHamming = 8, maxBlockSize = 1000)))
+        blockBits = 7, nBlocks = 9, maxHamming = 8, maxBlockSize = 1000))),
+
+    // m6: scene-cut segmentation — the shot-boundary pass a video
+    // curation pipeline runs after frame sampling: consecutive sampled
+    // frames are compared by bit-distance between their (stub) frame
+    // hashes, a cut is declared where the distance exceeds a threshold,
+    // and the running sum of cuts numbers the scenes. All windows
+    // partition BY MEDIA — per-partition work is bounded by one video's
+    // frame count, never by corpus size, so the plan is one hash
+    // exchange on media_id regardless of sf. The 60-bit hash prefix
+    // (15 hex chars) keeps conv() inside signed-long range in both
+    // engines; distance on identical frames is 0 and ~30 bits on
+    // unrelated ones, so thr=16 separates cleanly. Output is the
+    // per-media segmentation profile (frames, cuts, scenes, longest
+    // scene) — integer-exact end to end.
+    Q("m6_scene_cuts",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, d)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+        val frames = Multimodal.sampleFrames(
+            Multimodal.fromBinary(docs, "doc_id", "payload", "video", "source"),
+            everyNth = 64)
+          .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+            conv(substring(col("frame_hash"), 1, 15), 16, 10)
+              .cast("long").as("h"))
+        val byFrame = org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("frame_idx")
+        val cuts = frames
+          .withColumn("prev_h", lag(col("h"), 1).over(byFrame))
+          .withColumn("is_cut",
+            when(col("prev_h").isNotNull &&
+              bit_count(col("h").bitwiseXOR(col("prev_h"))) > lit(16), 1L)
+              .otherwise(0L))
+          .withColumn("scene_id", sum(col("is_cut")).over(byFrame))
+        cuts.groupBy("media_id", "scene_id")
+          .agg(count(lit(1)).as("scene_len"), sum("is_cut").as("cut_in"))
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_scenes"), sum("cut_in").as("n_cuts"),
+            sum("scene_len").as("n_frames"), max("scene_len").as("max_scene_len"))
+          .orderBy("media_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id AS media_id,
+                 CAST(i AS BIGINT) AS frame_idx,
+                 ('0x' || substr(md5(substring(text, CAST(i * 64 + 1 AS INT), 64)), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id, unnest(range(0, (length(text) + 63) // 64)) AS i, text
+                FROM documents)),
+        c AS (
+          SELECT media_id, frame_idx, h,
+                 lag(h) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev_h
+          FROM f),
+        k AS (
+          SELECT media_id, frame_idx,
+                 CASE WHEN prev_h IS NOT NULL AND bit_count(xor(h, prev_h)) > 16
+                      THEN 1 ELSE 0 END AS is_cut
+          FROM c),
+        sc AS (
+          SELECT media_id, is_cut,
+                 CAST(sum(is_cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+          FROM k),
+        seg AS (
+          SELECT media_id, scene_id, count(*) AS scene_len,
+                 CAST(sum(is_cut) AS BIGINT) AS cut_in
+          FROM sc GROUP BY media_id, scene_id)
+        SELECT media_id, count(*) AS n_scenes,
+               CAST(sum(cut_in) AS BIGINT) AS n_cuts,
+               CAST(sum(scene_len) AS BIGINT) AS n_frames,
+               max(scene_len) AS max_scene_len
+        FROM seg GROUP BY media_id ORDER BY media_id"""))
   )
 }
