@@ -34,7 +34,8 @@ object Explain {
     "r51_window_percentiles", "v12_filtered_topk", "r52_funnel",
     "t33_cluster_profile", "r53_cohort_retention", "r54_incremental_agg",
     "r55_column_profile", "t34_mix_rebalance", "t35_quality_buckets",
-    "m6_scene_cuts")
+    "m6_scene_cuts", "t36_textrank", "r56_ab_metrics", "r57_dod_growth",
+    "t37_minhash_accuracy")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is

@@ -1388,6 +1388,90 @@ object RelationalQueries {
           SELECT 'o_orderpriority', count(*),
                  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                  CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
-        SELECT col_name, n_rows, n_nulls, ndv FROM p ORDER BY col_name"""))
+        SELECT col_name, n_rows, n_nulls, ndv FROM p ORDER BY col_name""")),
+
+    // r56: A/B experiment analysis — deterministic traffic split via the
+    // md5 law (same user lands in the same arm on any engine, any
+    // cluster, any day — the property production experimentation systems
+    // get from hashing, not RNG), then per-arm funnel metrics off a
+    // per-user reduction. The raw event stream is touched once (one
+    // partial-agg shuffle keyed on user); everything after is on the
+    // user frame and then a 2-row arm frame. Conversion rate is integer
+    // fixed-point (no float aggregation); significance testing needs
+    // sqrt/erf so it stays out of the hash-matched contract — the
+    // counts exported here are exactly its inputs.
+    Q("r56_ab_metrics",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("variant",
+          (conv(substring(md5(concat(lit("exp1"), col("user_id").cast("string"))), 1, 4), 16, 10)
+            .cast("long") % 2))
+        val perUser = ev.groupBy("user_id", "variant").agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+          sum(when(col("event_type") === "purchase", cents(col("value")))
+            .otherwise(0L)).as("rev_c"))
+        perUser.groupBy("variant").agg(
+            count(lit(1)).as("n_users"),
+            sum(when(col("purchases") > 0, 1L).otherwise(0L)).as("n_converted"),
+            sum("purchases").as("n_purchases"),
+            sum("rev_c").as("rev_c"))
+          .select(col("variant"), col("n_users"), col("n_converted"),
+            col("n_purchases"), col("rev_c"),
+            floor(col("n_converted") * lit(1000000.0) / col("n_users"))
+              .cast("long").as("conv_e6"))
+          .orderBy("variant")
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT user_id,
+                 ('0x' || substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 AS variant,
+                 event_type, "value"
+          FROM events),
+        u AS (
+          SELECT user_id, variant,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN ${sqlCents("\"value\"")} ELSE 0 END) AS BIGINT) AS rev_c
+          FROM a GROUP BY user_id, variant)
+        SELECT variant, count(*) AS n_users,
+               CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+               CAST(sum(purchases) AS BIGINT) AS n_purchases,
+               CAST(sum(rev_c) AS BIGINT) AS rev_c,
+               CAST(floor(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) * 1000000.0
+                    / count(*)) AS BIGINT) AS conv_e6
+        FROM u GROUP BY variant ORDER BY variant""")),
+
+    // r57: period-over-period growth — daily purchase revenue with the
+    // previous day's value (lag), absolute delta, and fixed-point
+    // relative growth. The window runs over the 1-row-per-day frame
+    // (30 rows here, 365 on a year — never raw events), so the
+    // unpartitioned ORDER BY window is a non-issue at any sf: the
+    // reduction happened in the partial-agg shuffle before it. Growth
+    // is floor(1e6·delta/prev) — one integer subtraction, one double
+    // division, one floor; NULL on the first day in both engines.
+    Q("r57_dod_growth",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts_ts")).as("day"))
+          .agg(sum(cents(col("value"))).as("rev_c"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        daily.withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+          .select(col("day"), col("rev_c"), col("prev_c"),
+            (col("rev_c") - col("prev_c")).as("delta_c"),
+            floor((col("rev_c") - col("prev_c")) * lit(1000000.0) / col("prev_c"))
+              .cast("long").as("growth_e6"))
+          .orderBy("day")
+      },
+      Some(s"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(${sqlCents("\"value\"")}) AS BIGINT) AS rev_c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        lagged AS (
+          SELECT day, rev_c, lag(rev_c) OVER (ORDER BY day) AS prev_c
+          FROM daily)
+        SELECT day, rev_c, prev_c, rev_c - prev_c AS delta_c,
+               CAST(floor((rev_c - prev_c) * 1000000.0 / prev_c) AS BIGINT) AS growth_e6
+        FROM lagged ORDER BY day"""))
   )
 }

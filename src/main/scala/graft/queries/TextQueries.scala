@@ -1302,6 +1302,152 @@ object TextQueries {
                CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
                min(score_e6) AS min_score_e6,
                max(score_e6) AS max_score_e6
-        FROM bk GROUP BY bucket ORDER BY bucket"""))
+        FROM bk GROUP BY bucket ORDER BY bucket""")),
+
+    // t36: TextRank keyword extraction — PageRank over the word
+    // co-occurrence (bigram) graph, the classic unsupervised keyword
+    // ranker. Three damped power iterations in exact integer fixed
+    // point: transition weights are floor(1e6·c12/c1), each
+    // contribution is (rank · p_e6) div 1e6, each new rank is
+    // 0.15·1e6 + (0.85·inflow) via integer div — floor division on
+    // non-negative longs is bit-identical in both engines, so a
+    // 3-iteration matrix recurrence hash-matches. Every frame after
+    // the bigram count is VOCAB-sized, not corpus-sized; the edge
+    // list is localCheckpoint'ed once (the t32 lesson: a reduced
+    // frame referenced by 3 iterations must not re-explode bigrams
+    // per reference) and each iteration is one equijoin on w1 + one
+    // partial agg on w2 — fixed 3×2 bounded shuffles at any sf.
+    // Dangling mass (words never seen as a bigram head) is dropped,
+    // as in the original TextRank formulation.
+    Q("t36_textrank",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(TextOps.tokens(col("text")).as("t"))
+          .select(explode(TextOps.wordNgrams(col("t"), 2)).as("gram"))
+          .select(substring_index(col("gram"), " ", 1).as("w1"),
+            substring_index(col("gram"), " ", -1).as("w2"))
+        val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val ctx = big.groupBy("w1").agg(sum("c12").as("c1"))
+        val edges = big.join(ctx, "w1")
+          .select(col("w1"), col("w2"),
+            floor(col("c12") * lit(1000000.0) / col("c1")).cast("long").as("p_e6"))
+          .localCheckpoint(true)
+        val nodes = edges.select(col("w1").as("w"))
+          .union(edges.select(col("w2").as("w"))).distinct()
+          .localCheckpoint(true)
+        var rank = nodes.select(col("w"), lit(1000000L).as("r"))
+        for (_ <- 1 to 3) {
+          val inflow = rank.join(edges, rank("w") === edges("w1"))
+            .select(col("w2").as("w"),
+              expr("(r * p_e6) div 1000000").as("contrib"))
+            .groupBy("w").agg(sum("contrib").as("s"))
+          rank = nodes.join(inflow, Seq("w"), "left")
+            .select(col("w"),
+              (lit(150000L) + expr("(coalesce(s, 0L) * 85) div 100")).as("r"))
+        }
+        rank.select(col("w").as("word"), col("r").as("rank_e6"))
+          .orderBy(col("rank_e6").desc, col("word").asc)
+          .limit(20)
+      },
+      Some(s"""
+        WITH t AS (SELECT $tokSql AS toks FROM documents),
+        g AS (
+          SELECT unnest(CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(len(toks) - 1),
+                          i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+                   ELSE [] END) AS gram
+          FROM t),
+        b AS (
+          SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+                 count(*) AS c12
+          FROM g GROUP BY 1, 2),
+        c AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM b GROUP BY w1),
+        e AS (
+          SELECT b.w1, b.w2,
+                 CAST(floor(b.c12 * 1000000.0 / c.c1) AS BIGINT) AS p_e6
+          FROM b JOIN c USING (w1)),
+        n AS (SELECT w1 AS w FROM e UNION SELECT w2 FROM e),
+        r0 AS (SELECT w, CAST(1000000 AS BIGINT) AS r FROM n),
+        s1 AS (SELECT e.w2 AS w, CAST(sum((r0.r * e.p_e6) // 1000000) AS BIGINT) AS s
+               FROM r0 JOIN e ON r0.w = e.w1 GROUP BY e.w2),
+        r1 AS (SELECT n.w, CAST(150000 + (coalesce(s1.s, 0) * 85) // 100 AS BIGINT) AS r
+               FROM n LEFT JOIN s1 USING (w)),
+        s2 AS (SELECT e.w2 AS w, CAST(sum((r1.r * e.p_e6) // 1000000) AS BIGINT) AS s
+               FROM r1 JOIN e ON r1.w = e.w1 GROUP BY e.w2),
+        r2 AS (SELECT n.w, CAST(150000 + (coalesce(s2.s, 0) * 85) // 100 AS BIGINT) AS r
+               FROM n LEFT JOIN s2 USING (w)),
+        s3 AS (SELECT e.w2 AS w, CAST(sum((r2.r * e.p_e6) // 1000000) AS BIGINT) AS s
+               FROM r2 JOIN e ON r2.w = e.w1 GROUP BY e.w2),
+        r3 AS (SELECT n.w, CAST(150000 + (coalesce(s3.s, 0) * 85) // 100 AS BIGINT) AS r
+               FROM n LEFT JOIN s3 USING (w))
+        SELECT w AS word, r AS rank_e6 FROM r3
+        ORDER BY rank_e6 DESC, word ASC LIMIT 20""")),
+
+    // t37: MinHash accuracy, in-gate — for a deterministic 20% slice of
+    // consecutive-doc pairs (doc_id ≡ 0 mod 5, paired with its
+    // successor), the 8-component MinHash Jaccard ESTIMATE (agreeing
+    // components × 1/8) next to the EXACT shingle-set Jaccard, plus the
+    // absolute error. The r33↔r35 pattern applied to dedup: the estimate
+    // is the 100 TB path (signatures are 8 strings per doc; shingle sets
+    // never ship), the exact value is co-computed here solely so the
+    // oracle pins BOTH the estimator and its error — a regression in the
+    // hash family or the shingle rule shows up as an err_e4 shift, not a
+    // silent quality drop. The slice is how a production estimator-drift
+    // monitor runs too: the exact side is per-pair O(doc length), so you
+    // audit a fixed fraction, never the full corpus. exact_e4 is integer
+    // intersection/union sizes with one division + floor, identical IEEE
+    // ops both engines.
+    Q("t37_minhash_accuracy",
+      (s, d) => {
+        val k = 8
+        // localCheckpoint: the interpreted shingle explosion + 8 minhash
+        // folds feed BOTH join sides (a and b shuffle on different keys,
+        // so ReuseExchange can't share them) — materialize once (the t32
+        // lesson). Shingle arrays are kept only for the exact co-compute;
+        // the deployable estimator would checkpoint signatures alone.
+        val sig = withShingles(
+            Tables.documents(s, d).filter(col("doc_id") % 5 <= 1))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id") +:
+            graft.functions.native.minhashSignature(col("sh"), k) :+
+            array_distinct(col("sh")).as("sh"): _*)
+          .localCheckpoint(true)
+        val a = sig.toDF("id_a" +: (0 until k).map(i => s"a$i") :+ "sha": _*)
+        val b = sig.toDF("id_b" +: (0 until k).map(i => s"b$i") :+ "shb": _*)
+          .withColumn("id_a", col("id_b") - 1)
+        val agree = (0 until k)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        // sh is pre-deduped in the checkpoint, so set sizes are lengths
+        val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+        val uni = (size(col("sha")) + size(col("shb"))).cast("long") - inter
+        a.join(b, "id_a")
+          .select(col("id_a"), col("id_b"),
+            (agree * lit(1250L)).as("est_e4"),
+            floor(inter * lit(10000.0) / uni + lit(0.5)).cast("long").as("exact_e4"))
+          .withColumn("err_e4", abs(col("est_e4") - col("exact_e4")))
+          .orderBy("id_a")
+      },
+      Some(s"""
+        WITH s AS (
+          SELECT doc_id, list_distinct($shingleSql) AS sh FROM documents
+          WHERE doc_id % 5 <= 1),
+        f AS (
+          SELECT doc_id, sh,
+                 ${(0 until 8).map(i => minhashSql(i, "sh") + s" AS mh$i").mkString(",\n                 ")}
+          FROM s WHERE len(sh) > 0),
+        j AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST((${(0 until 8).map(i =>
+                   s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")})
+                      * 1250 AS BIGINT) AS est_e4,
+                 len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+                 len(a.sh) + len(b.sh)
+                   - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+          FROM f a JOIN f b ON b.doc_id = a.doc_id + 1)
+        SELECT id_a, id_b, est_e4,
+               CAST(floor(inter * 10000.0 / uni + 0.5) AS BIGINT) AS exact_e4,
+               abs(est_e4 - CAST(floor(inter * 10000.0 / uni + 0.5) AS BIGINT)) AS err_e4
+        FROM j ORDER BY id_a"""))
   )
 }

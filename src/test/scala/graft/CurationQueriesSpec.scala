@@ -69,6 +69,48 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("t36: textrank emits a full top-20 of positive damped ranks, sorted") {
+    val r = gate("t36_textrank").collect()
+    assert(r.length == 20)
+    val ranks = r.map(_.getAs[Long]("rank_e6"))
+    // every rank carries at least the undamped base mass (0.15 * 1e6)
+    assert(ranks.forall(_ >= 150000L))
+    assert(ranks.sameElements(ranks.sorted(Ordering[Long].reverse)))
+  }
+
+  test("r56: arms partition the user base and rates are consistent") {
+    val arms = gate("r56_ab_metrics").collect()
+    assert(arms.map(_.getAs[Long]("variant")).toSeq == Seq(0L, 1L))
+    val users = Tables.events(spark, sf001).select("user_id").distinct().count()
+    assert(arms.map(_.getAs[Long]("n_users")).sum == users)
+    arms.foreach { a =>
+      assert(a.getAs[Long]("n_converted") <= a.getAs[Long]("n_users"))
+      assert(a.getAs[Long]("n_purchases") >= a.getAs[Long]("n_converted"))
+      val expect = a.getAs[Long]("n_converted") * 1000000L / a.getAs[Long]("n_users")
+      assert(math.abs(a.getAs[Long]("conv_e6") - expect) <= 1)
+    }
+  }
+
+  test("r57: lag chain is consistent day to day") {
+    val days = gate("r57_dod_growth").orderBy("day").collect()
+    assert(days.head.isNullAt(days.head.fieldIndex("prev_c"))) // no day before the first
+    days.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getAs[Long]("prev_c") == prev.getAs[Long]("rev_c"))
+      assert(cur.getAs[Long]("delta_c") ==
+        cur.getAs[Long]("rev_c") - cur.getAs[Long]("prev_c"))
+    }
+  }
+
+  test("t37: estimate is k-quantized and the error column is honest") {
+    gate("t37_minhash_accuracy").collect().foreach { r =>
+      val (est, exact, err) = (r.getAs[Long]("est_e4"),
+        r.getAs[Long]("exact_e4"), r.getAs[Long]("err_e4"))
+      assert(est % 1250 == 0 && est >= 0 && est <= 10000)
+      assert(exact >= 0 && exact <= 10000)
+      assert(err == math.abs(est - exact))
+    }
+  }
+
   test("m6: scenes = cuts + 1 and scene lengths sum to the frame count") {
     val m = gate("m6_scene_cuts")
     assert(m.filter(col("n_scenes") =!= col("n_cuts") + 1).count() == 0)
