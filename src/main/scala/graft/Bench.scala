@@ -32,9 +32,14 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   /** All timing evidence for one query: every run's wall-clock plus the
-    * ambient load sampled just before its first run.
+    * ambient load sampled just before its first run. `error` non-empty when
+    * any run threw — a failed query's elapsed time is a fast-fail, not
+    * work, so errored queries are EXCLUDED from the headline total and
+    * reported in an `errors` map instead (round 9's 19 schema-broken
+    * queries "improved" the total by 4.3 s before this rule).
     */
-  final case class QueryResult(runs: Seq[Double], load1AtStart: Double) {
+  final case class QueryResult(runs: Seq[Double], load1AtStart: Double,
+                               error: Option[String] = None) {
     def best: Double = runs.min
     /** max/min across this query's STEADY-STATE runs. With ≥3 runs the
       * first is excluded: run 1 deterministically carries codegen/JIT/
@@ -63,12 +68,34 @@ object Bench {
   private[graft] val MinFlaggedForSuspicion = 3
   private[graft] def flaggedQueries(results: Map[String, QueryResult]): Seq[String] =
     results.toSeq
-      .filter { case (_, r) => r.best >= MinBestForSpread && r.spread > SpreadThreshold }
+      .filter { case (_, r) =>
+        r.error.isEmpty && r.best >= MinBestForSpread && r.spread > SpreadThreshold }
       .map(_._1).sorted
   private[graft] def interferenceSuspected(results: Map[String, QueryResult]): Boolean =
     flaggedQueries(results).size >= MinFlaggedForSuspicion
 
   private def jsonNum(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** `"errors":{name:firstLineOfMessage}` for every errored query — present
+    * (possibly `{}`) in every artifact tier so the absence of failures is
+    * itself recorded, and a shrunken query set can't masquerade as a full
+    * green run.
+    */
+  private def errorsJson(results: Map[String, QueryResult]): String =
+    results.toSeq.sortBy(_._1)
+      .collect { case (k, r) if r.error.nonEmpty =>
+        jsonStr(k) + ":" + jsonStr(r.error.get.linesIterator.nextOption().getOrElse("").take(160)) }
+      .mkString("\"errors\":{", ",", "}")
 
   // per-query precision in the FINAL line only: 2 dp keeps 75+ queries
   // comfortably inside the tail-window budget (full precision is always
@@ -104,7 +131,7 @@ object Bench {
     * distinguishable from a code regression from the artifact alone.
     */
   def renderFull(results: Map[String, QueryResult], sfDir: String): String = {
-    val mins = results.map { case (k, r) => k -> r.best }
+    val mins = results.collect { case (k, r) if r.error.isEmpty => k -> r.best }
     val total = if (mins.nonEmpty) mins.values.sum else 0.0
     val runsJson = results.toSeq.sortBy(_._1)
       .map { case (k, r) => "\"" + k + "\":" + r.runs.map(jsonNum).mkString("[", ",", "]") }
@@ -113,7 +140,8 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + jsonNum(r.load1AtStart) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":$total,"unit":"sec","load1":${jsonNum(load1)},""" +
-      s"""${interferenceJson(results)},"queries":${queriesJson(mins, _.toString)},""" +
+      s"""${interferenceJson(results)},${errorsJson(results)},""" +
+      s""""queries":${queriesJson(mins, _.toString)},""" +
       s""""runs":$runsJson,"qload1":$qloadJson,"sf":"$sfDir"}"""
   }
 
@@ -128,10 +156,11 @@ object Bench {
     * artifact the driver archives, so it must acquit (or indict) itself.
     */
   def renderFinal(results: Map[String, QueryResult], sfDir: String): String = {
-    val mins = results.map { case (k, r) => k -> r.best }
+    val mins = results.collect { case (k, r) if r.error.isEmpty => k -> r.best }
     val total = if (mins.nonEmpty) mins.values.sum else 0.0
     val totalR = jsonNum(total)
-    val intf = interferenceJson(results)
+    val nErr = results.count(_._2.error.nonEmpty)
+    val intf = interferenceJson(results) + s""","error_count":$nErr"""
     def line(mid: String): String =
       s"""{"metric":"total","value":$totalR,"unit":"sec","load1":${jsonNum(load1)},$intf,$mid"sf":"$sfDir"}"""
     val shortOk = results.keys.map(shortKey).toSet.size == results.size
@@ -177,11 +206,15 @@ object Bench {
     // ambient-load noise (first runs of sketch aggregates measured 5x
     // their steady state from one-time class init alone). Checkpoint-heavy
     // queries (singleRunQueries) run once — see runsFor.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     // SPARK_GRAFT_ONLY="e9_fact_sales,e3_..." restricts the run — the
     // iteration loop for benchmarking one operator without the full gate.
@@ -199,7 +232,9 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val loadAtStart = load1
-        name -> QueryResult(Seq.fill(runsFor(name))(timeOnce(name, fn)), loadAtStart)
+        val samples = Seq.fill(runsFor(name))(timeOnce(name, fn))
+        name -> QueryResult(samples.map(_._1), loadAtStart,
+          samples.flatMap(_._2).headOption)
       }.toMap
     def markSubset(json: String): String =
       if (only.isEmpty) json

@@ -26,6 +26,12 @@ object Verify {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
+    // On failure, still leave a footprint: a `<out>/<name>/_ERROR.txt`
+    // marker (the dir now EXISTS, so a driver that compares whatever dirs
+    // are present records an err row instead of silently shrinking the
+    // gate — round 9 lost 19 queries with zero in-artifact signal) plus an
+    // aggregate errors.json sidecar for human diagnosis.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -33,6 +39,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        try {
+          val d = Paths.get(s"$outDir/$name")
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("_ERROR.txt"),
+            s"$name\n${Option(e.getMessage).getOrElse(e.getClass.getName)}\n")
+        } catch { case _: Throwable => }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -50,6 +63,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

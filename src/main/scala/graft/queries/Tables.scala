@@ -3,11 +3,14 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-generated testdata tables
-  * (/root/repo/TESTDATA.md). One parquet per table; `events.ts` is
-  * nanosecond-precision INT64 which Spark's parquet reader rejects unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true` — sessions set that config
-  * and `events` exposes `ts` as epoch-nanos LongType plus a derived
-  * microsecond `ts_ts` TimestampType column for time arithmetic.
+  * (/root/repo/TESTDATA.md). One parquet per table. `events.ts` has shipped
+  * in two physical representations across driver testdata generations —
+  * nanosecond-precision INT64 (read as LongType via
+  * `spark.sql.legacy.parquet.nanosAsLong=true`) and `timestamp[us]` (read
+  * as TimestampType/TimestampNTZType) — so `events` normalizes at read
+  * time: downstream always sees `ts` = epoch-nanos LongType and `ts_ts` =
+  * microsecond TimestampType, whatever the file stores. The DuckDB oracle
+  * (`epoch_ns(ts)` / `epoch_us`) is representation-agnostic already.
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -45,13 +48,32 @@ object Tables {
   }
 
   /** events with `ts` = epoch nanos (LongType) and `ts_ts` = truncated-to-
-    * micros TimestampType. DuckDB equivalent of `ts`: `epoch_ns(ts)`.
-    * The nanos-as-long conf is runtime-settable — set defensively so the
-    * read works on caller-provided sessions too, not just ours.
+    * micros TimestampType, regardless of the file's physical `ts` type.
+    * DuckDB equivalent of `ts`: `epoch_ns(ts)` (works on both int64 and
+    * timestamp columns). The nanos-as-long conf is runtime-settable — set
+    * defensively so an int64-nanos file reads on caller-provided sessions
+    * too, not just ours; the session timeZone is pinned to UTC so an NTZ
+    * file's cast to TimestampType is machine-independent and matches the
+    * oracle's naive-as-UTC epoch arithmetic.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // int64 epoch-nanos generation: ts is already nanos
+        raw.withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType =>
+        raw.withColumn("ts_ts", col("ts"))
+          .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts_ts", col("ts").cast(TimestampType))
+          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected int64 nanos or timestamp)")
+    }
   }
 }
