@@ -162,6 +162,49 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.interferenceSuspected(tiny))
   }
 
+  test("errored queries are excluded from the total and reported, never timed") {
+    // Round 9: 19 schema-broken queries fast-failed in ~0.1 s each and
+    // IMPROVED the headline total. An errored query must (a) not count
+    // toward the total, (b) appear in the full render's errors map and the
+    // final line's error_count, (c) never trip the interference verdict.
+    val broken = fakeResults ++ Map(
+      "r7_dedup_latest" -> QueryResult(Seq(0.06, 0.07, 0.06), 2.0,
+        Some("""DATATYPE_MISMATCH: "ts div 1000" needs ("BIGINT"), got "TIMESTAMP_NTZ"""" + "\nsecond line")),
+      "s1_sessionize" -> QueryResult(Seq(8.0, 8.1, 8.2), 2.0, Some("boom")))
+    val clean = fakeResults -- Seq("r7_dedup_latest", "s1_sessionize")
+    val cleanTotal = mapper.readTree(Bench.renderFull(clean, "sf")).get("value").asDouble()
+    val full = mapper.readTree(Bench.renderFull(broken, "sf"))
+    assert(math.abs(full.get("value").asDouble() - cleanTotal) < 1e-6,
+      "errored queries' elapsed time must not enter the total")
+    val errs = full.get("errors")
+    assert(errs != null && errs.size() == 2)
+    assert(errs.get("r7_dedup_latest").asText().contains("DATATYPE_MISMATCH"))
+    assert(!errs.get("r7_dedup_latest").asText().contains("second line"),
+      "error messages are truncated to their first line for the artifact")
+    assert(!full.get("queries").has("r7_dedup_latest"))
+    val fin = mapper.readTree(Bench.renderFinal(broken, "sf"))
+    assert(fin.get("error_count").asInt() == 2)
+    assert(math.abs(fin.get("value").asDouble() - cleanTotal) < 2e-3)
+    // a clean run records the absence of failures explicitly
+    assert(mapper.readTree(Bench.renderFull(clean, "sf")).get("errors").size() == 0)
+    assert(mapper.readTree(Bench.renderFinal(clean, "sf")).get("error_count").asInt() == 0)
+  }
+
+  test("errored queries never trip or join the interference verdict") {
+    // A fast-fail's spread is meaningless; even a wild one must not flag.
+    val noisyErr = fakeResults + ("t6_dedup_clusters" ->
+      QueryResult(Seq(0.5, 9.9, 0.6), 2.0, Some("boom")))
+    assert(!Bench.flaggedQueries(noisyErr).contains("t6_dedup_clusters"))
+  }
+
+  test("final line still fits the tail window with a worst-case error count") {
+    val allBroken = fakeResults.map { case (k, r) =>
+      k -> r.copy(error = Some("x" * 200)) }
+    val line = Bench.renderFinal(allBroken, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.FinalLineBudget)
+    assert(mapper.readTree(line).get("error_count").asInt() == fakeResults.size)
+  }
+
   test("single-run mode covers exactly the checkpoint-heavy queries") {
     assert(Bench.runsFor("p1_curation_pipeline") == 1,
       "p1 re-materializes 5 parquet stages per run; min-of-3 triples the I/O")

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `Tables.events` must present ONE downstream contract — `ts` = epoch-nanos
+  * LongType, `ts_ts` = microsecond TimestampType — whatever physical type the
+  * driver's testdata generation stored (int64 epoch-nanos through round 8,
+  * `timestamp[us]` from round 9; the switch silently broke 19 gate queries).
+  * These specs write the same instants in all three physical representations
+  * and assert the normalized view is identical.
+  */
+class TablesSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  // Two fixed instants, µs precision (what every generation can represent).
+  private val microsA = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+  private val microsB = 1700000999000001L
+
+  private val base = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType)))
+
+  private def writeRep(dir: String, tsField: StructField, tsValue: Long => Any): Unit = {
+    val schema = StructType(StructField("ts", tsField.dataType) +: base.fields.toSeq)
+    val rows = Seq(
+      Row(tsValue(microsA), 1L, 10L),
+      Row(tsValue(microsB), 2L, 20L))
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  private def normalized(dir: String): Seq[(Long, Long, Long)] = {
+    val df = graft.queries.Tables.events(spark, dir)
+    assert(df.schema("ts").dataType == LongType, "contract: ts is epoch-nanos long")
+    assert(df.schema("ts_ts").dataType == TimestampType, "contract: ts_ts is TimestampType")
+    df.select(col("event_id"), col("ts"), unix_micros(col("ts_ts")).as("tsm"))
+      .orderBy("event_id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_events_$tag").toString
+
+  test("events normalizes int64-nanos, timestamp, and timestamp_ntz files identically") {
+    val expected = Seq(
+      (1L, microsA * 1000, microsA),
+      (2L, microsB * 1000, microsB))
+
+    val dLong = tmp("long")
+    writeRep(dLong, StructField("ts", LongType), m => m * 1000L) // stored as nanos
+    assert(normalized(dLong) == expected)
+
+    val dTs = tmp("ts")
+    writeRep(dTs, StructField("ts", TimestampType),
+      m => java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(m, java.time.temporal.ChronoUnit.MICROS)))
+    assert(normalized(dTs) == expected)
+
+    val dNtz = tmp("ntz")
+    writeRep(dNtz, StructField("ts", TimestampNTZType),
+      m => java.time.LocalDateTime.ofInstant(
+        java.time.Instant.EPOCH.plus(m, java.time.temporal.ChronoUnit.MICROS),
+        java.time.ZoneOffset.UTC))
+    assert(normalized(dNtz) == expected)
+  }
+
+  test("events rejects an unreadable ts representation instead of mis-deriving") {
+    val d = tmp("bad")
+    writeRep(d, StructField("ts", StringType), m => m.toString)
+    val e = intercept[IllegalStateException](graft.queries.Tables.events(spark, d).collect())
+    assert(e.getMessage.contains("unsupported physical type"))
+  }
+
+  test("the driver's current sf0.001 events file reads through the contract") {
+    val df = graft.queries.Tables.events(spark, sf001)
+    assert(df.schema("ts").dataType == LongType)
+    assert(df.schema("ts_ts").dataType == TimestampType)
+    // ts is nanos of ts_ts's microsecond instant, for every row
+    assert(df.filter(col("ts") =!= unix_micros(col("ts_ts")) * lit(1000L)).count() == 0)
+    assert(df.count() > 0)
+  }
+}
