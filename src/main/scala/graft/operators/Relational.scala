@@ -163,6 +163,40 @@ object Relational {
       .drop("__prev", "__new")
   }
 
+  /** Scalable exact prefix sum: running total of `valueCol` in `orderCol`
+    * order (inclusive), WITHOUT the global single-partition window a naive
+    * `Window.orderBy(orderCol)` costs. Rows are bucketed by range over
+    * `orderCol` (span derived from one bounded min/max agg), each bucket
+    * computes its local cumsum in parallel, and per-bucket prefix offsets
+    * — `buckets` rows, model-sized, not data-sized — are broadcast back.
+    * The only global sort is over the offsets frame. `orderCol` must be
+    * unique (the usual id column) so the prefix order is total.
+    *
+    * This is the building block for running-offset layouts at 100 TB:
+    * shard packing (m7), byte-offset manifests, cumulative token budgets.
+    */
+  def prefixSumScalable(df: DataFrame, orderCol: String, valueCol: String,
+                        outCol: String, buckets: Int = 64): DataFrame = {
+    val mm = df.agg(min(col(orderCol)).cast("long").as("lo"),
+      max(col(orderCol)).cast("long").as("hi")).head()
+    if (mm.isNullAt(0)) return df.withColumn(outCol, lit(null).cast("long"))
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (hi - lo) / buckets + 1)
+    val bucketed = df.withColumn("__b",
+      ((col(orderCol).cast("long") - lit(lo)) / lit(span)).cast("long"))
+    val wLocal = Window.partitionBy("__b").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = bucketed.withColumn("__cum", sum(col(valueCol)).over(wLocal))
+    val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__b")
+      .agg(sum(col(valueCol)).as("__bsum"))
+      .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
+      .select("__b", "__off")
+    local.join(broadcast(offsets), "__b")
+      .withColumn(outCol, col("__cum") + col("__off"))
+      .drop("__b", "__cum")
+  }
+
   /** Scalable surrogate key: same contract (dense 1..N following the sort
     * order) without the global single-partition sort. Range-partition +
     * local sort, then `zipWithIndex` (one counting job + one narrow map —

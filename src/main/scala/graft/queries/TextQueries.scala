@@ -380,6 +380,42 @@ object TextQueries {
               < (CASE WHEN lang = 'en' THEN 100 ELSE 500 END) * 65536
         GROUP BY lang ORDER BY lang""")),
 
+    // t38: train/val/test SPLIT — t7/t8 SAMPLE (keep a subset); a split
+    // PARTITIONS: every document lands in exactly one of train/val/test
+    // (80/10/10), so the assignment must be exhaustive and disjoint BY
+    // CONSTRUCTION (non-overlapping ranges of one hash draw — two
+    // independent coin flips would leak rows into two splits). Same
+    // salted-md5 primitive as t7, different salt: reusing t7's salt
+    // would correlate the split with any downstream sample taken with
+    // it. Pure map-side predicate — no shuffle until the audit agg; at
+    // 100 TB the split column is computed on scan and used as a
+    // partition key on write. Output is the audit row per split (count,
+    // char mass, id range) a curation run records next to the manifest.
+    Q("t38_train_split",
+      (s, d) => {
+        val b = conv(substring(md5(concat(lit("split"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(b * 10 < lit(8L * 65536), "train")
+              .when(b * 10 < lit(9L * 65536), "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("split")
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 10 < 8 * 65536 THEN 'train'
+                      WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 10 < 9 * 65536 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM s GROUP BY split ORDER BY split""")),
+
     // s2: the streaming module's windowed-counts transform itself, run on
     // batch input (same code path readStream takes; watermark is a no-op
     // in batch).

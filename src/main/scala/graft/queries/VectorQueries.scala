@@ -546,6 +546,46 @@ object VectorQueries {
         WHERE list_cosine_similarity(${castD.format("a.embedding")}, ${castD.format("b.embedding")}) >= 0.35
         ORDER BY id_a, id_b""")),
 
+    // v13: MUTUAL k-NN graph — the edge set graph-based curation builds
+    // on (semantic-dedup representatives, cluster connectivity, manifold
+    // pruning): directed exact kNN (k=5, v1's scoring conventions), an
+    // edge kept only when RECIPROCATED (b ∈ knn(a) AND a ∈ knn(b)),
+    // emitted undirected. Mutuality is the standard noise filter — a hub
+    // vector appears in thousands of kNN lists but reciprocates at most
+    // k, so mutual degree is bounded by k ⇒ the edge set is O(n·k), never
+    // O(n²). This gate query is the EXACT contract twin (same pairing as
+    // r33↔r35): all-pairs scoring against a broadcast prepared corpus is
+    // fine at model scale but NOT the 100 TB path — there the candidate
+    // generator is v6's IVF-cell blocking (2-probe, occupancy-capped) and
+    // the same reciprocation join runs on its O(n·k) candidate output;
+    // recall of that path is measured in QualityMetricsSpec, not assumed.
+    Q("v13_knn_graph",
+      (s, d) => {
+        val emb = preparedEmbeddings(s, d)
+        val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("__cd").as("__qd"), col("__cn").as("__qn"))
+        val knn = VectorOps.bruteForceTopK(q, emb, 5)
+          .select(col("qid").as("src"), col("vec_id").as("dst"))
+        knn.as("f").join(knn.as("r"),
+            col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+          .filter(col("f.src") < col("f.dst"))
+          .select(col("f.src").as("id_a"), col("f.dst").as("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 list_cosine_similarity(${castD.format("a.embedding")}, ${castD.format("b.embedding")}) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+        ranked AS (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+          FROM scored),
+        knn AS (SELECT src, dst FROM ranked WHERE rnk <= 5)
+        SELECT f.src AS id_a, f.dst AS id_b
+        FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+        WHERE f.src < f.dst ORDER BY id_a, id_b""")),
+
     // v6: LABEL-FREE embedding near-dup — v2 blocks on a label column,
     // but a real 100 TB corpus has no labels: here the blocking key is
     // the deterministic IVF quantizer's cell (the same memoized fit as
@@ -1074,6 +1114,41 @@ object VectorQueries {
                CAST(sum(cut_in) AS BIGINT) AS n_cuts,
                CAST(sum(scene_len) AS BIGINT) AS n_frames,
                max(scene_len) AS max_scene_len
-        FROM seg GROUP BY media_id ORDER BY media_id"""))
+        FROM seg GROUP BY media_id ORDER BY media_id""")),
+
+    // m7: WebDataset-style SHARD PACKING — lay the corpus out as fixed
+    // byte-budget training shards (here 64 KiB; production uses ~100 MB-1
+    // GB tar shards) by running payload offset in stable id order, and
+    // emit the per-shard manifest the trainer's dataloader consumes:
+    // shard → item count, byte size, id range. A record lands in the
+    // shard its STARTING offset falls in, so shard boundaries are
+    // deterministic functions of the corpus alone (no packing order
+    // races). The running offset is [[Relational.prefixSumScalable]] —
+    // range-bucketed local cumsums plus a broadcast of per-bucket
+    // offsets — NOT a global single-partition window, so the layout pass
+    // itself survives 100 TB; payload bytes here are `n_chars` (ASCII
+    // corpus: chars == bytes, replayed identically by the oracle).
+    Q("m7_shard_manifest",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        graft.operators.Relational
+          .prefixSumScalable(docs, "doc_id", "n_chars", "endoff")
+          .withColumn("shard_id", expr("(endoff - n_chars) div 65536"))
+          .groupBy("shard_id")
+          .agg(count(lit(1)).as("n_items"), sum("n_chars").as("bytes"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("shard_id")
+      },
+      Some("""
+        WITH o AS (
+          SELECT doc_id, n_chars,
+                 sum(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+                   AS startoff
+          FROM documents)
+        SELECT CAST(startoff // 65536 AS BIGINT) AS shard_id,
+               count(*) AS n_items, CAST(sum(n_chars) AS BIGINT) AS bytes,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM o GROUP BY shard_id ORDER BY shard_id"""))
   )
 }

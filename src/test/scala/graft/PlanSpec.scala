@@ -136,4 +136,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val filterIdx = optimized.indexOf("sum_qty")
     assert(filterIdx >= 0, s"aggregate alias missing from optimized plan:\n$optimized")
   }
+
+  test("prefixSumScalable: data-side window is bucket-partitioned, global window only on the offsets frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    val df = (1L to 10000L).map(i => (i, i % 7)).toDF("id", "v")
+    val plan = executed(
+      graft.operators.Relational.prefixSumScalable(df, "id", "v", "cum", buckets = 16))
+    val wins = collect(plan) { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      s"data-side cumsum must partition by the range bucket:\n${plan.toString.take(2000)}")
+    // a naive rewrite (global Window.orderBy over the data) would make
+    // EVERY window global; exactly one global window — over the 16-row
+    // per-bucket offsets frame — is the designed shape
+    assert(wins.count(_.partitionSpec.isEmpty) <= 1,
+      s"more than one global window:\n${plan.toString.take(2000)}")
+  }
 }

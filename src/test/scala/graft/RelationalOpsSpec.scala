@@ -115,4 +115,29 @@ class RelationalOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(resurrected == Set((1L, 2L, "late")))
   }
+
+  test("prefixSumScalable equals the global-window cumsum for any bucket count") {
+    // Sparse, unordered, negative-value input exercises bucket-boundary
+    // handoffs: every bucket's local cumsum must continue exactly where
+    // the previous bucket's total left off, for 1 bucket (degenerate:
+    // one global window) through more buckets than rows.
+    val rows = Seq((7L, 3L), (1L, -2L), (100L, 10L), (42L, 0L), (13L, 5L), (99L, -1L))
+    val df = rows.toDF("id", "v").repartition(4)
+    val expected = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }.drop(1)
+    for (b <- Seq(1, 2, 3, 64)) {
+      val got = Relational.prefixSumScalable(df, "id", "v", "cum", buckets = b)
+        .orderBy("id").select("id", "cum")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"buckets=$b")
+    }
+  }
+
+  test("prefixSumScalable: closed-form check at 10k rows") {
+    val df = (1L to 10000L).map(i => (i, i % 7)).toDF("id", "v")
+    val out = Relational.prefixSumScalable(df, "id", "v", "cum", buckets = 16)
+    // cum(id=n) for v = id%7, n = 9999
+    val at9999 = out.filter(col("id") === 9999L).head().getAs[Long]("cum")
+    assert(at9999 == (1L to 9999L).map(_ % 7).sum)
+  }
 }
