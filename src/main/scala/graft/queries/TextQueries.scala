@@ -416,6 +416,56 @@ object TextQueries {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM s GROUP BY split ORDER BY split""")),
 
+    // t39: blocked EDIT-DISTANCE fuzzy join — the similarity kernel the
+    // minhash/simhash family doesn't cover: character-level Levenshtein
+    // (typo/OCR-noise near-matches, title reconciliation across
+    // sources). All-pairs is O(n²·len²) and never acceptable; the
+    // blocking key is (lang, first 8 chars of the head) — a content
+    // prefix, so block occupancy tracks prefix collisions, not corpus
+    // size (the first cut, token-level blocking, collapsed onto a
+    // handful of hot tokens at 2× scale: 31 s at sf0.2 vs 3 s at
+    // sf0.1). Prefix blocking deliberately trades recall — a pair
+    // differing inside the first 8 chars is missed — for a bounded
+    // candidate set; v2's enforced occupancy cap (a block larger than
+    // 1000 contributes no pairs, like lshPairsBounded) bounds the
+    // within-block quadratic, and lives in BOTH engines so the contract
+    // itself is oracle-checked. Levenshtein on the 32-char head is
+    // exact integer DP in Spark and DuckDB — no cross-engine float
+    // risk.
+    Q("t39_fuzzy_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val doc = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), substring(col("text"), 1, 32).as("head"))
+          .withColumn("blk",
+            concat_ws("|", col("lang"), substring(col("head"), 1, 8)))
+        val capped = doc.withColumn("__n", count(lit(1)).over(Window.partitionBy("blk")))
+          .filter(col("__n") <= 1000).drop("__n")
+        val a = capped.select(col("blk"), col("doc_id").as("id_a"), col("head").as("head_a"))
+        val b = capped.select(col("blk"), col("doc_id").as("id_b"), col("head").as("head_b"))
+        a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("dist", levenshtein(col("head_a"), col("head_b")).cast("long"))
+          .filter(col("dist") <= 12)
+          .select("id_a", "id_b", "dist")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH h0 AS (
+          SELECT doc_id,
+                 lang || '|' || substr(text, 1, 8) AS blk,
+                 substr(text, 1, 32) AS head
+          FROM documents),
+        h AS (
+          SELECT * FROM (
+            SELECT doc_id, blk, head, count(*) OVER (PARTITION BY blk) AS n
+            FROM h0) WHERE n <= 1000)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        FROM h a JOIN h b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= 12
+        ORDER BY id_a, id_b""")),
+
     // s2: the streaming module's windowed-counts transform itself, run on
     // batch input (same code path readStream takes; watermark is a no-op
     // in batch).

@@ -174,6 +174,45 @@ object VectorQueries {
   /** Test hook: drop all in-process memoized quantizers. */
   def clearCentroidCache(): Unit = ivfCentroids.clear()
 
+  /** Mutual k-NN edge set (v13's contract, reused by g1's PageRank):
+    * exact directed kNN against the broadcast prepared corpus, an edge
+    * kept only when reciprocated, emitted undirected as (id_a < id_b).
+    */
+  private[queries] def mutualKnnEdges(s: org.apache.spark.sql.SparkSession,
+                                      dir: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val emb = preparedEmbeddings(s, dir)
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("__cd").as("__qd"), col("__cn").as("__qn"))
+    // the corpus side CARRIES the n² dot-product loop (queries are the
+    // broadcast side): a small parquet reads as 1-2 partitions, which
+    // would serialize the whole O(n²·d) scoring on one core — spread it
+    // to the cluster width first (row-identical, order-free: ranking
+    // re-sorts per query)
+    val spread = emb.repartition(s.sparkContext.defaultParallelism)
+    val knn = VectorOps.bruteForceTopK(q, spread, k)
+      .select(col("qid").as("src"), col("vec_id").as("dst"))
+    knn.as("f").join(knn.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+      .filter(col("f.src") < col("f.dst"))
+      .select(col("f.src").as("id_a"), col("f.dst").as("id_b"))
+  }
+
+  /** The v13 oracle's kNN + reciprocation CTE chain, shared with g1. */
+  private[queries] def mutualKnnCtes: String = s"""
+        WITH scored AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 list_cosine_similarity(${castD.format("a.embedding")}, ${castD.format("b.embedding")}) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+        ranked AS (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+          FROM scored),
+        knn AS (SELECT src, dst FROM ranked WHERE rnk <= 5),
+        mutual AS (
+          SELECT f.src AS id_a, f.dst AS id_b
+          FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+          WHERE f.src < f.dst)"""
+
   /** v6's growing-keyspace contract, as a FORMULA both engines evaluate:
     * the IVF cell count scales with the corpus so mean single-assignment
     * occupancy stays ≈ [[VectorCellTargetOccupancy]] (2-probe occupancy
@@ -560,31 +599,71 @@ object VectorQueries {
     // the same reciprocation join runs on its O(n·k) candidate output;
     // recall of that path is measured in QualityMetricsSpec, not assumed.
     Q("v13_knn_graph",
+      (s, d) => mutualKnnEdges(s, d, 5).orderBy("id_a", "id_b"),
+      Some(s"""$mutualKnnCtes
+        SELECT id_a, id_b FROM mutual ORDER BY id_a, id_b""")),
+
+    // g1: PageRank over the mutual k-NN graph — iterative graph
+    // centrality (the importance signal graph-based corpus curation
+    // ranks representatives by) in EXACT FIXED-POINT arithmetic: ranks
+    // live in integer micro-units, each step is
+    //   pr' = 150000 + (85 * Σ (pr div deg)) div 100
+    // — BIGINT sums and truncating integer division only, so the result
+    // is bit-identical across engines and across partitionings (a
+    // floating-point PageRank would hash-mismatch on summation order
+    // alone). Three unrolled iterations; the mutual graph is symmetric,
+    // so every node with an edge receives mass every round and the node
+    // set is closed (no dangling-mass term). Each iteration is one
+    // broadcast-sized join + one partial-agg shuffle on the node id —
+    // the Pregel shape, linear per round in |E|, O(rounds) shuffles at
+    // 100 TB with no driver-side state; deeper fixpoints checkpoint
+    // every ~10 rounds to cut lineage, unnecessary at 3.
+    Q("g1_knn_pagerank",
       (s, d) => {
-        val emb = preparedEmbeddings(s, d)
-        val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("__cd").as("__qd"), col("__cn").as("__qn"))
-        val knn = VectorOps.bruteForceTopK(q, emb, 5)
-          .select(col("qid").as("src"), col("vec_id").as("dst"))
-        knn.as("f").join(knn.as("r"),
-            col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
-          .filter(col("f.src") < col("f.dst"))
-          .select(col("f.src").as("id_a"), col("f.dst").as("id_b"))
-          .orderBy("id_a", "id_b")
+        // materialize the edge set ONCE and truncate lineage before
+        // iterating: each pr step references `both`/`deg`, and without
+        // the checkpoint Catalyst re-derives the full brute-force kNN
+        // inside every iteration of the unrolled loop (measured 89 s vs
+        // ~4 s at sf0.1). One O(n·k) materialization is the iterative-
+        // algorithm contract at any scale.
+        val e = mutualKnnEdges(s, d, 5).localCheckpoint()
+        val both = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
+        var pr = deg.select(col("src").as("id"), lit(1000000L).as("pr"))
+        for (_ <- 1 to 3) {
+          pr = both.join(deg, "src")
+            .join(pr, col("src") === col("id"))
+            .select(col("dst"), expr("pr div deg").as("c"))
+            .groupBy("dst")
+            .agg(expr("150000 + (85 * sum(c)) div 100").as("pr"))
+            .select(col("dst").as("id"), col("pr"))
+        }
+        pr.select(col("id"), col("pr")).orderBy(col("pr").desc, col("id"))
       },
-      Some(s"""
-        WITH scored AS (
-          SELECT a.vec_id AS src, b.vec_id AS dst,
-                 list_cosine_similarity(${castD.format("a.embedding")}, ${castD.format("b.embedding")}) AS cos
-          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
-        ranked AS (
-          SELECT src, dst,
-                 row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
-          FROM scored),
-        knn AS (SELECT src, dst FROM ranked WHERE rnk <= 5)
-        SELECT f.src AS id_a, f.dst AS id_b
-        FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
-        WHERE f.src < f.dst ORDER BY id_a, id_b""")),
+      Some(s"""$mutualKnnCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM mutual
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM mutual),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        p0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        p1 AS (
+          SELECT e.dst AS id,
+                 150000 + (85 * CAST(sum(p.pr // d.deg) AS BIGINT)) // 100 AS pr
+          FROM edges e JOIN deg d ON d.src = e.src JOIN p0 p ON p.id = e.src
+          GROUP BY e.dst),
+        p2 AS (
+          SELECT e.dst AS id,
+                 150000 + (85 * CAST(sum(p.pr // d.deg) AS BIGINT)) // 100 AS pr
+          FROM edges e JOIN deg d ON d.src = e.src JOIN p1 p ON p.id = e.src
+          GROUP BY e.dst),
+        p3 AS (
+          SELECT e.dst AS id,
+                 150000 + (85 * CAST(sum(p.pr // d.deg) AS BIGINT)) // 100 AS pr
+          FROM edges e JOIN deg d ON d.src = e.src JOIN p2 p ON p.id = e.src
+          GROUP BY e.dst)
+        SELECT id, pr FROM p3 ORDER BY pr DESC, id""")),
 
     // v6: LABEL-FREE embedding near-dup — v2 blocks on a label column,
     // but a real 100 TB corpus has no labels: here the blocking key is

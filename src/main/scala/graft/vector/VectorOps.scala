@@ -92,6 +92,11 @@ object VectorOps {
   /** Exact top-k neighbors for each query vector: broadcast the (small)
     * query set, stream the corpus through a map-side cross join, rank per
     * query. No corpus shuffle — the heavy side is touched exactly once.
+    * Returns exactly `(qId, cId, cos, rnk)`: the scored frame is cut to
+    * those four columns BEFORE the ranking window, so the per-query sort
+    * exchange moves 4 scalars per candidate, never the vectors — with an
+    * n×n query set (v13's kNN graph) the difference is the whole shuffle
+    * (n² × 2×64 doubles ≈ GBs) vs n² × 24 bytes.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "qid", qVec: String = "qv",
@@ -103,11 +108,11 @@ object VectorOps {
     val c = ensurePrepared(corpus, cVec, "__cd", "__cn")
     val scored = broadcast(q).crossJoin(c)
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos", rawDot(col("__qd"), col("__cd")) / (col("__qn") * col("__cn")))
+      .select(col(qId), col(cId),
+        (rawDot(col("__qd"), col("__cd")) / (col("__qn") * col("__cn"))).as("cos"))
     val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .drop("__qd", "__qn", "__cd", "__cn")
   }
 
   /** Deterministic pseudo-random hyperplane coefficients (±1) for sign-LSH:
