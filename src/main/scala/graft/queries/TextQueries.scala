@@ -466,6 +466,37 @@ object TextQueries {
         WHERE levenshtein(a.head, b.head) <= 12
         ORDER BY id_a, id_b""")),
 
+    // t40: BPE merge-candidate induction — the first round of byte-pair-
+    // encoding tokenizer training: count adjacent CHARACTER pairs inside
+    // words across the corpus, rank the top merge candidates. (t19's
+    // n-grams are word-level; this is the char-level vocab-induction
+    // pass.) The length ≥ 2 filter is load-bearing: Spark's
+    // sequence(1, 0) descends (step −1), so a 1-char word would emit
+    // positions [1, 0] instead of nothing. Map-side explode + partial
+    // agg on a small key space (alphabet²), top-20 via TakeOrdered —
+    // at 100 TB this is a scan plus a tiny-cardinality shuffle; full
+    // BPE iterates merge→re-tokenize→count, each round this same shape.
+    Q("t40_bpe_pairs",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+        words
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(20)
+      },
+      Some("""
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        p AS (
+          SELECT substr(w, CAST(i AS INT), 2) AS pair
+          FROM (SELECT w, unnest(range(1, length(w))) AS i
+                FROM w WHERE length(w) >= 2))
+        SELECT pair, count(*) AS cnt FROM p
+        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""")),
+
     // s2: the streaming module's windowed-counts transform itself, run on
     // batch input (same code path readStream takes; watermark is a no-op
     // in batch).

@@ -174,27 +174,50 @@ object VectorQueries {
   /** Test hook: drop all in-process memoized quantizers. */
   def clearCentroidCache(): Unit = ivfCentroids.clear()
 
-  /** Mutual k-NN edge set (v13's contract, reused by g1's PageRank):
-    * exact directed kNN against the broadcast prepared corpus, an edge
-    * kept only when reciprocated, emitted undirected as (id_a < id_b).
+  /** Mutual k-NN edge set (v13's contract, reused by g1's PageRank and
+    * g2's triangle count): exact directed kNN against the broadcast
+    * prepared corpus, an edge kept only when reciprocated, emitted
+    * undirected as (id_a < id_b).
+    *
+    * MEMOIZED per (session, dir, k, corpus fingerprint) as a
+    * localCheckpointed frame — the same build-the-model-once contract as
+    * [[preparedEmbeddings]] and the IVF quantizer: a curation pipeline
+    * constructs the neighbor graph once and runs many graph queries
+    * (edges, centrality, clustering) against it, and the checkpoint also
+    * truncates lineage so iterative consumers (g1) don't re-derive the
+    * O(n²·d) scoring inside every unrolled step (measured 89 s vs ~2 s
+    * at sf0.1).
     */
+  private val knnEdgeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+
+  /** Test hook: drop all memoized kNN edge sets. */
+  def clearKnnEdgeCache(): Unit = knnEdgeCache.clear()
+
   private[queries] def mutualKnnEdges(s: org.apache.spark.sql.SparkSession,
                                       dir: String, k: Int): org.apache.spark.sql.DataFrame = {
-    val emb = preparedEmbeddings(s, dir)
-    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      col("__cd").as("__qd"), col("__cn").as("__qn"))
-    // the corpus side CARRIES the n² dot-product loop (queries are the
-    // broadcast side): a small parquet reads as 1-2 partitions, which
-    // would serialize the whole O(n²·d) scoring on one core — spread it
-    // to the cluster width first (row-identical, order-free: ranking
-    // re-sorts per query)
-    val spread = emb.repartition(s.sparkContext.defaultParallelism)
-    val knn = VectorOps.bruteForceTopK(q, spread, k)
-      .select(col("qid").as("src"), col("vec_id").as("dst"))
-    knn.as("f").join(knn.as("r"),
-        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
-      .filter(col("f.src") < col("f.dst"))
-      .select(col("f.src").as("id_a"), col("f.dst").as("id_b"))
+    knnEdgeCache.forEach { (key, v) =>
+      if (v._1.sparkContext.isStopped) { knnEdgeCache.remove(key, v); () }
+    }
+    knnEdgeCache.computeIfAbsent(
+      s"${sessionKey(s)}|$dir|$k|${embeddingsFingerprint(s, dir)}", _ => {
+        val emb = preparedEmbeddings(s, dir)
+        val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("__cd").as("__qd"), col("__cn").as("__qn"))
+        // the corpus side CARRIES the n² dot-product loop (queries are
+        // the broadcast side): a small parquet reads as 1-2 partitions,
+        // which would serialize the whole O(n²·d) scoring on one core —
+        // spread it to the cluster width first (row-identical,
+        // order-free: ranking re-sorts per query)
+        val spread = emb.repartition(s.sparkContext.defaultParallelism)
+        val knn = VectorOps.bruteForceTopK(q, spread, k)
+          .select(col("qid").as("src"), col("vec_id").as("dst"))
+        val edges = knn.as("f").join(knn.as("r"),
+            col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+          .filter(col("f.src") < col("f.dst"))
+          .select(col("f.src").as("id_a"), col("f.dst").as("id_b"))
+        (s, edges.localCheckpoint())
+      })._2
   }
 
   /** The v13 oracle's kNN + reciprocation CTE chain, shared with g1. */
@@ -620,13 +643,11 @@ object VectorQueries {
     // every ~10 rounds to cut lineage, unnecessary at 3.
     Q("g1_knn_pagerank",
       (s, d) => {
-        // materialize the edge set ONCE and truncate lineage before
-        // iterating: each pr step references `both`/`deg`, and without
-        // the checkpoint Catalyst re-derives the full brute-force kNN
-        // inside every iteration of the unrolled loop (measured 89 s vs
-        // ~4 s at sf0.1). One O(n·k) materialization is the iterative-
-        // algorithm contract at any scale.
-        val e = mutualKnnEdges(s, d, 5).localCheckpoint()
+        // mutualKnnEdges is memoized + localCheckpointed: lineage is
+        // already cut, so each pr step below references a materialized
+        // edge RDD instead of re-deriving the brute-force kNN inside
+        // every unrolled iteration (measured 89 s vs ~2 s at sf0.1)
+        val e = mutualKnnEdges(s, d, 5)
         val both = e.select(col("id_a").as("src"), col("id_b").as("dst"))
           .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
         val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -664,6 +685,43 @@ object VectorQueries {
           FROM edges e JOIN deg d ON d.src = e.src JOIN p2 p ON p.id = e.src
           GROUP BY e.dst)
         SELECT id, pr FROM p3 ORDER BY pr DESC, id""")),
+
+    // g2: per-node TRIANGLE participation over the mutual k-NN graph —
+    // the local-clustering signal (how interconnected is each vector's
+    // neighborhood) that separates dense near-dup clumps from chain-like
+    // drift when choosing dedup representatives. Classic ordered
+    // enumeration: edges stored once as (a < b), each triangle a<b<c
+    // found exactly once by joining (a,b)⋈(b,c)⋈(a,c) — two hash
+    // equijoins on edge endpoints, no direction-doubling, no distinct.
+    // On a kNN graph mutual degree is ≤ k, so candidates are O(n·k²)
+    // and the join never degenerates; at general-graph scale the
+    // standard guard is degree-ordered orientation (point each edge at
+    // the higher-degree endpoint), which this id-ordered layout already
+    // approximates under bounded degree.
+    Q("g2_triangle_count",
+      (s, d) => {
+        val e = mutualKnnEdges(s, d, 5) // memoized, lineage already cut
+        val tri = e.select(col("id_a").as("a"), col("id_b").as("b"))
+          .join(e.select(col("id_a").as("b2"), col("id_b").as("c")),
+            col("b") === col("b2"))
+          .join(e.select(col("id_a").as("a3"), col("id_b").as("c3")),
+            col("a") === col("a3") && col("c") === col("c3"))
+          .select(col("a"), col("b"), col("c"))
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("n_tri"))
+          .orderBy("id")
+      },
+      Some(s"""$mutualKnnCtes,
+        tri AS (
+          SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+          FROM mutual e1
+          JOIN mutual e2 ON e2.id_a = e1.id_b
+          JOIN mutual e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        nodes AS (
+          SELECT a AS id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT id, count(*) AS n_tri FROM nodes GROUP BY id ORDER BY id""")),
 
     // v6: LABEL-FREE embedding near-dup — v2 blocks on a label column,
     // but a real 100 TB corpus has no labels: here the blocking key is

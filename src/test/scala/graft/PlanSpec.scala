@@ -137,6 +137,31 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(filterIdx >= 0, s"aggregate alias missing from optimized plan:\n$optimized")
   }
 
+  test("kNN graph family: no exchange carries vector payloads; fuzzy join is never cartesian") {
+    // the n² scoring must cut to (qid, id, cos) BEFORE the ranking
+    // shuffle — a KEYED shuffle carrying the 64-dim arrays is the
+    // 4 GB/2000² mistake bruteForceTopK's contract forbids. Two vector
+    // movements stay legitimate and LINEAR: the broadcast of the
+    // model-sized query side, and the one-pass round-robin spread of the
+    // corpus to cluster width (n rows, touched once).
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (name <- Seq("v13_knn_graph", "g1_knn_pagerank", "g2_triangle_count")) {
+      val q = graft.queries.VectorQueries.all.find(_.name == name).get
+      val plan = executed(q.run(spark, sf001))
+      val bad = collect(plan) { case e: ShuffleExchangeLike
+        if (e.outputPartitioning.isInstanceOf[HashPartitioning] ||
+            e.outputPartitioning.isInstanceOf[RangePartitioning]) &&
+          e.schema.fieldNames.exists(f =>
+            f.startsWith("__q") || f.startsWith("__c") || f == "embedding" || f == "qv") => e }
+      assert(bad.isEmpty, s"$name shuffles vector payloads on a key:\n${bad.map(_.schema.simpleString)}")
+    }
+    val t39 = graft.queries.TextQueries.all.find(_.name == "t39_fuzzy_join").get
+    val s = executed(t39.run(spark, sf001)).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degraded to all-pairs:\n${s.take(2000)}")
+  }
+
   test("prefixSumScalable: data-side window is bucket-partitioned, global window only on the offsets frame") {
     import org.apache.spark.sql.execution.window.WindowExec
     import spark.implicits._
