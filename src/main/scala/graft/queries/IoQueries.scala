@@ -86,8 +86,43 @@ object IoQueries {
                CAST(sum(length(text)) AS BIGINT) AS sum_text_len
         FROM documents GROUP BY source ORDER BY source"""
 
+  /** Hive-layout partitioned write + pruned read-back. Memoized per
+    * (session, dir, table fingerprint) like the vector-side model
+    * builds: the partitioned COPY of the corpus is written once and the
+    * gate query exercises what actually matters at 100 TB — that a
+    * partition-key predicate prunes directories at PLANNING time
+    * (PartitionFilters, pinned by PlanSpec) instead of scanning and
+    * filtering rows. The written layout is the `partitionBy` physical
+    * design every large corpus ships with (per-language/per-source
+    * shards); pruning is the difference between reading 2 dirs and
+    * reading all of them.
+    */
+  private val partitionedCopies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def partitionedDocs(s: SparkSession, d: String): String =
+    partitionedCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "part_lang_").toString
+        Tables.documents(s, d).write.mode("overwrite")
+          .partitionBy("lang").parquet(out)
+        out
+      })
+
   val all: Seq[Q] = Seq(
     Q("j1_jsonl_roundtrip", (s, d) => roundTrip(s, d, "json"), Some(oracleAgg)),
     Q("o1_orc_roundtrip", (s, d) => roundTrip(s, d, "orc"), Some(oracleAgg)),
-    Q("c1_csv_roundtrip", (s, d) => roundTrip(s, d, "csv"), Some(oracleAgg)))
+    Q("c1_csv_roundtrip", (s, d) => roundTrip(s, d, "csv"), Some(oracleAgg)),
+    Q("h1_partitioned_prune",
+      (s, d) => s.read.parquet(partitionedDocs(s, d))
+        .filter(col("lang").isin("de", "fr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang"),
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents WHERE lang IN ('de', 'fr')
+        GROUP BY lang ORDER BY lang""")))
 }

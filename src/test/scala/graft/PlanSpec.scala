@@ -137,6 +137,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(filterIdx >= 0, s"aggregate alias missing from optimized plan:\n$optimized")
   }
 
+  test("h1: partition-key predicate prunes at planning time — 2 of 5 lang dirs read") {
+    val q = graft.queries.IoQueries.all.find(_.name == "h1_partitioned_prune").get
+    val s = executed(q.run(spark, sf001)).toString
+    assert(s.contains("PartitionFilters") && s.contains("lang"),
+      s"lang predicate must be a partition filter, not a row filter:\n${s.take(2000)}")
+    // the scan must not carry a post-scan Filter on lang (pruning is
+    // directory-level); isin over 2 of the 5 lang values
+    assert(s.contains("lang#") || s.contains("IN (de,fr)") || s.contains("lang IN"),
+      s"expected the isin partition predicate in:\n${s.take(2000)}")
+  }
+
   test("kNN graph family: no exchange carries vector payloads; fuzzy join is never cartesian") {
     // the n² scoring must cut to (qid, id, cos) BEFORE the ranking
     // shuffle — a KEYED shuffle carrying the 64-dim arrays is the
