@@ -186,6 +186,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // testdata-contract preflight (see Verify): name drifted columns
+    // before any timing; failures then show up per-query in `errors`.
+    queries.Tables.preflight(spark, sfDir)
+      .foreach(m => System.err.println(s"[preflight] $m"))
     // warmup: initialize FS/codegen/shuffle machinery outside the timers,
     // and touch EVERY base table once (page cache + parquet footers) — on
     // a loaded machine a cold first scan otherwise dominates the small

@@ -16,6 +16,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // testdata-contract preflight: name any drifted column up front (the
+    // round-9 events.ts drift cost a full round to diagnose), then
+    // continue — per-query error artifacts make the damage visible.
+    val drift = queries.Tables.preflight(spark, sfDir)
+    drift.foreach(m => System.err.println(s"[preflight] $m"))
     // SPARK_GRAFT_ONLY="v6_ivf_neardup,..." restricts the dump — same
     // iteration loop as Bench's; tools/local_check.py compares whatever
     // subset of query dirs is present. Unknown names fail fast.
@@ -32,9 +37,9 @@ object Verify {
     // gate — round 9 lost 19 queries with zero in-artifact signal) plus an
     // aggregate errors.json sidecar for human diagnosis.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
+    val attempted = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -66,6 +71,10 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // which queries this run attempted — lets a checker distinguish "a
+    // subset run skipped it" from "it was attempted and left no result"
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.map(a => q(a._1)).sorted.mkString("[", ",", "]"))
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -47,6 +47,76 @@ object Tables {
       .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** Testdata contract preflight: every table's required columns with the
+    * set of acceptable Spark types — multi-generation columns (events.ts)
+    * list every representation the loaders adapt to. The driver has
+    * regenerated `/root/testdata` with a changed physical type once
+    * (round 9: events.ts int64-nanos → timestamp[us]), which cost a full
+    * round to diagnose; this turns the next drift into a one-line
+    * stderr message naming the column. Extra columns are fine (additive
+    * evolution); missing columns and unaccepted types are reported.
+    */
+  private val expectedContract: Map[String, Seq[(String, Set[String])]] = Map(
+    "region" -> Seq("r_regionkey" -> Set("int", "bigint"), "r_name" -> Set("string")),
+    "nation" -> Seq("n_nationkey" -> Set("int", "bigint"), "n_name" -> Set("string"),
+      "n_regionkey" -> Set("int", "bigint")),
+    "customer" -> Seq("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+      "c_nationkey" -> Set("int", "bigint"), "c_acctbal" -> Set("double"),
+      "c_mktsegment" -> Set("string")),
+    "supplier" -> Seq("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+      "s_nationkey" -> Set("int", "bigint"), "s_acctbal" -> Set("double")),
+    "part" -> Seq("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+      "p_brand" -> Set("string"), "p_type" -> Set("string"),
+      "p_size" -> Set("int", "bigint"), "p_retailprice" -> Set("double")),
+    "orders" -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+      "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+      "o_orderdate" -> Set("timestamp", "timestamp_ntz", "date"),
+      "o_orderpriority" -> Set("string")),
+    "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+      "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int", "bigint"),
+      "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+      "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+      "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+      "l_shipdate" -> Set("timestamp", "timestamp_ntz", "date")),
+    "events" -> Seq("event_id" -> Set("bigint"),
+      "ts" -> Set("bigint", "timestamp", "timestamp_ntz"),
+      "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+      "value" -> Set("double"), "props" -> Set("string")),
+    "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
+      "lang" -> Set("string"), "source" -> Set("string"),
+      "n_chars" -> Set("bigint", "int")),
+    "embeddings" -> Seq("vec_id" -> Set("bigint"),
+      "embedding" -> Set("array<float>", "array<double>"),
+      "label" -> Set("int", "bigint")))
+
+  /** Human-readable drift report for `dir` against [[expectedContract]];
+    * empty when every table conforms. Callers (Verify/Bench) print each
+    * line and CONTINUE — with per-query error artifacts in place, a
+    * drifted table degrades visibly per query instead of aborting the
+    * whole gate.
+    */
+  def preflight(s: SparkSession, dir: String): Seq[String] = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    expectedContract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      try {
+        val schema = t(s, dir, table).schema
+        val have = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+        cols.flatMap { case (c, ok) =>
+          have.get(c) match {
+            case None =>
+              Some(s"$table.$c: MISSING (present: ${schema.fieldNames.mkString(", ")})")
+            case Some(tp) if !ok(tp) =>
+              Some(s"$table.$c: type '$tp' not in accepted {${ok.toSeq.sorted.mkString(", ")}}")
+            case _ => None
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          Seq(s"$table: unreadable (${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()})")
+      }
+    }
+  }
+
   /** events with `ts` = epoch nanos (LongType) and `ts_ts` = truncated-to-
     * micros TimestampType, regardless of the file's physical `ts` type.
     * DuckDB equivalent of `ts`: `epoch_ns(ts)` (works on both int64 and

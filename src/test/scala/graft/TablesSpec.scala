@@ -72,6 +72,29 @@ class TablesSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported physical type"))
   }
 
+  test("preflight: clean testdata reports nothing; doctored dir names the drifted column") {
+    assert(graft.queries.Tables.preflight(spark, sf001).isEmpty,
+      "driver testdata must satisfy the expected contract")
+    // doctored replica: events.ts as string (an unaccepted type), orders
+    // missing o_orderpriority — both must be named
+    val d = tmp("doctor")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "lineitem", "documents", "embeddings"))
+      spark.read.parquet(s"$sf001/$t.parquet")
+        .write.mode("overwrite").parquet(s"$d/$t.parquet")
+    spark.read.parquet(s"$sf001/orders.parquet").drop("o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    graft.queries.Tables.events(spark, sf001)
+      .withColumn("ts", col("ts").cast("string")).drop("ts_ts")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val drift = graft.queries.Tables.preflight(spark, d)
+    assert(drift.exists(m => m.startsWith("events.ts") && m.contains("string")),
+      s"must name events.ts type drift, got: $drift")
+    assert(drift.exists(_.startsWith("orders.o_orderpriority")),
+      s"must name the missing orders column, got: $drift")
+    assert(drift.size == 2, s"no false positives expected, got: $drift")
+  }
+
   test("the driver's current sf0.001 events file reads through the contract") {
     val df = graft.queries.Tables.events(spark, sf001)
     assert(df.schema("ts").dataType == LongType)

@@ -60,8 +60,33 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
     n_pass = n_fail = n_noracle = 0
+    # a registered query with no result dir (or an _ERROR.txt marker) is a
+    # FAILURE, not an absence — round 9's correctness gate silently shrank
+    # from 129 to 110 because missing dirs were simply skipped
+    errors = {}
+    err_path = f"{out}/errors.json"
+    if os.path.exists(err_path):
+        errors = json.load(open(err_path))
+    attempted = set(oracle)
+    att_path = f"{out}/attempted.json"
+    if os.path.exists(att_path):
+        attempted = set(json.load(open(att_path)))
+    missing = sorted((set(oracle) & attempted) - set(names))
+    for name in missing:
+        msg = errors.get(name, "no result dir written")
+        print(f"✗ {name}: MISSING ({msg[:160]})")
+        n_fail += 1
     for name in names:
+        if os.path.exists(f"{out}/{name}/_ERROR.txt"):
+            msg = open(f"{out}/{name}/_ERROR.txt").read().splitlines()
+            print(f"✗ {name}: QUERY FAILED ({(msg[1] if len(msg) > 1 else '?')[:160]})")
+            n_fail += 1
+            continue
         files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"✗ {name}: EMPTY RESULT DIR (no parquet written)")
+            n_fail += 1
+            continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(got)} rows")
