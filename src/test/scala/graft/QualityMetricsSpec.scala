@@ -56,6 +56,25 @@ class QualityMetricsSpec extends SparkSpec {
     val v6Recall = if (allPairs.isEmpty) 1.0
       else (allPairs intersect v6Pairs).size.toDouble / allPairs.size
 
+    // v13's 100 TB path: IVF-cell candidate generation (v4's quantizer,
+    // 2-probe) feeding the SAME reciprocation join — measure how much of
+    // the exact mutual-kNN edge set that approximation keeps. The gate
+    // query is the exact twin; this number is the documented cost of
+    // switching to the scale path (cell-boundary neighbor lists are the
+    // misses, exactly v6's geometry).
+    val exactEdges = pairSet(gate("v13_knn_graph"))
+    val allQ = prepped.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val approxKnn = graft.vector.VectorOps
+      .ivfTopK(allQ, emb, 5, nCentroids = 8, nProbe = 2)
+      .select(col("qid").as("src"), col("vec_id").as("dst"))
+    val approxEdges = pairSet(approxKnn.as("f")
+      .join(approxKnn.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+      .filter(col("f.src") < col("f.dst"))
+      .select(col("f.src").as("id_a"), col("f.dst").as("id_b")))
+    val v13EdgeRecall = if (exactEdges.isEmpty) 1.0
+      else (exactEdges intersect approxEdges).size.toDouble / exactEdges.size
+
     val exactDistinct = gate("r20_distinct_count")
       .select(col("l_returnflag"), col("n_parts")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -91,6 +110,7 @@ class QualityMetricsSpec extends SparkSpec {
     assert(v10Agree >= 0.1, s"v10 top-5 agreement $v10Agree")
     assert(v11Agree >= 0.1, s"v11 top-5 agreement $v11Agree")
     assert(v6Recall >= 0.5, s"v6 pair recall $v6Recall")
+    assert(v13EdgeRecall >= 0.4, s"v13 IVF-path edge recall $v13EdgeRecall")
     assert(r21MaxRelErr <= 0.05, s"r21 rel err $r21MaxRelErr") // rsd 0.02
     assert(r35MaxRelErr <= 0.01, s"r35 rel err $r35MaxRelErr")
 
@@ -100,6 +120,7 @@ class QualityMetricsSpec extends SparkSpec {
          |  "v3_lsh_topk":        {"recall_at_5_vs_v1": $v3Recall%.4f, "floor": 0.2},
          |  "v4_ivf_topk":        {"recall_at_5_vs_v1": $v4Recall%.4f, "floor": 0.3},
          |  "v6_ivf_neardup":     {"pair_recall_vs_exhaustive": $v6Recall%.4f, "floor": 0.5},
+         |  "v13_knn_graph":      {"edge_recall_ivf_2probe_vs_exact": $v13EdgeRecall%.4f, "floor": 0.4},
          |  "v9_sq8_topk":        {"topk_agreement_vs_v1": $v9Agree%.4f, "floor": 0.8},
          |  "v10_bitpack_topk":   {"topk_agreement_vs_v1": $v10Agree%.4f, "floor": 0.1},
          |  "v11_pq_topk":        {"topk_agreement_vs_v1": $v11Agree%.4f, "floor": 0.1},
