@@ -35,7 +35,10 @@ object Explain {
     "t33_cluster_profile", "r53_cohort_retention", "r54_incremental_agg",
     "r55_column_profile", "t34_mix_rebalance", "t35_quality_buckets",
     "m6_scene_cuts", "t36_textrank", "r56_ab_metrics", "r57_dod_growth",
-    "t37_minhash_accuracy")
+    "t37_minhash_accuracy",
+    "v13_knn_graph", "g1_knn_pagerank", "g2_triangle_count",
+    "t38_train_split", "t39_fuzzy_join", "t40_bpe_pairs",
+    "m7_shard_manifest", "h1_partitioned_prune")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is
