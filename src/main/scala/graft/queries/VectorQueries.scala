@@ -945,7 +945,8 @@ object VectorQueries {
         val cbs = pqCodebooksFor(s, d, m, subDims, k, iters = 1)
         val emb = preparedEmbeddings(s, d)
         def sel(mi: Int) = element_at(
-          array(cbs(mi).map(c => typedLit(c)): _*), col(s"code_$mi") + 1)
+          array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            cbs(mi).map(c => typedLit(c))): _*), col(s"code_$mi") + 1)
         val codes = (0 until m).map(mi => VectorOps.assignCell(
           slice(col("__cd"), mi * subDims + 1, subDims), cbs(mi).toSeq).as(s"code_$mi"))
         val cn = sqrt((0 until m).map(mi =>
