@@ -286,4 +286,24 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"batches=$batches")
     }
   }
+
+  test("prefixSumScalable == scanLeft oracle on random sparse ids, values, and bucket counts") {
+    // Random unique order keys (sparse, unordered, negative), random
+    // signed values, random bucket counts (including 1 and more-than-
+    // rows) — the running total must equal the sequential scanLeft
+    // whatever the bucket geometry, because every bucket boundary is a
+    // local-cumsum → broadcast-offset handoff.
+    val rowsGen = Gen.listOfN(40, Gen.zip(Gen.choose(-1000L, 1000L), Gen.choose(-50L, 50L)))
+      .map(_.distinctBy(_._1))
+    val gen = Gen.zip(rowsGen, Gen.oneOf(1, 2, 5, 64))
+    forAll(gen, minSuccessful = 4) { case (rows, buckets) =>
+      val df = rows.toDF("id", "v").repartition(3)
+      val got = Relational.prefixSumScalable(df, "id", "v", "cum", buckets)
+        .orderBy("id").select("id", "cum")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expected = rows.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }.drop(1)
+      assert(got == expected, s"buckets=$buckets rows=${rows.size}")
+    }
+  }
 }
