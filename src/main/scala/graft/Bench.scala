@@ -76,16 +76,6 @@ object Bench {
 
   private def jsonNum(v: Double): String = (math.round(v * 1000) / 1000.0).toString
 
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
   /** `"errors":{name:firstLineOfMessage}` for every errored query — present
     * (possibly `{}`) in every artifact tier so the absence of failures is
     * itself recorded, and a shrunken query set can't masquerade as a full
@@ -94,7 +84,8 @@ object Bench {
   private def errorsJson(results: Map[String, QueryResult]): String =
     results.toSeq.sortBy(_._1)
       .collect { case (k, r) if r.error.nonEmpty =>
-        jsonStr(k) + ":" + jsonStr(r.error.get.linesIterator.nextOption().getOrElse("").take(160)) }
+        Jsons.str(k) + ":" +
+          Jsons.str(r.error.get.linesIterator.nextOption().getOrElse("").take(160)) }
       .mkString("\"errors\":{", ",", "}")
 
   // per-query precision in the FINAL line only: 2 dp keeps 75+ queries

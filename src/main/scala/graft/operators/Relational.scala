@@ -181,6 +181,13 @@ object Relational {
       max(col(orderCol)).cast("long").as("hi")).head()
     if (mm.isNullAt(0)) return df.withColumn(outCol, lit(null).cast("long"))
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // hi - lo in raw Long arithmetic wraps for ranges wider than
+    // Long.MaxValue (hash-derived keys spanning both extremes), which
+    // would silently scramble bucket order — fail loudly instead; such
+    // keys should be range-bucketed on their high bits by the caller
+    require(hi - lo >= 0,
+      s"prefixSumScalable: $orderCol range [$lo, $hi] exceeds Long.MaxValue; " +
+        "pre-bucket wide hash keys before computing a running total")
     val span = math.max(1L, (hi - lo) / buckets + 1)
     val bucketed = df.withColumn("__b",
       ((col(orderCol).cast("long") - lit(lo)) / lit(span)).cast("long"))

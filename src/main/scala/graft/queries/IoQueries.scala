@@ -87,8 +87,10 @@ object IoQueries {
         FROM documents GROUP BY source ORDER BY source"""
 
   /** Hive-layout partitioned write + pruned read-back. Memoized per
-    * (session, dir, table fingerprint) like the vector-side model
-    * builds: the partitioned COPY of the corpus is written once and the
+    * (dir, table fingerprint) — deliberately SESSION-FREE, unlike the
+    * vector-side model caches: the cached value is a path on disk, not a
+    * session-bound plan, so any session may reuse the layout. The
+    * partitioned COPY of the corpus is written once and the
     * gate query exercises what actually matters at 100 TB — that a
     * partition-key predicate prunes directories at PLANNING time
     * (PartitionFilters, pinned by PlanSpec) instead of scanning and

@@ -111,8 +111,7 @@ object Tables {
           }
         }
       } catch {
-        case e: Throwable =>
-          Seq(s"$table: unreadable (${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()})")
+        case e: Throwable => Seq(s"$table: unreadable (${graft.Jsons.firstLine(e)})")
       }
     }
   }

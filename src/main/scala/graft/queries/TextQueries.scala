@@ -437,8 +437,12 @@ object TextQueries {
         import org.apache.spark.sql.expressions.Window
         val doc = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), substring(col("text"), 1, 32).as("head"))
+          // concat (NOT concat_ws): a NULL lang/text must null the block
+          // key so the row drops out of the equi-join — matching the
+          // oracle's `||`, which propagates NULL the same way; concat_ws
+          // would silently skip the null part and join the row anyway
           .withColumn("blk",
-            concat_ws("|", col("lang"), substring(col("head"), 1, 8)))
+            concat(col("lang"), lit("|"), substring(col("head"), 1, 8)))
         val capped = doc.withColumn("__n", count(lit(1)).over(Window.partitionBy("blk")))
           .filter(col("__n") <= 1000).drop("__n")
         val a = capped.select(col("blk"), col("doc_id").as("id_a"), col("head").as("head_a"))

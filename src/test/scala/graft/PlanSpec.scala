@@ -140,12 +140,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("h1: partition-key predicate prunes at planning time — 2 of 5 lang dirs read") {
     val q = graft.queries.IoQueries.all.find(_.name == "h1_partitioned_prune").get
     val s = executed(q.run(spark, sf001)).toString
-    assert(s.contains("PartitionFilters") && s.contains("lang"),
-      s"lang predicate must be a partition filter, not a row filter:\n${s.take(2000)}")
-    // the scan must not carry a post-scan Filter on lang (pruning is
-    // directory-level); isin over 2 of the 5 lang values
-    assert(s.contains("lang#") || s.contains("IN (de,fr)") || s.contains("lang IN"),
-      s"expected the isin partition predicate in:\n${s.take(2000)}")
+    // a partitioned scan prints "PartitionFilters: []" even when nothing
+    // pruned — the list must be NON-EMPTY and contain the lang predicate
+    val pf = """PartitionFilters: \[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    assert(pf.contains("lang") && pf.trim.nonEmpty,
+      s"lang predicate must be a non-empty partition filter, got [$pf] in:\n${s.take(2000)}")
+    // and pruning means NO post-scan row Filter mentions lang
+    val rowFilters = """(?m)^\s*\+?-?\s*\*?\(?\d*\)?\s*Filter (.*)$""".r
+      .findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(!rowFilters.exists(_.contains("lang")),
+      s"lang must not survive as a row filter: $rowFilters")
   }
 
   test("kNN graph family: no exchange carries vector payloads; fuzzy join is never cartesian") {

@@ -71,7 +71,10 @@ def main():
     att_path = f"{out}/attempted.json"
     if os.path.exists(att_path):
         attempted = set(json.load(open(att_path)))
-    missing = sorted((set(oracle) & attempted) - set(names))
+    # EVERY attempted query must leave a dir — including rows-only ones
+    # (no oracle entry); intersecting with oracle keys would re-open the
+    # silent-absence hole for that class
+    missing = sorted(attempted - set(names))
     for name in missing:
         msg = errors.get(name, "no result dir written")
         print(f"✗ {name}: MISSING ({msg[:160]})")
