@@ -154,6 +154,48 @@ object PipelineQueries {
           SELECT 'chunks', count(*),
                  CAST(sum(('0x' || substr(md5(chunk_text), 1, 10))::BIGINT % 1000000007) AS BIGINT)
           FROM chunks)
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+
+    // d1: the §2.6 DQ ruleset surface as an ORACLE-CHECKED gate row
+    // (previously spec-only): the reference's Glue-DSL ruleset evaluated
+    // over documents, one audit row per rule with the evaluator's exact
+    // observed-metric semantics (IsComplete observes the NULL count,
+    // IsUnique the distinct count with SQL UNIQUE-constraint null
+    // handling, ColumnCount the schema width — 5, pinned by the
+    // testdata-contract preflight). IsUnique "text" FAILS by design (the
+    // corpus carries the duplicate texts t1 dedups), so the false branch
+    // of the evaluator is under oracle too. BEST_EFFORT semantics: the
+    // audit frame is the product; nothing throws. One aggregate job for
+    // all metric rules — the evaluator's one-scan contract.
+    Q("d1_dq_audit",
+      (s, d) => {
+        import s.implicits._
+        val ruleset = """Rules = [ ColumnCount > 0, RowCount > 100,
+          IsComplete "doc_id", IsUnique "doc_id",
+          IsComplete "text", IsUnique "text" ]"""
+        graft.quality.DataQuality.evaluate(Tables.documents(s, d), ruleset)
+          .results.map(r => (r.rule, r.passed, r.observed))
+          .toDF("rule", "passed", "observed")
+          .orderBy("rule")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'ColumnCount > 0' AS rule, TRUE AS passed,
+                 CAST(5 AS BIGINT) AS observed
+          UNION ALL
+          SELECT 'RowCount > 100', count(*) > 100, count(*) FROM documents
+          UNION ALL
+          SELECT 'IsComplete "doc_id"', count(doc_id) = count(*),
+                 count(*) - count(doc_id) FROM documents
+          UNION ALL
+          SELECT 'IsUnique "doc_id"', count(DISTINCT doc_id) = count(doc_id),
+                 count(DISTINCT doc_id) FROM documents
+          UNION ALL
+          SELECT 'IsComplete "text"', count(text) = count(*),
+                 count(*) - count(text) FROM documents
+          UNION ALL
+          SELECT 'IsUnique "text"', count(DISTINCT text) = count(text),
+                 count(DISTINCT text) FROM documents)
+        ORDER BY rule"""))
   )
 }

@@ -501,6 +501,33 @@ object TextQueries {
         SELECT pair, count(*) AS cnt FROM p
         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""")),
 
+    // t41: PRIORITY SAMPLING (Duffield–Lund–Thorup) — the weighted
+    // counterpart of t7/t8's uniform draws: selection probability
+    // increases with weight (here n_chars: longer docs likelier kept,
+    // the char-budget-proportional corpus subset). Priority qᵢ = wᵢ/uᵢ
+    // with uᵢ uniform(0,1]; keep the top-k by priority. The uniform is
+    // the t7 salted-md5 draw (fresh salt — correlating with t7's keep
+    // set would bias both), and the whole computation is INTEGER-exact:
+    // u = (h+1)/65536 ⇒ q = w·65536 div (h+1) — no float ordering risk.
+    // Map-side priority + TakeOrdered top-k: one bounded reduction at
+    // any corpus size, the same shape as every other top-k in the gate.
+    Q("t41_priority_sample",
+      (s, d) => {
+        val h = conv(substring(md5(concat(lit("prio"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+        Tables.documents(s, d)
+          .withColumn("__h", h)
+          .withColumn("priority", expr("(n_chars * 65536) div (__h + 1)"))
+          .select("doc_id", "priority")
+          .orderBy(col("priority").desc, col("doc_id")).limit(100)
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(n_chars * 65536 //
+                 (('0x' || substr(md5('prio' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT + 1)
+                 AS BIGINT) AS priority
+        FROM documents ORDER BY priority DESC, doc_id LIMIT 100""")),
+
     // s2: the streaming module's windowed-counts transform itself, run on
     // batch input (same code path readStream takes; watermark is a no-op
     // in batch).
