@@ -1472,6 +1472,50 @@ object RelationalQueries {
           FROM daily)
         SELECT day, rev_c, prev_c, rev_c - prev_c AS delta_c,
                CAST(floor((rev_c - prev_c) * 1000000.0 / prev_c) AS BIGINT) AS growth_e6
-        FROM lagged ORDER BY day"""))
+        FROM lagged ORDER BY day""")),
+
+    // r58: TPC-H Q7 shape — nation-to-nation trade volume: the SAME
+    // dimension table joined twice under different aliases (supplier's
+    // nation and customer's nation), the alias-disambiguation pattern P8
+    // exercises at silver scale, here at fact scale. Plan contract: the
+    // fact shuffles ONCE (the lineitem⋈orders equijoin on orderkey);
+    // supplier/customer/nation×2 all broadcast, so adding the second
+    // nation alias costs a map-side hash probe, not an exchange. Revenue
+    // in exact BIGINT cents per the gate's money rule.
+    Q("r58_nation_trade",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+        li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("snk"))
+          .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy("supp_nation", "cust_nation", "yr")
+          .agg(sum(col("rev_c")).as("rev_cents"), count(lit(1)).as("n_items"))
+          .orderBy("supp_nation", "cust_nation", "yr")
+      },
+      Some(s"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+               CAST(sum(${sqlCents("l.l_extendedprice * (1.0 - l.l_discount)")}) AS BIGINT) AS rev_cents,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE sn.n_name != cn.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 }

@@ -137,6 +137,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(filterIdx >= 0, s"aggregate alias missing from optimized plan:\n$optimized")
   }
 
+  test("r58 Q7-shape: dims (incl. nation twice) broadcast; only the fact-fact join shuffles") {
+    val q = RelationalQueries.all.find(_.name == "r58_nation_trade").get
+    val plan = executed(q.run(spark, sf001))
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast dim joins:\n${s.take(2000)}")
+    // the double-aliased nation join must not degrade either alias
+    assert(!s.contains("SortMergeJoin") ||
+      s.indexOf("SortMergeJoin") == s.lastIndexOf("SortMergeJoin"),
+      s"at most the lineitem-orders join may sort-merge:\n${s.take(2000)}")
+  }
+
   test("h1: partition-key predicate prunes at planning time — 2 of 5 lang dirs read") {
     val q = graft.queries.IoQueries.all.find(_.name == "h1_partitioned_prune").get
     val s = executed(q.run(spark, sf001)).toString
