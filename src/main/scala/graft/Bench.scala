@@ -84,8 +84,9 @@ object Bench {
   private def errorsJson(results: Map[String, QueryResult]): String =
     results.toSeq.sortBy(_._1)
       .collect { case (k, r) if r.error.nonEmpty =>
-        Jsons.str(k) + ":" +
-          Jsons.str(r.error.get.linesIterator.nextOption().getOrElse("").take(160)) }
+        // capture already firstLine's Throwables; the string overload
+        // keeps the artifact single-line for hand-built QueryResults too
+        Jsons.str(k) + ":" + Jsons.str(Jsons.firstLine(r.error.get, 160)) }
       .mkString("\"errors\":{", ",", "}")
 
   // per-query precision in the FINAL line only: 2 dp keeps 75+ queries
@@ -207,7 +208,9 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+          // firstLine at capture: a message starting with "\n" would
+          // otherwise render as an empty identifier in errors.json
+          Some(graft.Jsons.firstLine(e))
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }

@@ -27,4 +27,10 @@ private[graft] object Jsons {
   def firstLine(t: Throwable, max: Int = 160): String =
     Option(t.getMessage).getOrElse(t.getClass.getName)
       .linesIterator.nextOption().getOrElse(t.getClass.getName).take(max)
+
+  /** First NON-EMPTY line of an already-captured message — a message
+    * starting with a newline yields its first content line, not "".
+    */
+  def firstLine(msg: String, max: Int): String =
+    msg.linesIterator.find(_.nonEmpty).getOrElse("error").take(max)
 }

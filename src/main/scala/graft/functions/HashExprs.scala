@@ -185,6 +185,17 @@ object native {
     bloom.writeTo(bos)
     toCol(BloomMightContainLong(toExpr(key.cast("long")), bos.toByteArray))
   }
+  /** Codegen'd sign-mask pack: bit j of the result ⇔ vec[start+j] > 0
+    * (null/out-of-range element ⇒ 0; NULL array ⇒ NULL). One JVM loop
+    * per row vs 32 chained `when(element_at…)`s.
+    */
+  def packSigns(vec: Column, start: Int, len: Int): Column =
+    toCol(PackSignBits(toExpr(vec), start, len))
+  /** Bounded top-k aggregate: the k smallest values of `c` (struct ⇒
+    * lexicographic) as an ascending array; O(k) state per task × key.
+    */
+  def topK(c: Column, k: Int): Column =
+    toCol(TopK(toExpr(c), k).toAggregateExpression())
   def minhashSignature(shingles: Column, k: Int): Seq[Column] =
     (0 until k).map(s => minhash(shingles, s).as(s"mh$s"))
   /** yyyyMMdd int → DATE, NULL on any invalid value (see [[YyyymmddToDate]]). */

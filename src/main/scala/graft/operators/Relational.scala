@@ -93,6 +93,31 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
   }
 
+  /** Grouped top-N, aggregate path: same contract as [[topNPerKey]]
+    * (ascending on `orderCols`, rank 1..n, deterministic given a total
+    * order) but via the bounded [[graft.functions.TopK]] aggregate, so
+    * map-side partial aggregation caps both task state and shuffle bytes
+    * at n rows per (task × key). Use this when keys are FEW and groups
+    * are HUGE — the window form shuffles the entire input and sorts each
+    * key's full partition, which is exactly the shape that dies at 100 TB
+    * with 10 query keys over a corpus. Descending dims: negate the
+    * numeric column before calling (lexicographic struct order is
+    * ascending-only).
+    */
+  def topNPerKeyAgg(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                    n: Int, rankCol: String = "rnk"): DataFrame = {
+    val payload = df.columns.toSeq.filterNot(c => keys.contains(c) || orderCols.contains(c))
+    val structCols = orderCols ++ payload
+    val agged = df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.native.topK(
+        struct(structCols.map(col): _*), n).as("__top"))
+    agged
+      .select(keys.map(col) :+ posexplode(col("__top")): _*)
+      .select(keys.map(col) ++
+        structCols.map(c => col("col").getField(c).as(c)) :+
+        (col("pos") + 1).as(rankCol): _*)
+  }
+
   /** As-of (backward) join: for each left row, attach the single right row
     * with the greatest right-time <= left-time within the same key — the
     * canonical time-series enrichment Spark has no native operator for.
@@ -189,8 +214,11 @@ object Relational {
       s"prefixSumScalable: $orderCol range [$lo, $hi] exceeds Long.MaxValue; " +
         "pre-bucket wide hash keys before computing a running total")
     val span = math.max(1L, (hi - lo) / buckets + 1)
+    // `div` (integer division), not `/`: Column `/` on longs is double
+    // division then truncation, whose boundaries drift from the integer
+    // geometry for order-key spans above 2^53
     val bucketed = df.withColumn("__b",
-      ((col(orderCol).cast("long") - lit(lo)) / lit(span)).cast("long"))
+      expr(s"(cast(`$orderCol` as bigint) - ${lo}L) div ${span}L"))
     val wLocal = Window.partitionBy("__b").orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = bucketed.withColumn("__cum", sum(col(valueCol)).over(wLocal))

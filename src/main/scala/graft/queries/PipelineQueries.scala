@@ -161,8 +161,10 @@ object PipelineQueries {
     // over documents, one audit row per rule with the evaluator's exact
     // observed-metric semantics (IsComplete observes the NULL count,
     // IsUnique the distinct count with SQL UNIQUE-constraint null
-    // handling, ColumnCount the schema width — 5, pinned by the
-    // testdata-contract preflight). IsUnique "text" FAILS by design (the
+    // handling, ColumnCount the schema width — the oracle derives it
+    // from the documents view via DESCRIBE, so an additive testdata
+    // regeneration that passes the drift-tolerant preflight keeps both
+    // sides in lockstep). IsUnique "text" FAILS by design (the
     // corpus carries the duplicate texts t1 dedups), so the false branch
     // of the evaluator is under oracle too. BEST_EFFORT semantics: the
     // audit frame is the product; nothing throws. One aggregate job for
@@ -181,7 +183,7 @@ object PipelineQueries {
       Some("""
         SELECT * FROM (
           SELECT 'ColumnCount > 0' AS rule, TRUE AS passed,
-                 CAST(5 AS BIGINT) AS observed
+                 (SELECT CAST(count(*) AS BIGINT) FROM (DESCRIBE documents)) AS observed
           UNION ALL
           SELECT 'RowCount > 100', count(*) > 100, count(*) FROM documents
           UNION ALL

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *  - Every query ends in a deterministic total ORDER BY in both engines.
   *  - DuckDB `sum(BIGINT)` returns HUGEINT — oracle SQL always wraps sums
   *    in `CAST(... AS BIGINT)` to match Spark's LongType.
-  *  - Events `ts` is epoch-nanos (see [[Tables.events]]); oracle uses
-  *    `epoch_ns(ts)`.
+  *  - Events time arithmetic uses the canonical `ts_us` epoch-micros
+  *    column (see [[Tables.events]]); oracle equivalent `epoch_us(ts)`.
   */
 case class Q(
     name: String,

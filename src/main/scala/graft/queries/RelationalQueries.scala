@@ -142,7 +142,7 @@ object RelationalQueries {
     // DuckDB's TIMESTAMP truncates the parquet ns precision to micros.
     Q("r7_dedup_latest",
       (s, d) => Relational.dedupLatest(
-          Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")).drop("ts", "ts_ts"),
+          Tables.events(s, d).drop("ts", "ts_ts"),
           Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
         .select("user_id", "event_id", "ts_us", "event_type", "value"),
       Some("""
@@ -487,7 +487,7 @@ object RelationalQueries {
     // window); DuckDB has the operator natively (ASOF LEFT JOIN).
     Q("r28_asof_join",
       (s, d) => {
-        val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        val ev = Tables.events(s, d)
         val clicks = ev.filter(col("event_type") === "click")
           .select("user_id", "event_id", "ts_us")
         val purchases = ev.filter(col("event_type") === "purchase")
@@ -747,17 +747,17 @@ object RelationalQueries {
     // r38: range (point-in-interval) join — every event inside the hour
     // after a sampled signup, via Scale.rangeJoin's binned equijoin
     // instead of the nested-loop plan Catalyst gives a pure inequality
-    // join. Both engines work in epoch-MICROS: DuckDB truncates the
-    // parquet NANOS column to µs on read, and Spark's `ts div 1000`
-    // floors the same way, so window boundaries align exactly.
+    // join. Both engines work in epoch-MICROS (`ts_us` is the canonical
+    // events time column — Tables.events), so window boundaries align
+    // exactly.
     Q("r38_range_join",
       (s, d) => {
         val ev = Tables.events(s, d)
-        val points = ev.select(expr("ts div 1000").as("p_us"), col("value"))
+        val points = ev.select(col("ts_us").as("p_us"), col("value"))
         val intervals = ev
           .filter(col("event_type") === "signup" && col("user_id") % 50 === 0)
-          .select(col("event_id").as("sg_id"), expr("ts div 1000").as("lo"),
-            (expr("ts div 1000") + lit(3600000000L)).as("hi"))
+          .select(col("event_id").as("sg_id"), col("ts_us").as("lo"),
+            (col("ts_us") + lit(3600000000L)).as("hi"))
         Scale.rangeJoin(points, "p_us", intervals, "lo", "hi",
             binSize = 600000000L) // 10-min bins over 1-hour windows: 7 rows/interval
           .groupBy("sg_id")
@@ -967,11 +967,11 @@ object RelationalQueries {
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+ BinnedRangeJoinRule(s)
         val ev = Tables.events(s, d)
-        val points = ev.select(expr("ts div 1000").as("p_us"), col("value"))
+        val points = ev.select(col("ts_us").as("p_us"), col("value"))
         val intervals = ev
           .filter(col("event_type") === "signup" && col("user_id") % 50 === 0)
-          .select(col("event_id").as("sg_id"), expr("ts div 1000").as("lo"),
-            (expr("ts div 1000") + lit(3600000000L)).as("hi"))
+          .select(col("event_id").as("sg_id"), col("ts_us").as("lo"),
+            (col("ts_us") + lit(3600000000L)).as("hi"))
         s.conf.set(BinnedRangeJoinRule.WidthConf, "600000000")
         try {
           points.join(intervals, col("p_us") >= col("lo") && col("p_us") < col("hi"))
@@ -1253,7 +1253,7 @@ object RelationalQueries {
     // reduce — however many events there are.
     Q("r52_funnel",
       (s, d) => {
-        val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        val ev = Tables.events(s, d)
         val stages = ev.groupBy("user_id").agg(
           min(when(col("event_type") === "signup", col("ts_us"))).as("t_signup"),
           min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),

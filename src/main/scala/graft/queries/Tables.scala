@@ -116,33 +116,49 @@ object Tables {
     }
   }
 
-  /** events with `ts` = epoch nanos (LongType) and `ts_ts` = truncated-to-
-    * micros TimestampType, regardless of the file's physical `ts` type.
-    * DuckDB equivalent of `ts`: `epoch_ns(ts)` (works on both int64 and
-    * timestamp columns). The nanos-as-long conf is runtime-settable — set
-    * defensively so an int64-nanos file reads on caller-provided sessions
-    * too, not just ours; the session timeZone is pinned to UTC so an NTZ
-    * file's cast to TimestampType is machine-independent and matches the
-    * oracle's naive-as-UTC epoch arithmetic.
+  /** events with THREE derived time columns, regardless of the file's
+    * physical `ts` type:
+    *  - `ts_us` — epoch MICROS (LongType): the CANONICAL column for query
+    *    defs; DuckDB equivalent `epoch_us(ts)`. Micros, not nanos,
+    *    because cross-engine comparisons must be µs (DuckDB truncates).
+    *  - `ts_ts` — truncated-to-micros TimestampType.
+    *  - `ts` — legacy epoch nanos (LongType), kept so downstream code
+    *    written against the nanos generations keeps reading; new queries
+    *    should use `ts_us`.
+    * The nanos-as-long conf is runtime-settable — set defensively so an
+    * int64-nanos file reads on caller-provided sessions too, not just
+    * ours.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
-    raw.schema("ts").dataType match {
+    val normalized = raw.schema("ts").dataType match {
       case LongType => // int64 epoch-nanos generation: ts is already nanos
         raw.withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType =>
         raw.withColumn("ts_ts", col("ts"))
           .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case TimestampNTZType =>
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts_ts", col("ts").cast(TimestampType))
-          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        // naive-as-UTC epoch micros WITHOUT touching the session timeZone
+        // (a cast NTZ→Timestamp is session-tz-dependent, and mutating the
+        // caller's session tz at read time would change unrelated
+        // expressions for the rest of the session): date part + wall-clock
+        // time parts are all tz-free on NTZ, so the epoch is exact integer
+        // arithmetic — verified against the cast-under-UTC form incl.
+        // pre-epoch and DST-ambiguous wall times (TablesSpec).
+        val micros = expr(
+          "cast(datediff(cast(ts as date), date'1970-01-01') as bigint) * 86400000000L" +
+            " + (cast(hour(ts) as bigint)*3600L + cast(minute(ts) as bigint)*60L" +
+            " + cast(second(ts) as bigint))*1000000L" +
+            " + cast(date_format(ts, 'SSSSSS') as bigint)")
+        raw.withColumn("ts_ts", timestamp_micros(micros))
+          .withColumn("ts", micros * lit(1000L))
       case other =>
         throw new IllegalStateException(
           s"events.ts: unsupported physical type $other (expected int64 nanos or timestamp)")
     }
+    normalized.withColumn("ts_us", expr("ts div 1000"))
   }
 }

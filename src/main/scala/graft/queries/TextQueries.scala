@@ -533,7 +533,7 @@ object TextQueries {
     // in batch).
     Q("s2_windowed_counts",
       (s, d) => graft.streaming.EventStreams.windowedCounts(
-        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))),
+        Tables.events(s, d)),
       Some("""
         SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
                event_type, count(*) AS cnt
@@ -543,7 +543,6 @@ object TextQueries {
     Q("s1_sessionize",
       (s, d) => {
         val ev = Tables.events(s, d)
-          .withColumn("ts_us", expr("ts div 1000"))
         Relational.sessionize(ev, "user_id", "ts_us", 1800L * 1000000,
             order = Seq(col("ts_us").asc, col("event_id").asc))
           .groupBy("user_id", "session_idx")
@@ -1180,7 +1179,7 @@ object TextQueries {
     // batch-twin equality for the streaming path.
     Q("s3_attribution_join",
       (s, d) => {
-        val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        val ev = Tables.events(s, d)
         graft.streaming.EventStreams.attributionJoin(
           ev.filter(col("event_type") === "view"),
           ev.filter(col("event_type") === "click"),

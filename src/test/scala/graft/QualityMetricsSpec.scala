@@ -64,16 +64,24 @@ class QualityMetricsSpec extends SparkSpec {
     // misses, exactly v6's geometry).
     val exactEdges = pairSet(gate("v13_knn_graph"))
     val allQ = prepped.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val approxKnn = graft.vector.VectorOps
-      .ivfTopK(allQ, emb, 5, nCentroids = 8, nProbe = 2)
-      .select(col("qid").as("src"), col("vec_id").as("dst"))
-    val approxEdges = pairSet(approxKnn.as("f")
-      .join(approxKnn.as("r"),
-        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
-      .filter(col("f.src") < col("f.dst"))
-      .select(col("f.src").as("id_a"), col("f.dst").as("id_b")))
-    val v13EdgeRecall = if (exactEdges.isEmpty) 1.0
+    // probe-count/recall CURVE, not a single point: the published numbers
+    // are the measured knob a 100 TB operator turns (more probes = more
+    // candidate cells per query = higher recall, cost ∝ probes/cells);
+    // the headline operating point is 3-probe.
+    def edgeRecallAtProbes(p: Int): Double = {
+      val approxKnn = graft.vector.VectorOps
+        .ivfTopK(allQ, emb, 5, nCentroids = 8, nProbe = p)
+        .select(col("qid").as("src"), col("vec_id").as("dst"))
+      val approxEdges = pairSet(approxKnn.as("f")
+        .join(approxKnn.as("r"),
+          col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+        .filter(col("f.src") < col("f.dst"))
+        .select(col("f.src").as("id_a"), col("f.dst").as("id_b")))
+      if (exactEdges.isEmpty) 1.0
       else (exactEdges intersect approxEdges).size.toDouble / exactEdges.size
+    }
+    val v13Curve = Seq(2, 3, 4).map(p => p -> edgeRecallAtProbes(p))
+    val v13EdgeRecall = v13Curve.toMap.apply(3)
 
     val exactDistinct = gate("r20_distinct_count")
       .select(col("l_returnflag"), col("n_parts")).collect()
@@ -111,6 +119,10 @@ class QualityMetricsSpec extends SparkSpec {
     assert(v11Agree >= 0.1, s"v11 top-5 agreement $v11Agree")
     assert(v6Recall >= 0.5, s"v6 pair recall $v6Recall")
     assert(v13EdgeRecall >= 0.4, s"v13 IVF-path edge recall $v13EdgeRecall")
+    // the curve must be monotone in probes — a dip means the quantizer
+    // or candidate generation is broken, not just lossy
+    assert(v13Curve.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 - 1e-9 },
+      s"v13 probe/recall curve not monotone: $v13Curve")
     assert(r21MaxRelErr <= 0.05, s"r21 rel err $r21MaxRelErr") // rsd 0.02
     assert(r35MaxRelErr <= 0.01, s"r35 rel err $r35MaxRelErr")
 
@@ -120,7 +132,8 @@ class QualityMetricsSpec extends SparkSpec {
          |  "v3_lsh_topk":        {"recall_at_5_vs_v1": $v3Recall%.4f, "floor": 0.2},
          |  "v4_ivf_topk":        {"recall_at_5_vs_v1": $v4Recall%.4f, "floor": 0.3},
          |  "v6_ivf_neardup":     {"pair_recall_vs_exhaustive": $v6Recall%.4f, "floor": 0.5},
-         |  "v13_knn_graph":      {"edge_recall_ivf_2probe_vs_exact": $v13EdgeRecall%.4f, "floor": 0.4},
+         |  "v13_knn_graph":      {"edge_recall_ivf_3probe_vs_exact": $v13EdgeRecall%.4f, "floor": 0.4,
+         |                         "probe_recall_curve": {${v13Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}}},
          |  "v9_sq8_topk":        {"topk_agreement_vs_v1": $v9Agree%.4f, "floor": 0.8},
          |  "v10_bitpack_topk":   {"topk_agreement_vs_v1": $v10Agree%.4f, "floor": 0.1},
          |  "v11_pq_topk":        {"topk_agreement_vs_v1": $v11Agree%.4f, "floor": 0.1},

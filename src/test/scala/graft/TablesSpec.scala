@@ -4,8 +4,9 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** `Tables.events` must present ONE downstream contract — `ts` = epoch-nanos
-  * LongType, `ts_ts` = microsecond TimestampType — whatever physical type the
+/** `Tables.events` must present ONE downstream contract — `ts_us` =
+  * canonical epoch-micros LongType, `ts_ts` = microsecond TimestampType,
+  * `ts` = legacy epoch-nanos LongType — whatever physical type the
   * driver's testdata generation stored (int64 epoch-nanos through round 8,
   * `timestamp[us]` from round 9; the switch silently broke 19 gate queries).
   * These specs write the same instants in all three physical representations
@@ -35,6 +36,9 @@ class TablesSpec extends SparkSpec {
     val df = graft.queries.Tables.events(spark, dir)
     assert(df.schema("ts").dataType == LongType, "contract: ts is epoch-nanos long")
     assert(df.schema("ts_ts").dataType == TimestampType, "contract: ts_ts is TimestampType")
+    assert(df.schema("ts_us").dataType == LongType, "contract: ts_us is epoch-micros long")
+    assert(df.filter(col("ts_us") =!= unix_micros(col("ts_ts"))).count() == 0,
+      "ts_us must be the µs of ts_ts's instant")
     df.select(col("event_id"), col("ts"), unix_micros(col("ts_ts")).as("tsm"))
       .orderBy("event_id")
       .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -63,6 +67,26 @@ class TablesSpec extends SparkSpec {
         java.time.Instant.EPOCH.plus(m, java.time.temporal.ChronoUnit.MICROS),
         java.time.ZoneOffset.UTC))
     assert(normalized(dNtz) == expected)
+  }
+
+  test("NTZ normalization is session-timezone-independent and mutation-free") {
+    val dNtz = tmp("ntz_tz")
+    writeRep(dNtz, StructField("ts", TimestampNTZType),
+      m => java.time.LocalDateTime.ofInstant(
+        java.time.Instant.EPOCH.plus(m, java.time.temporal.ChronoUnit.MICROS),
+        java.time.ZoneOffset.UTC))
+    val expected = Seq((1L, microsA * 1000, microsA), (2L, microsB * 1000, microsB))
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      // an NTZ wall time must mean the SAME instant (naive-as-UTC) under
+      // any session tz — the r10 implementation got this by mutating the
+      // session tz at read time; the arithmetic form must not
+      spark.conf.set(tzKey, "America/New_York")
+      assert(normalized(dNtz) == expected)
+      assert(spark.conf.get(tzKey) == "America/New_York",
+        "Tables.events must not mutate the caller session's timeZone")
+    } finally spark.conf.set(tzKey, saved)
   }
 
   test("events rejects an unreadable ts representation instead of mis-deriving") {
