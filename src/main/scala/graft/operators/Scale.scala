@@ -467,4 +467,48 @@ object Scale {
       countParquet(src)
     }
   }
+
+  /** FILE-LEVEL ZONE MAP — the Delta/Iceberg data-skipping design as a
+    * plain operator: one scan of a parquet table produces its per-file
+    * (min, max, rows) stats for `valueCol`, keyed by `_metadata.file_path`
+    * (constant-folded per split — no per-row UDF cost). In a lakehouse
+    * this manifest is written ONCE at layout time next to the data and
+    * consulted by every subsequent range query; its size is the FILE
+    * count, not the row count, so it stays driver-broadcastable at any
+    * data size (a 100 TB table at 256 MB files is ~400k manifest rows).
+    * Pays off only when the layout correlates the column with files —
+    * compose with [[zOrderBy]] / `repartitionByRange` + sorted writes.
+    */
+  def zoneMap(spark: SparkSession, path: String, valueCol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file"), col(valueCol))
+      .groupBy("file")
+      .agg(min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+
+  /** Zone-pruned range read: keep only files whose [min_v, max_v] zone
+    * intersects [lo, hi] (collected from the manifest — bounded by file
+    * count, the same driver-side-list contract as [[compactParquet]]),
+    * then re-apply the exact predicate to the survivors. Correct for ANY
+    * manifest (pruning is conservative: a file is skipped only when its
+    * whole zone misses the range); FAST when the layout clusters
+    * `valueCol`. Returns the pruned frame plus (files read, files total)
+    * so callers — and the gate's specs — can assert skipping actually
+    * happened instead of trusting it.
+    */
+  def readZonePruned(spark: SparkSession, path: String, manifest: DataFrame,
+                     valueCol: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val zones = manifest.select(col("file"), col("min_v").cast("long"),
+      col("max_v").cast("long")).collect()
+    val keep = zones.collect {
+      case r if !r.isNullAt(1) && !r.isNullAt(2)
+        && r.getLong(2) >= lo && r.getLong(1) <= hi => r.getString(0)
+    }
+    val base =
+      if (keep.isEmpty)
+        spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (base.filter(col(valueCol) >= lo && col(valueCol) <= hi),
+      keep.length, zones.length)
+  }
 }

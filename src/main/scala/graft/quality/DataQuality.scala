@@ -9,9 +9,15 @@ import org.apache.spark.sql.functions._
   * BEST_EFFORT publishing — results are reported, never fail the job).
   *
   * Supported rules: `ColumnCount <op> N`, `RowCount <op> N`,
-  * `IsComplete "col"` (no nulls), `IsUnique "col"`.
-  * Metric rules that need data (RowCount/IsComplete/IsUnique) run in ONE
-  * aggregate job over the frame; ColumnCount is metadata-only.
+  * `IsComplete "col"` (no nulls), `IsUnique "col"`, and the row-level
+  * `ColumnValues` family (Glue DQ's per-row predicate shape):
+  * `ColumnValues "col" <op> N`, `ColumnValues "col" in ["a", "b"]`,
+  * `ColumnValues "col" matches "regex"`. A NULL value FAILS a
+  * ColumnValues rule (Glue's default null handling).
+  * Metric rules that need data (RowCount/IsComplete/IsUnique/dataset-level
+  * ColumnValues) run in ONE aggregate job over the frame; ColumnCount is
+  * metadata-only. Row-level outcomes come from [[annotate]]/[[quarantine]]
+  * with zero extra jobs (pure projection + filter).
   */
 object DataQuality {
 
@@ -20,6 +26,28 @@ object DataQuality {
   private case class RowCount(op: String, n: Long, text: String) extends Rule
   private case class IsComplete(colName: String, text: String) extends Rule
   private case class IsUnique(colName: String, text: String) extends Rule
+  /** Row-level rule: `predicate` is the per-row PASS condition. */
+  sealed private trait RowRule extends Rule {
+    def predicate: org.apache.spark.sql.Column
+  }
+  private case class ColumnValuesCmp(colName: String, op: String, n: Long,
+                                     text: String) extends RowRule {
+    def predicate: org.apache.spark.sql.Column = op match {
+      case ">"        => col(colName) > n
+      case ">="       => col(colName) >= n
+      case "<"        => col(colName) < n
+      case "<="       => col(colName) <= n
+      case "==" | "=" => col(colName) === n
+    }
+  }
+  private case class ColumnValuesIn(colName: String, vals: Seq[String],
+                                    text: String) extends RowRule {
+    def predicate: org.apache.spark.sql.Column = col(colName).isin(vals: _*)
+  }
+  private case class ColumnValuesMatches(colName: String, regex: String,
+                                         text: String) extends RowRule {
+    def predicate: org.apache.spark.sql.Column = col(colName).rlike(regex)
+  }
 
   case class Result(rule: String, passed: Boolean, observed: Long)
   case class Report(results: Seq[Result]) {
@@ -31,19 +59,47 @@ object DataQuality {
   private val rowCountRe = """RowCount\s*(>|>=|<|<=|==|=)\s*(\d+)""".r
   private val completeRe = """IsComplete\s+"([^"]+)"""".r
   private val uniqueRe = """IsUnique\s+"([^"]+)"""".r
+  private val cvCmpRe = """ColumnValues\s+"([^"]+)"\s*(>|>=|<|<=|==|=)\s*(-?\d+)""".r
+  private val cvInRe = """ColumnValues\s+"([^"]+)"\s+in\s+\[([^\]]*)\]""".r
+  private val cvMatchRe = """ColumnValues\s+"([^"]+)"\s+matches\s+"([^"]+)"""".r
+
+  /** Top-level rule split: commas inside `in [...]` value lists or inside
+    * quoted strings (e.g. a regex containing `,`) are NOT separators —
+    * a plain split(",") would shear `in ["a", "b"]` in half.
+    */
+  private def splitRules(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    body.foreach {
+      case '"'                           => inQ = !inQ; cur += '"'
+      case '[' if !inQ                   => depth += 1; cur += '['
+      case ']' if !inQ                   => depth -= 1; cur += ']'
+      case ',' if !inQ && depth == 0     => out += cur.toString; cur.clear()
+      case c                             => cur += c
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   def parse(ruleset: String): Seq[Rule] = {
     val body = ruleset match {
       case rulesetRe(inner) => inner
       case other            => other
     }
-    body.split(",").map(_.trim).filter(_.nonEmpty).map {
+    splitRules(body).map {
       case r @ colCountRe(op, n) => ColumnCount(op, n.toLong, r)
       case r @ rowCountRe(op, n) => RowCount(op, n.toLong, r)
       case r @ completeRe(c)     => IsComplete(c, r)
       case r @ uniqueRe(c)       => IsUnique(c, r)
+      case r @ cvCmpRe(c, op, n) => ColumnValuesCmp(c, op, n.toLong, r)
+      case r @ cvInRe(c, vals)   => ColumnValuesIn(c,
+        vals.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.stripPrefix("\"").stripSuffix("\"")).toSeq, r)
+      case r @ cvMatchRe(c, rx)  => ColumnValuesMatches(c, rx, r)
       case other => throw new IllegalArgumentException(s"unsupported DQ rule: $other")
-    }.toSeq
+    }
   }
 
   private def cmp(observed: Long, op: String, n: Long): Boolean = op match {
@@ -89,6 +145,10 @@ object DataQuality {
     case IsUnique(c, _)   => Seq(count_distinct(col(c)).as(s"__m$i"),
                                  count(col(c)).as(s"__nn$i"))
     case _: RowCount      => Seq(count(lit(1)).as(s"__m$i"))
+    // dataset-level ColumnValues verdict: observed = count of VIOLATING
+    // rows (NULL fails); coalesce guards the empty-frame null sum
+    case rr: RowRule      => Seq(coalesce(
+        sum(when(rr.predicate, 0L).otherwise(1L)), lit(0L)).as(s"__m$i"))
     case _: ColumnCount   => Nil
   }
 
@@ -103,9 +163,41 @@ object DataQuality {
         val distinct = metric(s"__m$i")
         val nonNull = metric(s"__nn$i")
         Result(t, distinct == nonNull, distinct)
+      case (r: RowRule, i) =>
+        val violations = metric(s"__m$i")
+        Result(r.text, violations == 0L, violations)
       case (r: ColumnCount, _) =>
         Result(r.text, passed = false, -1L) // unreachable: filtered out
     }
+  }
+
+  /** Per-row DQ annotation: adds `out` = array of the row-level
+    * (`ColumnValues`) rule texts this row VIOLATES — empty array means the
+    * row is clean. Non-row-level rules in the ruleset are ignored here
+    * (they have no per-row outcome; evaluate them with [[evaluate]]/
+    * [[observed]]). Pure projection: zero jobs, zero shuffles, safe to
+    * compose in front of any sink at any scale.
+    */
+  def annotate(df: DataFrame, ruleset: String, out: String = "dq_failed"): DataFrame = {
+    val rowRules = parse(ruleset).collect { case r: RowRule => r }
+    val marks = rowRules.map(r =>
+      when(r.predicate, lit(null).cast("string")).otherwise(lit(r.text)))
+    val failed =
+      if (marks.isEmpty) array().cast("array<string>")
+      else array_compact(array(marks: _*))
+    df.withColumn(out, failed)
+  }
+
+  /** Quarantine split on the row-level rules: (clean rows — original
+    * schema, violating rows + the `out` annotation column). The two
+    * frames share one lineage; a caller writing both pays one scan per
+    * sink, the Glue DQ "separate bad records" pattern.
+    */
+  def quarantine(df: DataFrame, ruleset: String,
+                 out: String = "dq_failed"): (DataFrame, DataFrame) = {
+    val annotated = annotate(df, ruleset, out)
+    (annotated.filter(size(col(out)) === 0).drop(out),
+     annotated.filter(size(col(out)) > 0))
   }
 
   /** A frame instrumented with observed DQ metrics plus the deferred
@@ -135,7 +227,8 @@ object DataQuality {
       Result(r.text, cmp(df.schema.size.toLong, r.op, r.n), df.schema.size.toLong)
     }
     val observable = rules.filter(r =>
-      r.isInstanceOf[RowCount] || r.isInstanceOf[IsComplete])
+      r.isInstanceOf[RowCount] || r.isInstanceOf[IsComplete] ||
+        r.isInstanceOf[RowRule])
     val deferred = rules.collect { case r: IsUnique => r }
     val uniqueReport: () => Seq[Result] =
       if (deferred.isEmpty) () => Nil

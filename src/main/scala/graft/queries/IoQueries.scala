@@ -111,6 +111,36 @@ object IoQueries {
         out
       })
 
+  /** Range-CLUSTERED layout + its file zone map, the h2 companion to h1's
+    * directory layout: documents written with n_chars range-clustered
+    * across files (repartitionByRange + sorted within), and the per-file
+    * (min, max) manifest [[graft.operators.Scale.zoneMap]] computes in
+    * one scan at layout time. Memoized SESSION-FREE like
+    * [[partitionedDocs]] — the cached value is a path plus plain manifest
+    * rows (file-count-sized data, not a session-bound plan), exactly
+    * what a lakehouse persists next to the table; queries replay the
+    * manifest without rescanning.
+    */
+  private val zonedCopies = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(String, Long, Long)])]()
+
+  private[graft] def zonedDocs(s: SparkSession,
+                               d: String): (String, Array[(String, Long, Long)]) =
+    zonedCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "zoned_chars_").toString
+        Tables.documents(s, d)
+          .repartitionByRange(8, col("n_chars"))
+          .sortWithinPartitions("n_chars")
+          .write.mode("overwrite").parquet(out)
+        val zones = graft.operators.Scale.zoneMap(s, out, "n_chars")
+          .select(col("file"), col("min_v").cast("long"), col("max_v").cast("long"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        (out, zones)
+      })
+
   val all: Seq[Q] = Seq(
     Q("j1_jsonl_roundtrip", (s, d) => roundTrip(s, d, "json"), Some(oracleAgg)),
     Q("o1_orc_roundtrip", (s, d) => roundTrip(s, d, "orc"), Some(oracleAgg)),
@@ -126,5 +156,37 @@ object IoQueries {
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM documents WHERE lang IN ('de', 'fr')
+        GROUP BY lang ORDER BY lang""")),
+
+    // h2: FILE-LEVEL ZONE-MAP SKIPPING — h1 prunes partition
+    // DIRECTORIES by a categorical key; h2 prunes individual FILES by a
+    // numeric range, the other half of lakehouse data skipping (Delta/
+    // Iceberg min-max stats). The layout clusters n_chars across files;
+    // the range query consults the memoized manifest and reads only the
+    // files whose zone intersects [450, 10000] — at any scale the read
+    // cost tracks the SELECTIVITY of the predicate, not the table size.
+    // Pruning is conservative (skip only when the whole zone misses), so
+    // the result is exact however repartitionByRange happened to cut the
+    // ranges — the oracle is the plain filter over the original table.
+    // ScaleSpec pins that files-read < files-total, so the skipping
+    // itself is asserted, not assumed.
+    Q("h2_zonemap_skipping",
+      (s, d) => {
+        val (path, zones) = zonedDocs(s, d)
+        val manifest = {
+          import s.implicits._
+          zones.toSeq.toDF("file", "min_v", "max_v")
+        }
+        val (pruned, _, _) = graft.operators.Scale
+          .readZonePruned(s, path, manifest, "n_chars", 450L, 10000L)
+        pruned.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents WHERE n_chars BETWEEN 450 AND 10000
         GROUP BY lang ORDER BY lang""")))
 }

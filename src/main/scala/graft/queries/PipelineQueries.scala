@@ -198,6 +198,81 @@ object PipelineQueries {
           UNION ALL
           SELECT 'IsUnique "text"', count(DISTINCT text) = count(text),
                  count(DISTINCT text) FROM documents)
+        ORDER BY rule""")),
+
+    // d2: ROW-LEVEL DQ QUARANTINE — d1 renders dataset-level verdicts;
+    // a pipeline also needs Glue DQ's other half: per-row `ColumnValues`
+    // outcomes that split the frame into clean rows and a quarantine
+    // table tagged with WHICH rules each row violates. The audit emitted
+    // here is one row per rule (violation count + the min/max violating
+    // doc_id as the triage sample) plus the `(clean)` summary row; the
+    // `matches` rule passes for every row, putting the zero-violation
+    // branch under oracle next to the two failing rules. Scale: the
+    // annotation is a pure projection (zero jobs — every rule predicate
+    // evaluates per row in one pass), the audit is explode → one
+    // partial-agg shuffle keyed by rule text, and the clean count rides
+    // the same annotated frame; nothing here is quadratic or
+    // driver-side at any corpus size.
+    Q("d2_dq_quarantine",
+      (s, d) => {
+        val ruleset = """Rules = [ ColumnValues "n_chars" > 100,
+          ColumnValues "lang" in ["en", "de", "fr", "es"],
+          ColumnValues "text" matches "^[ -~]*$" ]"""
+        val annotated = graft.quality.DataQuality
+          .annotate(Tables.documents(s, d), ruleset)
+        val perRule = annotated
+          .select(col("doc_id"), explode(col("dq_failed")).as("rule"))
+          .groupBy("rule")
+          .agg(count(lit(1)).as("n_violations"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        val ruleNames = graft.quality.DataQuality.parse(ruleset)
+          .map(r => lit(r.text))
+        // every rule gets an audit row even at zero violations (a rule
+        // silently vanishing from the audit is itself a DQ bug)
+        val allRules = s.range(1)
+          .select(explode(array(ruleNames: _*)).as("rule"))
+          .join(perRule, Seq("rule"), "left")
+          .select(col("rule"),
+            coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+            col("min_doc"), col("max_doc"))
+        val clean = annotated.filter(size(col("dq_failed")) === 0)
+          .agg(count(lit(1)).as("n_violations"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .select(lit("(clean)").as("rule"), col("n_violations"),
+            col("min_doc"), col("max_doc"))
+        allRules.unionByName(clean).orderBy("rule")
+      },
+      Some("""
+        WITH ann AS (
+          SELECT doc_id,
+                 n_chars > 100 AS p1,
+                 lang IN ('en', 'de', 'fr', 'es') AS p2,
+                 regexp_matches(text, '^[ -~]*$') AS p3
+          FROM documents)
+        SELECT * FROM (
+          SELECT 'ColumnValues "n_chars" > 100' AS rule,
+                 CAST(count(*) FILTER (p1 IS NOT TRUE) AS BIGINT) AS n_violations,
+                 min(doc_id) FILTER (p1 IS NOT TRUE) AS min_doc,
+                 max(doc_id) FILTER (p1 IS NOT TRUE) AS max_doc
+          FROM ann
+          UNION ALL
+          SELECT 'ColumnValues "lang" in ["en", "de", "fr", "es"]',
+                 CAST(count(*) FILTER (p2 IS NOT TRUE) AS BIGINT),
+                 min(doc_id) FILTER (p2 IS NOT TRUE),
+                 max(doc_id) FILTER (p2 IS NOT TRUE)
+          FROM ann
+          UNION ALL
+          SELECT 'ColumnValues "text" matches "^[ -~]*$"',
+                 CAST(count(*) FILTER (p3 IS NOT TRUE) AS BIGINT),
+                 min(doc_id) FILTER (p3 IS NOT TRUE),
+                 max(doc_id) FILTER (p3 IS NOT TRUE)
+          FROM ann
+          UNION ALL
+          SELECT '(clean)',
+                 CAST(count(*) FILTER (p1 AND p2 AND p3) AS BIGINT),
+                 min(doc_id) FILTER (p1 AND p2 AND p3),
+                 max(doc_id) FILTER (p1 AND p2 AND p3)
+          FROM ann)
         ORDER BY rule"""))
   )
 }

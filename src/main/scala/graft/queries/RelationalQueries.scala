@@ -1516,6 +1516,50 @@ object RelationalQueries {
         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
         WHERE sn.n_name != cn.n_name
-        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // r59: EVENT-SEQUENCE Markov transition matrix — for each user's
+    // time-ordered event stream, count (state → next-state) bigrams and
+    // the fixed-point transition probability per from-state. The
+    // sequential-pattern shape (what follows what) the relational surface
+    // was missing next to r52's funnel (did A→B→C happen) and r53's
+    // cohort grid (when did they return). Scale: ONE shuffle — the
+    // lead() window partitions by user_id (each user's history fits a
+    // task; there is no global sort), and the transition count is a
+    // partial-agg groupBy whose result is at most |event-type vocab|²
+    // rows, so the probability window runs over a broadcast-sized frame.
+    // p_e6 = floor(1e6·cnt/total): both operands are exact integers
+    // < 2^53, so the single double division rounds identically in both
+    // engines (the Q money rule's pass-through-division clause).
+    Q("r59_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val tr = Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val wf = Window.partitionBy("from_type")
+        tr.withColumn("p_e6",
+            floor(col("cnt") * lit(1000000.0) / sum(col("cnt")).over(wf)).cast("long"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        tr AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts_us ASC, event_id ASC) AS to_type
+          FROM ev),
+        cnts AS (
+          SELECT from_type, to_type, count(*) AS cnt
+          FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, cnt,
+               CAST(floor(cnt * 1000000.0 /
+                 sum(cnt) OVER (PARTITION BY from_type)) AS BIGINT) AS p_e6
+        FROM cnts ORDER BY from_type, to_type"""))
   )
 }

@@ -1595,6 +1595,102 @@ object TextQueries {
         SELECT id_a, id_b, est_e4,
                CAST(floor(inter * 10000.0 / uni + 0.5) AS BIGINT) AS exact_e4,
                abs(est_e4 - CAST(floor(inter * 10000.0 / uni + 0.5) AS BIGINT)) AS err_e4
-        FROM j ORDER BY id_a"""))
+        FROM j ORDER BY id_a""")),
+
+    // t42: VOCABULARY-RICHNESS quality stats — per-doc type count,
+    // hapax-legomenon count (tokens occurring exactly once), and the
+    // type-token / hapax ratios in exact basis points. Low TTR ⇒
+    // template/boilerplate spam; a near-1 hapax fraction on long docs ⇒
+    // gibberish — the classic Zipf-shaped filters next to t10's surface
+    // ratios and t13's Gopher rules. Scale: ZERO shuffles — every stat
+    // is computed per ROW with array expressions (sort the token array
+    // once, count elements unequal to both neighbors for hapaxes), so
+    // the plan is scan → project → sort-for-output; at 100 TB it is
+    // embarrassingly parallel with no exchange before the final ORDER
+    // BY, which a real pipeline drops anyway. Counting equal-adjacent
+    // runs is order-insensitive to COLLATION differences between
+    // engines: any total sort order groups equal strings adjacently,
+    // which is all the run-length logic needs.
+    Q("t42_vocab_stats",
+      (s, d) => {
+        val n = size(col("sorted"))
+        // 1-based positions; the j==1 / j==n boundary guards use
+        // when/otherwise (CaseWhen evaluates only the matched branch) so
+        // element_at never sees index 0, which Spark rejects at runtime —
+        // Or/And make no lazy-evaluation promise after optimizer reorder.
+        val isHapax = (j: org.apache.spark.sql.Column) =>
+          when(j === 1, lit(true)).otherwise(
+            element_at(col("sorted"), j - 1) =!= element_at(col("sorted"), j)) &&
+          when(j === n, lit(true)).otherwise(
+            element_at(col("sorted"), j + 1) =!= element_at(col("sorted"), j))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("sorted", array_sort(col("toks")))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_types"),
+            size(filter(sequence(lit(1), n), isHapax)).cast("long").as("n_hapax"))
+          .withColumn("ttr_bp", expr("(n_types * 10000) div n_tokens"))
+          .withColumn("hapax_bp", expr("(n_hapax * 10000) div n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $tokSql AS toks, list_sort($tokSql) AS s,
+                 len($tokSql) AS n
+          FROM documents WHERE len($tokSql) > 0)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+               CAST(len(list_filter(range(n), i ->
+                 (i = 0 OR s[i + 1] != s[i])
+                 AND (i = n - 1 OR s[i + 1] != s[i + 2]))) AS BIGINT) AS n_hapax,
+               CAST(len(list_distinct(toks)) * 10000 // n AS BIGINT) AS ttr_bp,
+               CAST(len(list_filter(range(n), i ->
+                 (i = 0 OR s[i + 1] != s[i])
+                 AND (i = n - 1 OR s[i + 1] != s[i + 2]))) * 10000 // n
+                 AS BIGINT) AS hapax_bp
+        FROM t ORDER BY doc_id""")),
+
+    // t43: N-GRAM NOVELTY scoring — what fraction of each document's
+    // distinct word 3-grams appear in NO earlier document (owner =
+    // min(doc_id) over the corpus; doc order is the ingestion order a
+    // dedup pipeline sees). The memorization/novelty signal used to
+    // down-weight recycled boilerplate when t25's binary decontamination
+    // verdict is too blunt. Scale: the inverted-index shape — explode
+    // distinct shingles, ONE partial-agg shuffle keyed by shingle for
+    // min(doc_id), one bounded groupBy on the owner id, and a final
+    // doc-keyed join; no pairwise comparisons anywhere, so cost is
+    // linear in total shingles at any corpus size (the same contract as
+    // t23's span index, with per-doc attribution instead of a global
+    // histogram).
+    Q("t43_ngram_novelty",
+      (s, d) => {
+        val sdf = withShingles(Tables.documents(s, d))
+          .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val own = sdf.select(col("doc_id"), explode(col("sh")).as("g"))
+          .groupBy("g").agg(min(col("doc_id")).as("owner"))
+        val nov = own.groupBy(col("owner").as("doc_id"))
+          .agg(count(lit(1)).as("novel"))
+        sdf.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+          .join(nov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("novel"), lit(0L)).as("n_novel"),
+            expr("(coalesce(novel, 0) * 10000) div n_shingles").as("novelty_bp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct($shingleSql) AS sh FROM documents),
+        e AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE len(sh) > 0),
+        own AS (SELECT g, min(doc_id) AS owner FROM e GROUP BY g),
+        nov AS (SELECT owner AS doc_id, count(*) AS novel FROM own GROUP BY owner),
+        tot AS (SELECT doc_id, len(sh) AS n_sh FROM sh WHERE len(sh) > 0)
+        SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_shingles,
+               CAST(coalesce(n.novel, 0) AS BIGINT) AS n_novel,
+               CAST(coalesce(n.novel, 0) * 10000 // t.n_sh AS BIGINT) AS novelty_bp
+        FROM tot t LEFT JOIN nov n ON n.doc_id = t.doc_id
+        ORDER BY t.doc_id"""))
   )
 }

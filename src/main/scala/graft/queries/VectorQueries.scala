@@ -1287,6 +1287,83 @@ object VectorQueries {
         SELECT CAST(startoff // 65536 AS BIGINT) AS shard_id,
                count(*) AS n_items, CAST(sum(n_chars) AS BIGINT) AS bytes,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM o GROUP BY shard_id ORDER BY shard_id"""))
+        FROM o GROUP BY shard_id ORDER BY shard_id""")),
+
+    // v14: k-NN MAJORITY-VOTE AUTO-LABELING — the embedding-based label
+    // propagation a curation pipeline uses to extend a small labeled seed
+    // set (quality / topic / toxicity tags) across an unlabeled corpus:
+    // hold out every vec_id ≡ 7 (mod 100) as the evaluation queries,
+    // predict each one's label from its 5 nearest labeled neighbors
+    // (majority vote, ties to the SMALLEST label — deterministic in both
+    // engines), and report per-label accuracy in exact basis points. The
+    // scored-pairs → rank → vote → verdict chain only ever compares
+    // ranked id sets and integer vote counts, never raw floats (v13's
+    // cross-engine contract). Scale: the eval set is a fixed 1% slice, so
+    // the brute scoring is the broadcast-queries × spread-corpus shape of
+    // [[VectorOps.bruteForceTopK]] (linear in the corpus, never corpus²);
+    // the label lookup broadcasts the q·k neighbor-id frame against the
+    // corpus — at production scale the approximate path swaps in the
+    // memoized IVF probe (v4) with this same vote/verdict tail.
+    Q("v14_knn_label",
+      (s, d) => {
+        val emb = preparedEmbeddings(s, d)
+        val q = emb.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("qid"), col("label").as("true_label"),
+            col("embedding").as("qv"), col("__cd").as("__qd"), col("__cn").as("__qn"))
+        val train = emb.filter(col("vec_id") % 100 =!= 7)
+          .repartition(s.sparkContext.defaultParallelism)
+        val nbIds = VectorOps.bruteForceTopK(
+            q.drop("true_label"), train, 5)
+          .select(col("qid"), col("vec_id"))
+        val nb = train.select(col("vec_id"), col("label").as("nb_label"))
+          .join(broadcast(nbIds), "vec_id")
+        val votes = nb.groupBy(col("qid"), col("nb_label"))
+          .agg(count(lit(1)).as("v"))
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("v").desc, col("nb_label").asc)
+        val pred = votes.withColumn("rn", row_number().over(wv))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("nb_label").as("pred_label"))
+        pred.join(broadcast(q.select(col("qid"), col("true_label"))), "qid")
+          .groupBy(col("true_label").as("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred_label") === col("true_label"), 1L)
+              .otherwise(0L)).as("n_correct"))
+          .withColumn("acc_bp", expr("(n_correct * 10000) div n"))
+          .orderBy("label")
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id AS qid, label AS true_label,
+                 ${castD.format("embedding")} AS qd
+          FROM embeddings WHERE vec_id % 100 = 7),
+        t AS (
+          SELECT vec_id, label, ${castD.format("embedding")} AS cd
+          FROM embeddings WHERE vec_id % 100 != 7),
+        scored AS (
+          SELECT q.qid, q.true_label, t.vec_id AS nid, t.label AS nb_label,
+                 list_cosine_similarity(q.qd, t.cd) AS cos
+          FROM q CROSS JOIN t),
+        ranked AS (
+          SELECT qid, true_label, nid, nb_label,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored),
+        votes AS (
+          SELECT qid, true_label, nb_label, count(*) AS v
+          FROM ranked WHERE rnk <= 5 GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT qid, true_label, nb_label AS pred_label FROM (
+            SELECT qid, true_label, nb_label,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY v DESC, nb_label ASC) AS rn
+            FROM votes)
+          WHERE rn = 1)
+        SELECT true_label AS label, count(*) AS n,
+               CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 * 10000 // count(*) AS BIGINT) AS acc_bp
+        FROM pred GROUP BY true_label ORDER BY label"""))
   )
 }

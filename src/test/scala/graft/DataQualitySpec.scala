@@ -68,4 +68,48 @@ class DataQualitySpec extends SparkSpec {
     assert(byRule("RowCount > 0").passed)
     assert(!byRule("""IsUnique "id"""").passed)
   }
+
+  test("ColumnValues parser: commas inside in-lists and quoted regexes survive the split") {
+    val rules = DataQuality.parse(
+      """Rules = [ ColumnValues "n" > 10, ColumnValues "lang" in ["en", "de"], ColumnValues "t" matches "^[a-z,]+$" ]""")
+    assert(rules.length == 3)
+    assert(rules(1).text == """ColumnValues "lang" in ["en", "de"]""")
+    assert(rules(2).text == """ColumnValues "t" matches "^[a-z,]+$"""")
+  }
+
+  test("ColumnValues at dataset level: observed = violation count, NULL fails") {
+    val df = Seq((1L, Some("en")), (20L, Some("zz")), (30L, None))
+      .toDF("n", "lang")
+    val rep = DataQuality.evaluate(df,
+      """Rules = [ ColumnValues "n" > 10, ColumnValues "lang" in ["en", "de"] ]""")
+    val byRule = rep.results.map(r => r.rule -> r).toMap
+    val r1 = byRule("""ColumnValues "n" > 10""")
+    assert(!r1.passed && r1.observed == 1L) // the n=1 row
+    val r2 = byRule("""ColumnValues "lang" in ["en", "de"]""")
+    assert(!r2.passed && r2.observed == 2L) // zz and NULL both fail
+  }
+
+  test("annotate lists exactly the violated rules per row; quarantine splits cleanly") {
+    val df = Seq((1L, "en", "abc"), (20L, "zz", "abc"), (30L, "en", "A!"))
+      .toDF("n", "lang", "t")
+    val ruleset =
+      """Rules = [ ColumnValues "n" > 10, ColumnValues "lang" in ["en", "de"], ColumnValues "t" matches "^[a-z]+$" ]"""
+    val ann = DataQuality.annotate(df, ruleset)
+    val rows = ann.orderBy("n").collect()
+    assert(rows(0).getSeq[String](3) == Seq("""ColumnValues "n" > 10"""))
+    assert(rows(1).getSeq[String](3) == Seq("""ColumnValues "lang" in ["en", "de"]"""))
+    assert(rows(2).getSeq[String](3) == Seq("""ColumnValues "t" matches "^[a-z]+$""""))
+    val (clean, bad) = DataQuality.quarantine(df, ruleset)
+    assert(clean.count() == 0L && bad.count() == 3L)
+    assert(clean.columns.toSeq == df.columns.toSeq) // original schema back
+    val (c2, b2) = DataQuality.quarantine(
+      Seq((100L, "en", "ok")).toDF("n", "lang", "t"), ruleset)
+    assert(c2.count() == 1L && b2.count() == 0L)
+  }
+
+  test("annotate with no row-level rules is a no-op empty-array column, zero jobs") {
+    val df = Seq((1L, "a")).toDF("n", "v")
+    val ann = DataQuality.annotate(df, """Rules = [ RowCount > 0 ]""")
+    assert(ann.select("dq_failed").head().getSeq[String](0).isEmpty)
+  }
 }

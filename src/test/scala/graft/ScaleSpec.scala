@@ -477,4 +477,22 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  test("zoneMap + readZonePruned: range query skips files, result exact, empty range reads none") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("zonemap").toString
+    spark.range(0, 1000).select(col("id"), (col("id") * 3).as("v"))
+      .repartitionByRange(5, col("v")).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(out)
+    val manifest = Scale.zoneMap(spark, out, "v")
+    val total = manifest.count()
+    assert(total == 5L)
+    val (pruned, read, all) = Scale.readZonePruned(spark, out, manifest, "v", 900L, 1200L)
+    assert(all == 5 && read < all, s"expected skipping, read $read of $all")
+    val expect = spark.read.parquet(out).filter(col("v").between(900, 1200))
+    assert(pruned.agg(count(lit(1)), sum("v")).head() ==
+      expect.agg(count(lit(1)), sum("v")).head())
+    val (empty, read0, _) = Scale.readZonePruned(spark, out, manifest, "v", 10000L, 20000L)
+    assert(read0 == 0 && empty.count() == 0L)
+  }
 }
