@@ -39,7 +39,9 @@ object Explain {
     "v13_knn_graph", "g1_knn_pagerank", "g2_triangle_count",
     "t38_train_split", "t39_fuzzy_join", "t40_bpe_pairs",
     "m7_shard_manifest", "h1_partitioned_prune",
-    "r58_nation_trade", "d1_dq_audit", "t41_priority_sample")
+    "r58_nation_trade", "d1_dq_audit", "t41_priority_sample",
+    "d2_dq_quarantine", "h2_zonemap_skipping", "r59_markov_transitions",
+    "t42_vocab_stats", "t43_ngram_novelty", "v14_knn_label")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is

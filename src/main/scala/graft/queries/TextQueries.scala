@@ -1657,27 +1657,30 @@ object TextQueries {
     // min(doc_id) over the corpus; doc order is the ingestion order a
     // dedup pipeline sees). The memorization/novelty signal used to
     // down-weight recycled boilerplate when t25's binary decontamination
-    // verdict is too blunt. Scale: the inverted-index shape — explode
-    // distinct shingles, ONE partial-agg shuffle keyed by shingle for
-    // min(doc_id), one bounded groupBy on the owner id, and a final
-    // doc-keyed join; no pairwise comparisons anywhere, so cost is
-    // linear in total shingles at any corpus size (the same contract as
-    // t23's span index, with per-doc attribution instead of a global
-    // histogram).
+    // verdict is too blunt. Scale/perf: the shingle EXPLOSION is the
+    // dominant cost (each 3-gram is a slice+join string build), so it
+    // must run ONCE — t23's spanDupStats rule. The first cut computed
+    // the shingle chain three times (CollapseProject clones the
+    // expression into the size() filter, then explode and the join-back
+    // branch each re-derive it: 9.5 s at sf0.1); this shape explodes
+    // RAW shingles once and pushes the per-doc dedup into the first
+    // shuffle's partial agg (groupBy (g, doc) ≡ array_distinct, without
+    // a second scan), then the owner is a min() window on the already-
+    // reduced frame and the per-doc rollup rides the same lineage — no
+    // join, three shuffles of reduced data, 1.3 s. Linear in total
+    // shingles at any corpus size.
     Q("t43_ngram_novelty",
       (s, d) => {
-        val sdf = withShingles(Tables.documents(s, d))
-          .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val own = sdf.select(col("doc_id"), explode(col("sh")).as("g"))
-          .groupBy("g").agg(min(col("doc_id")).as("owner"))
-        val nov = own.groupBy(col("owner").as("doc_id"))
-          .agg(count(lit(1)).as("novel"))
-        sdf.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
-          .join(nov, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_shingles"),
-            coalesce(col("novel"), lit(0L)).as("n_novel"),
-            expr("(coalesce(novel, 0) * 10000) div n_shingles").as("novelty_bp"))
+        val spans = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+          .select(col("doc_id"), explode(TextOps.wordNgrams(col("__t"), 3)).as("g"))
+        val dist = spans.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("__c"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        dist.withColumn("owner", min(col("doc_id")).over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("doc_id") === col("owner"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_bp", expr("(n_novel * 10000) div n_shingles"))
           .orderBy("doc_id")
       },
       Some(s"""

@@ -204,4 +204,61 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(wins.count(_.partitionSpec.isEmpty) <= 1,
       s"more than one global window:\n${plan.toString.take(2000)}")
   }
+
+  test("round-11 additions: t43 single shingle pass, t42 shuffle-free, r59 bounded exchanges, v14 no vector payload on keyed shuffles") {
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+    // t43: the shingle explosion is the dominant cost and must run ONCE —
+    // exactly one documents scan, one Generate (explode) in the plan
+    val t43 = graft.queries.TextQueries.all.find(_.name == "t43_ngram_novelty").get
+    // an adaptive plan's toString carries BOTH the final and the initial
+    // plan — count nodes only up to the "== Initial Plan ==" marker
+    val s43 = executed(t43.run(spark, sf001)).toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllMatchIn(s43).size == 1,
+      s"t43 must scan documents once:\n${s43.take(1500)}")
+    assert("Generate ".r.findAllMatchIn(s43).size <= 1,
+      s"t43 must explode once:\n${s43.take(1500)}")
+
+    // t42: row-local array stats — NO hash exchange anywhere (the only
+    // exchange is the final ORDER BY's range partitioning)
+    val t42 = graft.queries.TextQueries.all.find(_.name == "t42_vocab_stats").get
+    val p42 = executed(t42.run(spark, sf001))
+    val hash42 = collect(p42) { case e: ShuffleExchangeLike
+      if e.outputPartitioning.isInstanceOf[HashPartitioning] => e }
+    assert(hash42.isEmpty,
+      s"t42 is per-row compute and must not hash-shuffle: ${hash42.map(_.schema.simpleString)}")
+
+    // r59: one user-keyed window shuffle + the vocab^2 reduction + the
+    // from_type probability window — hash exchanges stay <= 3
+    val r59 = graft.queries.RelationalQueries.all.find(_.name == "r59_markov_transitions").get
+    val p59 = executed(r59.run(spark, sf001))
+    val hash59 = collect(p59) { case e: ShuffleExchangeLike
+      if e.outputPartitioning.isInstanceOf[HashPartitioning] => e }
+    assert(hash59.size <= 3,
+      s"r59 grew extra shuffles (${hash59.size}): ${hash59.map(_.outputPartitioning)}")
+
+    // v14: same payload rule as the kNN graph family — no keyed exchange
+    // carries embeddings
+    val v14 = graft.queries.VectorQueries.all.find(_.name == "v14_knn_label").get
+    val p14 = executed(v14.run(spark, sf001))
+    val bad14 = collect(p14) { case e: ShuffleExchangeLike
+      if (e.outputPartitioning.isInstanceOf[HashPartitioning] ||
+          e.outputPartitioning.isInstanceOf[RangePartitioning]) &&
+        e.schema.fieldNames.exists(f =>
+          f.startsWith("__q") || f.startsWith("__c") || f == "embedding" || f == "qv") => e }
+    assert(bad14.isEmpty,
+      s"v14 shuffles vector payloads on a key: ${bad14.map(_.schema.simpleString)}")
+  }
+
+  test("h2: the gate layout's zone map actually skips files for the gate range") {
+    val (path, zones) = graft.queries.IoQueries.zonedDocs(spark, sf001)
+    import spark.implicits._
+    val manifest = zones.toSeq.toDF("file", "min_v", "max_v")
+    val (_, read, total) = graft.operators.Scale
+      .readZonePruned(spark, path, manifest, "n_chars", 450L, 10000L)
+    assert(total >= 2 && read < total,
+      s"h2 gate range must skip files: read $read of $total")
+  }
 }
