@@ -511,4 +511,94 @@ object Scale {
     (base.filter(col(valueCol) >= lo && col(valueCol) <= hi),
       keep.length, zones.length)
   }
+
+  /** SNAPSHOT-VERSIONED TABLE — the copy-on-write half of the lakehouse
+    * maintenance story ([[mergeParquet]] is the in-place half, with its
+    * documented rename-window caveat for concurrent readers). Layout:
+    * immutable `v=<n>/` parquet dirs plus a `_latest` pointer file whose
+    * content is the committed version number. A snapshot dir is complete
+    * BEFORE the pointer moves (write-then-rename, same discipline as
+    * mergeParquet's swap), so a reader that resolved a version keeps a
+    * consistent, never-mutated view for the whole query — time travel
+    * and snapshot isolation with no read lock, which is precisely the
+    * property mergeParquet cannot give. Writers serialize under the
+    * shared maintenance lock; version history grows until
+    * [[vacuumSnapshots]] drops old ones (readers pinned to a vacuumed
+    * version fail loudly on file-not-found, Delta's contract).
+    */
+  def writeSnapshot(spark: SparkSession, path: String, df: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(path))
+    withTableLock(fs, path) {
+      val next = latestSnapshot(spark, path).map(_ + 1).getOrElse(0L)
+      df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+      val tmp = new Path(path, "_latest.tmp")
+      val out = fs.create(tmp, true)
+      out.write(next.toString.getBytes("UTF-8")); out.close()
+      val ptr = new Path(path, "_latest")
+      fs.delete(ptr, false)
+      renameOrFail(fs, tmp, ptr)
+      next
+    }
+  }
+
+  /** The committed version, or None for an empty table. */
+  def latestSnapshot(spark: SparkSession, path: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(path, "_latest")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Read the latest committed snapshot, or a pinned `version` (time
+    * travel). The resolved dir is immutable, so the returned frame is a
+    * consistent view however long the query runs.
+    */
+  def readSnapshot(spark: SparkSession, path: String,
+                   version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestSnapshot(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    spark.read.parquet(s"$path/v=$v")
+  }
+
+  /** All version numbers present on disk (committed ones; an in-flight
+    * writer's dir is excluded until the pointer moves past it).
+    */
+  def listSnapshots(spark: SparkSession, path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = latestSnapshot(spark, path)
+    if (!fs.exists(new Path(path))) Nil
+    else fs.listStatus(new Path(path)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+      .filter(v => latest.exists(v <= _))
+      .sorted
+  }
+
+  /** Drop all but the newest `keepLast` snapshots. Returns the versions
+    * deleted. Runs under the maintenance lock so it cannot race a writer
+    * allocating the next version.
+    */
+  def vacuumSnapshots(spark: SparkSession, path: String,
+                      keepLast: Int): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withTableLock(fs, path) {
+      val victims = listSnapshots(spark, path).dropRight(keepLast)
+      victims.foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
+      victims
+    }
+  }
 }

@@ -495,4 +495,54 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val (empty, read0, _) = Scale.readZonePruned(spark, out, manifest, "v", 10000L, 20000L)
     assert(read0 == 0 && empty.count() == 0L)
   }
+
+  test("snapshot table: append-only versions, time travel, vacuum, loud empty read") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("snap").toString + "/tbl"
+    intercept[IllegalStateException](Scale.readSnapshot(spark, t))
+    val v0 = Scale.writeSnapshot(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v1 = Scale.writeSnapshot(spark, t, Seq((1L, "a2"), (3L, "c")).toDF("k", "v"))
+    assert(v0 == 0L && v1 == 1L)
+    assert(Scale.latestSnapshot(spark, t).contains(1L))
+    assert(Scale.listSnapshots(spark, t) == Seq(0L, 1L))
+    // latest sees v1; time travel sees v0 unchanged
+    assert(Scale.readSnapshot(spark, t).orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("a2", "c"))
+    assert(Scale.readSnapshot(spark, t, Some(0L)).orderBy("k").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b"))
+    // a resolved reader frame survives later writes (immutability)
+    val pinned = Scale.readSnapshot(spark, t)
+    Scale.writeSnapshot(spark, t, Seq((9L, "z")).toDF("k", "v"))
+    assert(pinned.count() == 2L)
+    // vacuum drops the oldest, keeps history depth
+    assert(Scale.vacuumSnapshots(spark, t, keepLast = 2) == Seq(0L))
+    assert(Scale.listSnapshots(spark, t) == Seq(1L, 2L))
+    intercept[Exception](Scale.readSnapshot(spark, t, Some(0L)).count())
+  }
+
+  test("snapshot writers serialize: concurrent commits get distinct versions") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val t = java.nio.file.Files.createTempDirectory("snapc").toString + "/tbl"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val versions = (1 to 4).map { i =>
+        Future {
+          // the lock makes losers fail loudly rather than corrupt; retry
+          // until committed, as a real writer with a retry policy would
+          var v = -1L
+          while (v < 0) {
+            try v = Scale.writeSnapshot(spark, t, Seq((i.toLong, s"w$i")).toDF("k", "v"))
+            catch { case _: IllegalStateException => Thread.sleep(20) }
+          }
+          v
+        }
+      }
+      val got = Await.result(Future.sequence(versions), Duration.Inf)
+      assert(got.sorted == Seq(0L, 1L, 2L, 3L), s"versions collided: $got")
+      assert(Scale.readSnapshot(spark, t).count() == 1L) // last commit wins the pointer
+    } finally pool.shutdown()
+  }
 }

@@ -364,4 +364,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed == Set((1L, "beta"), (2L, "gamma"), (3L, "gamma")))
   }
+
+  test("DQ annotate/quarantine runs unchanged on a stream (pure projection, no state)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.addData((1L, "en", 200L), (2L, "zz", 300L), (3L, "en", 50L))
+    val ruleset =
+      """Rules = [ ColumnValues "n" > 100, ColumnValues "lang" in ["en", "de"] ]"""
+    val annotated = graft.quality.DataQuality.annotate(
+      mem.toDF().toDF("id", "lang", "n"), ruleset)
+    assert(annotated.isStreaming, "annotate must preserve streaming-ness")
+    val q = annotated.writeStream.format("memory").queryName("dq_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dq_stream").orderBy("id").collect()
+    assert(rows(0).getSeq[String](3).isEmpty)
+    assert(rows(1).getSeq[String](3) == Seq("""ColumnValues "lang" in ["en", "de"]"""))
+    assert(rows(2).getSeq[String](3) == Seq("""ColumnValues "n" > 100"""))
+  }
 }
