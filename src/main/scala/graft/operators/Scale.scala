@@ -28,16 +28,33 @@ object Scale {
     * it; deliberately no auto-expiry, because a slow live mutator is
     * indistinguishable from a dead one without a heartbeat.
     */
+  private val inProcessLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
   private def withTableLock[T](fs: org.apache.hadoop.fs.FileSystem,
                                path: String)(body: => T): T = {
-    val lock = new org.apache.hadoop.fs.Path(path + "__maint_lock")
-    try fs.create(lock, false).close()
-    catch { case e: java.io.IOException =>
+    // Same-JVM mutators need a REAL compare-and-set first: Hadoop's
+    // RawLocalFileSystem exclusive create is check-then-act, so two
+    // threads of one local[n] session can both "win" the lock file
+    // (caught by the concurrent-snapshot spec under full-suite load).
+    // The lock FILE below still guards cross-process mutators, with
+    // atomicity as good as the FileSystem's create(overwrite=false) —
+    // exact on HDFS, advisory on the local FS; object stores need a
+    // conditional put or an external catalog.
+    val token = new Object
+    if (inProcessLocks.putIfAbsent(path, token) != null)
       throw new IllegalStateException(
-        s"table maintenance already in flight on $path (lock file $lock " +
-        "exists); if its writer crashed, delete the lock", e)
-    }
-    try body finally { fs.delete(lock, false); () }
+        s"table maintenance already in flight on $path (in-process)")
+    try {
+      val lock = new org.apache.hadoop.fs.Path(path + "__maint_lock")
+      try fs.create(lock, false).close()
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"table maintenance already in flight on $path (lock file $lock " +
+          "exists); if its writer crashed, delete the lock", e)
+      }
+      try body finally { fs.delete(lock, false); () }
+    } finally { inProcessLocks.remove(path, token); () }
   }
 
   /** Skew-safe equi-join: salt the skewed (large) side into `salt`

@@ -124,6 +124,26 @@ object IoQueries {
   private val zonedCopies = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[(String, Long, Long)])]()
 
+  /** Two-commit snapshot table for r60: version 0 is "yesterday's load"
+    * (documents with n_chars > 100), version 1 the full corpus — built
+    * ONCE per table fingerprint through the real
+    * [[graft.operators.Scale.writeSnapshot]] commit protocol (lock,
+    * immutable v= dir, pointer rename), so the gate exercises the
+    * time-travel read path, not a hand-made layout.
+    */
+  private val snapshotCopies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def snapshotDocs(s: SparkSession, d: String): String =
+    snapshotCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "snap_docs_").toString + "/tbl"
+        graft.operators.Scale.writeSnapshot(s, out,
+          Tables.documents(s, d).filter(col("n_chars") > 100))
+        graft.operators.Scale.writeSnapshot(s, out, Tables.documents(s, d))
+        out
+      })
+
   private[graft] def zonedDocs(s: SparkSession,
                                d: String): (String, Array[(String, Long, Long)]) =
     zonedCopies.computeIfAbsent(
@@ -188,5 +208,29 @@ object IoQueries {
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM documents WHERE n_chars BETWEEN 450 AND 10000
-        GROUP BY lang ORDER BY lang""")))
+        GROUP BY lang ORDER BY lang""")),
+
+    // r60: SNAPSHOT TIME-TRAVEL DIFF — what arrived between version 0
+    // and the latest commit of the snapshot table, computed as a
+    // left-anti join of the current read against the PINNED historical
+    // read ([[graft.operators.Scale.readSnapshot]] with an explicit
+    // version). This puts the copy-on-write commit protocol under the
+    // oracle the way r32 pins upsert: the layout is built by the real
+    // writeSnapshot path, v0 is immutable by construction, so the diff
+    // equals the plain predicate complement over the source table. The
+    // anti join is one broadcast-or-shuffled equijoin on the unique key
+    // — the standard CDC-derivation shape between any two snapshots at
+    // any scale.
+    Q("r60_snapshot_diff",
+      (s, d) => {
+        val p = snapshotDocs(s, d)
+        val cur = graft.operators.Scale.readSnapshot(s, p)
+        val prev = graft.operators.Scale.readSnapshot(s, p, Some(0L))
+        cur.join(prev.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE n_chars <= 100 ORDER BY doc_id""")))
 }

@@ -1364,6 +1364,50 @@ object VectorQueries {
                  AS BIGINT) AS n_correct,
                CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
                  * 10000 // count(*) AS BIGINT) AS acc_bp
-        FROM pred GROUP BY true_label ORDER BY label"""))
+        FROM pred GROUP BY true_label ORDER BY label""")),
+
+    // v15: exact MAX-INNER-PRODUCT top-5 (the recommendation-retrieval
+    // ranking) — v1's shape under the OTHER similarity. The corpus is
+    // unit-norm (driver generation), where raw MIPS degenerates to
+    // cosine, so each item vector carries a deterministic popularity
+    // prior w = 1 + (vec_id mod 5) baked into its stored embedding —
+    // the industry-standard "score = prior × similarity" item tower,
+    // and exactly the regime where inner product is NOT a metric and
+    // cosine ANN returns the wrong neighbors (verified non-degenerate:
+    // 39/50 rank rows differ from v1). [[VectorOps.maxInnerProductTopK]]
+    // documents the norm-augmentation reduction that hands the ANN
+    // scale path back to the v4 IVF machinery; this gate query is the
+    // exact baseline that reduction is measured against, ids+ranks only
+    // (the v13 float contract: w·dot is one extra exact IEEE multiply,
+    // identical bits in both engines).
+    Q("v15_mips_topk",
+      (s, d) => {
+        val wcol = lit(1.0) + (col("vec_id") % 5).cast("double")
+        val corpus = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double") * wcol).as("embedding"))
+        val queries = preparedEmbeddings(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("__cd").as("__qd"), col("__cn").as("__qn"))
+        VectorOps.maxInnerProductTopK(queries, corpus, 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id").as("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id AS qid, ${castD.format("embedding")} AS qd
+          FROM embeddings WHERE vec_id < 10),
+        c AS (
+          SELECT vec_id, list_transform(${castD.format("embedding")},
+                   x -> x * CAST(1 + vec_id % 5 AS DOUBLE)) AS cd
+          FROM embeddings),
+        scored AS (
+          SELECT qid, c.vec_id AS nid, ${dDot("qd", "cd")} AS ip
+          FROM q CROSS JOIN c WHERE c.vec_id != qid),
+        ranked AS (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid
+            ORDER BY ip DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""))
   )
 }

@@ -115,6 +115,31 @@ object VectorOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Exact MAX-INNER-PRODUCT top-k (MIPS) — the recommendation-retrieval
+    * ranking (user·item score), which cosine ANN does NOT answer: inner
+    * product is not a metric (no triangle inequality, long vectors win
+    * regardless of angle), so cosine-ranked neighbors are wrong whenever
+    * norms vary. Same broadcast-queries × streamed-corpus shape and
+    * 24-byte shuffle contract as [[bruteForceTopK]]. The standard ANN
+    * scale path is the norm-augmentation reduction (Bachrach et al.
+    * 2014): append sqrt(M² − ‖x‖²) to each corpus vector and 0 to each
+    * query (M = max corpus norm) — argmax inner product becomes argmin
+    * L2 / argmax cosine on the augmented space, after which the IVF
+    * machinery (v4) applies unchanged.
+    */
+  def maxInnerProductTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                          qId: String = "qid", qVec: String = "qv",
+                          cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = ensurePrepared(queries, qVec, "__qd", "__qn")
+    val c = ensurePrepared(corpus, cVec, "__cd", "__cn")
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId), rawDot(col("__qd"), col("__cd")).as("ip"))
+    val w = Window.partitionBy(qId).orderBy(col("ip").desc, col(cId).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane coefficients (±1) for sign-LSH:
     * plane p, dim i gets the sign of the high bit of md5("p_i"). Computed
     * once on the driver, shipped as literals — no per-row hashing.
