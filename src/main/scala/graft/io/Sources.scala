@@ -35,6 +35,48 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSONL ingest with CORRUPT-RECORD QUARANTINE — the ingest half of the
+    * DQ story ([[graft.quality.DataQuality.quarantine]] handles rows that
+    * PARSE but violate rules; this handles lines that don't parse at
+    * all). PERMISSIVE mode routes each malformed line's raw text into
+    * `_corrupt_record` instead of killing the job (FAILFAST) or silently
+    * dropping data (DROPMALFORMED — the mode that turns a bad producer
+    * deploy into unexplained row-count drift). Returns (clean rows in the
+    * declared schema, quarantined raw lines) over ONE lineage — a caller
+    * writing both sinks pays one scan each, and the quarantine file is
+    * the replayable evidence for the producer team. Explicit schema
+    * always: inference is a second full scan at 100 TB, and a schema
+    * drifted by inference IS corruption this seam is meant to catch.
+    */
+  def jsonlWithQuarantine(spark: SparkSession, path: String,
+                          schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    // NOT the json file source: its corrupt-record column is load-bearing
+    // for the parse, so Spark REJECTS any consumer whose pruned schema
+    // touches only that column (SPARK-21610 / QUERY_ONLY_CORRUPT_RECORD_
+    // COLUMN — even `.count()` on the quarantine branch trips it, and an
+    // operator cannot dictate its consumers' projections). The text
+    // source + from_json computes the identical PERMISSIVE parse as a
+    // plain expression with no such restriction: lines are the unit of
+    // parallelism (splittable, explicit schema, one scan), and the raw
+    // line is carried as a normal column.
+    val corrupt = "_corrupt_record"
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corrupt,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val parsed = spark.read.text(path)
+      .select(col("value"), from_json(col("value"), withCorrupt,
+        new java.util.HashMap[String, String](java.util.Map.of(
+          "mode", "PERMISSIVE", "columnNameOfCorruptRecord", corrupt))).as("__j"))
+    val dataCols = schema.fields.toSeq.map(f => col(s"__j.${f.name}"))
+    // clean rows in the declared schema; quarantine keeps the raw line
+    // PLUS the partially-parsed fields (a type-mismatch line parses
+    // partially — seeing which fields survived is the triage signal)
+    (parsed.filter(col(s"__j.$corrupt").isNull).select(dataCols: _*),
+     parsed.filter(col(s"__j.$corrupt").isNotNull)
+       .select((col("value").as("raw_line") +: dataCols): _*))
+  }
+
   /** JDBC source, option-compatible with the reference's crawler-backed RDS
     * reads (bronze/crm_cust_info_bronze.py:24-27). `partitionColumn`/
     * `numPartitions` enable parallel reads — the crawler's

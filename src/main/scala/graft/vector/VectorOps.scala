@@ -140,6 +140,35 @@ object VectorOps {
       .filter(col("rnk") <= k)
   }
 
+  /** The MIPS ANN SCALE PATH: norm augmentation (Bachrach et al. 2014)
+    * then the stock IVF machinery. Each corpus vector x becomes
+    * [x, sqrt(M² − ‖x‖²)] (M = max corpus norm — ONE aggregate, exact
+    * selection) and each query [q, 0]: every augmented corpus vector has
+    * norm M, so cosine ranking on the augmented space EQUALS inner-
+    * product ranking on the original — after which [[ivfTopK]] applies
+    * unchanged (quantizer fit on the augmented vectors, probe ∝
+    * nProbe/nCentroids of the corpus per query). Recall vs the exact
+    * [[maxInnerProductTopK]] is measured in QualityMetricsSpec and
+    * published to docs/QUALITY.json next to the cosine paths' numbers.
+    */
+  def mipsTopKAugmented(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nCentroids: Int, nProbe: Int, seed: Long = 42L,
+                        qId: String = "qid", qVec: String = "qv",
+                        cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val c0 = corpus.withColumn("__cd0", asDouble(col(cVec)))
+      .withColumn("__n0", sqrt(rawDot(col("__cd0"), col("__cd0"))))
+    val m = c0.agg(max(col("__n0"))).head().getDouble(0)
+    val caug = c0.withColumn("__aug",
+        concat(col("__cd0"),
+          array(sqrt(greatest(lit(0.0), lit(m * m) - col("__n0") * col("__n0"))))))
+      .drop("__cd0", "__n0")
+    val qaug = queries.withColumn("__qaug",
+      concat(asDouble(col(qVec)), array(lit(0.0))))
+    ivfTopK(qaug, caug, k, nCentroids, nProbe, seed,
+        qId, "__qaug", cId, "__aug")
+      .drop("__qaug", "__aug")
+  }
+
   /** Deterministic pseudo-random hyperplane coefficients (±1) for sign-LSH:
     * plane p, dim i gets the sign of the high bit of md5("p_i"). Computed
     * once on the driver, shipped as literals — no per-row hashing.

@@ -38,4 +38,30 @@ class IoRoundTripSpec extends SparkSpec {
         .map { case (a, b) => s"  expected $a\n  got      $b" }
       assert(diffs.isEmpty, s"$fmt round trip mutated rows:\n${diffs.mkString("\n")}")
     }
+
+  test("jsonlWithQuarantine: bad lines route to quarantine, clean rows parse, nothing silently dropped") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonlq")
+    val f = dir.resolve("part-0.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "name": "ok"}
+        |this is not json at all
+        |{"id": 2, "name": "also ok"}
+        |{"id": "NaN-ish", "name": 3}
+        |{"id": 3, "name": "fine"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (clean, quarantined) = graft.io.Sources
+      .jsonlWithQuarantine(spark, dir.toString, schema)
+    val cleanRows = clean.orderBy("id").collect()
+    assert(clean.columns.toSeq == Seq("id", "name"))
+    assert(cleanRows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val bad = quarantined.select("raw_line").collect().map(_.getString(0))
+    assert(bad.length == 2, s"expected 2 quarantined lines, got ${bad.toSeq}")
+    assert(bad.exists(_.contains("not json")))
+    assert(bad.exists(_.contains("NaN-ish")))
+    // conservation: every input line is accounted for exactly once
+    assert(cleanRows.length + bad.length == 5)
+  }
 }

@@ -83,6 +83,25 @@ class QualityMetricsSpec extends SparkSpec {
     val v13Curve = Seq(2, 3, 4).map(p => p -> edgeRecallAtProbes(p))
     val v13EdgeRecall = v13Curve.toMap.apply(3)
 
+    // v15's documented scale path: norm-augmented IVF MIPS
+    // (VectorOps.mipsTopKAugmented) vs the exact weighted-MIPS gate —
+    // same probe-knob framing as v13's curve
+    val exactMips = topkSet("v15_mips_topk")
+    val wcol = lit(1.0) + (col("vec_id") % 5).cast("double")
+    val wCorpus = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") * wcol).as("embedding"))
+    val mipsQ = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def mipsRecallAtProbes(p: Int): Double = {
+      val approx = graft.vector.VectorOps
+        .mipsTopKAugmented(mipsQ, wCorpus, 5, nCentroids = 8, nProbe = p)
+        .select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactMips intersect approx).size.toDouble / exactMips.size
+    }
+    val v15Curve = Seq(2, 3).map(p => p -> mipsRecallAtProbes(p))
+    val v15Recall = v15Curve.toMap.apply(2)
+
     val exactDistinct = gate("r20_distinct_count")
       .select(col("l_returnflag"), col("n_parts")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -119,6 +138,9 @@ class QualityMetricsSpec extends SparkSpec {
     assert(v11Agree >= 0.1, s"v11 top-5 agreement $v11Agree")
     assert(v6Recall >= 0.5, s"v6 pair recall $v6Recall")
     assert(v13EdgeRecall >= 0.4, s"v13 IVF-path edge recall $v13EdgeRecall")
+    assert(v15Recall >= 0.3, s"v15 augmented-IVF MIPS recall $v15Recall")
+    assert(v15Curve.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 - 1e-9 },
+      s"v15 probe/recall curve not monotone: $v15Curve")
     // the curve must be monotone in probes — a dip means the quantizer
     // or candidate generation is broken, not just lossy
     assert(v13Curve.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 - 1e-9 },
@@ -134,6 +156,8 @@ class QualityMetricsSpec extends SparkSpec {
          |  "v6_ivf_neardup":     {"pair_recall_vs_exhaustive": $v6Recall%.4f, "floor": 0.5},
          |  "v13_knn_graph":      {"edge_recall_ivf_3probe_vs_exact": $v13EdgeRecall%.4f, "floor": 0.4,
          |                         "probe_recall_curve": {${v13Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}}},
+         |  "v15_mips_topk":      {"recall_at_5_aug_ivf_2probe_vs_exact": $v15Recall%.4f, "floor": 0.3,
+         |                         "probe_recall_curve": {${v15Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}}},
          |  "v9_sq8_topk":        {"topk_agreement_vs_v1": $v9Agree%.4f, "floor": 0.8},
          |  "v10_bitpack_topk":   {"topk_agreement_vs_v1": $v10Agree%.4f, "floor": 0.1},
          |  "v11_pq_topk":        {"topk_agreement_vs_v1": $v11Agree%.4f, "floor": 0.1},
