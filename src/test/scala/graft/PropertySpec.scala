@@ -306,4 +306,61 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"buckets=$buckets rows=${rows.size}")
     }
   }
+
+  test("zone-pruned range read == full-scan filter on random layouts and ranges") {
+    // the manifest is CONSERVATIVE by contract: whatever repartitionByRange
+    // did to the file cuts, pruning must never change the result — only
+    // the number of files read. Random values, file counts, and query
+    // ranges (including empty and all-covering ones).
+    val gen = Gen.zip(
+      Gen.listOfN(300, Gen.choose(-500L, 500L)),
+      Gen.oneOf(1, 3, 8),
+      Gen.choose(-600L, 600L), Gen.choose(0L, 400L))
+    forAll(gen, minSuccessful = 4) { case (vals, nFiles, lo, span) =>
+      val out = java.nio.file.Files.createTempDirectory("zprop").toString
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      df.repartitionByRange(nFiles, col("v")).sortWithinPartitions("v")
+        .write.mode("overwrite").parquet(out)
+      val manifest = Scale.zoneMap(spark, out, "v")
+      val hi = lo + span
+      val (pruned, read, total) = Scale.readZonePruned(spark, out, manifest, "v", lo, hi)
+      val got = pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val expected = vals.zipWithIndex
+        .collect { case (v, i) if v >= lo && v <= hi => i.toLong }.sorted
+      assert(got == expected, s"nFiles=$nFiles range=[$lo,$hi] read=$read/$total")
+    }
+  }
+
+  test("DQ rule splitter survives commas inside in-lists and quoted regexes, round-trips texts") {
+    val ident = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
+    val cmpRule = Gen.zip(ident, Gen.oneOf(">", ">=", "<", "<=", "=="), Gen.choose(-999L, 999L))
+      .map { case (c, op, n) => s"""ColumnValues "$c" $op $n""" }
+    val inRule = Gen.zip(ident, Gen.listOfN(3, ident))
+      .map { case (c, vs) => s"""ColumnValues "$c" in [${vs.map("\"" + _ + "\"").mkString(", ")}]""" }
+    val matchRule = ident.map(c => s"""ColumnValues "$c" matches "^[a-z,]+,[0-9]+$$"""")
+    val metaRule = Gen.oneOf(
+      Gen.zip(Gen.oneOf(">", ">="), Gen.choose(0L, 99L)).map { case (op, n) => s"RowCount $op $n" },
+      ident.map(c => s"""IsComplete "$c""""))
+    val rules = Gen.listOfN(5, Gen.oneOf(cmpRule, inRule, matchRule, metaRule))
+    forAll(rules, minSuccessful = 6) { rs =>
+      val parsed = graft.quality.DataQuality.parse(s"Rules = [ ${rs.mkString(", ")} ]")
+      assert(parsed.map(_.text) == rs, s"round-trip failed for: $rs")
+    }
+  }
+
+  test("snapshot history is linear: each commit reads back exactly what it wrote") {
+    val gen = Gen.listOfN(4, Gen.listOfN(6, Gen.choose(0L, 50L)).map(_.distinct))
+    forAll(gen, minSuccessful = 3) { commits =>
+      val t = java.nio.file.Files.createTempDirectory("snapprop").toString + "/tbl"
+      commits.zipWithIndex.foreach { case (rows, i) =>
+        val v = Scale.writeSnapshot(spark, t, rows.toDF("k"))
+        assert(v == i.toLong)
+      }
+      commits.zipWithIndex.foreach { case (rows, i) =>
+        val got = Scale.readSnapshot(spark, t, Some(i.toLong))
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == rows.sorted, s"version $i")
+      }
+    }
+  }
 }
