@@ -131,6 +131,25 @@ object TextQueries {
     lshPairsCache.clear()
   }
 
+  /** t3's banded-LSH candidate-pair derivation as a reusable CTE chain
+    * (`sig` → `bands` → `pairs(id_a, id_b)`), shared by the t3 oracle and
+    * every oracle that consumes the pair set (t44's leak-free split).
+    */
+  private lazy val lshPairCtes: String = s"""sig AS (
+          SELECT doc_id,
+                 ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
+                 ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
+          FROM documents),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig
+          UNION ALL
+          SELECT doc_id, 1, band1 FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          WHERE a.doc_id < b.doc_id)"""
+
   private def lshPairsFor(s: org.apache.spark.sql.SparkSession, d: String) =
     // keyed on a documents-file fingerprint (same pattern as the IVF memo)
     // so rewriting the dir's data in-process invalidates instead of
@@ -193,20 +212,8 @@ object TextQueries {
           .distinct()
       },
       Some(s"""
-        WITH sig AS (
-          SELECT doc_id,
-                 ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
-                 ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
-          FROM documents),
-        bands AS (
-          SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig
-          UNION ALL
-          SELECT doc_id, 1, band1 FROM sig)
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-        WHERE a.doc_id < b.doc_id
-        ORDER BY id_a, id_b""")),
+        WITH $lshPairCtes
+        SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""")),
 
     // t6: dedup clusters — connected components over the LSH candidate
     // pairs; every clustered doc gets its canonical (min-id) representative.
@@ -1694,6 +1701,67 @@ object TextQueries {
                CAST(coalesce(n.novel, 0) AS BIGINT) AS n_novel,
                CAST(coalesce(n.novel, 0) * 10000 // t.n_sh AS BIGINT) AS novelty_bp
         FROM tot t LEFT JOIN nov n ON n.doc_id = t.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // t44: LEAKAGE-FREE train/eval split — t38 cuts the corpus, t3 finds
+    // near-dups; a benchmark is only trustworthy when the two compose:
+    // any train document that is an LSH near-dup of a val/test document
+    // is DROPPED FROM TRAIN (eval stays pristine — the standard
+    // direction: you can't touch the benchmark, you can always shrink
+    // train). The audit emits, per split, total docs, dropped count, and
+    // the surviving doc/char budget. Scale: the pair frame is the
+    // memoized t3 candidate set (banded equijoin, never all-pairs); the
+    // split labels join onto the pair endpoints by the unique doc key
+    // (two broadcast-or-shuffle equijoins on id), and the final rollup is
+    // a 3-row aggregate. Nothing rescans text.
+    Q("t44_leakfree_split",
+      (s, d) => {
+        val b = conv(substring(md5(concat(lit("split"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("split",
+            when(b * 10 < lit(8L * 65536), "train")
+              .when(b * 10 < lit(9L * 65536), "val")
+              .otherwise("test"))
+        val pairs = lshPairsFor(s, d)
+        val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+          .union(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+        val contaminated = edges
+          .join(docs.select(col("doc_id").as("x"), col("split").as("sx")), "x")
+          .join(docs.select(col("doc_id").as("y"), col("split").as("sy")), "y")
+          .filter(col("sx") === "train" && col("sy").isin("val", "test"))
+          .select(col("x").as("doc_id")).distinct()
+        docs.join(contaminated.withColumn("dropped", lit(1L)), Seq("doc_id"), "left")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+            (count(lit(1)) - sum(coalesce(col("dropped"), lit(0L)))).as("n_kept"),
+            sum(when(col("dropped").isNull, col("n_chars")).otherwise(0L)).as("kept_chars"))
+          .orderBy("split")
+      },
+      Some(s"""
+        WITH $lshPairCtes,
+        s AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 10 < 8 * 65536 THEN 'train'
+                      WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 10 < 9 * 65536 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents),
+        edges AS (
+          SELECT id_a AS x, id_b AS y FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        contaminated AS (
+          SELECT DISTINCT e.x AS doc_id
+          FROM edges e
+          JOIN s sx ON sx.doc_id = e.x
+          JOIN s sy ON sy.doc_id = e.y
+          WHERE sx.split = 'train' AND sy.split IN ('val', 'test'))
+        SELECT s.split, count(*) AS n_docs,
+               CAST(count(c.doc_id) AS BIGINT) AS n_dropped,
+               CAST(count(*) - count(c.doc_id) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN c.doc_id IS NULL THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM s LEFT JOIN contaminated c ON c.doc_id = s.doc_id
+        GROUP BY s.split ORDER BY s.split"""))
   )
 }
