@@ -1560,6 +1560,67 @@ object RelationalQueries {
         SELECT from_type, to_type, cnt,
                CAST(floor(cnt * 1000000.0 /
                  sum(cnt) OVER (PARTITION BY from_type)) AS BIGINT) AS p_e6
-        FROM cnts ORDER BY from_type, to_type"""))
+        FROM cnts ORDER BY from_type, to_type""")),
+
+    // r61: TPC-H Q13 shape — the customer ORDER-COUNT DISTRIBUTION
+    // (how many customers placed 0, 1, 2, … orders). The left outer
+    // join is the point: customers with NO orders must survive into the
+    // 0 bucket, which an inner-join rollup silently loses. Two
+    // aggregations, each a reduction: per-customer counts shuffle on the
+    // customer key once (count(o_orderkey) skips the null of orderless
+    // customers), then the count-of-counts aggregates the already
+    // 1-row-per-customer frame into at most max-orders-per-customer
+    // rows. At 100 TB the first shuffle is the only data-sized exchange;
+    // AQE's broadcast of the customer side is the standard Q13 plan.
+    Q("r61_order_count_distribution",
+      (s, d) => {
+        val perCust = Tables.customer(s, d).select(col("c_custkey"))
+          .join(Tables.orders(s, d)
+            .select(col("o_custkey"), col("o_orderkey")),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"))
+        perCust.groupBy("n_orders")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("n_orders").desc)
+      },
+      Some("""
+        WITH pc AS (
+          SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey)
+        SELECT n_orders, count(*) AS n_customers
+        FROM pc GROUP BY n_orders ORDER BY n_orders DESC""")),
+
+    // r62: CO-PURCHASE PAIRS (market-basket affinity) — parts ordered
+    // together in ≥ 3 distinct orders. The within-order self-join is the
+    // textbook co-occurrence shape whose cost is Σ items-per-order², NOT
+    // corpus²: the equijoin on the order key confines pair generation to
+    // each order's line set (≤ 7 items in TPC-H geometry; a pathological
+    // mega-basket is the salting/occupancy-cap case t39/v2 document).
+    // distinct first so a part twice in one order counts once; the ≥ 3
+    // support threshold keeps the output the interesting tail at any
+    // scale (the full pair histogram is the shuffle, already reduced).
+    Q("r62_copurchase_pairs",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        li.alias("a").join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 3)
+          .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2)
+        SELECT p1, p2, n_orders FROM pairs WHERE n_orders >= 3
+        ORDER BY n_orders DESC, p1, p2"""))
   )
 }
