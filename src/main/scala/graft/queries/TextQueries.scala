@@ -133,8 +133,25 @@ object TextQueries {
 
   /** t3's banded-LSH candidate-pair derivation as a reusable CTE chain
     * (`sig` → `bands` → `pairs(id_a, id_b)`), shared by the t3 oracle and
-    * every oracle that consumes the pair set (t44's leak-free split).
+    * every oracle that consumes the pair set (t44's leak-free split;
+    * m8's modality agreement via the prefixed form, whose names must not
+    * collide with the IVF chain's `pairs`).
     */
+  private[queries] def lshPairCtesPrefixed(p: String): String = s"""${p}sig AS (
+          SELECT doc_id,
+                 ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
+                 ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
+          FROM documents),
+        ${p}bands AS (
+          SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM ${p}sig
+          UNION ALL
+          SELECT doc_id, 1, band1 FROM ${p}sig),
+        ${p}pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ${p}bands a JOIN ${p}bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          WHERE a.doc_id < b.doc_id)"""
+
   private lazy val lshPairCtes: String = s"""sig AS (
           SELECT doc_id,
                  ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
@@ -150,7 +167,7 @@ object TextQueries {
             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
           WHERE a.doc_id < b.doc_id)"""
 
-  private def lshPairsFor(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def lshPairsFor(s: org.apache.spark.sql.SparkSession, d: String) =
     // keyed on a documents-file fingerprint (same pattern as the IVF memo)
     // so rewriting the dir's data in-process invalidates instead of
     // serving stale pairs
@@ -1762,6 +1779,42 @@ object TextQueries {
                CAST(count(*) - count(c.doc_id) AS BIGINT) AS n_kept,
                CAST(sum(CASE WHEN c.doc_id IS NULL THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         FROM s LEFT JOIN contaminated c ON c.doc_id = s.doc_id
-        GROUP BY s.split ORDER BY s.split"""))
+        GROUP BY s.split ORDER BY s.split""")),
+
+    // t45: FIXED-k STRATIFIED SAMPLE — exactly 10 docs per language,
+    // chosen by salted-md5 rank (t7's determinism law: the same docs win
+    // at any cluster size or partitioning). t8's fraction-based stratum
+    // sampling can't promise exact counts; eval sets and few-shot prompt
+    // pools need exactly-k. Runs through [[Relational.topNPerKeyAgg]] —
+    // the bounded TopK aggregate, NOT a window: keys are FEW (languages)
+    // and groups are the whole corpus, precisely the shape where a
+    // window sort ships every row to 5 partitions and dies at 100 TB,
+    // while the aggregate's map-side partials cap task state and shuffle
+    // bytes at k rows per task × key. v10 uses this path for its scored
+    // top-k; t45 pins it under oracle on the text side too.
+    Q("t45_stratified_topk",
+      (s, d) => {
+        val h = conv(substring(md5(concat(lit("strat"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        val df = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+          .withColumn("h", h)
+        Relational.topNPerKeyAgg(df, Seq("lang"), Seq("h", "doc_id"), 10)
+          .select(col("lang"), col("rnk").cast("long").as("rnk"),
+            col("doc_id"), col("n_chars"))
+          .orderBy("lang", "rnk")
+      },
+      Some("""
+        WITH h AS (
+          SELECT lang, doc_id, n_chars,
+                 ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hh
+          FROM documents),
+        ranked AS (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY hh ASC, doc_id ASC) AS rnk
+          FROM h)
+        SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars
+        FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk"""))
   )
 }

@@ -1366,6 +1366,51 @@ object VectorQueries {
                  * 10000 // count(*) AS BIGINT) AS acc_bp
         FROM pred GROUP BY true_label ORDER BY label""")),
 
+    // m8: MODALITY-AGREEMENT audit — the same corpus deduped two ways
+    // (t3's text LSH candidates vs v6's embedding cell-blocked pairs),
+    // reconciled: how many near-dup pairs do both modalities find, and
+    // how many does each see alone? Text-only pairs are exact boilerplate
+    // the embedding smooths over; embedding-only pairs are paraphrases
+    // sharing no 3-gram band — the audit that tells a curation pipeline
+    // whether one dedup pass suffices (the production question behind
+    // running both). Scale: a full-outer equijoin of two MEMOIZED
+    // pair frames on the pair key — both inputs already exist (t3/v6
+    // build them once per corpus fingerprint), so the query itself
+    // touches only pair-count-sized data. The oracle replays BOTH
+    // derivations (minhash banding and the IVF fit) in one statement,
+    // the text chain name-prefixed to coexist with the vector chain.
+    Q("m8_modality_agreement",
+      (s, d) => {
+        val tp = TextQueries.lshPairsFor(s, d)
+          .select(col("id_a"), col("id_b"), lit(1L).as("in_text"))
+        val vp = ivfNearDupPairs(s, d)
+          .select(col("id_a"), col("id_b"), lit(1L).as("in_vec"))
+        tp.join(vp, Seq("id_a", "id_b"), "full_outer")
+          .select(
+            when(col("in_text").isNotNull && col("in_vec").isNotNull, "both")
+              .when(col("in_text").isNotNull, "text_only")
+              .otherwise("embedding_only").as("modality"),
+            col("id_a"), col("id_b"))
+          .groupBy("modality")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("id_a")).as("sig_a"), sum(col("id_b")).as("sig_b"))
+          .orderBy("modality")
+      },
+      Some(s"""${ivfNearDupPairCtes(recursive = false)},
+        ${TextQueries.lshPairCtesPrefixed("t_")},
+        m AS (
+          SELECT coalesce(t.id_a, v.id_a) AS id_a,
+                 coalesce(t.id_b, v.id_b) AS id_b,
+                 CASE WHEN t.id_a IS NOT NULL AND v.id_a IS NOT NULL THEN 'both'
+                      WHEN t.id_a IS NOT NULL THEN 'text_only'
+                      ELSE 'embedding_only' END AS modality
+          FROM t_pairs t FULL OUTER JOIN pairs v
+            ON t.id_a = v.id_a AND t.id_b = v.id_b)
+        SELECT modality, count(*) AS n_pairs,
+               CAST(sum(id_a) AS BIGINT) AS sig_a,
+               CAST(sum(id_b) AS BIGINT) AS sig_b
+        FROM m GROUP BY modality ORDER BY modality""")),
+
     // v15: exact MAX-INNER-PRODUCT top-5 (the recommendation-retrieval
     // ranking) — v1's shape under the OTHER similarity. The corpus is
     // unit-norm (driver generation), where raw MIPS degenerates to
