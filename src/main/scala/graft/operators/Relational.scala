@@ -97,12 +97,16 @@ object Relational {
     * (ascending on `orderCols`, rank 1..n, deterministic given a total
     * order) but via the bounded [[graft.functions.TopK]] aggregate, so
     * map-side partial aggregation caps both task state and shuffle bytes
-    * at n rows per (task × key). Use this when keys are FEW and groups
-    * are HUGE — the window form shuffles the entire input and sorts each
-    * key's full partition, which is exactly the shape that dies at 100 TB
-    * with 10 query keys over a corpus. Descending dims: negate the
-    * numeric column before calling (lexicographic struct order is
-    * ascending-only).
+    * at n rows per (task × key). Honest comparison vs the window form on
+    * Spark 4: WindowGroupLimit pushes a partial rank-limit below the
+    * exchange for a `row_number() <= n` filter, bounding ITS shuffle
+    * identically — but only after fully sorting each task's rows; the
+    * aggregate replaces that O(rows·log rows) sort with an O(rows·log n)
+    * bounded heap, and keeps its bound even in shapes the rank-limit
+    * rewrite can't see (rank exposed to later operators, non-rank
+    * predicates). ShuffleBudgetSpec pins all three shapes numerically.
+    * Descending dims: negate the numeric column before calling
+    * (lexicographic struct order is ascending-only).
     */
   def topNPerKeyAgg(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
                     n: Int, rankCol: String = "rnk"): DataFrame = {

@@ -1786,12 +1786,16 @@ object TextQueries {
     // at any cluster size or partitioning). t8's fraction-based stratum
     // sampling can't promise exact counts; eval sets and few-shot prompt
     // pools need exactly-k. Runs through [[Relational.topNPerKeyAgg]] —
-    // the bounded TopK aggregate, NOT a window: keys are FEW (languages)
-    // and groups are the whole corpus, precisely the shape where a
-    // window sort ships every row to 5 partitions and dies at 100 TB,
-    // while the aggregate's map-side partials cap task state and shuffle
-    // bytes at k rows per task × key. v10 uses this path for its scored
-    // top-k; t45 pins it under oracle on the text side too.
+    // the bounded TopK aggregate: map-side partials cap task state and
+    // shuffle bytes at k rows per task × key, and no per-task sort is
+    // paid (a bounded heap per key). Honest ledger: Spark 4's
+    // WindowGroupLimit bounds the row_number()-filter window form's
+    // SHUFFLE equally well (partial rank-limit below the exchange) but
+    // still fully SORTS every task's rows first — the aggregate skips
+    // that, and the three-way contrast (agg ≈ limited window ≪
+    // unlimited window) is pinned numerically in ShuffleBudgetSpec.
+    // v10 uses this path for its scored top-k; t45 pins it under oracle
+    // on the text side too.
     Q("t45_stratified_topk",
       (s, d) => {
         val h = conv(substring(md5(concat(lit("strat"),

@@ -63,4 +63,42 @@ class ShuffleBudgetSpec extends SparkSpec {
     // is a fraction of it. 16 MB catches a text-through-shuffle rewrite.
     assert(b < (16L << 20), s"t1 shuffled ${b >> 20} MB — text in the exchange?")
   }
+
+  test("grouped top-k: both bounded paths shuffle a fraction of the unlimited window") {
+    // Spark 4's WindowGroupLimit pushes a PARTIAL rank-limit below the
+    // exchange for row_number()<=k filters, so the window path's shuffle
+    // is bounded too (k rows per task x key), same as topNPerKeyAgg's
+    // map-side partials; the aggregate's remaining edge is skipping the
+    // full per-task sort WindowGroupLimit still needs. This guard pins
+    // BOTH bounded shapes against the unlimited window (the shape you
+    // get when the rank filter stops being pushable, e.g. a later
+    // filter or a changed rank function): 20x headroom vs a measured
+    // ~300x gap.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(200000).select(
+      (col("id") % 5).cast("string").as("lang"),
+      col("id").as("doc_id"), (col("id") % 997).as("n_chars"),
+      conv(substring(md5(concat(lit("strat"), col("id").cast("string"))),
+        1, 8), 16, 10).cast("long").as("h"))
+    val aggBytes = shuffleBytes {
+      graft.operators.Relational.topNPerKeyAgg(df, Seq("lang"), Seq("h", "doc_id"), 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val winBytes = shuffleBytes {
+      graft.operators.Relational.topNPerKey(df, Seq("lang"),
+          Seq(col("h").asc, col("doc_id").asc), 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val unlimitedBytes = shuffleBytes {
+      df.withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(aggBytes > 0 && winBytes > 0 && unlimitedBytes > 0)
+    assert(aggBytes * 20 < unlimitedBytes,
+      s"TopK aggregate shuffled $aggBytes B vs unlimited window $unlimitedBytes B")
+    assert(winBytes * 20 < unlimitedBytes,
+      s"rank-limited window shuffled $winBytes B vs unlimited $unlimitedBytes B - WindowGroupLimit pushdown lost")
+  }
 }
