@@ -176,12 +176,26 @@ object GraftExtensions {
   /** Cosine similarity in double — dot over the product of L2 norms. */
   val cosine: FnDesc = binaryVec("graft_cosine", VectorOps.cosine)
 
+  /** Bounded top-k AGGREGATE: `graft_topk(struct(score, id), 5)` keeps
+    * the k smallest values by struct order with map-side partials — the
+    * v10/t45 kernel, now reachable from pure SQL (sort descending by
+    * negating the score). k must be a literal: it sizes the heap.
+    */
+  val topk: FnDesc = (
+    FunctionIdentifier("graft_topk"),
+    new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
+    (args: Seq[Expression]) => args match {
+      case Seq(child, Literal(k: Int, _)) => TopK(child, k)
+      case other => throw new IllegalArgumentException(
+        s"graft_topk(expr, int literal k) — got ${other.length} args")
+    })
+
   /** Every injectable function — the single list both the extensions
     * class and imperative registration drain.
     */
   val all: Seq[FnDesc] = Seq(simhash32, simhash64, minhash, yyyymmddToDate,
     fingerprint, tokens, stopwordRatio, bpeishTokenCount, tokenCount,
-    rollingHash, langId, deterministicSample, dot, l2dist2, cosine)
+    rollingHash, langId, deterministicSample, dot, l2dist2, cosine, topk)
 
   /** Imperative registration for an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

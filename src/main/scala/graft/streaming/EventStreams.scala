@@ -90,6 +90,32 @@ object EventStreams {
       }
   }
 
+  /** Gap sessionization through Spark's NATIVE `session_window` —
+    * the declarative alternative to [[sessionize]]'s
+    * flatMapGroupsWithState: the engine manages merging/expiring session
+    * state (no user state-machine to get wrong), and the same code runs
+    * batch and streaming (append mode after the watermark passes a
+    * session's end). Output contract matches [[sessionize]]: the native
+    * window's end is last-event + gap, so `session_end_us` subtracts the
+    * gap back to the last event's time. Prefer this form unless the
+    * session logic needs custom per-event state (e.g. [[sessionize]]'s
+    * exact event_id tie-break inside one timestamp — the native window
+    * keys on time alone, identical whenever timestamps are distinct).
+    */
+  def sessionizeNative(events: DataFrame, gapUs: Long,
+                       lateness: String = "30 minutes"): DataFrame = {
+    val gapExpr = s"INTERVAL ${gapUs / 1000} MILLISECOND"
+    events
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts_ts"), gapExpr).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        (unix_micros(col("w.end")) - gapUs).as("session_end_us"),
+        col("n_events"))
+  }
+
   /** Time-bounded attribution join — the stream-stream join surface
     * (SURVEY.md §2.8; the reference pipeline has no streaming at all).
     * Pairs each impression with every conversion by the same user whose

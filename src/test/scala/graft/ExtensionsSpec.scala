@@ -169,4 +169,19 @@ class ExtensionsSpec extends SparkSpec {
       spark.conf.unset(BinnedRangeJoinRule.MaxBinsConf)
     }
   }
+
+  test("graft_topk aggregate from pure SQL: k smallest structs per group, map-side partials") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    Seq(("a", 5L), ("a", 1L), ("a", 3L), ("a", 2L), ("b", 9L), ("b", 7L))
+      .toDF("g", "v").createOrReplaceTempView("topk_in")
+    val rows = spark.sql(
+      """SELECT g, transform(graft_topk(struct(v), 2), x -> x.v) AS top2
+        |FROM topk_in GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0).getSeq[Long](1) == Seq(1L, 2L))
+    assert(rows(1).getSeq[Long](1) == Seq(7L, 9L))
+    // non-literal k must fail loudly, not mis-size the heap
+    intercept[Exception](spark.sql(
+      "SELECT graft_topk(struct(v), v) FROM topk_in").collect())
+  }
 }

@@ -382,4 +382,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getSeq[String](3) == Seq("""ColumnValues "lang" in ["en", "de"]"""))
     assert(rows(2).getSeq[String](3) == Seq("""ColumnValues "n" > 100"""))
   }
+
+  test("native session_window sessionize matches the stateful twin, batch and streaming") {
+    implicit val sq = spark.sqlContext
+    val gapUs = 1800L * us
+    val events = Seq(
+      ev(1, 100, 1), ev(2, 200, 1), ev(3, 5000, 1),   // user 1: two sessions
+      ev(4, 300, 2))                                   // user 2: one session
+    // batch parity: native window == the batch twin (the stateful
+    // flatMapGroupsWithState form cannot emit its final open sessions in
+    // batch mode - no timeout processing - which is exactly why
+    // sessionizeBatch exists)
+    val nat = EventStreams.sessionizeNative(events.toDF(), gapUs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val twin = EventStreams.sessionizeBatch(events.toDS(), gapUs)
+      .collect().map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSet
+    assert(nat == twin, s"native $nat vs batch twin $twin")
+    // streaming: sessions emit in append mode once the watermark passes
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.sessionizeNative(mem.toDF(), gapUs, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sess_native")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance the watermark far enough to close the last session
+    mem.addData(ev(99, 100000, 9))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_native")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == twin, s"streamed $streamed vs batch $twin")
+  }
 }
