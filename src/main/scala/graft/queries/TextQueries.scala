@@ -590,6 +590,38 @@ object TextQueries {
                CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us
         FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
 
+    // s5: gap sessionization through Spark's NATIVE session_window
+    // operator (s1 pins the window/cumsum composition in
+    // Relational.sessionize; s5 pins the engine-managed state form the
+    // streaming module prefers — [[graft.streaming.EventStreams
+    // .sessionizeNative]], identical code on readStream). The oracle
+    // derives sessions independently via the lag/gap-flag/cumsum chain,
+    // so the native operator's merge semantics (an event within the gap
+    // of the session END extends it) are cross-checked, not assumed.
+    Q("s5_sessionize_native",
+      (s, d) => graft.streaming.EventStreams
+        .sessionizeNative(Tables.events(s, d), 1800L * 1000000)
+        .orderBy("user_id", "session_start_us"),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        lagd AS (
+          SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev_us
+          FROM ev),
+        flags AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM lagd),
+        sess AS (
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM flags)
+        SELECT user_id,
+               CAST(min(ts_us) AS BIGINT) AS session_start_us,
+               CAST(max(ts_us) AS BIGINT) AS session_end_us,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_idx
+        ORDER BY user_id, session_start_us""")),
+
     // t18: sequence packing — assign documents to fixed-budget (512-token)
     // training sequences by cumulative token count, sharded: packs are
     // contiguous WITHIN a 1000-doc shard (the last pack of each shard may
