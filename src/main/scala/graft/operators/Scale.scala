@@ -549,7 +549,12 @@ object Scale {
     fs.mkdirs(new Path(path))
     withTableLock(fs, path) {
       val next = latestSnapshot(spark, path).map(_ + 1).getOrElse(0L)
-      df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+      // Overwrite, not ErrorIfExists: a dir at `next` can only be a
+      // CRASHED writer's leftovers (the pointer never moved past it, and
+      // live writers serialize under the lock) — uncommitted garbage by
+      // protocol, which a new commit must replace rather than be
+      // permanently blocked by. vacuumSnapshots sweeps such dirs too.
+      df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
       val tmp = new Path(path, "_latest.tmp")
       val out = fs.create(tmp, true)
       out.write(next.toString.getBytes("UTF-8")); out.close()
@@ -613,8 +618,18 @@ object Scale {
     require(keepLast >= 1, "keepLast must be >= 1")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     withTableLock(fs, path) {
-      val victims = listSnapshots(spark, path).dropRight(keepLast)
+      val committed = listSnapshots(spark, path)
+      val victims = committed.dropRight(keepLast)
       victims.foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
+      // also sweep uncommitted dirs ABOVE the pointer (a crashed writer's
+      // leftovers — no live writer can exist while we hold the lock)
+      val latest = latestSnapshot(spark, path)
+      if (fs.exists(new Path(path)))
+        fs.listStatus(new Path(path)).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+          .filter(v => latest.forall(v > _))
+          .foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
       victims
     }
   }

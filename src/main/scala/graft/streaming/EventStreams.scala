@@ -104,6 +104,10 @@ object EventStreams {
     */
   def sessionizeNative(events: DataFrame, gapUs: Long,
                        lateness: String = "30 minutes"): DataFrame = {
+    // the session_window gap is an interval literal with millisecond
+    // granularity here; a silently truncated sub-ms gap would diverge
+    // from the µs-exact stateful twin
+    require(gapUs % 1000 == 0, s"gapUs must be whole milliseconds, got $gapUs")
     val gapExpr = s"INTERVAL ${gapUs / 1000} MILLISECOND"
     events
       .withColumn("ts_ts", timestamp_micros(col("ts_us")))

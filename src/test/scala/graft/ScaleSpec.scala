@@ -545,4 +545,24 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(Scale.readSnapshot(spark, t).count() == 1L) // last commit wins the pointer
     } finally pool.shutdown()
   }
+
+  test("snapshot crash recovery: a stale uncommitted dir neither blocks the next commit nor leaks") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("snapcr").toString + "/tbl"
+    Scale.writeSnapshot(spark, t, Seq(1L).toDF("k"))
+    // simulate a writer that died after writing v=1 but before the
+    // pointer moved: the dir exists, the pointer still says 0
+    Seq(99L).toDF("k").write.parquet(s"$t/v=1")
+    assert(Scale.latestSnapshot(spark, t).contains(0L))
+    assert(Scale.listSnapshots(spark, t) == Seq(0L)) // garbage not listed
+    // the next commit replaces the garbage instead of failing
+    val v = Scale.writeSnapshot(spark, t, Seq(2L).toDF("k"))
+    assert(v == 1L)
+    assert(Scale.readSnapshot(spark, t).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // and vacuum sweeps any uncommitted dir above the pointer
+    Seq(77L).toDF("k").write.parquet(s"$t/v=9")
+    Scale.vacuumSnapshots(spark, t, keepLast = 2)
+    val dirs = new java.io.File(t).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(!dirs.contains("v=9"), s"uncommitted dir survived vacuum: ${dirs.toSeq}")
+  }
 }
