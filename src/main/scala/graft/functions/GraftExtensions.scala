@@ -186,6 +186,8 @@ object GraftExtensions {
     new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
     (args: Seq[Expression]) => args match {
       case Seq(child, Literal(k: Int, _)) => TopK(child, k)
+      case Seq(_, notLit) => throw new IllegalArgumentException(
+        s"graft_topk's k must be an INT literal (it sizes the heap); got ${notLit.sql}")
       case other => throw new IllegalArgumentException(
         s"graft_topk(expr, int literal k) — got ${other.length} args")
     })

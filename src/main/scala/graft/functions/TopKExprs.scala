@@ -85,6 +85,11 @@ case class TopK(child: Expression, k: Int,
   @transient private lazy val ordering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(child.dataType)
 
+  // unorderable child types (maps) must fail at ANALYSIS time as a type
+  // error, not at executor runtime inside getInterpretedOrdering
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = false
 

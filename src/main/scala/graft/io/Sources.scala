@@ -71,9 +71,15 @@ object Sources {
     val dataCols = schema.fields.toSeq.map(f => col(s"__j.${f.name}"))
     // clean rows in the declared schema; quarantine keeps the raw line
     // PLUS the partially-parsed fields (a type-mismatch line parses
-    // partially — seeing which fields survived is the triage signal)
-    (parsed.filter(col(s"__j.$corrupt").isNull).select(dataCols: _*),
-     parsed.filter(col(s"__j.$corrupt").isNotNull)
+    // partially — seeing which fields survived is the triage signal).
+    // A NULL parse STRUCT (blank/whitespace line, a literal `null`
+    // line) is quarantined too: from_json reports those as null rather
+    // than via the corrupt column, and letting them through would add
+    // phantom all-null rows to the clean frame — silent drop by another
+    // name, which this seam exists to prevent.
+    val clean = col("__j").isNotNull && col(s"__j.$corrupt").isNull
+    (parsed.filter(clean).select(dataCols: _*),
+     parsed.filter(!clean)
        .select((col("value").as("raw_line") +: dataCols): _*))
   }
 

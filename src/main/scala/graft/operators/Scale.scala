@@ -558,9 +558,16 @@ object Scale {
       val tmp = new Path(path, "_latest.tmp")
       val out = fs.create(tmp, true)
       out.write(next.toString.getBytes("UTF-8")); out.close()
-      val ptr = new Path(path, "_latest")
-      fs.delete(ptr, false)
-      renameOrFail(fs, tmp, ptr)
+      // ATOMIC pointer replace (FileContext rename with OVERWRITE), not
+      // delete-then-rename: the latter leaves a window — and a crash
+      // point — with NO pointer at all, during which readers see "no
+      // committed snapshot" on a committed table and a subsequent writer
+      // would restart at v=0 over live data. With the atomic rename the
+      // pointer always resolves to the old or the new version.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, new Path(path, "_latest"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       next
     }
   }
@@ -573,11 +580,20 @@ object Scale {
     if (!fs.exists(ptr)) None
     else {
       val in = fs.open(ptr)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      // read FULLY: InputStream.read may legally return fewer bytes than
+      // available (short first read on HDFS/object stores), and a
+      // truncated "12"→"1" parse would silently serve a stale snapshot
+      // and let the next writer overwrite a committed dir
+      val body = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8").trim
       } finally in.close()
+      if (body.isEmpty) throw new IllegalStateException(
+        s"snapshot pointer $ptr is empty — table metadata is corrupt")
+      Some(body.toLong)
     }
   }
 
@@ -622,14 +638,24 @@ object Scale {
       val victims = committed.dropRight(keepLast)
       victims.foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
       // also sweep uncommitted dirs ABOVE the pointer (a crashed writer's
-      // leftovers — no live writer can exist while we hold the lock)
+      // leftovers — no live writer can exist while we hold the lock).
+      // A MISSING pointer next to existing snapshot dirs is corrupt
+      // metadata, not license to sweep: treating None as "everything is
+      // garbage" would delete the whole table's history over one lost
+      // 64-byte file.
       val latest = latestSnapshot(spark, path)
-      if (fs.exists(new Path(path)))
-        fs.listStatus(new Path(path)).toSeq.filter(_.isDirectory)
+      val onDisk =
+        if (!fs.exists(new Path(path))) Nil
+        else fs.listStatus(new Path(path)).toSeq.filter(_.isDirectory)
           .map(_.getPath.getName)
           .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
-          .filter(v => latest.forall(v > _))
-          .foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
+      latest match {
+        case Some(l) =>
+          onDisk.filter(_ > l).foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
+        case None => require(onDisk.isEmpty,
+          s"snapshot pointer missing at $path but ${onDisk.size} snapshot " +
+            "dirs exist — refusing to vacuum corrupt table metadata")
+      }
       victims
     }
   }

@@ -94,9 +94,12 @@ object DataQuality {
       case r @ completeRe(c)     => IsComplete(c, r)
       case r @ uniqueRe(c)       => IsUnique(c, r)
       case r @ cvCmpRe(c, op, n) => ColumnValuesCmp(c, op, n.toLong, r)
+      // in-list values are extracted as QUOTED tokens, not by a bare
+      // comma split — `in ["Washington, DC", "NYC"]` must yield two
+      // values, and splitRules already guaranteed the commas survive to
+      // this point; shearing them here would silently mis-evaluate
       case r @ cvInRe(c, vals)   => ColumnValuesIn(c,
-        vals.split(",").map(_.trim).filter(_.nonEmpty)
-          .map(_.stripPrefix("\"").stripSuffix("\"")).toSeq, r)
+        """"([^"]*)"""".r.findAllMatchIn(vals).map(_.group(1)).toSeq, r)
       case r @ cvMatchRe(c, rx)  => ColumnValuesMatches(c, rx, r)
       case other => throw new IllegalArgumentException(s"unsupported DQ rule: $other")
     }

@@ -152,20 +152,7 @@ object TextQueries {
             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
           WHERE a.doc_id < b.doc_id)"""
 
-  private lazy val lshPairCtes: String = s"""sig AS (
-          SELECT doc_id,
-                 ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
-                 ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
-          FROM documents),
-        bands AS (
-          SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig
-          UNION ALL
-          SELECT doc_id, 1, band1 FROM sig),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-          WHERE a.doc_id < b.doc_id)"""
+  private lazy val lshPairCtes: String = lshPairCtesPrefixed("")
 
   private[queries] def lshPairsFor(s: org.apache.spark.sql.SparkSession, d: String) =
     // keyed on a documents-file fingerprint (same pattern as the IVF memo)

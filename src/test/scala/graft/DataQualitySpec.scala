@@ -112,4 +112,16 @@ class DataQualitySpec extends SparkSpec {
     val ann = DataQuality.annotate(df, """Rules = [ RowCount > 0 ]""")
     assert(ann.select("dq_failed").head().getSeq[String](0).isEmpty)
   }
+
+  test("in-list values containing commas survive both the rule split and the value split") {
+    val rules = DataQuality.parse(
+      """Rules = [ ColumnValues "city" in ["Washington, DC", "NYC"] ]""")
+    val df = Seq("Washington, DC", "NYC", "DC").toDF("city")
+    val rep = DataQuality.evaluate(df, rules.head.text)
+    assert(rep.results.head.observed == 1L) // only bare "DC" violates
+    val ann = DataQuality.annotate(df, rules.head.text)
+    assert(ann.filter(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("dq_failed")) > 0)
+      .collect().map(_.getString(0)).toSeq == Seq("DC"))
+  }
 }

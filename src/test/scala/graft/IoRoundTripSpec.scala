@@ -64,4 +64,18 @@ class IoRoundTripSpec extends SparkSpec {
     // conservation: every input line is accounted for exactly once
     assert(cleanRows.length + bad.length == 5)
   }
+
+  test("jsonlWithQuarantine: blank and literal-null lines are quarantined, not phantom clean rows") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonlq2")
+    java.nio.file.Files.writeString(dir.resolve("part-0.jsonl"),
+      "{\"id\": 1, \"name\": \"ok\"}\n\n   \nnull\n{\"id\": 2, \"name\": \"ok2\"}\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (clean, quarantined) = graft.io.Sources
+      .jsonlWithQuarantine(spark, dir.toString, schema)
+    assert(clean.count() == 2L, "only the two real records are clean")
+    assert(clean.filter(clean("id").isNull).count() == 0L, "no phantom all-null rows")
+    assert(quarantined.count() == 3L, "blank, whitespace, and null lines quarantined")
+  }
 }
