@@ -1621,6 +1621,75 @@ object RelationalQueries {
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
           GROUP BY 1, 2)
         SELECT p1, p2, n_orders FROM pairs WHERE n_orders >= 3
-        ORDER BY n_orders DESC, p1, p2"""))
+        ORDER BY n_orders DESC, p1, p2""")),
+
+    // r63: SHIPPING-DELAY SLA matrix (the TPC-H Q12 question asked of
+    // this schema's columns): per order priority, how many line items
+    // shipped more than 90 days after the order date, as an exact
+    // basis-point rate plus the total delay mass. One fact-fact equijoin
+    // on the order key (the only data-sized exchange), then a
+    // priority-keyed partial agg into a handful of rows; the delay is
+    // exact integer day arithmetic in both engines.
+    Q("r63_shipping_delay",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("delay_days",
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(when(col("delay_days") > 90, 1L).otherwise(0L)).as("n_late"),
+            sum(col("delay_days")).as("sum_delay_days"))
+          .withColumn("late_bp", expr("(n_late * 10000) div n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o.o_orderpriority, count(*) AS n_items,
+               CAST(sum(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(sum(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+                 AS sum_delay_days,
+               CAST(sum(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+                 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS late_bp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""")),
+
+    // r64: TPC-H Q14 shape — PROMO revenue share per ship year: the
+    // conditional-revenue-ratio pattern (what fraction of revenue came
+    // from a product segment). The part dimension broadcasts with only
+    // (key, is-promo flag) pre-projected; revenue stays in exact BIGINT
+    // cents and the share is one integer division at the end — no double
+    // aggregation anywhere.
+    Q("r64_promo_share",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_partkey"),
+          year(col("l_shipdate")).cast("long").as("yr"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+        val promo = Tables.part(s, d).select(col("p_partkey"),
+          col("p_type").startsWith("PROMO").as("is_promo"))
+        li.join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+          .groupBy("yr")
+          .agg(sum(when(col("is_promo"), col("rev_c")).otherwise(0L)).as("promo_cents"),
+            sum(col("rev_c")).as("total_cents"))
+          .withColumn("promo_share_e6",
+            expr("(promo_cents * 1000000) div total_cents"))
+          .orderBy("yr")
+      },
+      Some(s"""
+        SELECT CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+               CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN ${sqlCents("l.l_extendedprice * (1.0 - l.l_discount)")}
+                 ELSE 0 END) AS BIGINT) AS promo_cents,
+               CAST(sum(${sqlCents("l.l_extendedprice * (1.0 - l.l_discount)")})
+                 AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN ${sqlCents("l.l_extendedprice * (1.0 - l.l_discount)")}
+                 ELSE 0 END) * 1000000
+                 // sum(${sqlCents("l.l_extendedprice * (1.0 - l.l_discount)")})
+                 AS BIGINT) AS promo_share_e6
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1 ORDER BY yr"""))
   )
 }

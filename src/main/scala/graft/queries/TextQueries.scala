@@ -1838,6 +1838,79 @@ object TextQueries {
                    ORDER BY hh ASC, doc_id ASC) AS rnk
           FROM h)
         SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars
-        FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk"""))
+        FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk""")),
+
+    // t46: VERIFIED near-dup pairs — the production two-stage dedup
+    // shape in one query: t3's banded-LSH CANDIDATES (cheap, recall-
+    // oriented, with false positives by design) re-scored with the
+    // EXACT distinct-shingle Jaccard and kept only at ≥ 0.5 — the
+    // precision stage that makes the pair list safe to delete against.
+    // Scale: the expensive exactness is paid ONLY on candidates (pair-
+    // count-sized joins against the shingle projection by unique doc
+    // id), never corpus² — the memoized pair frame bounds it, and the
+    // shingle arrays travel to the pair rows, not the other way.
+    Q("t46_verified_neardup",
+      (s, d) => {
+        val sh = withShingles(Tables.documents(s, d))
+          .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+        val pairs = lshPairsFor(s, d)
+        pairs
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          .withColumn("uni",
+            (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+          .withColumn("jac_e4", expr("(inter * 10000) div uni"))
+          .filter(col("jac_e4") >= 5000)
+          .select(col("id_a"), col("id_b"), col("jac_e4"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH $lshPairCtes,
+        sh AS (
+          SELECT doc_id, list_distinct($shingleSql) AS sh FROM documents),
+        v AS (
+          SELECT p.id_a, p.id_b,
+                 len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+                 len(a.sh) + len(b.sh)
+                   - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b)
+        SELECT id_a, id_b, CAST((inter * 10000) // uni AS BIGINT) AS jac_e4
+        FROM v WHERE (inter * 10000) // uni >= 5000
+        ORDER BY id_a, id_b""")),
+
+    // s6: TRENDING top-3 event types per hour — the windowed-leaderboard
+    // shape every streaming dashboard runs, expressed as the tumbling
+    // bucket agg (s2's reduction) feeding the bounded TopK aggregate
+    // keyed by hour (t45's kernel with MANY keys and a reduced input:
+    // the per-(hour, type) counts, never raw events). Descending order
+    // via count negation (the documented topNPerKeyAgg contract).
+    Q("s6_trending_events",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(expr("ts_us div 3600000000").as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("neg_cnt", -col("cnt"))
+        Relational.topNPerKeyAgg(hourly, Seq("hour"),
+            Seq("neg_cnt", "event_type"), 3)
+          .select(col("hour"), col("rnk").cast("long").as("rnk"),
+            col("event_type"), col("cnt"))
+          .orderBy("hour", "rnk")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT hour, event_type, cnt,
+                 row_number() OVER (PARTITION BY hour
+                   ORDER BY cnt DESC, event_type ASC) AS rnk
+          FROM hourly)
+        SELECT CAST(hour AS BIGINT) AS hour, CAST(rnk AS BIGINT) AS rnk,
+               event_type, cnt
+        FROM ranked WHERE rnk <= 3 ORDER BY hour, rnk"""))
   )
 }

@@ -1453,6 +1453,39 @@ object VectorQueries {
           SELECT qid, nid, row_number() OVER (PARTITION BY qid
             ORDER BY ip DESC, nid ASC) AS rnk
           FROM scored)
-        SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""))
+        SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // v16: RADIUS (range) search — every corpus vector within cosine
+    // ≥ 0.30 of each query, the all-qualifying-neighbors retrieval RAG
+    // thresholding uses where top-k's fixed fan-out is wrong (k cuts off
+    // valid context; radius adapts to local density). Same broadcast-
+    // queries × streamed-corpus shape as v1 with a threshold filter
+    // instead of a ranking window — strictly CHEAPER at scale (no
+    // per-query sort at all, pure map-side filter after the dot
+    // product); the IVF probe path (v4) applies unchanged when the
+    // corpus outgrows a full scan. Ids only (the v13 float contract).
+    Q("v16_radius_search",
+      (s, d) => {
+        val emb = preparedEmbeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("__cd").as("__qd"), col("__cn").as("__qn"))
+        broadcast(q).crossJoin(emb.select(col("vec_id"), col("__cd"), col("__cn")))
+          .filter(col("qid") =!= col("vec_id"))
+          .filter(VectorOps.rawDot(col("__qd"), col("__cd"))
+            / (col("__qn") * col("__cn")) >= 0.30)
+          .select(col("qid"), col("vec_id").as("nid"))
+          .orderBy("qid", "nid")
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id AS qid, ${castD.format("embedding")} AS qd
+          FROM embeddings WHERE vec_id < 10),
+        c AS (
+          SELECT vec_id, ${castD.format("embedding")} AS cd FROM embeddings)
+        SELECT qid, c.vec_id AS nid
+        FROM q CROSS JOIN c
+        WHERE c.vec_id != qid
+          AND list_cosine_similarity(qd, cd) >= 0.30
+        ORDER BY qid, nid"""))
   )
 }
