@@ -273,6 +273,55 @@ object PipelineQueries {
                  min(doc_id) FILTER (p1 AND p2 AND p3),
                  max(doc_id) FILTER (p1 AND p2 AND p3)
           FROM ann)
+        ORDER BY rule""")),
+
+    // d3: DQ DRIFT between snapshot versions — the lakehouse ops
+    // composition of d1's evaluator with r60's time travel: evaluate the
+    // same ruleset against snapshot v0 ("yesterday's load": n_chars >
+    // 100 docs only) and the latest commit, emit per-rule observed
+    // metrics side by side with the delta. This is the "did quality
+    // move between loads" audit a pipeline alerts on — here RowCount
+    // grows by the short docs and the ColumnValues violation count goes
+    // 0 → 37, both under oracle. Each evaluation is the evaluator's
+    // one-aggregate scan over an immutable snapshot dir; the audit
+    // frame is rule-count-sized.
+    Q("d3_dq_drift",
+      (s, d) => {
+        import s.implicits._
+        val ruleset = """Rules = [ RowCount > 100,
+          IsComplete "text", ColumnValues "n_chars" > 100 ]"""
+        val p = graft.queries.IoQueries.snapshotDocs(s, d)
+        val v0 = graft.quality.DataQuality
+          .evaluate(graft.operators.Scale.readSnapshot(s, p, Some(0L)), ruleset)
+        val v1 = graft.quality.DataQuality
+          .evaluate(graft.operators.Scale.readSnapshot(s, p), ruleset)
+        v0.results.zip(v1.results)
+          .map { case (a, b) =>
+            (a.rule, a.observed, b.observed, b.observed - a.observed) }
+          .toDF("rule", "observed_v0", "observed_v1", "delta")
+          .orderBy("rule")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'RowCount > 100' AS rule,
+                 (SELECT count(*) FROM documents WHERE n_chars > 100) AS observed_v0,
+                 (SELECT count(*) FROM documents) AS observed_v1,
+                 (SELECT count(*) FROM documents)
+                   - (SELECT count(*) FROM documents WHERE n_chars > 100) AS delta
+          UNION ALL
+          SELECT 'IsComplete "text"',
+                 (SELECT count(*) - count(text) FROM documents WHERE n_chars > 100),
+                 (SELECT count(*) - count(text) FROM documents),
+                 (SELECT count(*) - count(text) FROM documents)
+                   - (SELECT count(*) - count(text) FROM documents WHERE n_chars > 100)
+          UNION ALL
+          SELECT 'ColumnValues "n_chars" > 100',
+                 (SELECT count(*) FROM documents WHERE n_chars > 100
+                    AND n_chars <= 100),
+                 (SELECT count(*) FROM documents WHERE n_chars <= 100),
+                 (SELECT count(*) FROM documents WHERE n_chars <= 100)
+                   - (SELECT count(*) FROM documents WHERE n_chars > 100
+                        AND n_chars <= 100))
         ORDER BY rule"""))
   )
 }
