@@ -19,6 +19,13 @@ object Sessions {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // the library's SQL surface (graft_* functions) and the conf-gated
+      // range-join rewrite ride every session built here; cluster
+      // deployments get the same via spark.sql.extensions=
+      // graft.functions.GraftExtensions (getOrCreate returning an
+      // EXISTING session keeps that session's extensions — register
+      // imperatively via GraftExtensions.register in that case)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

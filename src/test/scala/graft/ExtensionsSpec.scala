@@ -184,4 +184,17 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       "SELECT graft_topk(struct(v), v) FROM topk_in").collect())
   }
+
+  test("Sessions.local wires GraftExtensions into its builder") {
+    // the extension MECHANISM (builder.withExtensions -> functions
+    // resolve) is exercised live by this suite's other tests; what they
+    // cannot see is whether the library's own session factory uses it —
+    // and a live check would need to stop the suite's shared session.
+    // A source-level pin keeps the wiring from silently regressing.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/core/Sessions.scala")),
+      "UTF-8")
+    assert(src.contains("withExtensions(new graft.functions.GraftExtensions)"),
+      "Sessions.local must wire GraftExtensions")
+  }
 }
