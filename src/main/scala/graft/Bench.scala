@@ -137,13 +137,14 @@ object Bench {
       s""""runs":$runsJson,"qload1":$qloadJson,"sf":"$sfDir"}"""
   }
 
-  /** The FINAL stdout line. Four tiers, first that fits the tail window
-    * wins — per-query detail survives to ~190 queries instead of 79:
+  /** The FINAL stdout line. Five tiers, first that fits the tail window
+    * wins — per-query detail survives to ~185 queries instead of 79:
     *   1. full keys, 2 dp values
     *   2. full keys, 1 dp values
     *   3. short family-code keys ("t7"), 2 dp, marked `"keys":"short"`
     *      (only when the short forms are collision-free)
-    *   4. totals-only summary pointing at bench_out.json
+    *   4. short keys, 1 dp (the 163-query gate outgrew tier 3's budget)
+    *   5. totals-only summary pointing at bench_out.json
     * Every tier carries the interference verdict — the final line is the
     * artifact the driver archives, so it must acquit (or indict) itself.
     */
@@ -162,6 +163,9 @@ object Bench {
       () => if (shortOk)
         line(s""""keys":"short","queries":${queriesJson(mins, jsonNum2, shortKey)},""")
       else " " * (FinalLineBudget + 1), // never fits → next tier
+      () => if (shortOk)
+        line(s""""keys":"short","queries":${queriesJson(mins, jsonNum1, shortKey)},""")
+      else " " * (FinalLineBudget + 1),
       () => line(s""""detail":"bench_out.json","""))
     tiers.iterator.map(_.apply()).find(_.length <= FinalLineBudget)
       .getOrElse(line("")) // unreachable: the summary tier is O(1) size

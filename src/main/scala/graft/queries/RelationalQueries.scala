@@ -1690,6 +1690,94 @@ object RelationalQueries {
                  // sum(${sqlCents("l.l_extendedprice * (1.0 - l.l_discount)")})
                  AS BIGINT) AS promo_share_e6
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        GROUP BY 1 ORDER BY yr"""))
+        GROUP BY 1 ORDER BY yr""")),
+
+    // r65: CUMULATIVE DISTINCT USERS by day (the growth-accounting
+    // curve) — the naive form re-counts distinct over an ever-growing
+    // prefix per day (O(days × events)); the scalable identity is
+    // first-seen reduction: each user contributes exactly once, on
+    // min(day), so one user-keyed partial agg + a per-day count + a
+    // running sum over the DAYS frame (calendar-sized, broadcast-safe)
+    // computes the same curve in one linear pass at any event volume.
+    Q("r65_cumulative_users",
+      (s, d) => {
+        val firstSeen = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(min(to_date(col("ts_ts"))).as("first_day"))
+        val daily = firstSeen.groupBy(col("first_day").as("day"))
+          .agg(count(lit(1)).as("new_users"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily.withColumn("cum_users", sum(col("new_users")).over(w))
+          .orderBy("day")
+      },
+      Some("""
+        WITH fs AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY user_id),
+        daily AS (
+          SELECT first_day AS day, count(*) AS new_users
+          FROM fs GROUP BY first_day)
+        SELECT day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_users
+        FROM daily ORDER BY day""")),
+
+    // r66: EXACT bivariate statistics — the Pearson correlation of price
+    // and quantity per return flag with the five moment sums (Σx, Σy,
+    // Σxy, Σx², Σy²) in exact BIGINT, so the AGGREGATION is bit-stable
+    // under any partitioning — a float corr() varies with summation
+    // order and can never hash-match across engines. Correlation is
+    // scale-invariant, so x uses WHOLE currency units, not cents: with
+    // cents, Σx² overflows int64 at sf0.1 (1e14/row × 6e5 rows), and
+    // the overflow is SILENT in Spark (wrapping long) while DuckDB
+    // promotes to HUGEINT — the worst cross-engine failure mode; in
+    // dollars the largest moment is ~6e15, inside int64 through a
+    // further 100× of data (past that: shift x by its per-group mean in
+    // a first pass, the standard two-pass guard). The final corr is ONE
+    // double expression over the exact integer moments — identical
+    // formula text both sides, identical bits — in e6 units. The moment
+    // sums are also the MERGEABLE state an incremental/streaming
+    // variant keeps (r54's partial-state law).
+    Q("r66_exact_corr",
+      (s, d) => {
+        val x = asLong(col("l_extendedprice"))
+        val y = asLong(col("l_quantity"))
+        def dbl(c: String) = col(c).cast("double")
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), x.as("x"), y.as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("corr_e6",
+            floor((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+              * lit(1000000.0)
+              / sqrt((dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+                * (dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))))
+              .cast("long"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 CAST(sum(${sqlLong("l_extendedprice")}) AS BIGINT) AS sx,
+                 CAST(sum(${sqlLong("l_quantity")}) AS BIGINT) AS sy,
+                 CAST(sum(${sqlLong("l_extendedprice")} * ${sqlLong("l_quantity")}) AS BIGINT) AS sxy,
+                 CAST(sum(${sqlLong("l_extendedprice")} * ${sqlLong("l_extendedprice")}) AS BIGINT) AS sxx,
+                 CAST(sum(${sqlLong("l_quantity")} * ${sqlLong("l_quantity")}) AS BIGINT) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+               CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000000.0
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 AS BIGINT) AS corr_e6
+        FROM m ORDER BY l_returnflag"""))
   )
 }

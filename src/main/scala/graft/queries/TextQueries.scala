@@ -1911,6 +1911,53 @@ object TextQueries {
           FROM hourly)
         SELECT CAST(hour AS BIGINT) AS hour, CAST(rnk AS BIGINT) AS rnk,
                event_type, cnt
-        FROM ranked WHERE rnk <= 3 ORDER BY hour, rnk"""))
+        FROM ranked WHERE rnk <= 3 ORDER BY hour, rnk""")),
+
+    // t47: SOURCE VOCABULARY OVERLAP — pairwise word-level Jaccard
+    // between sources (t32 asks which corpora share SPANS — literal
+    // copying; t47 asks which share VOCABULARY — topical/stylistic
+    // kinship, the signal for merging near-duplicate crawls or spotting
+    // a source that is secretly another's subset). Inverted-index shape:
+    // distinct (source, word) postings, one word-keyed self-join whose
+    // per-word fan-out is bounded by sources² (20² here — never corpus-
+    // sized), per-pair intersection counts against broadcast vocabulary
+    // sizes, exact basis points. Emitted only for pairs with jac_bp ≥
+    // 2000 to keep the artifact the interesting tail.
+    Q("t47_vocab_overlap",
+      (s, d) => {
+        val posts = Tables.documents(s, d)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+          .distinct()
+        val sizes = posts.groupBy("source").agg(count(lit(1)).as("vsz"))
+        val inter = posts.alias("a").join(posts.alias("b"),
+            col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("src_a"), col("vsz").as("sz_a"))), "src_a")
+          .join(broadcast(sizes.select(col("source").as("src_b"), col("vsz").as("sz_b"))), "src_b")
+          .withColumn("jac_bp",
+            expr("(n_common * 10000) div (sz_a + sz_b - n_common)"))
+          .filter(col("jac_bp") >= 2000)
+          .select(col("src_a"), col("src_b"), col("n_common"), col("jac_bp"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""
+        WITH posts AS (
+          SELECT DISTINCT source, unnest($tokSql) AS w FROM documents),
+        sizes AS (SELECT source, count(*) AS vsz FROM posts GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+          FROM posts a JOIN posts b
+            ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT i.src_a, i.src_b, i.n_common,
+               CAST((i.n_common * 10000)
+                 // (sa.vsz + sb.vsz - i.n_common) AS BIGINT) AS jac_bp
+        FROM inter i
+        JOIN sizes sa ON sa.source = i.src_a
+        JOIN sizes sb ON sb.source = i.src_b
+        WHERE (i.n_common * 10000) // (sa.vsz + sb.vsz - i.n_common) >= 2000
+        ORDER BY i.src_a, i.src_b"""))
   )
 }
