@@ -47,7 +47,8 @@ object Explain {
     "t45_stratified_topk", "m8_modality_agreement", "s5_sessionize_native",
     "r63_shipping_delay", "r64_promo_share", "t46_verified_neardup",
     "s6_trending_events", "v16_radius_search", "d3_dq_drift",
-    "r65_cumulative_users", "r66_exact_corr", "t47_vocab_overlap")
+    "r65_cumulative_users", "r66_exact_corr", "t47_vocab_overlap",
+    "v17_centroid_separation")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is

@@ -1486,6 +1486,57 @@ object VectorQueries {
         FROM q CROSS JOIN c
         WHERE c.vec_id != qid
           AND list_cosine_similarity(qd, cd) >= 0.30
-        ORDER BY qid, nid"""))
+        ORDER BY qid, nid""")),
+
+    // v17: CENTROID SEPARATION matrix — pairwise cosine between the
+    // label centroids (v5 computes them; v17 answers the question they
+    // exist for: are the label clusters actually separated, or should
+    // two labels merge before the classifier trains on them). Exactness
+    // path: cosine is scale-invariant, so the centroid (Σ/n) is
+    // replaced by the exact integer micro-unit SUM vector (v5's BIGINT
+    // sums — bit-stable under any partitioning), and the cross-engine
+    // cosine is ONE fixed-order double fold over those identical
+    // integers (the native sequential dot both engines replay) — no
+    // float ever enters a shuffled aggregation. Scale: one partial-agg
+    // shuffle on (label × dim) keys, then a label²-sized frame; the
+    // corpus is touched once at any size.
+    Q("v17_centroid_separation",
+      (s, d) => {
+        val sums = Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+          .groupBy("label", "idx")
+          .agg(sum(floor(col("v").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("sm"))
+        val vecs = sums.groupBy("label")
+          .agg(array_sort(collect_list(struct(col("idx"), col("sm")))).as("arr"))
+          .select(col("label"),
+            expr("transform(arr, x -> cast(x.sm as double))").as("vd"))
+        val a = vecs.select(col("label").as("label_a"), col("vd").as("va"))
+        val b = vecs.select(col("label").as("label_b"), col("vd").as("vb"))
+        a.crossJoin(b).filter(col("label_a") < col("label_b"))
+          .select(col("label_a"), col("label_b"),
+            floor(VectorOps.rawDot(col("va"), col("vb"))
+              / (sqrt(VectorOps.rawDot(col("va"), col("va")))
+                * sqrt(VectorOps.rawDot(col("vb"), col("vb"))))
+              * lit(1000000.0)).cast("long").as("cos_e6"))
+          .orderBy("label_a", "label_b")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT label, i.i AS idx,
+                 CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vm
+          FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) i),
+        s AS (
+          SELECT label, idx, CAST(sum(vm) AS BIGINT) AS sm
+          FROM e GROUP BY label, idx),
+        v AS (
+          SELECT label, list(CAST(sm AS DOUBLE) ORDER BY idx) AS vd
+          FROM s GROUP BY label)
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(floor(${dDot("a.vd", "b.vd")}
+                 / (sqrt(${dDot("a.vd", "a.vd")}) * sqrt(${dDot("b.vd", "b.vd")}))
+                 * 1000000.0) AS BIGINT) AS cos_e6
+        FROM v a JOIN v b ON a.label < b.label
+        ORDER BY label_a, label_b"""))
   )
 }
