@@ -127,11 +127,24 @@ class TextPipeline(spark: SparkSession, docsPath: String, outRoot: String,
   }
 
   /** The whole DAG; returns the final chunks frame. */
-  def runAll(): DataFrame =
-    runChunks(runSample(runNearDedup(runExactDedup(runQuality()))))
+  def runAll(): DataFrame = {
+    val out = runChunks(runSample(runNearDedup(runExactDedup(runQuality()))))
+    TextPipeline.lastRunDurations = durations.toMap
+    out
+  }
 }
 
 object TextPipeline {
+  /** Per-stage wall times of the most recent `runAll` in this JVM —
+    * the bench's evidence channel. Two identical-code driver rounds
+    * (r11: 10.42 s, r12: 7.61 s vs the builder's same-HEAD 4.0 s)
+    * showed p1's single wall number alone can't distinguish ambient
+    * I/O interference from a plan regression; the artifact needs to
+    * say WHICH stage ate the time. Written once per runAll (not per
+    * stage) so a concurrently-read snapshot is always a complete run.
+    */
+  @volatile private[graft] var lastRunDurations: Map[String, Double] = Map.empty
+
   /** Curation thresholds; defaults match the gate queries' parameters
     * (t9 language threshold, t2/t3 MinHash geometry, t16 chunk shape).
     */
