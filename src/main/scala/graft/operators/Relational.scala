@@ -236,6 +236,65 @@ object Relational {
       .drop("__b", "__cum")
   }
 
+  /** Exact `ntile(k)` over a global order WITHOUT the single-partition
+    * sort `ntile(k).over(Window.orderBy(...))` costs — at 100 TB that
+    * naive frame is billions of rows sorted in one task. Same geometry
+    * as [[prefixSumScalable]]: rows are range-bucketed on `rankKey`
+    * (a long column monotone ASCENDING in the desired total order —
+    * pass the negated score for a descending sort), each bucket
+    * row_numbers locally in parallel under `order` (the full
+    * tie-broken order), and per-bucket row counts — `buckets` rows,
+    * model-sized, not data-sized — are broadcast back as prefix
+    * offsets. Every row then knows its exact global rank, and the tile
+    * is pure arithmetic on (rank, n): the first `n mod k` tiles carry
+    * `n div k + 1` rows, the rest `n div k` — bit-identical to SQL
+    * `ntile`. The only global sort is over the `buckets`-row offsets
+    * frame.
+    *
+    * Ties in `rankKey` always land in one range bucket (ranges are
+    * disjoint in the key), so the per-bucket sort — not a cross-bucket
+    * merge — breaks them under `order`; a fully degenerate key (every
+    * row equal) degrades to one bucket, i.e. the caller's rank key
+    * must carry real entropy, which an LM score at 1e-6 granularity
+    * does.
+    */
+  def ntileScalable(df: DataFrame, k: Int, rankKey: Column, order: Seq[Column],
+                    outCol: String, buckets: Int = 64): DataFrame = {
+    require(k >= 1, s"ntileScalable: k must be >= 1, got $k")
+    val in = df.withColumn("__ntk", rankKey.cast("long"))
+    val mm = in.agg(min(col("__ntk")).as("lo"), max(col("__ntk")).as("hi")).head()
+    if (mm.isNullAt(0)) return df.withColumn(outCol, lit(null).cast("long"))
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // same Long-wrap guard as prefixSumScalable: a key range wider than
+    // Long.MaxValue would silently scramble bucket order
+    require(hi - lo >= 0,
+      s"ntileScalable: rankKey range [$lo, $hi] exceeds Long.MaxValue; " +
+        "pre-bucket wide hash keys before tiling")
+    val span = math.max(1L, (hi - lo) / buckets + 1)
+    val bucketed = in.withColumn("__b", expr(s"(__ntk - ${lo}L) div ${span}L"))
+    val wLocal = Window.partitionBy("__b").orderBy(order: _*)
+    val local = bucketed.withColumn("__rn", row_number().over(wLocal).cast("long"))
+    // offsets frame: per-bucket counts, exclusive prefix sum, and the
+    // grand total n — all over the bucket-count-sized frame, where a
+    // global window is bounded by construction
+    val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__bc"))
+      .withColumn("__off", coalesce(sum(col("__bc")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__bc")).over(wAll))
+      .select("__b", "__off", "__n")
+    local.join(broadcast(offsets), "__b")
+      .withColumn("__gr", col("__off") + col("__rn"))
+      // SQL ntile split: rem = n mod k tiles of size+1 first, then size
+      .withColumn(outCol, expr(
+        s"""CASE WHEN __gr <= (__n % $k) * ((__n div $k) + 1)
+            THEN (__gr - 1) div ((__n div $k) + 1) + 1
+            ELSE (__n % $k) + (__gr - 1 - (__n % $k) * ((__n div $k) + 1)) div (__n div $k) + 1
+            END""").cast("long"))
+      .drop("__ntk", "__b", "__rn", "__off", "__n", "__gr")
+  }
+
   /** Scalable surrogate key: same contract (dense 1..N following the sort
     * order) without the global single-partition sort. Range-partition +
     * local sort, then `zipWithIndex` (one counting job + one narrow map —

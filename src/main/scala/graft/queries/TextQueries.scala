@@ -1426,13 +1426,15 @@ object TextQueries {
     // t35: CCNet-style quality bucketing — score every document with the
     // corpus LM (t30's integer-exact predictability score), then split
     // the corpus into head/middle/tail terciles by score. The bucket
-    // assignment is ntile(3) over (score DESC, doc_id) — the doc_id
-    // tiebreak makes the cut deterministic across engines and cluster
-    // sizes. ntile needs a total order over the PER-DOC frame (one row
-    // per document, already reduced from bigrams), not over raw data; at
-    // 100 TB the swap is r35's pattern — approx-quantile the two cut
-    // scores on a sample, broadcast them, and bucket with a comparison
-    // instead of a global sort.
+    // assignment matches ntile(3) over (score DESC, doc_id) bit-for-bit
+    // — the doc_id tiebreak makes the cut deterministic across engines
+    // and cluster sizes — but is computed by Relational.ntileScalable:
+    // range-bucket on the (negated) score, per-bucket parallel
+    // row_number, broadcast bucket-count offsets, then tile by pure
+    // (rank, n) arithmetic. No single-partition window anywhere at any
+    // corpus size; the only global sort is over the 64-row offsets
+    // frame. (Until round 13 this was a literal global ntile — one task
+    // sorting one row per document, the plan's lone scale-killer.)
     Q("t35_quality_buckets",
       (s, d) => {
         val grams = Tables.documents(s, d)
@@ -1451,9 +1453,9 @@ object TextQueries {
           .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e6")).as("sum_p_e6"))
           .select(col("doc_id"), col("n_bigrams"),
             floor(col("sum_p_e6") * lit(1.0) / col("n_bigrams")).cast("long").as("score_e6"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("score_e6").desc, col("doc_id").asc)
-        scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+        graft.operators.Relational.ntileScalable(
+            scored, 3, -col("score_e6"),
+            Seq(col("score_e6").desc, col("doc_id").asc), "bucket")
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_docs"),
             sum("n_bigrams").as("sum_bigrams"),

@@ -205,6 +205,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"more than one global window:\n${plan.toString.take(2000)}")
   }
 
+  test("t35: no single-partition window over the per-document frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // round 13 replaced the literal ntile(3).over(Window.orderBy(...))
+    // — one task sorting one row per document — with ntileScalable;
+    // the surviving global windows must sit ONLY on the 64-row offsets
+    // frame (recognizable by its __bc count column), never on a frame
+    // carrying doc_id
+    val t35 = graft.queries.TextQueries.all.find(_.name == "t35_quality_buckets").get
+    val plan = executed(t35.run(spark, sf001))
+    val wins = collect(plan) { case w: WindowExec => w }
+    val globalOnData = wins.filter(w => w.partitionSpec.isEmpty &&
+      w.child.schema.fieldNames.contains("doc_id"))
+    assert(globalOnData.isEmpty,
+      s"t35 still has a single-partition window over documents:\n${plan.toString.take(2000)}")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "t35's per-bucket row_number window is missing — rewrite drifted")
+  }
+
   test("round-11 additions: t43 single shingle pass, t42 shuffle-free, r59 bounded exchanges, v14 no vector payload on keyed shuffles") {
     import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

@@ -140,4 +140,40 @@ class RelationalOpsSpec extends SparkSpec {
     val at9999 = out.filter(col("id") === 9999L).head().getAs[Long]("cum")
     assert(at9999 == (1L to 9999L).map(_ % 7).sum)
   }
+
+  test("ntileScalable matches the global-window ntile bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    // Heavy ties (score = id % 23 collapses ~43 ids per score at n=997),
+    // n not divisible by k, and a DESCENDING order — the t35 shape. The
+    // bucket assignment must equal ntile's first-(n mod k)-tiles-get-
+    // the-extra-row split for every row, for bucket counts from
+    // degenerate 1 (== one global window) through more than distinct
+    // key values.
+    val df = (1L to 997L).map(i => (i, i % 23)).toDF("id", "score").repartition(5)
+    for (k <- Seq(1, 3, 4, 10); b <- Seq(1, 7, 64)) {
+      val w = Window.orderBy(col("score").desc, col("id").asc)
+      val expected = df.withColumn("t", ntile(k).over(w).cast("long"))
+        .orderBy("id").select("id", "t")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = Relational.ntileScalable(df, k, -col("score"),
+          Seq(col("score").desc, col("id").asc), "t", buckets = b)
+        .orderBy("id").select("id", "t")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"k=$k buckets=$b")
+    }
+  }
+
+  test("ntileScalable: n < k gives each row its own tile; empty input is null-tiled") {
+    val tiny = Seq((1L, 5L), (2L, 9L)).toDF("id", "score")
+    val got = Relational.ntileScalable(tiny, 5, col("score"),
+        Seq(col("score").asc, col("id").asc), "t")
+      .orderBy("t").select("id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // ascending score: id=1 (score 5) ranks first
+    assert(got == Seq((1L, 1L), (2L, 2L)))
+    val empty = spark.emptyDataFrame.withColumn("id", lit(0L)).filter(lit(false))
+      .select(col("id"), col("id").as("score"))
+    val out = Relational.ntileScalable(empty, 3, col("score"), Seq(col("id")), "t")
+    assert(out.columns.contains("t") && out.count() == 0)
+  }
 }
