@@ -609,6 +609,89 @@ object TextQueries {
         FROM sess GROUP BY user_id, session_idx
         ORDER BY user_id, session_start_us""")),
 
+    // s7: the SAME sessionization as s5 executed as a REAL incremental
+    // StreamingQuery — file source replayed in 4 time-sliced
+    // micro-batches (maxFilesPerTrigger=1), engine-managed session
+    // state merged ACROSS batches, append emission driven by the
+    // watermark (a far-future sentinel row advances it past every real
+    // session so the final no-data batch flushes the state store), and
+    // the result read back from the parquet SINK, not from a batch
+    // plan. The harness hard-fails unless >= 4 data micro-batches ran,
+    // so this row is green only if execution was genuinely
+    // incremental. Same oracle as s5: streaming execution must agree
+    // with the lag/gap-flag/cumsum derivation bit-for-bit.
+    Q("s7_stream_sessions",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        val gapUs = 1800L * 1000000
+        val mm = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        // nothing replayed is ever late (arrival order inside a slice is
+        // nondeterministic), and the sentinel clears every session end
+        val latenessUs = (hi - lo) + gapUs
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"), lit(hi + latenessUs + 2 * gapUs).as("ts_us"),
+          lit(-1L).as("user_id"), lit("__wm").as("event_type"),
+          lit(0.0).as("value"))
+        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 4) {
+          st => graft.streaming.EventStreams.sessionizeNative(
+            st, gapUs, lateness = s"$latenessUs microseconds")
+        }.filter(col("user_id") >= 0)
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        lagd AS (
+          SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev_us
+          FROM ev),
+        flags AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM lagd),
+        sess AS (
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM flags)
+        SELECT user_id,
+               CAST(min(ts_us) AS BIGINT) AS session_start_us,
+               CAST(max(ts_us) AS BIGINT) AS session_end_us,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_idx
+        ORDER BY user_id, session_start_us""")),
+
+    // s8: s2's watermarked tumbling-window aggregation as a real
+    // incremental StreamingQuery through the same replay harness —
+    // hour windows are fed by MULTIPLE micro-batches (the 4 slices cut
+    // the span mid-hour), so partial window state must survive batch
+    // boundaries and only emit when the sentinel-advanced watermark
+    // passes each window's end. Oracle is s2's: the streamed sink must
+    // equal the one-shot GROUP BY.
+    Q("s8_stream_windowed_counts",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        val hourUs = 3600L * 1000000
+        val mm = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val latenessUs = (hi - lo) + hourUs
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"), lit(hi + latenessUs + 2 * hourUs).as("ts_us"),
+          lit(-1L).as("user_id"), lit("__wm").as("event_type"),
+          lit(0.0).as("value"))
+        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 4) {
+          st => graft.streaming.EventStreams.windowedCounts(
+            st, "1 hour", s"$latenessUs microseconds")
+        }.filter(col("event_type") =!= "__wm")
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+
     // t18: sequence packing — assign documents to fixed-budget (512-token)
     // training sequences by cumulative token count, sharded: packs are
     // contiguous WITHIN a 1000-doc shard (the last pack of each shard may

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Real incremental streaming EXECUTION harness: replay a bounded frame
+  * as a time-sliced file stream through an actual `StreamingQuery`
+  * (file source → transform → parquet sink, `Trigger.AvailableNow`),
+  * and return what the SINK contains. The s1–s6 gate entries pin
+  * streaming *shapes* by running the shared transforms on batch input;
+  * the s7/s8 entries run the SAME transforms through this harness, so
+  * micro-batch state carry-over, watermark-driven append emission, and
+  * checkpoint/sink plumbing are themselves under the DuckDB oracle.
+  *
+  * Mechanics:
+  *   - The input is split into `slices` contiguous event-time ranges,
+  *     each written as ONE parquet file with strictly ascending
+  *     modification times; `maxFilesPerTrigger=1` then forces one
+  *     micro-batch per slice (Spark's file source processes oldest
+  *     mtime first), so entities spanning slice boundaries — a session
+  *     straddling two files, an hour window fed by three — exercise
+  *     cross-batch state merge for real.
+  *   - Append-mode aggregation only emits state the watermark has
+  *     passed. The caller's `lateness` must cover the whole replayed
+  *     span (no replayed event is ever late — arrival order inside a
+  *     slice is nondeterministic), and a single WATERMARK SENTINEL row
+  *     — far-future timestamp, impossible key — is written as the LAST
+  *     file: its batch advances the watermark past every real
+  *     session/window end, and the trailing no-data micro-batch
+  *     (`spark.sql.streaming.noDataMicroBatches.enabled`, default on)
+  *     flushes the state store to the sink. The sentinel's own state
+  *     never emits (nothing passes ITS end) and its key is filtered on
+  *     read-back.
+  *
+  * 100 TB shape: this harness is a test/backfill surface, but the
+  * execution it drives is the production one — per-batch work is
+  * bounded by one slice plus live state, state is keyed and
+  * watermark-expired (never O(stream)), and the sink is append-only
+  * parquet a downstream reader partition-prunes.
+  */
+object StreamExec {
+
+  /** One shared reaped scratch parent for every replay (source files,
+    * checkpoint, sink), mirroring PipelineQueries.checkpointParent:
+    * /dev/shm when writable (the files are rewritten-then-discarded
+    * scratch), one JVM shutdown hook.
+    */
+  private[graft] lazy val scratchParent: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val root = java.nio.file.Files.createTempDirectory(base, "graft_stream_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+    root
+  }
+
+  /** Split `input` into `slices` event-time-range files plus the
+    * `sentinel` file, stream them through `transform`, await
+    * completion, and return the parquet sink's contents. Requires the
+    * query to have actually run incrementally: at least `slices`
+    * micro-batches carried input rows (a single-batch fallback would
+    * silently stop exercising cross-batch state).
+    */
+  def replayFileStream(input: DataFrame, tsCol: String, sentinel: DataFrame,
+                       slices: Int)(transform: DataFrame => DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    require(slices >= 2, s"replayFileStream: need >= 2 slices to exercise " +
+      s"cross-batch state, got $slices")
+    val root = java.nio.file.Files.createTempDirectory(scratchParent, "replay_")
+    val src = root.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+
+    val mm = input.agg(min(col(tsCol)).cast("long").as("lo"),
+      max(col(tsCol)).cast("long").as("hi")).head()
+    require(!mm.isNullAt(0), "replayFileStream: empty input")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (hi - lo) / slices + 1)
+
+    // one parquet FILE per slice: write to a scratch dir, move the part
+    // file into the source dir, and pin strictly ascending mtimes —
+    // the file source's oldest-first order is the replay order, and the
+    // sentinel must be processed last or every real event goes late
+    val baseMtime = (System.currentTimeMillis() / 1000) * 1000 - 3600L * 1000
+    def addFile(df: DataFrame, name: String, idx: Int): Unit = {
+      val tmp = root.resolve(s"__$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .getOrElse(sys.error(s"no part file written for slice $name"))
+      val dst = src.resolve(s"$name.parquet").toFile
+      require(part.renameTo(dst), s"rename failed: $part -> $dst")
+      require(dst.setLastModified(baseMtime + idx * 60000L),
+        s"cannot pin mtime for $dst")
+    }
+    (0 until slices).foreach { i =>
+      addFile(input.filter(
+        expr(s"(cast(`$tsCol` as bigint) - ${lo}L) div ${span}L") === i),
+        f"slice$i%04d", i)
+    }
+    addFile(sentinel, "zsentinel", slices)
+
+    val out = root.resolve("out").toString
+    val q = spark.readStream
+      .schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+      .transform(transform)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= slices,
+      s"replayFileStream: expected >= $slices data micro-batches, saw " +
+        s"$dataBatches - the run was not incremental")
+    spark.read.parquet(out)
+  }
+}

@@ -12,6 +12,8 @@ class StreamingSpec extends SparkSpec {
   private val us = 1000000L
   private def ev(id: Long, tsSec: Long, user: Long, typ: String = "click") =
     Event(id, tsSec * us, user, typ, 1.0)
+  private def evUs(id: Long, tsUs: Long, user: Long) =
+    Event(id, tsUs, user, "click", 1.0)
 
   test("windowedCounts over a MemoryStream matches the batch twin") {
     implicit val sq = spark.sqlContext
@@ -411,5 +413,30 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("sess_native")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(streamed == twin, s"streamed $streamed vs batch $twin")
+  }
+
+  test("sessionizeNative: events EXACTLY gapUs apart merge (boundary is inclusive)") {
+    // The resolved boundary semantics, pinned from three directions:
+    // the stateful twin merges on `e.ts_us - s.endUs <= gapUs`
+    // (inclusive), the s1/s5 oracle starts a new session only on
+    // `ts_us - prev_us > gap` (same inclusive merge), and Spark's
+    // native session_window merges when the next window's start equals
+    // the current session's end (event2 = event1 + gap ⇒ start2 ==
+    // end1 ⇒ merge). All three agree: exactly-gap-apart is ONE
+    // session. One microsecond past the gap splits.
+    val gapUs = 1800L * us
+    val boundary = Seq(ev(1, 100, 1), evUs(2, 100L * us + gapUs, 1))
+    val merged = EventStreams.sessionizeNative(boundary.toDF(), gapUs).collect()
+    assert(merged.length == 1, s"exactly-gap events must merge: ${merged.toSeq}")
+    assert(merged.head.getLong(1) == 100L * us &&
+      merged.head.getLong(2) == 100L * us + gapUs &&
+      merged.head.getLong(3) == 2L)
+    val mergedTwin = EventStreams.sessionizeBatch(boundary.toDS(), gapUs).collect()
+    assert(mergedTwin.length == 1 && mergedTwin.head.n_events == 2L,
+      "stateful twin must agree at the boundary")
+    // one microsecond past the gap → two sessions, in both forms
+    val split = Seq(ev(1, 100, 1), evUs(2, 100L * us + gapUs + 1, 1))
+    assert(EventStreams.sessionizeNative(split.toDF(), gapUs).count() == 2)
+    assert(EventStreams.sessionizeBatch(split.toDS(), gapUs).count() == 2)
   }
 }
