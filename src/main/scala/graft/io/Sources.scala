@@ -61,6 +61,12 @@ object Sources {
     // parallelism (splittable, explicit schema, one scan), and the raw
     // line is carried as a normal column.
     val corrupt = "_corrupt_record"
+    // the parse appends this column to the declared schema; a caller
+    // whose schema already claims the name would get its field silently
+    // shadowed by the parser's corrupt-line channel — fail loudly
+    require(!schema.fieldNames.contains(corrupt),
+      s"jsonlWithQuarantine: declared schema must not contain '$corrupt' " +
+        "(reserved for the PERMISSIVE parser's corrupt-line channel)")
     val withCorrupt = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(corrupt,
         org.apache.spark.sql.types.StringType, nullable = true))

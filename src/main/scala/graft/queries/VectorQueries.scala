@@ -1464,6 +1464,10 @@ object VectorQueries {
     // per-query sort at all, pure map-side filter after the dot
     // product); the IVF probe path (v4) applies unchanged when the
     // corpus outgrows a full scan. Ids only (the v13 float contract).
+    // The oracle replays the SAME fixed-order dot/norm arithmetic as
+    // the Spark side — not DuckDB's list_cosine_similarity, whose
+    // different summation order could flip set membership by one ulp
+    // exactly at the 0.30 threshold.
     Q("v16_radius_search",
       (s, d) => {
         val emb = preparedEmbeddings(s, d)
@@ -1477,15 +1481,19 @@ object VectorQueries {
           .orderBy("qid", "nid")
       },
       Some(s"""
-        WITH q AS (
+        WITH q0 AS (
           SELECT vec_id AS qid, ${castD.format("embedding")} AS qd
           FROM embeddings WHERE vec_id < 10),
+        q AS (
+          SELECT qid, qd, sqrt(${dDot("qd", "qd")}) AS qn FROM q0),
+        c0 AS (
+          SELECT vec_id, ${castD.format("embedding")} AS cd FROM embeddings),
         c AS (
-          SELECT vec_id, ${castD.format("embedding")} AS cd FROM embeddings)
+          SELECT vec_id, cd, sqrt(${dDot("cd", "cd")}) AS cn FROM c0)
         SELECT qid, c.vec_id AS nid
         FROM q CROSS JOIN c
         WHERE c.vec_id != qid
-          AND list_cosine_similarity(qd, cd) >= 0.30
+          AND ${dDot("qd", "cd")} / (qn * cn) >= 0.30
         ORDER BY qid, nid""")),
 
     // v17: CENTROID SEPARATION matrix — pairwise cosine between the

@@ -65,6 +65,16 @@ class IoRoundTripSpec extends SparkSpec {
     assert(cleanRows.length + bad.length == 5)
   }
 
+  test("jsonlWithQuarantine rejects a schema that claims _corrupt_record") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("_corrupt_record", StringType)))
+    val e = intercept[IllegalArgumentException] {
+      graft.io.Sources.jsonlWithQuarantine(spark, "/nonexistent", schema)
+    }
+    assert(e.getMessage.contains("_corrupt_record"))
+  }
+
   test("jsonlWithQuarantine: blank and literal-null lines are quarantined, not phantom clean rows") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("jsonlq2")
