@@ -1926,20 +1926,40 @@ object TextQueries {
         FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk""")),
 
     // t46: VERIFIED near-dup pairs — the production two-stage dedup
-    // shape in one query: t3's banded-LSH CANDIDATES (cheap, recall-
+    // shape in one query: banded-LSH CANDIDATES (cheap, recall-
     // oriented, with false positives by design) re-scored with the
     // EXACT distinct-shingle Jaccard and kept only at ≥ 0.5 — the
     // precision stage that makes the pair list safe to delete against.
-    // Scale: the expensive exactness is paid ONLY on candidates (pair-
-    // count-sized joins against the shingle projection by unique doc
-    // id), never corpus² — the memoized pair frame bounds it, and the
-    // shingle arrays travel to the pair rows, not the other way.
+    // BOTH stages are bounded (the round-11 sf0.5 sweep showed the
+    // verify stage's candidate count, not candidate generation, is
+    // what grows): buckets hotter than 1000 entries contribute no
+    // candidates (occupancy cap), and within each surviving bucket
+    // only the first 5000 pairs under the deterministic (id_a, id_b)
+    // order reach the exact-Jaccard check (verify cap,
+    // TextOps.lshPairsCapped). Truncation is an AUDIT ROW, not a
+    // silent drop: the sentinel (id_a = -1) row carries (truncated
+    // buckets, dropped candidate slots) — zero/zero on this corpus,
+    // and the oracle replays both caps so the row is oracle-pinned
+    // either way. Scale: the expensive exactness is paid ONLY on
+    // capped candidates (pair-count-sized joins against the shingle
+    // projection by unique doc id), never corpus²; the shingle arrays
+    // travel to the pair rows, not the other way.
     Q("t46_verified_neardup",
       (s, d) => {
         val sh = withShingles(Tables.documents(s, d))
           .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
-        val pairs = lshPairsFor(s, d)
-        pairs
+        val bands = graft.functions.native.lshBands(col("sh"), 4, 2)
+        val banded = withShingles(Tables.documents(s, d))
+          .select(col("doc_id") +: bands: _*)
+        val exploded = banded.select(col("doc_id"),
+          explode(map(lit(0), col("band0"), lit(1), col("band1"))).as(Seq("band_idx", "band_val")))
+        val wOcc = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_val")
+        val ok = exploded.filter(col("band_val").isNotNull)
+          .withColumn("__n", count(lit(1)).over(wOcc))
+          .filter(col("__n") <= 1000).drop("__n")
+        val (pairs, audit) = TextOps.lshPairsCapped(ok, 5000)
+        val verified = pairs
           .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
           .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
           .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
@@ -1948,10 +1968,41 @@ object TextQueries {
           .withColumn("jac_e4", expr("(inter * 10000) div uni"))
           .filter(col("jac_e4") >= 5000)
           .select(col("id_a"), col("id_b"), col("jac_e4"))
+        verified.union(audit.select(lit(-1L).as("id_a"),
+            col("truncated_buckets").cast("long").as("id_b"),
+            col("dropped_candidates").cast("long").as("jac_e4")))
           .orderBy("id_a", "id_b")
       },
       Some(s"""
-        WITH $lshPairCtes,
+        WITH sig AS (
+          SELECT doc_id,
+                 ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
+                 ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
+          FROM documents),
+        bands AS (
+          SELECT doc_id, band_idx, band_val FROM (
+            SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig
+            UNION ALL SELECT doc_id, 1, band1 FROM sig)
+          WHERE band_val IS NOT NULL),
+        bcnt AS (
+          SELECT band_idx, band_val, count(*) AS c FROM bands GROUP BY 1, 2),
+        ok AS (
+          SELECT b.* FROM bands b JOIN bcnt USING (band_idx, band_val)
+          WHERE c <= 1000),
+        rawp AS (
+          SELECT a.band_idx, a.band_val, a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ok a JOIN ok b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          WHERE a.doc_id < b.doc_id),
+        rankedp AS (
+          SELECT *, row_number() OVER (PARTITION BY band_idx, band_val
+            ORDER BY id_a, id_b) AS rnk
+          FROM rawp),
+        pairs AS (
+          SELECT DISTINCT id_a, id_b FROM rankedp WHERE rnk <= 5000),
+        audit AS (
+          SELECT count(DISTINCT (band_idx, band_val)) AS tb, count(*) AS dc
+          FROM rankedp WHERE rnk > 5000),
         sh AS (
           SELECT doc_id, list_distinct($shingleSql) AS sh FROM documents),
         v AS (
@@ -1962,8 +2013,11 @@ object TextQueries {
           FROM pairs p
           JOIN sh a ON a.doc_id = p.id_a
           JOIN sh b ON b.doc_id = p.id_b)
-        SELECT id_a, id_b, CAST((inter * 10000) // uni AS BIGINT) AS jac_e4
-        FROM v WHERE (inter * 10000) // uni >= 5000
+        SELECT id_a, id_b, jac_e4 FROM (
+          SELECT id_a, id_b, CAST((inter * 10000) // uni AS BIGINT) AS jac_e4
+          FROM v WHERE (inter * 10000) // uni >= 5000
+          UNION ALL
+          SELECT -1, CAST(tb AS BIGINT), CAST(dc AS BIGINT) FROM audit)
         ORDER BY id_a, id_b""")),
 
     // s6: TRENDING top-3 event types per hour — the windowed-leaderboard
@@ -2043,6 +2097,105 @@ object TextQueries {
         JOIN sizes sa ON sa.source = i.src_a
         JOIN sizes sb ON sb.source = i.src_b
         WHERE (i.n_common * 10000) // (sa.vsz + sb.vsz - i.n_common) >= 2000
-        ORDER BY i.src_a, i.src_b"""))
+        ORDER BY i.src_a, i.src_b""")),
+
+    // t48: INCREMENTAL DEDUP-INDEX MAINTENANCE — the ingest-time
+    // composition the batch queries can't show: the LSH band index
+    // lives as a SNAPSHOT-VERSIONED table (Scale.writeSnapshot), each
+    // arriving batch dedups against the committed index
+    // (TextOps.dedupAgainstIndex: left-semi band probe, bucket-capped),
+    // and the survivors' bands commit as the next snapshot — so
+    // history is never re-banded, readers keep snapshot isolation
+    // while a batch lands, and a crashed commit is invisible (pointer
+    // protocol). Batch 1 = even doc_ids, batch 2 = odd; the result
+    // audits the decision AND both index versions (row counts + id
+    // sums). The oracle replays both batches in ONE statement over raw
+    // documents — if the snapshot plumbing dropped, duplicated, or
+    // time-traveled a single band row, a signature diverges.
+    Q("t48_incremental_dedup_index",
+      (s, d) => {
+        val cap = 1000
+        def bandsOf(docs: org.apache.spark.sql.DataFrame) = {
+          val bands = graft.functions.native.lshBands(col("sh"), 4, 2)
+          withShingles(docs).select(col("doc_id") +: bands: _*)
+            .select(col("doc_id"), explode(map(
+              lit(0), col("band0"), lit(1), col("band1"))).as(Seq("band_idx", "band_val")))
+            .filter(col("band_val").isNotNull)
+        }
+        val all = Tables.documents(s, d)
+        val batch1 = all.filter(col("doc_id") % 2 === 0)
+        val batch2 = all.filter(col("doc_id") % 2 === 1)
+        val idxPath = java.nio.file.Files.createTempDirectory(
+          PipelineQueries.checkpointParent, "dedup_idx_").toString + "/idx"
+        graft.operators.Scale.writeSnapshot(s, idxPath, bandsOf(batch1))
+        val v0 = graft.operators.Scale.readSnapshot(s, idxPath, Some(0L))
+        val kept2 = TextOps.dedupAgainstIndex(batch2, bandsOf(batch2), v0, cap)
+        graft.operators.Scale.writeSnapshot(s, idxPath,
+          v0.unionByName(bandsOf(kept2)))
+        val v1 = graft.operators.Scale.readSnapshot(s, idxPath)
+        def docRow(tag: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(col("doc_id")), lit(0L)).as("sig"))
+            .select(lit(tag).as("part"), col("n_rows"), col("sig"))
+        docRow("batch2_kept", kept2)
+          .union(docRow("batch2_dropped",
+            batch2.join(kept2.select("doc_id"), Seq("doc_id"), "left_anti")))
+          .union(docRow("index_v0", v0))
+          .union(docRow("index_v1", v1))
+          .orderBy("part")
+      },
+      Some(s"""
+        WITH b1 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        b2 AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        sig1 AS (
+          SELECT doc_id,
+                 ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
+                 ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
+          FROM b1),
+        idx0 AS (
+          SELECT doc_id, band_idx, band_val FROM (
+            SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig1
+            UNION ALL SELECT doc_id, 1, band1 FROM sig1)
+          WHERE band_val IS NOT NULL),
+        sig2 AS (
+          SELECT doc_id,
+                 ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
+                 ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
+          FROM b2),
+        b2bands AS (
+          SELECT doc_id, band_idx, band_val FROM (
+            SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig2
+            UNION ALL SELECT doc_id, 1, band1 FROM sig2)
+          WHERE band_val IS NOT NULL),
+        bcnt AS (
+          SELECT band_idx, band_val, count(*) AS c FROM idx0 GROUP BY 1, 2),
+        okidx AS (
+          SELECT i.* FROM idx0 i JOIN bcnt USING (band_idx, band_val)
+          WHERE c <= 1000),
+        matched AS (
+          SELECT DISTINCT nb.doc_id FROM b2bands nb
+          JOIN okidx i USING (band_idx, band_val)),
+        kept2 AS (
+          SELECT * FROM b2
+          WHERE doc_id NOT IN (SELECT doc_id FROM matched)),
+        kept2bands AS (
+          SELECT nb.* FROM b2bands nb
+          WHERE nb.doc_id IN (SELECT doc_id FROM kept2)),
+        idx1 AS (
+          SELECT * FROM idx0 UNION ALL SELECT * FROM kept2bands)
+        SELECT part, n_rows, sig FROM (
+          SELECT 'batch2_kept' AS part, count(*) AS n_rows,
+                 CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sig FROM kept2
+          UNION ALL
+          SELECT 'batch2_dropped', count(*),
+                 CAST(coalesce(sum(doc_id), 0) AS BIGINT)
+          FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM kept2)
+          UNION ALL
+          SELECT 'index_v0', count(*),
+                 CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM idx0
+          UNION ALL
+          SELECT 'index_v1', count(*),
+                 CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM idx1)
+        ORDER BY part"""))
   )
 }

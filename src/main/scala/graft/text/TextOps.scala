@@ -491,6 +491,79 @@ object TextOps {
       .distinct()
   }
 
+  /** Candidate pairs under a per-bucket VERIFY budget — the downstream
+    * half of the LSH cost story. [[lshPairsBounded]]'s occupancy cap
+    * bounds pair GENERATION (a bucket hotter than `maxBucketSize`
+    * contributes nothing); this bounds pair VERIFICATION: within each
+    * surviving bucket only the first `capPerBucket` pairs under the
+    * deterministic (id_a, id_b) order go on to the expensive exact
+    * check (full-shingle Jaccard, edit distance, …), because the
+    * round-11 sf0.5 sweep showed candidate COUNT — not candidate
+    * generation — is what grows. Truncation is observable, not silent:
+    * the audit frame counts truncated buckets and dropped candidate
+    * slots, the same enforced-contract pattern as every other LSH cap.
+    * A pair reachable through ANY un-truncated slot is still verified
+    * (the distinct is after the cap).
+    */
+  def lshPairsCapped(exploded: org.apache.spark.sql.DataFrame,
+                     capPerBucket: Int, idCol: String = "doc_id",
+                     bandIdx: String = "band_idx", bandVal: String = "band_val")
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(capPerBucket >= 1, s"capPerBucket must be >= 1, got $capPerBucket")
+    val raw = exploded.alias("a").join(exploded.alias("b"),
+        col(s"a.$bandIdx") === col(s"b.$bandIdx") &&
+          col(s"a.$bandVal") === col(s"b.$bandVal") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$bandIdx").as("band_idx"), col(s"a.$bandVal").as("band_val"),
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_val").orderBy("id_a", "id_b")
+    val ranked = raw.withColumn("__rnk", row_number().over(wB))
+    val pairs = ranked.filter(col("__rnk") <= capPerBucket)
+      .select("id_a", "id_b").distinct()
+    val audit = ranked.filter(col("__rnk") > capPerBucket)
+      .agg(countDistinct(col("band_idx"), col("band_val")).as("truncated_buckets"),
+        count(lit(1)).as("dropped_candidates"))
+    (pairs, audit)
+  }
+
+  /** Incremental near-dup gate against a PERSISTED band index — the
+    * streaming-ingest half of [[lshPairsBounded]]'s batch self-join: a
+    * new document is a duplicate-of-history when ANY of its LSH bands
+    * equijoins an index entry, so batch N+1 dedups against everything
+    * ever kept WITHOUT re-banding the historical corpus. `index` and
+    * `newBands` share the exploded `(idCol, band_idx, band_val)`
+    * contract (NULL bands must already be dropped — they never match).
+    *
+    * Returns the rows of `newDocs` that survive. Scale shape: the match
+    * is a LEFT SEMI join on the band key — one hash shuffle keyed by
+    * (band_idx, band_val), no pair materialization at all — and the
+    * same `maxBucketSize` occupancy guard as every LSH path bounds a
+    * spam band's bucket: entries of hotter buckets contribute no
+    * matches (bounded, observable truncation instead of an O(bucket)
+    * per-new-doc probe amplification). The index itself is band rows —
+    * bands-per-doc × docs — appended per batch; at 100 TB it lives as
+    * a snapshot-versioned table (Scale.writeSnapshot) partitionable by
+    * band_idx and compacted like any other lakehouse table.
+    */
+  def dedupAgainstIndex(newDocs: org.apache.spark.sql.DataFrame,
+                        newBands: org.apache.spark.sql.DataFrame,
+                        index: org.apache.spark.sql.DataFrame,
+                        maxBucketSize: Int,
+                        idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")
+    val okIdx = index
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucketSize)
+    val matched = newBands.alias("n").join(okIdx.alias("i"),
+        col("n.band_idx") === col("i.band_idx") &&
+          col("n.band_val") === col("i.band_val"),
+        "left_semi")
+      .select(col(s"n.$idCol")).distinct()
+    newDocs.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** SimHash pigeonhole near-dup pairs: split `hashCol` into `nBlocks`
     * disjoint `blockBits`-bit blocks; any pair within Hamming distance
     * `maxHamming` < nBlocks agrees EXACTLY on ≥1 block (pigeonhole), so

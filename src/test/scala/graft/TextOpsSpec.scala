@@ -258,6 +258,27 @@ class TextOpsSpec extends SparkSpec {
     assert(capped.subsetOf(unbounded))
   }
 
+  test("lshPairsCapped: verify budget truncates per bucket deterministically, with audit") {
+    // bucket "HOT" has 5 docs → 10 pairs; bucket "n1" has 2 docs → 1
+    // pair; doc pair (1,2) ALSO shares bucket "n1", so it stays
+    // reachable even where a cap would drop it elsewhere
+    val exploded = ((1L to 5L).map(i => (i, 0, "HOT")) ++
+      Seq((1L, 1, "n1"), (2L, 1, "n1"))).toDF("doc_id", "band_idx", "band_val")
+    val (pairs, audit) = TextOps.lshPairsCapped(exploded, capPerBucket = 3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // HOT keeps its first 3 pairs under (id_a, id_b): (1,2),(1,3),(1,4);
+    // n1 keeps (1,2) — already present via HOT
+    assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L)), s"capped pairs wrong: $got")
+    val a = audit.head()
+    assert(a.getLong(0) == 1L, "exactly the HOT bucket truncates")
+    assert(a.getLong(1) == 7L, "10 - 3 dropped candidate slots")
+    // a cap above every bucket's pair count truncates nothing
+    val (full, audit2) = TextOps.lshPairsCapped(exploded, capPerBucket = 100)
+    assert(full.count() == 10)
+    val a2 = audit2.head()
+    assert(a2.getLong(0) == 0L && a2.getLong(1) == 0L)
+  }
+
   test("pigeonholePairs: finds all Hamming<=3 pairs, misses none (losslessness)") {
     // hand-built 32-bit hashes: pairs at distance 0..3 must all surface,
     // a distance-4 pair must not, regardless of which blocks differ
