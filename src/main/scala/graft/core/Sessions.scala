@@ -31,9 +31,6 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.parquet stores TIMESTAMP(NANOS) which the parquet
-      // reader otherwise rejects; exposes the column as epoch-nanos LongType.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

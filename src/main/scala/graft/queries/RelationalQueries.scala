@@ -142,7 +142,7 @@ object RelationalQueries {
     // DuckDB's TIMESTAMP truncates the parquet ns precision to micros.
     Q("r7_dedup_latest",
       (s, d) => Relational.dedupLatest(
-          Tables.events(s, d).drop("ts", "ts_ts"),
+          Tables.events(s, d).drop("ts_ts"),
           Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
         .select("user_id", "event_id", "ts_us", "event_type", "value"),
       Some("""

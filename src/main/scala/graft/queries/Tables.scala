@@ -116,18 +116,21 @@ object Tables {
     }
   }
 
-  /** events with THREE derived time columns, regardless of the file's
+  /** events with TWO derived time columns, regardless of the file's
     * physical `ts` type:
     *  - `ts_us` — epoch MICROS (LongType): the CANONICAL column for query
     *    defs; DuckDB equivalent `epoch_us(ts)`. Micros, not nanos,
     *    because cross-engine comparisons must be µs (DuckDB truncates).
     *  - `ts_ts` — truncated-to-micros TimestampType.
-    *  - `ts` — legacy epoch nanos (LongType), kept so downstream code
-    *    written against the nanos generations keeps reading; new queries
-    *    should use `ts_us`.
-    * The nanos-as-long conf is runtime-settable — set defensively so an
-    * int64-nanos file reads on caller-provided sessions too, not just
-    * ours.
+    * The physical `ts` — whose type has changed BETWEEN testdata
+    * generations (int64 epoch-nanos through round 8, `timestamp[us]`
+    * from round 9) — is consumed here and DROPPED from the output: no
+    * downstream code reads nanos anymore (the round-13 end of the ts_us
+    * migration), so the generation-dependent column cannot leak into a
+    * query again. The nanos-as-long conf is runtime-settable — set
+    * defensively right before the read so an int64-nanos file still
+    * resolves on caller-provided sessions too, the ONLY site that needs
+    * it (session builders no longer carry it).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -159,6 +162,6 @@ object Tables {
         throw new IllegalStateException(
           s"events.ts: unsupported physical type $other (expected int64 nanos or timestamp)")
     }
-    normalized.withColumn("ts_us", expr("ts div 1000"))
+    normalized.withColumn("ts_us", expr("ts div 1000")).drop("ts")
   }
 }

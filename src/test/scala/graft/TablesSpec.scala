@@ -6,11 +6,13 @@ import org.apache.spark.sql.types._
 
 /** `Tables.events` must present ONE downstream contract — `ts_us` =
   * canonical epoch-micros LongType, `ts_ts` = microsecond TimestampType,
-  * `ts` = legacy epoch-nanos LongType — whatever physical type the
-  * driver's testdata generation stored (int64 epoch-nanos through round 8,
-  * `timestamp[us]` from round 9; the switch silently broke 19 gate queries).
-  * These specs write the same instants in all three physical representations
-  * and assert the normalized view is identical.
+  * and NO physical `ts` passthrough — whatever type the driver's testdata
+  * generation stored (int64 epoch-nanos through round 8, `timestamp[us]`
+  * from round 9; the switch silently broke 19 gate queries; dropping the
+  * generation-dependent column from the output closed the ts_us
+  * migration in round 13). These specs write the same instants in all
+  * three physical representations and assert the normalized view is
+  * identical.
   */
 class TablesSpec extends SparkSpec {
   import scala.jdk.CollectionConverters._
@@ -34,12 +36,13 @@ class TablesSpec extends SparkSpec {
 
   private def normalized(dir: String): Seq[(Long, Long, Long)] = {
     val df = graft.queries.Tables.events(spark, dir)
-    assert(df.schema("ts").dataType == LongType, "contract: ts is epoch-nanos long")
+    assert(!df.columns.contains("ts"),
+      "contract: the generation-dependent physical ts must NOT pass through")
     assert(df.schema("ts_ts").dataType == TimestampType, "contract: ts_ts is TimestampType")
     assert(df.schema("ts_us").dataType == LongType, "contract: ts_us is epoch-micros long")
     assert(df.filter(col("ts_us") =!= unix_micros(col("ts_ts"))).count() == 0,
       "ts_us must be the µs of ts_ts's instant")
-    df.select(col("event_id"), col("ts"), unix_micros(col("ts_ts")).as("tsm"))
+    df.select(col("event_id"), col("ts_us"), unix_micros(col("ts_ts")).as("tsm"))
       .orderBy("event_id")
       .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
   }
@@ -49,8 +52,8 @@ class TablesSpec extends SparkSpec {
 
   test("events normalizes int64-nanos, timestamp, and timestamp_ntz files identically") {
     val expected = Seq(
-      (1L, microsA * 1000, microsA),
-      (2L, microsB * 1000, microsB))
+      (1L, microsA, microsA),
+      (2L, microsB, microsB))
 
     val dLong = tmp("long")
     writeRep(dLong, StructField("ts", LongType), m => m * 1000L) // stored as nanos
@@ -75,7 +78,7 @@ class TablesSpec extends SparkSpec {
       m => java.time.LocalDateTime.ofInstant(
         java.time.Instant.EPOCH.plus(m, java.time.temporal.ChronoUnit.MICROS),
         java.time.ZoneOffset.UTC))
-    val expected = Seq((1L, microsA * 1000, microsA), (2L, microsB * 1000, microsB))
+    val expected = Seq((1L, microsA, microsA), (2L, microsB, microsB))
     val tzKey = "spark.sql.session.timeZone"
     val saved = spark.conf.get(tzKey)
     try {
@@ -109,7 +112,7 @@ class TablesSpec extends SparkSpec {
     spark.read.parquet(s"$sf001/orders.parquet").drop("o_orderpriority")
       .write.mode("overwrite").parquet(s"$d/orders.parquet")
     graft.queries.Tables.events(spark, sf001)
-      .withColumn("ts", col("ts").cast("string")).drop("ts_ts")
+      .withColumn("ts", col("ts_us").cast("string")).drop("ts_ts", "ts_us")
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     val drift = graft.queries.Tables.preflight(spark, d)
     assert(drift.exists(m => m.startsWith("events.ts") && m.contains("string")),
@@ -121,10 +124,10 @@ class TablesSpec extends SparkSpec {
 
   test("the driver's current sf0.001 events file reads through the contract") {
     val df = graft.queries.Tables.events(spark, sf001)
-    assert(df.schema("ts").dataType == LongType)
+    assert(!df.columns.contains("ts"))
     assert(df.schema("ts_ts").dataType == TimestampType)
-    // ts is nanos of ts_ts's microsecond instant, for every row
-    assert(df.filter(col("ts") =!= unix_micros(col("ts_ts")) * lit(1000L)).count() == 0)
+    // ts_us is the µs of ts_ts's instant, for every row
+    assert(df.filter(col("ts_us") =!= unix_micros(col("ts_ts"))).count() == 0)
     assert(df.count() > 0)
   }
 }
