@@ -463,6 +463,83 @@ object VectorQueries {
             ON a.cell = b.cell AND a.vec_id < b.vec_id
           WHERE ${dDot("a.cd", "b.cd")} / (a.cn * b.cn) >= 0.35)"""
 
+  /** v18 geometry: up to 4 Lloyd rounds, stop once max centroid
+    * movement ≤ 0.025 (25000 micro-units) — on the sf0.01 embeddings
+    * the max movement runs ~315k → ~35k → ~23k, so the fit STOPS after
+    * round 3 and the cap's round 4 never runs: the early-stop branch is
+    * really exercised, not just available.
+    */
+  private val kmMaxIters = 4
+  private val kmFloorE6 = 25000L
+
+  /** One integer-centroid Lloyd round as CTEs (the [[lloydRound]] twin
+    * for v18's convergent fit): assign against `prev`'s `c_e6/1e6`
+    * doubles, recompute micro-unit centroids by remainder-subtracted
+    * exact integer division, carry per-cell `n_assigned` and integer
+    * `move_e6` (empty cells keep their centroid, movement 0).
+    */
+  private def lloydRoundE6(prev: String, next: String): String = s"""
+        d_$next AS (
+          SELECT cell, list_transform(ctr_e6, v -> CAST(v AS DOUBLE) / 1000000.0) AS ctr
+          FROM $prev),
+        a_$next AS (
+          SELECT vec_id, xd, cell FROM (
+            SELECT s.vec_id, s.xd, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id
+                     ORDER BY ${dDist2("s.xd", "c.ctr")} ASC, c.cell ASC) AS rn
+            FROM smp s CROSS JOIN d_$next c)
+          WHERE rn = 1),
+        s_$next AS (
+          SELECT cell, i.i AS idx,
+                 CAST(sum(CAST(floor(xd[i.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sm,
+                 count(*) AS n
+          FROM a_$next CROSS JOIN (SELECT unnest(range(64)) AS i) i
+          GROUP BY cell, i.i),
+        u_$next AS (
+          SELECT cell, list((sm - (sm % n)) // n ORDER BY idx) AS ctr_e6,
+                 any_value(n) AS n
+          FROM s_$next GROUP BY cell),
+        $next AS (
+          SELECT p.cell, coalesce(u.ctr_e6, p.ctr_e6) AS ctr_e6,
+                 CAST(coalesce(u.n, 0) AS BIGINT) AS n_assigned,
+                 CAST(CASE WHEN u.cell IS NULL THEN 0
+                      ELSE list_aggregate(list_transform(range(64),
+                        j -> abs(u.ctr_e6[j + 1] - p.ctr_e6[j + 1])), 'max')
+                      END AS BIGINT) AS move_e6
+          FROM $prev p LEFT JOIN u_$next u ON p.cell = u.cell)"""
+
+  private def kmeansAuditSql: String = {
+    val rounds = (1 to kmMaxIters)
+      .map(r => lloydRoundE6(if (r == 1) "c0" else s"c${r - 1}", s"c$r"))
+      .mkString(",")
+    val mvs = (1 to kmMaxIters)
+      .map(r => s"mv$r AS (SELECT max(move_e6) AS m FROM c$r)").mkString(",\n        ")
+    val emits = (1 to kmMaxIters).map { r =>
+      val cond =
+        if (r == 1) ""
+        else " WHERE " + (1 until r)
+          .map(j => s"(SELECT m FROM mv$j) > $kmFloorE6").mkString(" AND ")
+      s"SELECT $r AS iter, CAST(cell AS BIGINT) AS cell, n_assigned, move_e6 FROM c$r$cond"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+        WITH smp AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+          FROM embeddings
+          WHERE ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < 200 * 65536),
+        c0 AS (
+          SELECT cell,
+                 list_transform(xd, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS ctr_e6
+          FROM (
+            SELECT CAST(row_number() OVER (
+                     ORDER BY md5('ivfseed' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell, xd
+            FROM smp)
+          WHERE cell < 8),$rounds,
+        $mvs
+        SELECT CAST(iter AS BIGINT) AS iter, cell, n_assigned, move_e6 FROM (
+        $emits)
+        ORDER BY iter, cell"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // v1: exact cosine top-5 for the first 10 vectors (ids + rank only).
@@ -1545,6 +1622,35 @@ object VectorQueries {
                  / (sqrt(${dDot("a.vd", "a.vd")}) * sqrt(${dDot("b.vd", "b.vd")}))
                  * 1000000.0) AS BIGINT) AS cos_e6
         FROM v a JOIN v b ON a.label < b.label
-        ORDER BY label_a, label_b"""))
+        ORDER BY label_a, label_b""")),
+
+    // v18: K-MEANS TO CONVERGENCE — the quantizer fit promoted from
+    // v4/v11's fixed-round fitting detail to the first-class algorithm:
+    // Lloyd iterations run until the exact integer movement floor
+    // (max |Δcentroid| in micro-units ≤ floor) or the hard cap, and
+    // EVERY iteration's per-cell assignment counts + movement are the
+    // query's output — so the stopping RULE itself, not just the final
+    // centroids, is under oracle. Cross-engine exactness: centroids are
+    // micro-unit BIGINTs updated by remainder-subtracted integer
+    // division (floor == trunc, so DuckDB's // and JVM / agree on
+    // negative sums), assignment is the argmin over c_e6/1e6 doubles,
+    // movement is pure integer arithmetic. The oracle replays the cap's
+    // worth of rounds as a fixed CTE chain and emits round r only while
+    // every earlier round's max movement exceeded the floor — the same
+    // early stop, decided by the same integers. Scale: each round is
+    // one job over the cached ‰ sample collecting k × dims agg rows;
+    // the convergence test is a driver-side integer compare.
+    Q("v18_kmeans_convergence",
+      (s, d) => {
+        import s.implicits._
+        val (_, audit) = VectorOps.kmeansFitConverged(
+          Tables.embeddings(s, d), nCentroids = 8,
+          maxIters = kmMaxIters, floorE6 = kmFloorE6)
+        audit.map(a => (a.iter, a.cell, a.nAssigned, a.moveE6))
+          .toDF("iter", "cell", "n_assigned", "move_e6")
+          .orderBy("iter", "cell")
+      },
+      Some(kmeansAuditSql))
   )
+
 }

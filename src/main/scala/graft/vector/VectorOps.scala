@@ -342,6 +342,95 @@ object VectorOps {
     } finally { sample.unpersist(); () }
   }
 
+  /** One cell's audit row from one Lloyd iteration of
+    * [[kmeansFitConverged]]: how many sample rows the cell absorbed and
+    * how far its centroid moved, in exact micro-units.
+    */
+  case class KmeansIter(iter: Long, cell: Long, nAssigned: Long, moveE6: Long)
+
+  /** FULL k-means fit — [[deterministicCentroids]]' fixed-round fit
+    * promoted to the real algorithm: Lloyd iterations run until the
+    * centroid MOVEMENT FLOOR (or a hard `maxIters` cap), and every
+    * iteration emits exact integer audit rows. Everything the stopping
+    * rule reads is bit-replayable cross-engine:
+    *
+    *  - centroids live in micro-unit BIGINTs: `c_e6 = (sm - sm % n) / n`
+    *    — EXACT truncated integer division of the exact micro-unit
+    *    component sums (plain `/` floor-vs-trunc differs between
+    *    engines on negative sums; subtracting the C-style remainder
+    *    first makes the division exact, so floor == trunc everywhere);
+    *  - assignment is the [[assignCell]] argmin against `c_e6 / 1e6`
+    *    doubles (one IEEE division, identical in both engines);
+    *  - per-cell movement is `max |c_e6' − c_e6|` over components —
+    *    pure integers — and the fit stops after the first iteration
+    *    whose max movement over cells is ≤ `floorE6`; empty cells keep
+    *    their centroid and report zero movement.
+    *
+    * Returns the fitted centroids (as doubles, `c_e6 / 1e6`) plus the
+    * per-iteration per-cell audit. Scale: identical to
+    * [[deterministicCentroids]] — each round is one job over the cached
+    * ‰ sample collecting `nCentroids × dims` agg rows; the loop adds
+    * only the driver-side integer compare, so convergence testing costs
+    * nothing extra per round. Feeds v5/v8/v17 wherever a
+    * fit-to-convergence quantizer replaces the fixed-round one.
+    */
+  def kmeansFitConverged(corpus: DataFrame, nCentroids: Int, maxIters: Int,
+                         floorE6: Long, cId: String = "vec_id",
+                         cVec: String = "embedding",
+                         samplePermille: Int = 200)
+      : (Array[Seq[Double]], Seq[KmeansIter]) = {
+    require(maxIters >= 1 && floorE6 >= 0)
+    val sample = corpus
+      .filter(graft.text.TextOps.deterministicSample(col(cId), samplePermille, "ivf"))
+      .select(col(cId).as("__id"), asDouble(col(cVec)).as("__xd"))
+      .cache()
+    try {
+      val seeds = sample
+        .withColumn("__h", md5(concat(lit("ivfseed"), col("__id").cast("string"))))
+        .orderBy(col("__h"), col("__id"))
+        .limit(nCentroids)
+        .select("__xd").collect().map(_.getSeq[Double](0))
+      require(seeds.length == nCentroids,
+        s"sample has only ${seeds.length} rows for $nCentroids centroids — raise samplePermille")
+      val cE6: Array[Array[Long]] =
+        seeds.map(_.map(v => math.floor(v * 1e6 + 0.5).toLong).toArray)
+      val audit = scala.collection.mutable.ArrayBuffer.empty[KmeansIter]
+      var iter = 0
+      var moving = true
+      while (moving && iter < maxIters) {
+        iter += 1
+        val centroids: Seq[Seq[Double]] = cE6.map(_.toSeq.map(_ / 1e6)).toSeq
+        val stats = sample
+          .select(assignCell(col("__xd"), centroids).as("__cell"),
+            posexplode(col("__xd")).as(Seq("__idx", "__v")))
+          .groupBy("__cell", "__idx")
+          .agg(sum(floor(col("__v") * lit(1000000.0) + lit(0.5)).cast("long")).as("__sm"),
+            count(lit(1)).as("__n"))
+          .collect()
+        val byCell = stats.groupBy(_.getInt(0))
+        val perCell = (0 until nCentroids).map { cell =>
+          byCell.get(cell) match {
+            case None => KmeansIter(iter, cell, 0L, 0L)
+            case Some(rows) =>
+              val n = rows.head.getLong(3)
+              var mv = 0L
+              rows.foreach { r =>
+                val idx = r.getInt(1)
+                val sm = r.getLong(2)
+                val next = (sm - sm % n) / n
+                mv = math.max(mv, math.abs(next - cE6(cell)(idx)))
+                cE6(cell)(idx) = next
+              }
+              KmeansIter(iter, cell, n, mv)
+          }
+        }
+        audit ++= perCell
+        moving = perCell.map(_.moveE6).max > floorE6
+      }
+      (cE6.map(_.toSeq.map(_ / 1e6)), audit.toSeq)
+    } finally { sample.unpersist(); () }
+  }
+
   /** Persist a fitted coarse quantizer (the centroid array) so the fit
     * outlives the session — at 100 TB the quantizer is a model artifact
     * trained once and shipped to every query batch, exactly like
