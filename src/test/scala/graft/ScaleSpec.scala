@@ -565,4 +565,53 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val dirs = new java.io.File(t).listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(!dirs.contains("v=9"), s"uncommitted dir survived vacuum: ${dirs.toSeq}")
   }
+
+  test("snapshot crash recovery property: torn _latest.tmp and orphan dirs never corrupt reads or commits") {
+    import spark.implicits._
+    // Randomized crash injection under a FIXED seed: before each commit,
+    // maybe leave (a) an uncommitted v=<next> dir (writer died before
+    // the pointer moved), (b) a torn _latest.tmp (writer died mid
+    // pointer write — partial bytes, even garbage), or both. Invariants
+    // after every commit: the pointer is monotonic +1, readSnapshot
+    // serves exactly the just-committed rows, and time travel to any
+    // earlier version still serves that version's rows. The tmp file is
+    // scratch by protocol (the atomic rename is the commit point), so
+    // torn leftovers must be silently overwritten, never read.
+    val t = java.nio.file.Files.createTempDirectory("snapprop").toString + "/tbl"
+    val rnd = new scala.util.Random(13)
+    val committed = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    for (i <- 0 until 8) {
+      rnd.nextInt(4) match {
+        case 1 => // orphan dir at the next version number
+          Seq(-1L).toDF("k").write.mode("overwrite").parquet(s"$t/v=${committed.size}")
+        case 2 => // torn pointer tmp: partial/garbage bytes
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+          java.nio.file.Files.write(java.nio.file.Paths.get(t, "_latest.tmp"),
+            Array[Byte]('9', '9', '9', 0x7f))
+        case 3 => // both
+          Seq(-2L).toDF("k").write.mode("overwrite").parquet(s"$t/v=${committed.size}")
+          java.nio.file.Files.write(java.nio.file.Paths.get(t, "_latest.tmp"),
+            Array[Byte]('x'))
+        case _ =>
+      }
+      if (committed.nonEmpty) { // reads recover BEFORE the next commit too
+        assert(Scale.latestSnapshot(spark, t).contains(committed.size - 1L),
+          s"iter $i: pointer drifted")
+        assert(Scale.readSnapshot(spark, t).collect().map(_.getLong(0)).sorted
+          .toSeq == committed.last, s"iter $i: read served uncommitted data")
+      }
+      val rows = (0 to i).map(j => i * 100L + j)
+      val v = Scale.writeSnapshot(spark, t, rows.toDF("k"))
+      committed += rows
+      assert(v == committed.size - 1L, s"iter $i: version not monotonic (+1)")
+      assert(Scale.readSnapshot(spark, t).collect().map(_.getLong(0)).sorted
+        .toSeq == rows, s"iter $i: commit not readable")
+    }
+    // full history intact: every version time-travels to its own rows
+    committed.zipWithIndex.foreach { case (rows, v) =>
+      assert(Scale.readSnapshot(spark, t, Some(v.toLong)).collect()
+        .map(_.getLong(0)).sorted.toSeq == rows, s"time travel to v=$v broken")
+    }
+    assert(Scale.listSnapshots(spark, t) == (0L until committed.size).toSeq)
+  }
 }
