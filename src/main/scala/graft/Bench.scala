@@ -23,7 +23,13 @@ object Bench {
     * artifact (`stages`) so a slow sample indicts the stage that ate
     * the time instead of the plan wholesale.
     */
-  private[graft] val singleRunQueries: Set[String] = Set("p1_curation_pipeline")
+  private[graft] val singleRunQueries: Set[String] =
+    Set("p1_curation_pipeline",
+      // real streaming executions: each run writes sliced source files,
+      // a checkpoint dir, and a parquet sink (all /dev/shm-backed), and
+      // their cost is micro-batch machinery, not the plan — the sweep
+      // shows them flat from sf0.1 to sf0.5
+      "s7_stream_sessions", "s8_stream_windowed_counts")
   private[graft] def runsFor(name: String): Int = if (singleRunQueries(name)) 2 else 3
 
   /** 1-minute system load average, or -1 when the platform can't say.

@@ -210,6 +210,8 @@ class BenchSpec extends AnyFunSuite {
       "p1 needs a second sample to damp ambient I/O (r11/r12: 10.4 s vs 7.6 s " +
         "vs 4.0 s on identical code) but not a third (5 stage writes per run)")
     assert(Bench.runsFor("e9_fact_sales") == 3)
+    assert(Bench.runsFor("s7_stream_sessions") == 2,
+      "streaming executions re-write source/checkpoint/sink per run")
     // every single-run query must actually exist in the gate
     assert(Bench.singleRunQueries.subsetOf(SparkEntry.queries.keySet))
     // spread of a single run is neutral — it can never trip the verdict
