@@ -1520,6 +1520,19 @@ object TextQueries {
     // sorting one row per document, the plan's lone scale-killer.)
     Q("t35_quality_buckets",
       (s, d) => {
+        // DELIBERATE double explosion (measured, not an oversight): the
+        // gram stream feeds two consumers — the corpus LM build and the
+        // per-doc scoring join — and each RE-derives tokenize+explode
+        // rather than sharing a materialized (doc_id, w1, w2) frame.
+        // The round-13 single-scan rewrite (shared pre-aggregate +
+        // ReuseExchange) was built, measured 1.6× SLOWER at sf0.1, and
+        // reverted: sharing forces one full hash exchange of the entire
+        // gram stream keyed by (doc_id, w1, w2), while this shape's
+        // only shuffles are map-side-combined vocab²- and doc-count-
+        // sized partials plus a broadcast of the vocab-sized LM — at
+        // 100 TB a second codegen'd scan is cheap, a corpus-wide
+        // shuffle is the bottleneck. (t43's one-explosion rule applies
+        // when the consumers SHARE a shuffle key; these don't.)
         val grams = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
           .select(col("doc_id"), explode(TextOps.wordNgrams(col("t"), 2)).as("gram"))

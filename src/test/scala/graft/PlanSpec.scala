@@ -221,6 +221,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"t35 still has a single-partition window over documents:\n${plan.toString.take(2000)}")
     assert(wins.exists(_.partitionSpec.nonEmpty),
       "t35's per-bucket row_number window is missing — rewrite drifted")
+    // the gram stream must NOT be hash-exchanged whole: t35's only
+    // shuffles are map-side-combined aggregates and the ntile offsets —
+    // no exchange keyed by (doc_id, w1, w2) (the measured-slower shared
+    // materialization; see the query's scaladoc). Two scans are the
+    // DESIGNED shape here — each consumer re-derives the codegen'd
+    // explosion instead of shuffling it.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val gramWide = collect(plan) { case e: ShuffleExchangeLike
+      if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+        e.outputPartitioning.asInstanceOf[HashPartitioning].numPartitions > 1 &&
+        e.schema.fieldNames.contains("doc_id") &&
+        e.schema.fieldNames.contains("w1") => e }
+    assert(gramWide.isEmpty,
+      s"t35 shuffles the whole gram stream:\n${gramWide.map(_.schema.simpleString)}")
   }
 
   test("round-11 additions: t43 single shingle pass, t42 shuffle-free, r59 bounded exchanges, v14 no vector payload on keyed shuffles") {
