@@ -692,6 +692,59 @@ object TextQueries {
                event_type, count(*) AS cnt
         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
 
+    // s9: the CUSTOM-STATE streaming form under real execution — s7
+    // proves the engine-managed session_window path; s9 drives the
+    // flatMapGroupsWithState state machine (EventStreams.sessionize:
+    // user-written merge logic + event-time TIMEOUT emission) through
+    // the same replay harness. Because the slices are time-ordered,
+    // the operator's own 30-minute watermark is safe (batch i+1's
+    // events are never behind batch i's watermark), and sessions far
+    // enough behind the advancing watermark emit MID-replay via
+    // GroupState timeouts — the timeout branch runs for real, not just
+    // in a spec; the sentinel then flushes the tail. Oracle: the same
+    // lag/gap-flag/cumsum chain as s5/s7 — the hand-written state
+    // machine, the native operator, and the SQL derivation must agree
+    // on every session at the same gap.
+    Q("s9_stream_stateful_sessions",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        val gapUs = 1800L * 1000000
+        val hi = ev.agg(max("ts_us")).head().getLong(0)
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"), lit(hi + 3 * gapUs + 1000000L).as("ts_us"),
+          lit(-1L).as("user_id"), lit("__wm").as("event_type"),
+          lit(0.0).as("value"))
+        implicit val enc: org.apache.spark.sql.Encoder[graft.streaming.EventStreams.Event] =
+          org.apache.spark.sql.Encoders.product[graft.streaming.EventStreams.Event]
+        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 4) {
+          st => graft.streaming.EventStreams.sessionize(st.as[graft.streaming.EventStreams.Event], gapUs).toDF()
+        }.filter(col("user_id") >= 0)
+          .select(col("user_id"), col("session_start_us"),
+            col("session_end_us"), col("n_events"))
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        lagd AS (
+          SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev_us
+          FROM ev),
+        flags AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM lagd),
+        sess AS (
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM flags)
+        SELECT user_id,
+               CAST(min(ts_us) AS BIGINT) AS session_start_us,
+               CAST(max(ts_us) AS BIGINT) AS session_end_us,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_idx
+        ORDER BY user_id, session_start_us""")),
+
     // t18: sequence packing — assign documents to fixed-budget (512-token)
     // training sequences by cumulative token count, sharded: packs are
     // contiguous WITHIN a 1000-doc shard (the last pack of each shard may
