@@ -69,7 +69,8 @@ object StreamExec {
     * silently stop exercising cross-batch state).
     */
   def replayFileStream(input: DataFrame, tsCol: String, sentinel: DataFrame,
-                       slices: Int)(transform: DataFrame => DataFrame): DataFrame = {
+                       slices: Int, statePartitions: Int = 8)
+                      (transform: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
     require(slices >= 2, s"replayFileStream: need >= 2 slices to exercise " +
       s"cross-batch state, got $slices")
@@ -107,18 +108,32 @@ object StreamExec {
     addFile(sentinel, "zsentinel", slices)
 
     val out = root.resolve("out").toString
-    val q = spark.readStream
-      .schema(input.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src.toString)
-      .transform(transform)
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", root.resolve("ck").toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // State partition count is FROZEN INTO THE CHECKPOINT at query
+    // start (spark.sql.shuffle.partitions), so it must be sized to the
+    // replayed state volume, not inherited from the session's batch
+    // tuning: every micro-batch commits one store delta per partition,
+    // and 32 near-empty partitions × (slices + no-data batches) is
+    // pure fixed overhead — measured ~2 s per replay at gate scale.
+    // Restored after start() (the running query keeps its own copy);
+    // results are partitioning-independent either way (determinism
+    // gate pins this).
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val savedShuffle = spark.conf.get(shuffleKey)
+    val q = try {
+      spark.conf.set(shuffleKey, statePartitions.toString)
+      spark.readStream
+        .schema(input.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .transform(transform)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(shuffleKey, savedShuffle)
     q.awaitTermination()
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= slices,
