@@ -48,11 +48,16 @@ object Explain {
     "r63_shipping_delay", "r64_promo_share", "t46_verified_neardup",
     "s6_trending_events", "v16_radius_search", "d3_dq_drift",
     "r65_cumulative_users", "r66_exact_corr", "t47_vocab_overlap",
-    "v17_centroid_separation")
+    "v17_centroid_separation", "t48_incremental_dedup_index",
+    "v18_kmeans_convergence")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is
-  // asserted in ExtensionsSpec instead.
+  // asserted in ExtensionsSpec instead. s7/s8/s9 are absent for the same
+  // structural reason: their frames are read back from a streaming SINK,
+  // so the batch explain is a parquet scan — the streaming plan shape is
+  // pinned by StreamingSpec and the incremental-batch-count require in
+  // StreamExec.
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
