@@ -1650,7 +1650,84 @@ object VectorQueries {
           .toDF("iter", "cell", "n_assigned", "move_e6")
           .orderBy("iter", "cell")
       },
-      Some(kmeansAuditSql))
+      Some(kmeansAuditSql)),
+
+    // v19: PCA DOMINANT AXIS by power iteration — the embedding-
+    // pipeline fit behind whitening / dimensionality reduction /
+    // anisotropy diagnosis, built cross-engine exact end to end: the
+    // 64×64 Gram matrix is EXACT integer micro-unit sums (order-free
+    // under any partitioning), each of the 3 fixed power iterations is
+    // 64 sequential left-to-right double folds over those identical
+    // integers followed by one IEEE division + floor re-quantization,
+    // and the all-ones start pins the sign. The output is the axis
+    // (64 micro-unit rows) PLUS the top-10 documents by projection
+    // onto it — so both the fit and its downstream use are under the
+    // oracle, which replays the entire chain (Gram → 3 iterations →
+    // projections) as CTEs. Scale: one corpus pass partial-aggregated
+    // into a 4096-key shuffle (model-sized, never data-sized), one
+    // bounded 64×64 driver collect, driver-side 64-vector arithmetic;
+    // the projection pass is a map-only scan against the broadcast
+    // axis literal.
+    Q("v19_pca_power",
+      (s, d) => {
+        import s.implicits._
+        val axis = VectorOps.pcaPowerAxis(Tables.embeddings(s, d), iters = 3)
+        val axisDf = axis.zipWithIndex
+          .map { case (v, i) => ("axis", i.toLong, v) }.toSeq
+          .toDF("part", "idx", "val_e6")
+        val axisLit = typedLit(axis.map(_.toDouble).toSeq)
+        val xd = expr(
+          "transform(embedding, x -> cast(cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint) as double))")
+        val top = Tables.embeddings(s, d)
+          .select(col("vec_id"), VectorOps.rawDot(xd, axisLit).as("__p"))
+          .orderBy(col("__p").desc, col("vec_id").asc).limit(10)
+          .select(lit("top_proj").as("part"), col("vec_id").as("idx"),
+            floor(col("__p")).cast("long").as("val_e6"))
+        axisDf.unionByName(top).orderBy("part", "idx")
+      },
+      Some(pcaPowerSql))
   )
 
+  /** v19's oracle: the full Gram → fixed-order power iteration →
+    * projection chain as CTEs, arithmetic-for-arithmetic the Spark/
+    * driver computation (sequential folds via [[dDot]], micro-unit
+    * floor re-quantization per round, all-ones start).
+    */
+  private def pcaPowerSql: String = {
+    val iters = 3
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""
+        w$r AS (SELECT i, ${dDot("grow", "vl")} AS w FROM gv CROSS JOIN $prev),
+        m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+        v$r AS (SELECT list(CAST(CAST(floor(w / m * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) ORDER BY i) AS vl
+                FROM w$r CROSS JOIN m$r)"""
+    }.mkString(",")
+    s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xm
+          FROM embeddings),
+        g AS (
+          SELECT i.i AS i, j.j AS j, CAST(sum(xm[i.i + 1] * xm[j.j + 1]) AS BIGINT) AS gij
+          FROM e CROSS JOIN (SELECT unnest(range(64)) AS i) i
+                 CROSS JOIN (SELECT unnest(range(64)) AS j) j
+          GROUP BY 1, 2),
+        gv AS (SELECT i, list(CAST(gij AS DOUBLE) ORDER BY j) AS grow FROM g GROUP BY i),
+        v0 AS (SELECT list_transform(range(64), x -> 1000000.0) AS vl),$rounds,
+        axis AS (
+          SELECT i AS idx, CAST(floor(w / m * 1000000.0 + 0.5) AS BIGINT) AS ve6
+          FROM w$iters CROSS JOIN m$iters),
+        al AS (SELECT list(CAST(ve6 AS DOUBLE) ORDER BY idx) AS axisl FROM axis),
+        proj AS (
+          SELECT vec_id, ${dDot("xd", "axisl")} AS p
+          FROM (SELECT vec_id, list_transform(xm, v -> CAST(v AS DOUBLE)) AS xd FROM e)
+          CROSS JOIN al),
+        top AS (SELECT vec_id, p FROM proj ORDER BY p DESC, vec_id LIMIT 10)
+        SELECT part, idx, val_e6 FROM (
+          SELECT 'axis' AS part, CAST(idx AS BIGINT) AS idx, ve6 AS val_e6 FROM axis
+          UNION ALL
+          SELECT 'top_proj', vec_id, CAST(floor(p) AS BIGINT) FROM top)
+        ORDER BY part, idx"""
+  }
 }

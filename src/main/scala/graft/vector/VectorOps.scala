@@ -431,6 +431,61 @@ object VectorOps {
     } finally { sample.unpersist(); () }
   }
 
+  /** Dominant principal axis by POWER ITERATION over the exact integer
+    * Gram matrix — the embedding-pipeline op behind whitening /
+    * dimensionality reduction, built so the whole fit is bit-replayable
+    * cross-engine:
+    *
+    *  - components quantize to micro-unit BIGINTs (`floor(x·1e6+0.5)`),
+    *    and G[i][j] = Σ xmᵢ·xmⱼ is an EXACT integer sum — order-free
+    *    under any partitioning (the v17 trick, 64×64-keyed);
+    *  - each iteration computes w = G·v as 64 SEQUENTIAL left-to-right
+    *    double folds over identical integers (the same fixed-order
+    *    convention as the native dot), then re-quantizes
+    *    `v'ᵢ = floor(wᵢ/max|w|·1e6+0.5)` — one IEEE division + floor,
+    *    identical in both engines;
+    *  - a FIXED iteration count from the all-ones start (deterministic
+    *    sign), not convergence-tested — replayable as a CTE chain.
+    *
+    * Returns the axis in micro-units. Scale: one corpus pass producing
+    * 4096-keyed partial-aggregated sums (the shuffle is model-sized,
+    * never data-sized), one driver collect of the 64×64 matrix
+    * (bounded, the documented model-artifact pattern), and the
+    * iteration itself is driver-side arithmetic on a 64-vector.
+    * Integer headroom: |xm| ≤ ~1e6 ⇒ each Gram term ≤ 1e12, so the sum
+    * stays inside Long past 10⁶ rows per stat — larger corpora fit on
+    * a deterministic sample, like every other model fit here.
+    */
+  def pcaPowerAxis(corpus: DataFrame, iters: Int,
+                   cVec: String = "embedding"): Array[Long] = {
+    require(iters >= 1)
+    val xm = corpus.select(
+      expr(s"transform(`$cVec`, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))")
+        .as("__xm"))
+    val dims = 64
+    val g = xm
+      .select(posexplode(col("__xm")).as(Seq("__i", "__xi")), col("__xm"))
+      .select(col("__i"), col("__xi"), posexplode(col("__xm")).as(Seq("__j", "__xj")))
+      .groupBy("__i", "__j")
+      .agg(sum(col("__xi") * col("__xj")).as("__g"))
+      .collect()
+    val gd = Array.ofDim[Double](dims, dims)
+    g.foreach(r => gd(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
+    var v = Array.fill(dims)(1000000L)
+    for (_ <- 0 until iters) {
+      // w_i = sequential fold over j ascending — the cross-engine order
+      val w = Array.tabulate(dims) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dims) { acc += gd(i)(j) * v(j).toDouble; j += 1 }
+        acc
+      }
+      val m = w.map(math.abs).max
+      v = w.map(wi => math.floor(wi / m * 1e6 + 0.5).toLong)
+    }
+    v
+  }
+
   /** Persist a fitted coarse quantizer (the centroid array) so the fit
     * outlives the session — at 100 TB the quantizer is a model artifact
     * trained once and shipped to every query batch, exactly like
