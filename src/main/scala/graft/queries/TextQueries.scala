@@ -2262,6 +2262,103 @@ object TextQueries {
           UNION ALL
           SELECT 'index_v1', count(*),
                  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM idx1)
-        ORDER BY part"""))
+        ORDER BY part""")),
+
+    // t49: BPE TOKENIZER TRAINING, the real iterative loop (t40 counts
+    // round 1's candidates; t49 RUNS three rounds): distinct-word
+    // frequency table → per round, frequency-weighted adjacent-pair
+    // counts, argmax merge under (count desc, a, b), and an EXACT
+    // greedy left-to-right merge application expressed with per-word
+    // window functions (consecutive-match runs alternate — see
+    // TextOps.bpeTrain; the "aaaa"/(a,a) → [aa,aa] case is spec-
+    // pinned). The oracle replays the ENTIRE training trajectory —
+    // each round's argmax included, as scalar subqueries — so a
+    // divergence in any round's pair statistics, tie-break, or merge
+    // application breaks a later round's output. Emitted: the three
+    // learned merges with their weighted counts, plus the top-10
+    // tokens of the final segmentation by weighted frequency. Scale:
+    // every round is VOCAB-sized (the standard BPE formulation), one
+    // word-keyed window partition per round, localCheckpointed between
+    // rounds; corpus size only enters through the one word-count scan.
+    Q("t49_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]{2,}$"))
+          .groupBy("w").agg(count(lit(1)).as("wcnt"))
+        val (merges, segs) = TextOps.bpeTrain(vocab, rounds = 3)
+        val mergeRows = merges.zipWithIndex
+          .map { case ((a, b, c), i) => (s"merge_${i + 1}", s"$a>$b", c) }
+          .toDF("part", "item", "cnt")
+        val topTok = segs
+          .select(col("wcnt"), explode(col("toks")).as("item"))
+          .groupBy("item").agg(sum(col("wcnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("item")).limit(10)
+          .select(lit("token").as("part"), col("item"), col("cnt"))
+        mergeRows.unionByName(topTok).orderBy("part", "item")
+      },
+      Some(bpeTrainSql))
   )
+
+  /** t49's oracle: the full three-round BPE loop as CTEs. Each round's
+    * CTE chain mirrors [[TextOps.bpeTrain]] operation for operation —
+    * weighted pair counts, the argmax as a LIMIT-1 CTE consumed by
+    * scalar subqueries, the run-alternating greedy merge via the same
+    * window expressions (0-based positions match posexplode).
+    */
+  private def bpeTrainSql: String = {
+    def round(r: Int): String = {
+      val prev = if (r == 1) "segs0" else s"segs${r - 1}"
+      s"""
+        pc$r AS (
+          SELECT toks[i] AS a, toks[i + 1] AS b, CAST(sum(wcnt) AS BIGINT) AS cnt
+          FROM (SELECT w, wcnt, toks, unnest(range(1, len(toks))) AS i FROM $prev)
+          GROUP BY 1, 2),
+        top$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+        ex$r AS (
+          SELECT w, wcnt, pos, toks[pos + 1] AS t,
+                 lead(toks[pos + 1]) OVER (PARTITION BY w ORDER BY pos) AS nxt
+          FROM (SELECT w, wcnt, toks, unnest(range(0, len(toks))) AS pos FROM $prev)),
+        mm$r AS (
+          SELECT *, (t = (SELECT a FROM top$r) AND nxt = (SELECT b FROM top$r)) AS m
+          FROM ex$r),
+        gg$r AS (
+          SELECT *, CASE WHEN m THEN pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY w ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS grp
+          FROM mm$r),
+        ss$r AS (
+          SELECT *, (m AND (pos - min(pos) OVER (PARTITION BY w, grp)) % 2 = 0) AS sel
+          FROM gg$r),
+        kk$r AS (
+          SELECT *, coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos), false) AS dropnext
+          FROM ss$r),
+        segs$r AS (
+          SELECT w, wcnt,
+                 list(CASE WHEN sel THEN t || nxt ELSE t END ORDER BY pos) AS toks
+          FROM kk$r WHERE NOT dropnext GROUP BY w, wcnt)"""
+    }
+    s"""
+        WITH vocab AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE regexp_matches(w, '^[a-z]{2,}$$')
+          GROUP BY w),
+        segs0 AS (
+          SELECT w, wcnt, list_filter(string_split(w, ''), x -> x != '') AS toks
+          FROM vocab),${(1 to 3).map(round).mkString(",")},
+        toptok AS (
+          SELECT item, cnt FROM (
+            SELECT t AS item, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+              SELECT wcnt, unnest(toks) AS t FROM segs3)
+            GROUP BY t)
+          ORDER BY cnt DESC, item LIMIT 10)
+        SELECT part, item, cnt FROM (
+          SELECT 'merge_1' AS part, a || '>' || b AS item, cnt FROM top1
+          UNION ALL SELECT 'merge_2', a || '>' || b, cnt FROM top2
+          UNION ALL SELECT 'merge_3', a || '>' || b, cnt FROM top3
+          UNION ALL SELECT 'token', item, cnt FROM toptok)
+        ORDER BY part, item"""
+  }
 }

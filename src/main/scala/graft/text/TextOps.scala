@@ -491,6 +491,78 @@ object TextOps {
       .distinct()
   }
 
+  /** CLASSIC BPE TRAINING, the real iterative algorithm (t40 counts the
+    * first round's candidates; this RUNS the loop): operate on the
+    * DISTINCT-word frequency table — the standard tokenizer-training
+    * formulation, which also bounds every round by VOCABULARY size, not
+    * corpus size — and per round (1) count adjacent token pairs
+    * weighted by word frequency, (2) pick the argmax pair under the
+    * total order (count desc, a asc, b asc), (3) apply the merge to
+    * every word with EXACT greedy left-to-right semantics.
+    *
+    * Greedy merge without a sequential scan: within a word, mark match
+    * positions (tᵢ=a ∧ tᵢ₊₁=b), group CONSECUTIVE match positions into
+    * runs (pos − running-match-count is constant within a run), and
+    * select every other position from each run's start — precisely the
+    * positions a left-to-right scan would merge (after a merge the
+    * next overlapping candidate is consumed). Selected positions emit
+    * a‖b, the following position drops, everything else passes
+    * through. All window logic is per-word (the vocab-keyed shuffle),
+    * integer-exact, and replays verbatim in SQL — the oracle re-runs
+    * the whole loop INCLUDING each round's argmax as scalar
+    * subqueries, so the training trajectory itself is cross-checked.
+    *
+    * Returns the learned merges (a, b, weighted count) and the final
+    * segmented vocabulary (w, wcnt, toks). Each round localCheckpoints
+    * the vocab-sized frame (the t32 lesson — 3 rounds referencing a
+    * deep lineage would re-run upstream rounds per reference).
+    */
+  def bpeTrain(words: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (Seq[(String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1)
+    var segs = words
+      .select(col("w"), col("wcnt"),
+        expr("filter(split(w, ''), x -> x != '')").as("toks"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val top = segs.filter(size(col("toks")) >= 2)
+        .select(col("wcnt"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) as a, element_at(toks, i + 1) as b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .collect()
+      require(top.nonEmpty, "bpeTrain: no pairs left to merge")
+      val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((a, b, cnt))
+      val wPos = Window.partitionBy("w").orderBy("pos")
+      val ex = segs
+        .select(col("w"), col("wcnt"), posexplode(col("toks")).as(Seq("pos", "t")))
+        .withColumn("nxt", lead(col("t"), 1).over(wPos))
+        .withColumn("m", col("t") === lit(a) && col("nxt") === lit(b))
+        // run id: pos − (# matches so far) is constant across a run of
+        // CONSECUTIVE match positions; null for non-matches so their
+        // rows can never pollute a run's min(pos)
+        .withColumn("grp", when(col("m"), col("pos") -
+          sum(when(col("m"), 1L).otherwise(0L))
+            .over(wPos.rowsBetween(Window.unboundedPreceding, 0))))
+        .withColumn("sel", col("m") &&
+          (col("pos") - min(col("pos")).over(Window.partitionBy("w", "grp"))) % 2 === 0)
+        .withColumn("dropNext", coalesce(lag(col("sel"), 1).over(wPos), lit(false)))
+        .filter(!col("dropNext"))
+        .withColumn("tokOut", when(col("sel"), concat(col("t"), col("nxt"))).otherwise(col("t")))
+      segs = ex.groupBy("w", "wcnt")
+        .agg(array_sort(collect_list(struct(col("pos"), col("tokOut")))).as("ps"))
+        .select(col("w"), col("wcnt"),
+          expr("transform(ps, x -> x.tokOut)").as("toks"))
+        .localCheckpoint(true)
+    }
+    (merges.toSeq, segs)
+  }
+
   /** Candidate pairs under a per-bucket VERIFY budget — the downstream
     * half of the LSH cost story. [[lshPairsBounded]]'s occupancy cap
     * bounds pair GENERATION (a bucket hotter than `maxBucketSize`

@@ -279,6 +279,27 @@ class TextOpsSpec extends SparkSpec {
     assert(a2.getLong(0) == 0L && a2.getLong(1) == 0L)
   }
 
+  test("bpeTrain: exact greedy merge semantics, including overlapping runs") {
+    // (a,a) wins round 1 with weighted count 3+2 = 5 (abab contributes
+    // (a,b)=2, (b,a)=1). Greedy left-to-right on overlap runs: aaaa →
+    // [aa, aa] (positions 0 and 2 merge), aaa → [aa, a] (only position
+    // 0 — position 1 was consumed), abab untouched.
+    val words = Seq(("aaaa", 1L), ("aaa", 1L), ("abab", 1L)).toDF("w", "wcnt")
+    val (merges, segs) = TextOps.bpeTrain(words, rounds = 1)
+    assert(merges == Seq(("a", "a", 5L)), s"wrong merge: $merges")
+    val got = segs.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(got("aaaa") == Seq("aa", "aa"), s"aaaa -> ${got("aaaa")}")
+    assert(got("aaa") == Seq("aa", "a"), s"aaa -> ${got("aaa")}")
+    assert(got("abab") == Seq("a", "b", "a", "b"))
+    // round 2 on the merged vocab: pairs are (aa,aa)=1, (aa,a)=1,
+    // (a,b)=2, (b,a)=1 → (a,b) wins; abab → [ab, ab]
+    val (m2, segs2) = TextOps.bpeTrain(words, rounds = 2)
+    assert(m2.map(t => (t._1, t._2)) == Seq(("a", "a"), ("a", "b")), s"round-2 merges: $m2")
+    val got2 = segs2.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(got2("abab") == Seq("ab", "ab"), s"abab -> ${got2("abab")}")
+    assert(got2("aaaa") == Seq("aa", "aa"))
+  }
+
   test("pigeonholePairs: finds all Hamming<=3 pairs, misses none (losslessness)") {
     // hand-built 32-bit hashes: pairs at distance 0..3 must all surface,
     // a distance-4 pair must not, regardless of which blocks differ
