@@ -745,6 +745,59 @@ object TextQueries {
         FROM sess GROUP BY user_id, session_idx
         ORDER BY user_id, session_start_us""")),
 
+    // s10: STREAM-STREAM interval join under real execution — the last
+    // streaming shape the batch twins couldn't prove: both sides of
+    // s3's attribution join become live file streams (one slice per
+    // micro-batch EACH), so a 'view' buffered in join state in batch i
+    // really does match a 'click' arriving in batch i+1. Inner-join
+    // matches emit in the batch where the second side arrives (no
+    // watermark wait on output); the watermarks + time-range condition
+    // exist for state expiry, with lateness sized to the replay span
+    // so intra-slice arrival disorder can never drop a row. The two
+    // sentinels (one per side, same far-future instant) advance both
+    // watermarks through the whole state horizon at the end — and
+    // deliberately match EACH OTHER, exercising the join on the
+    // sentinel path too before the user_id filter drops the pair.
+    // Same oracle as s3: streamed bytes must equal the one-shot
+    // equijoin + residual time filter.
+    Q("s10_stream_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        val mm = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val hourUs = 3600L * 1000000
+        val latenessUs = (hi - lo) + hourUs
+        def sentinel = s.range(1).select(
+          lit(-1L).as("event_id"), lit(hi + latenessUs + 2 * hourUs).as("ts_us"),
+          lit(-1L).as("user_id"), lit("__wm").as("event_type"),
+          lit(0.0).as("value"))
+        graft.streaming.StreamExec.replayFileStream2(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          "ts_us", sentinel, sentinel, 4) { (imps, convs) =>
+            graft.streaming.EventStreams.attributionJoin(
+              imps, convs, windowSec = 3600,
+              lateness = s"$latenessUs microseconds")
+        }.filter(col("user_id") >= 0)
+          .orderBy("user_id", "imp_id", "conv_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT event_id AS imp_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'view'),
+        c AS (
+          SELECT event_id AS conv_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'click')
+        SELECT v.user_id, imp_id, conv_id,
+               CAST(c.ts_us - v.ts_us AS BIGINT) AS delay_us
+        FROM v JOIN c
+          ON v.user_id = c.user_id
+         AND c.ts_us >= v.ts_us
+         AND c.ts_us <= v.ts_us + 3600000000
+        ORDER BY v.user_id, imp_id, conv_id""")),
+
     // t18: sequence packing — assign documents to fixed-budget (512-token)
     // training sequences by cumulative token count, sharded: packs are
     // contiguous WITHIN a 1000-doc shard (the last pack of each shard may

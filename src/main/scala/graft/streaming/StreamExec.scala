@@ -68,29 +68,24 @@ object StreamExec {
     * micro-batches carried input rows (a single-batch fallback would
     * silently stop exercising cross-batch state).
     */
-  def replayFileStream(input: DataFrame, tsCol: String, sentinel: DataFrame,
-                       slices: Int, statePartitions: Int = 8)
-                      (transform: DataFrame => DataFrame): DataFrame = {
-    val spark = input.sparkSession
-    require(slices >= 2, s"replayFileStream: need >= 2 slices to exercise " +
-      s"cross-batch state, got $slices")
-    val root = java.nio.file.Files.createTempDirectory(scratchParent, "replay_")
-    val src = root.resolve("src")
+  /** Materialize `input` as `slices` time-range parquet FILES plus the
+    * sentinel under `src`: each slice is one file (write to scratch,
+    * move the part file in) with strictly ascending mtimes — the file
+    * source's oldest-first order is the replay order, and the sentinel
+    * must be processed last or every real event goes late.
+    */
+  private def writeSlices(input: DataFrame, tsCol: String, sentinel: DataFrame,
+                          slices: Int, root: java.nio.file.Path,
+                          src: java.nio.file.Path): Unit = {
     java.nio.file.Files.createDirectories(src)
-
     val mm = input.agg(min(col(tsCol)).cast("long").as("lo"),
       max(col(tsCol)).cast("long").as("hi")).head()
     require(!mm.isNullAt(0), "replayFileStream: empty input")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(1L, (hi - lo) / slices + 1)
-
-    // one parquet FILE per slice: write to a scratch dir, move the part
-    // file into the source dir, and pin strictly ascending mtimes —
-    // the file source's oldest-first order is the replay order, and the
-    // sentinel must be processed last or every real event goes late
     val baseMtime = (System.currentTimeMillis() / 1000) * 1000 - 3600L * 1000
     def addFile(df: DataFrame, name: String, idx: Int): Unit = {
-      val tmp = root.resolve(s"__$name").toString
+      val tmp = root.resolve(s"__${src.getFileName}_$name").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
@@ -106,6 +101,17 @@ object StreamExec {
         f"slice$i%04d", i)
     }
     addFile(sentinel, "zsentinel", slices)
+  }
+
+  def replayFileStream(input: DataFrame, tsCol: String, sentinel: DataFrame,
+                       slices: Int, statePartitions: Int = 8)
+                      (transform: DataFrame => DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    require(slices >= 2, s"replayFileStream: need >= 2 slices to exercise " +
+      s"cross-batch state, got $slices")
+    val root = java.nio.file.Files.createTempDirectory(scratchParent, "replay_")
+    val src = root.resolve("src")
+    writeSlices(input, tsCol, sentinel, slices, root, src)
 
     val out = root.resolve("out").toString
     // State partition count is FROZEN INTO THE CHECKPOINT at query
@@ -138,6 +144,51 @@ object StreamExec {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= slices,
       s"replayFileStream: expected >= $slices data micro-batches, saw " +
+        s"$dataBatches - the run was not incremental")
+    spark.read.parquet(out)
+  }
+
+  /** TWO-SOURCE replay — the stream-STREAM surface: both inputs become
+    * independent time-sliced file sources (each micro-batch pulls one
+    * file from each, so the sides advance together through event time)
+    * and `transform` joins the two live streams. Same sentinel /
+    * lateness / mtime rules per side; same incrementality require.
+    * For an INNER stream-stream join, matches emit in the micro-batch
+    * where the second side arrives — cross-batch join STATE (a left
+    * row waiting for its right match N batches later) is exactly what
+    * this exercises.
+    */
+  def replayFileStream2(a: DataFrame, b: DataFrame, tsCol: String,
+                        sentinelA: DataFrame, sentinelB: DataFrame,
+                        slices: Int, statePartitions: Int = 8)
+                       (transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    require(slices >= 2, s"replayFileStream2: need >= 2 slices, got $slices")
+    val root = java.nio.file.Files.createTempDirectory(scratchParent, "replay2_")
+    val srcA = root.resolve("srcA")
+    val srcB = root.resolve("srcB")
+    writeSlices(a, tsCol, sentinelA, slices, root, srcA)
+    writeSlices(b, tsCol, sentinelB, slices, root, srcB)
+    val out = root.resolve("out").toString
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val savedShuffle = spark.conf.get(shuffleKey)
+    val q = try {
+      spark.conf.set(shuffleKey, statePartitions.toString)
+      def src(p: java.nio.file.Path, schema: org.apache.spark.sql.types.StructType) =
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p.toString)
+      transform(src(srcA, a.schema), src(srcB, b.schema))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(shuffleKey, savedShuffle)
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= slices,
+      s"replayFileStream2: expected >= $slices data micro-batches, saw " +
         s"$dataBatches - the run was not incremental")
     spark.read.parquet(out)
   }
