@@ -529,6 +529,38 @@ object Scale {
       keep.length, zones.length)
   }
 
+  /** 2-D box-pruned read over a Z-ORDERED layout — the multi-dimension
+    * companion of [[readZonePruned]]: the manifest carries per-file
+    * min/max of BOTH clustered columns (`file, min_a, max_a, min_b,
+    * max_b`), and a file is read only when its rectangle intersects the
+    * query box on EVERY dimension — which only pays off when the layout
+    * clustered both, i.e. after [[zOrderBy]]; a single-column layout
+    * leaves one dimension's per-file span full-width and that
+    * dimension prunes nothing. Conservative like the 1-D form (skip
+    * only when a whole side misses), exact after the residual filter;
+    * returns (pruned frame, files read, files total) so skipping is
+    * assertable. Manifest is file-count-sized — the same driver-list
+    * contract as every manifest here.
+    */
+  def readBoxPruned(spark: SparkSession, path: String, manifest: DataFrame,
+                    colA: String, loA: Long, hiA: Long,
+                    colB: String, loB: Long, hiB: Long): (DataFrame, Int, Int) = {
+    val zones = manifest.select(col("file"),
+      col("min_a").cast("long"), col("max_a").cast("long"),
+      col("min_b").cast("long"), col("max_b").cast("long")).collect()
+    val keep = zones.collect {
+      case r if !(1 to 4).exists(r.isNullAt)
+        && r.getLong(2) >= loA && r.getLong(1) <= hiA
+        && r.getLong(4) >= loB && r.getLong(3) <= hiB => r.getString(0)
+    }
+    val base =
+      if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (base.filter(col(colA) >= loA && col(colA) <= hiA &&
+        col(colB) >= loB && col(colB) <= hiB),
+      keep.length, zones.length)
+  }
+
   /** SNAPSHOT-VERSIONED TABLE — the copy-on-write half of the lakehouse
     * maintenance story ([[mergeParquet]] is the in-place half, with its
     * documented rename-window caveat for concurrent readers). Layout:

@@ -161,6 +161,37 @@ object IoQueries {
         (out, zones)
       })
 
+  /** Z-ORDERED layout of documents on (n_chars, doc_id) for h3: the
+    * real [[graft.operators.Scale.zOrderBy]] Morton rewrite into 8
+    * files, with a per-file manifest carrying min/max of BOTH
+    * dimensions — built once per table fingerprint, like [[zonedDocs]].
+    */
+  private val zorderedCopies = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(String, Long, Long, Long, Long)])]()
+
+  private[graft] def zorderedDocs(s: SparkSession, d: String)
+      : (String, Array[(String, Long, Long, Long, Long)]) =
+    zorderedCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "zorder_docs_").toString
+        graft.operators.Scale
+          .zOrderBy(Tables.documents(s, d), "n_chars", "doc_id", numFiles = 8)
+          .write.mode("overwrite").parquet(out)
+        val zones = s.read.parquet(out)
+          .select(col("_metadata.file_path").as("file"),
+            col("n_chars"), col("doc_id"))
+          .groupBy("file")
+          .agg(min(col("n_chars")).cast("long").as("min_a"),
+            max(col("n_chars")).cast("long").as("max_a"),
+            min(col("doc_id")).cast("long").as("min_b"),
+            max(col("doc_id")).cast("long").as("max_b"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        (out, zones)
+      })
+
   val all: Seq[Q] = Seq(
     Q("j1_jsonl_roundtrip", (s, d) => roundTrip(s, d, "json"), Some(oracleAgg)),
     Q("o1_orc_roundtrip", (s, d) => roundTrip(s, d, "orc"), Some(oracleAgg)),
@@ -208,6 +239,38 @@ object IoQueries {
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM documents WHERE n_chars BETWEEN 450 AND 10000
+        GROUP BY lang ORDER BY lang""")),
+
+    // h3: MULTI-DIMENSION (Z-ORDER) DATA SKIPPING — h2 prunes files by
+    // ONE clustered column; h3 is the Delta/Iceberg liquid-layout move
+    // for 2-D predicates: the layout Morton-interleaves (n_chars,
+    // doc_id) so every file covers a tight RECTANGLE, the manifest
+    // carries per-file min/max of both dimensions, and the box query
+    // reads only files whose rectangle intersects on BOTH axes — a
+    // single-column layout would leave doc_id full-width in every file
+    // and that axis would prune nothing. Pruning is conservative, so
+    // the result is exact under any range cuts; the oracle is the
+    // plain two-predicate filter. ScaleSpec asserts the skipping (and
+    // the 3-D non-leading-dimension case) on controlled layouts.
+    Q("h3_zorder_skipping",
+      (s, d) => {
+        val (path, zones) = zorderedDocs(s, d)
+        val manifest = {
+          import s.implicits._
+          zones.toSeq.toDF("file", "min_a", "max_a", "min_b", "max_b")
+        }
+        val (pruned, _, _) = graft.operators.Scale.readBoxPruned(
+          s, path, manifest, "n_chars", 150L, 400L, "doc_id", 100L, 2600L)
+        pruned.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents
+        WHERE n_chars BETWEEN 150 AND 400 AND doc_id BETWEEN 100 AND 2600
         GROUP BY lang ORDER BY lang""")),
 
     // r60: SNAPSHOT TIME-TRAVEL DIFF — what arrived between version 0

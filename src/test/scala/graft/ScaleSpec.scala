@@ -451,6 +451,35 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(zHit <= 8, s"z-order should skip most files on a c-range predicate, hit $zHit/16")
   }
 
+  test("readBoxPruned: 2-D box skips files on a z-ordered layout, reads exactly the filter result") {
+    val n = 32768
+    val pts = (0 until n).map { i =>
+      val h = i.toLong * 0x9E3779B97F4A7C15L
+      (i.toLong, ((h >>> 10) & 255).toLong, ((h >>> 30) & 255).toLong)
+    }.toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_boxprune").toString
+    Scale.zOrderBy(pts, "x", "y", numFiles = 16)
+      .write.mode("overwrite").parquet(dir)
+    val manifest = spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file"), col("x"), col("y"))
+      .groupBy("file")
+      .agg(min("x").as("min_a"), max("x").as("max_a"),
+        min("y").as("min_b"), max("y").as("max_b"))
+    val (pruned, read, total) = Scale.readBoxPruned(
+      spark, dir, manifest, "x", 32L, 95L, "y", 160L, 223L)
+    assert(total == 16, s"expected 16 files, got $total")
+    assert(read < total, s"2-D box should skip files: read $read/$total")
+    // exactness: identical row set to the plain 2-predicate filter
+    val got = pruned.select("id").collect().map(_.getLong(0)).toSet
+    val want = pts.filter(col("x").between(32, 95) && col("y").between(160, 223))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"pruned read diverged: ${got.size} vs ${want.size} rows")
+    // an empty box reads nothing and returns an empty exact frame
+    val (empty, read0, _) = Scale.readBoxPruned(
+      spark, dir, manifest, "x", 1000L, 2000L, "y", 0L, 255L)
+    assert(read0 == 0 && empty.count() == 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
