@@ -158,14 +158,16 @@ object Bench {
       s""""runs":$runsJson,"qload1":$qloadJson,"stages":$stagesJson,"sf":"$sfDir"}"""
   }
 
-  /** The FINAL stdout line. Five tiers, first that fits the tail window
-    * wins — per-query detail survives to ~185 queries instead of 79:
+  /** The FINAL stdout line. Six tiers, first that fits the tail window
+    * wins — per-query detail survives to ~230 queries instead of 79:
     *   1. full keys, 2 dp values
     *   2. full keys, 1 dp values
     *   3. short family-code keys ("t7"), 2 dp, marked `"keys":"short"`
     *      (only when the short forms are collision-free)
     *   4. short keys, 1 dp (the 163-query gate outgrew tier 3's budget)
-    *   5. totals-only summary pointing at bench_out.json
+    *   5. short keys, integer deciseconds, marked `"qunit":"ds"` (the
+    *      175-query gate outgrew tier 4's budget)
+    *   6. totals-only summary pointing at bench_out.json
     * Every tier carries the interference verdict — the final line is the
     * artifact the driver archives, so it must acquit (or indict) itself.
     */
@@ -186,6 +188,14 @@ object Bench {
       else " " * (FinalLineBudget + 1), // never fits → next tier
       () => if (shortOk)
         line(s""""keys":"short","queries":${queriesJson(mins, jsonNum1, shortKey)},""")
+      else " " * (FinalLineBudget + 1),
+      // tier 5 — short keys, INTEGER DECISECONDS ("qunit":"ds", value
+      // 4 = 0.4 s): ~2 chars/query denser than 1 dp, which carries
+      // per-query detail to ~230 queries before the totals-only
+      // fallback (the 175-query gate crossed 1950 chars in tier 4)
+      () => if (shortOk)
+        line(s""""keys":"short","qunit":"ds","queries":${
+          queriesJson(mins, v => math.round(v * 10).toString, shortKey)},""")
       else " " * (FinalLineBudget + 1),
       () => line(s""""detail":"bench_out.json","""))
     tiers.iterator.map(_.apply()).find(_.length <= FinalLineBudget)

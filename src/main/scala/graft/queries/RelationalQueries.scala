@@ -1779,5 +1779,66 @@ object RelationalQueries {
                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
                  AS BIGINT) AS corr_e6
         FROM m ORDER BY l_returnflag"""))
+  ,
+
+    // r67: SOLE-BLAME SUPPLIERS — the TPC-H Q21 shape (the hardest
+    // classic composition: EXISTS another supplier in the order ∧ NOT
+    // EXISTS another LATE supplier), adapted to this schema's dates
+    // ("late" = shipped >30 days after the order date). Spark-first
+    // reformulation: instead of Q21's textbook double self-join of
+    // lineitem (l2 exists, l3 not-exists — two more fact-fact joins),
+    // reduce once per (order, supplier) and once per order, then
+    // blame = late ∧ n_supp ≥ 2 ∧ n_late_suppliers = 1. Semantically
+    // identical, with strictly better shuffle geometry: at scale the
+    // li⨝orders sort-merge join shuffles the fact ONCE on l_orderkey,
+    // and hash(l_orderkey) satisfies every downstream clustering —
+    // (l_orderkey, l_suppkey) by the subset rule, (l_orderkey) as-is —
+    // so the per-supplier reduce, the per-order reduce, and the blame
+    // join all reuse that one exchange. (At gate sf, AQE broadcasts
+    // the orders side instead; the later exchanges then act on the
+    // already order×supplier-REDUCED frame, never on raw lineitem.)
+    // Supplier is broadcast. The textbook l2/l3 double self-join would
+    // shuffle the fact three times. Oracle replays the same aggregate
+    // derivation.
+    Q("r67_sole_blame_suppliers",
+      (s, d) => {
+        val flagged = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            when(col("l_shipdate") > date_add(col("o_orderdate"), 30), 1L)
+              .otherwise(0L).as("late"))
+        val perSupp = flagged.groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("late")).as("late"))
+        val perOrder = perSupp.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+        perSupp.filter(col("late") === 1)
+          .join(perOrder, "l_orderkey")
+          .filter(col("n_supp") >= 2 && col("n_late") === 1)
+          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(20)
+      },
+      Some("""
+        WITH f AS (
+          SELECT l_orderkey, l_suppkey,
+                 CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                      THEN 1 ELSE 0 END AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        ps AS (
+          SELECT l_orderkey, l_suppkey, max(late) AS late
+          FROM f GROUP BY 1, 2),
+        po AS (
+          SELECT l_orderkey, count(*) AS n_supp,
+                 CAST(sum(late) AS BIGINT) AS n_late
+          FROM ps GROUP BY 1),
+        b AS (
+          SELECT ps.l_suppkey FROM ps JOIN po USING (l_orderkey)
+          WHERE ps.late = 1 AND po.n_supp >= 2 AND po.n_late = 1)
+        SELECT s_name, count(*) AS numwait
+        FROM b JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
   )
 }

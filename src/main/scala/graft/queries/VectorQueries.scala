@@ -19,8 +19,9 @@ object VectorQueries {
     * [[VectorOps.cellDists]] — sequential left-to-right folds over
     * 64-dim DOUBLE lists, bit-identical to the Spark expressions.
     */
-  private def dDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(64), i -> ($a[i + 1]) * ($b[i + 1]))), (acc, x) -> acc + x)"
+  private def dDot(a: String, b: String): String = dDotN(a, b, 64)
+  private def dDotN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($n), i -> ($a[i + 1]) * ($b[i + 1]))), (acc, x) -> acc + x)"
   private def dDist2(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(64), i -> ($a[i + 1] - $b[i + 1]) * ($a[i + 1] - $b[i + 1]))), (acc, x) -> acc + x)"
 
@@ -1685,7 +1686,83 @@ object VectorQueries {
             floor(col("__p")).cast("long").as("val_e6"))
         axisDf.unionByName(top).orderBy("part", "idx")
       },
-      Some(pcaPowerSql))
+      Some(pcaPowerSql)),
+
+    // v20: MATRYOSHKA (truncated-dimension) RETRIEVAL AGREEMENT — the
+    // audit behind serving embeddings at a prefix of their dimensions
+    // (MRL-style): per query, exact cosine top-5 over the FIRST 16 of
+    // 64 dims vs the full-dim top-5, reporting the per-query overlap.
+    // This is the v9/v10-family question ("what does the cheap
+    // representation lose") asked about dimensional truncation instead
+    // of quantization, and the answer is corpus-specific — which is
+    // why it's a QUERY, not a constant in a doc. Both rankings are the
+    // v1 broadcast-queries × streamed-corpus shape with fixed-order
+    // dot/norm arithmetic and (score desc, nid) tie-breaks; the oracle
+    // replays both at their exact widths. Scale: two linear corpus
+    // passes, k-bounded ranking state per query, overlap join on
+    // (qid, nid) pairs — 10×5 rows.
+    Q("v20_matryoshka_agreement",
+      (s, d) => {
+        val base = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("xd"))
+          .withColumn("xd16", expr("slice(xd, 1, 16)"))
+        def topk(vecCol: String): org.apache.spark.sql.DataFrame = {
+          val q = base.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col(vecCol).as("qv"))
+          val c = base.select(col("vec_id").as("nid"), col(vecCol).as("cv"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+          broadcast(q).crossJoin(c)
+            .filter(col("qid") =!= col("nid"))
+            .withColumn("cos", VectorOps.rawDot(col("qv"), col("cv"))
+              / (sqrt(VectorOps.rawDot(col("qv"), col("qv")))
+                * sqrt(VectorOps.rawDot(col("cv"), col("cv")))))
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 5)
+            .select("qid", "nid")
+        }
+        topk("xd").as("f")
+          .join(topk("xd16").as("t"), Seq("qid", "nid"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_common"))
+          .unionByName(
+            // queries whose overlap is zero still get an audit row
+            topk("xd").select("qid").distinct()
+              .join(topk("xd").as("f2")
+                .join(topk("xd16").as("t2"), Seq("qid", "nid"), "left_semi")
+                .select("qid").distinct(), Seq("qid"), "left_anti")
+              .select(col("qid"), lit(0L).as("n_common")))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+          FROM embeddings),
+        e2 AS (SELECT vec_id, xd, xd[1:16] AS xd16 FROM e),
+        ff AS (
+          SELECT qid, nid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     ${dDotN("q.xd", "c.xd", 64)}
+                       / (sqrt(${dDotN("q.xd", "q.xd", 64)}) * sqrt(${dDotN("c.xd", "c.xd", 64)})) DESC,
+                     c.vec_id ASC) AS rnk
+            FROM e2 q CROSS JOIN e2 c
+            WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+          WHERE rnk <= 5),
+        tt AS (
+          SELECT qid, nid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     ${dDotN("q.xd16", "c.xd16", 16)}
+                       / (sqrt(${dDotN("q.xd16", "q.xd16", 16)}) * sqrt(${dDotN("c.xd16", "c.xd16", 16)})) DESC,
+                     c.vec_id ASC) AS rnk
+            FROM e2 q CROSS JOIN e2 c
+            WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+          WHERE rnk <= 5)
+        SELECT f.qid, CAST(count(t.nid) AS BIGINT) AS n_common
+        FROM (SELECT DISTINCT qid FROM ff) f
+        LEFT JOIN (SELECT ff.qid, ff.nid FROM ff JOIN tt USING (qid, nid)) t
+          ON f.qid = t.qid
+        GROUP BY f.qid ORDER BY f.qid"""))
   )
 
   /** v19's oracle: the full Gram → fixed-order power iteration →
