@@ -1762,7 +1762,111 @@ object VectorQueries {
         FROM (SELECT DISTINCT qid FROM ff) f
         LEFT JOIN (SELECT ff.qid, ff.nid FROM ff JOIN tt USING (qid, nid)) t
           ON f.qid = t.qid
-        GROUP BY f.qid ORDER BY f.qid"""))
+        GROUP BY f.qid ORDER BY f.qid""")),
+
+    // v21: HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION — the RAG-stack
+    // composition: a LEXICAL candidate list (each query document's top
+    // tf·idf keyword — t27's exact derivation — retrieves docs
+    // containing it, ranked by term frequency) fused with a SEMANTIC
+    // list (v1's exact cosine top-10) by RRF in integer fixed point:
+    // contribution = 1e6 div (60 + rank), absent-from-a-list = 0 —
+    // pure integer arithmetic, so the fused ordering is bit-stable
+    // cross-engine with no float-sum risk. This is the production
+    // hybrid-search shape (BM25 ∪ ANN → RRF) with both branches
+    // reusing gate-proven derivations; embeddings.vec_id and
+    // documents.doc_id share the id space by construction. Scale: the
+    // lexical branch is a broadcast 10-term semi-probe of the tf
+    // table; the semantic branch is the broadcast-queries × streamed-
+    // corpus scan; fusion is a full-outer join on 10×10-bounded rank
+    // lists.
+    Q("v21_hybrid_rrf",
+      (s, d) => {
+        import graft.text.TextOps
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val wKey = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+        val qkw = tf.filter(col("doc_id") < 10).join(dfreq, "tok")
+          .withColumn("score", floor(col("tf") * lit(1000000.0) / col("df")).cast("long"))
+          .withColumn("rnk", row_number().over(wKey)).filter(col("rnk") === 1)
+          .select(col("doc_id").as("qid"), col("tok").as("qterm"))
+        val wT = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("tf").desc, col("doc_id").asc)
+        val textTop = broadcast(qkw).join(tf, col("tok") === col("qterm"))
+          .filter(col("doc_id") =!= col("qid"))
+          .withColumn("trnk", row_number().over(wT)).filter(col("trnk") <= 10)
+          .select(col("qid"), col("doc_id").as("nid"), col("trnk"))
+        val base = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("xd"))
+        val q = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("xd").as("qv"))
+        val c = base.select(col("vec_id").as("nid"), col("xd").as("cv"))
+        val wV = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+        val vecTop = broadcast(q).crossJoin(c).filter(col("qid") =!= col("nid"))
+          .withColumn("cos", VectorOps.rawDot(col("qv"), col("cv"))
+            / (sqrt(VectorOps.rawDot(col("qv"), col("qv")))
+              * sqrt(VectorOps.rawDot(col("cv"), col("cv")))))
+          .withColumn("vrnk", row_number().over(wV)).filter(col("vrnk") <= 10)
+          .select(col("qid"), col("nid"), col("vrnk"))
+        val fused = textTop.join(vecTop, Seq("qid", "nid"), "full_outer")
+          .withColumn("rrf_e6",
+            coalesce(expr("1000000 div (60 + trnk)"), lit(0L)).cast("long") +
+              coalesce(expr("1000000 div (60 + vrnk)"), lit(0L)).cast("long"))
+        val wF = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("rrf_e6").desc, col("nid").asc)
+        fused.withColumn("rnk", row_number().over(wF)).filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"),
+            col("nid"), col("rrf_e6"))
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        qk AS (
+          SELECT doc_id AS qid, tok AS qterm FROM (
+            SELECT tf.doc_id, tf.tok,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY CAST(floor(tf.tf * 1000000.0 / df.df) AS BIGINT) DESC,
+                              tf.tok ASC) AS rnk
+            FROM tf JOIN df USING (tok) WHERE tf.doc_id < 10)
+          WHERE rnk = 1),
+        tt AS (
+          SELECT qid, nid, trnk FROM (
+            SELECT qk.qid, tf.doc_id AS nid,
+                   row_number() OVER (PARTITION BY qk.qid
+                     ORDER BY tf.tf DESC, tf.doc_id ASC) AS trnk
+            FROM qk JOIN tf ON tf.tok = qk.qterm WHERE tf.doc_id != qk.qid)
+          WHERE trnk <= 10),
+        e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+          FROM embeddings),
+        vv AS (
+          SELECT qid, nid, vrnk FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     ${dDot("q.xd", "c.xd")}
+                       / (sqrt(${dDot("q.xd", "q.xd")}) * sqrt(${dDot("c.xd", "c.xd")})) DESC,
+                     c.vec_id ASC) AS vrnk
+            FROM e q CROSS JOIN e c
+            WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+          WHERE vrnk <= 10),
+        fu AS (
+          SELECT coalesce(tt.qid, vv.qid) AS qid, coalesce(tt.nid, vv.nid) AS nid,
+                 coalesce(1000000 // (60 + tt.trnk), 0)
+                   + coalesce(1000000 // (60 + vv.vrnk), 0) AS rrf_e6
+          FROM tt FULL OUTER JOIN vv ON tt.qid = vv.qid AND tt.nid = vv.nid),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY rrf_e6 DESC, nid ASC) AS rnk
+          FROM fu)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+        FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""))
   )
 
   /** v19's oracle: the full Gram → fixed-order power iteration →
