@@ -137,6 +137,57 @@ object DataQuality {
     Report(metadataResults ++ metricResults)
   }
 
+  /** GLUE "RECOMMENDATION RUN" twin — the other half of the reference's
+    * DQ surface: profile the frame once and SYNTHESIZE a ruleset from
+    * what the data actually shows, deterministically:
+    *  - `RowCount > rows/2` (the half-yesterday floor Glue suggests);
+    *  - `IsComplete` for columns observed null-free;
+    *  - `IsUnique` for complete columns whose distinct count equals the
+    *    row count;
+    *  - observed `>= min` / `<= max` bounds for numeric columns;
+    *  - an `in [...]` value-set (sorted) for null-free low-cardinality
+    *    string columns (≤ `maxInList` distinct values).
+    * Every rule derives from an observation, so evaluating the
+    * recommendation against the SAME data passes by construction — the
+    * self-consistency contract d4 pins under oracle. One profiling
+    * aggregate for all statistics; the only extra job is the bounded
+    * distinct-value collect for in-list columns (≤ maxInList rows per
+    * qualifying column, driver-side by design like every model-sized
+    * artifact here).
+    */
+  def recommend(df: DataFrame, cols: Seq[String], maxInList: Int = 10): Seq[String] = {
+    import org.apache.spark.sql.types.NumericType
+    val numeric: Set[String] = cols.filter(c => df.schema(c).dataType match {
+      case _: NumericType => true
+      case _              => false
+    }).toSet
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__ndv_$c")) ++
+        (if (numeric(c)) Seq(min(col(c)).cast("long").as(s"__mn_$c"),
+          max(col(c)).cast("long").as(s"__mx_$c")) else Nil)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getAs[Long]("__rows")
+    val rules = scala.collection.mutable.ArrayBuffer.empty[String]
+    rules += s"RowCount > ${rows / 2}"
+    cols.foreach { c =>
+      val nulls = row.getAs[Long](s"__nn_$c")
+      val ndv = row.getAs[Long](s"__ndv_$c")
+      if (nulls == 0L) rules += s"""IsComplete "$c""""
+      if (nulls == 0L && ndv == rows) rules += s"""IsUnique "$c""""
+      if (numeric(c)) {
+        rules += s"""ColumnValues "$c" >= ${row.getAs[Long](s"__mn_$c")}"""
+        rules += s"""ColumnValues "$c" <= ${row.getAs[Long](s"__mx_$c")}"""
+      } else if (nulls == 0L && ndv <= maxInList) {
+        val vals = df.select(col(c).cast("string")).distinct()
+          .collect().map(_.getString(0)).sorted
+        rules += s"""ColumnValues "$c" in [${vals.map(v => s""""$v"""").mkString(", ")}]"""
+      }
+    }
+    rules.toSeq
+  }
+
   /** Aggregates a metric rule needs, keyed __m$i / __nn$i. IsUnique:
     * non-null values must be unique; NULLs never break uniqueness (SQL
     * UNIQUE-constraint semantics — `count_distinct` skips NULLs, so it is

@@ -322,6 +322,79 @@ object PipelineQueries {
                  (SELECT count(*) FROM documents WHERE n_chars <= 100)
                    - (SELECT count(*) FROM documents WHERE n_chars > 100
                         AND n_chars <= 100))
+        ORDER BY rule""")),
+
+    // d4: DQ RULE RECOMMENDATION — the reference surface's other mode
+    // (Glue's recommendation run): PROFILE the table once, SYNTHESIZE
+    // a ruleset from the observations (completeness, uniqueness,
+    // numeric bounds, low-cardinality value sets, the half-rows
+    // RowCount floor), then EVALUATE the recommendation against the
+    // same data — every rule passes by construction, and that
+    // self-consistency (plus the exact synthesized rule TEXTS,
+    // including the sorted lang value-set and the observed min/max
+    // literals) is what the oracle pins: it re-derives each rule
+    // string, its observed metric, AND its emission CONDITION from raw
+    // documents in SQL — each candidate row carries the same WHERE the
+    // recommender's branch tests, so the oracle stays faithful at any
+    // scale factor's data shape. (On this corpus raw `text` is
+    // byte-unique — the duplicates t1 dedups are fingerprint-level,
+    // normalized-whitespace/case copies — so IsUnique "text" IS
+    // correctly recommended; lang gets the in-list but never
+    // uniqueness.)
+    Q("d4_dq_recommend",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val rules = graft.quality.DataQuality.recommend(
+          docs, Seq("doc_id", "lang", "n_chars", "text"))
+        graft.quality.DataQuality
+          .evaluate(docs, "Rules = [ " + rules.mkString(", ") + " ]")
+          .results.map(r => (r.rule, r.passed, r.observed))
+          .toDF("rule", "passed", "observed")
+          .orderBy("rule")
+      },
+      Some("""
+        WITH s AS (
+          SELECT count(*) AS rows_,
+                 CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_id,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS ndv_id,
+                 min(doc_id) AS mn_id, max(doc_id) AS mx_id,
+                 CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_lang,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS ndv_lang,
+                 CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_nc,
+                 CAST(count(DISTINCT n_chars) AS BIGINT) AS ndv_nc,
+                 min(n_chars) AS mn_nc, max(n_chars) AS mx_nc,
+                 CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_t,
+                 CAST(count(DISTINCT text) AS BIGINT) AS ndv_t
+          FROM documents),
+        langs AS (
+          SELECT string_agg(DISTINCT '"' || lang || '"', ', ' ORDER BY '"' || lang || '"') AS ll
+          FROM documents)
+        SELECT rule, passed, observed FROM (
+          SELECT 'RowCount > ' || CAST(rows_ // 2 AS VARCHAR) AS rule,
+                 TRUE AS passed, rows_ AS observed FROM s
+          UNION ALL SELECT 'IsComplete "doc_id"', TRUE, nn_id FROM s WHERE nn_id = 0
+          UNION ALL SELECT 'IsUnique "doc_id"', TRUE, ndv_id FROM s
+                 WHERE nn_id = 0 AND ndv_id = rows_
+          UNION ALL SELECT 'ColumnValues "doc_id" >= ' || CAST(mn_id AS VARCHAR),
+                 TRUE, 0 FROM s
+          UNION ALL SELECT 'ColumnValues "doc_id" <= ' || CAST(mx_id AS VARCHAR),
+                 TRUE, 0 FROM s
+          UNION ALL SELECT 'IsComplete "lang"', TRUE, nn_lang FROM s WHERE nn_lang = 0
+          UNION ALL SELECT 'IsUnique "lang"', TRUE, ndv_lang FROM s
+                 WHERE nn_lang = 0 AND ndv_lang = rows_
+          UNION ALL SELECT 'ColumnValues "lang" in [' || ll || ']', TRUE, 0
+                 FROM langs, s WHERE nn_lang = 0 AND ndv_lang <= 10
+          UNION ALL SELECT 'IsComplete "n_chars"', TRUE, nn_nc FROM s WHERE nn_nc = 0
+          UNION ALL SELECT 'IsUnique "n_chars"', TRUE, ndv_nc FROM s
+                 WHERE nn_nc = 0 AND ndv_nc = rows_
+          UNION ALL SELECT 'ColumnValues "n_chars" >= ' || CAST(mn_nc AS VARCHAR),
+                 TRUE, 0 FROM s
+          UNION ALL SELECT 'ColumnValues "n_chars" <= ' || CAST(mx_nc AS VARCHAR),
+                 TRUE, 0 FROM s
+          UNION ALL SELECT 'IsComplete "text"', TRUE, nn_t FROM s WHERE nn_t = 0
+          UNION ALL SELECT 'IsUnique "text"', TRUE, ndv_t FROM s
+                 WHERE nn_t = 0 AND ndv_t = rows_)
         ORDER BY rule"""))
   )
 }

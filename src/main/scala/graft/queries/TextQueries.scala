@@ -2317,6 +2317,97 @@ object TextQueries {
                  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM idx1)
         ORDER BY part""")),
 
+    // t50: WITHIN-DOCUMENT REPETITION FILTERS — the Gopher repetition
+    // signals (Rae et al.) that t13's surface stats don't cover: a doc
+    // can pass length/symbol ratios and still be degenerate repetition.
+    // Three exact integer signals per doc: (1) max_run — the longest
+    // run of identical consecutive tokens, computed by gaps-and-
+    // islands (run id = pos − row_number within (doc, token)) instead
+    // of a sequential fold, so both engines express it with the same
+    // two window functions; (2) top-bigram CHARACTER coverage — chars
+    // claimed by the most frequent adjacent pair (count × pair length)
+    // over the doc's total chars, in e6 fixed point; (3) duplicate-
+    // token fraction — 1 − distinct/total. Docs with < 2 tokens are
+    // out of scope (no pair, no run). Scale: one explode keyed by
+    // doc_id; every window/aggregate clusters on doc_id (+run keys),
+    // one fact-sized hash exchange total.
+    Q("t50_repetition_filters",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_t"),
+            TextOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val ex = toks.select(col("doc_id"), col("n_chars_t"),
+          posexplode(col("t")).as(Seq("pos", "tok")))
+        // (1) max run of identical consecutive tokens
+        val runs = ex
+          .withColumn("grp", col("pos") - row_number().over(
+            w.partitionBy("doc_id", "tok").orderBy("pos")))
+          .groupBy("doc_id", "tok", "grp").agg(count(lit(1)).as("runlen"))
+          .groupBy("doc_id").agg(max(col("runlen")).as("max_run"))
+        // (2) most frequent adjacent pair + its char coverage
+        val pairs = toks.select(col("doc_id"), col("n_chars_t"),
+            explode(TextOps.wordNgrams(col("t"), 2)).as("pair"))
+          .groupBy("doc_id", "n_chars_t", "pair").agg(count(lit(1)).as("cnt"))
+        val wp = w.partitionBy("doc_id").orderBy(col("cnt").desc, col("pair").asc)
+        val topPair = pairs.withColumn("rnk", row_number().over(wp))
+          .filter(col("rnk") === 1)
+          .select(col("doc_id"), col("pair").as("top_bigram"),
+            floor(col("cnt") * length(col("pair")).cast("long") * lit(1000000.0)
+              / col("n_chars_t")).cast("long").as("bigram_cov_e6"))
+        // (3) duplicate-token fraction
+        val dup = ex.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_dist"))
+          .select(col("doc_id"),
+            floor((col("n_tok") - col("n_dist")) * lit(1000000.0) / col("n_tok"))
+              .cast("long").as("dup_tok_e6"))
+        runs.join(topPair, "doc_id").join(dup, "doc_id")
+          .select("doc_id", "max_run", "top_bigram", "bigram_cov_e6", "dup_tok_e6")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_t,
+                 $tokSql AS t
+          FROM documents),
+        docs AS (SELECT * FROM base WHERE len(t) >= 2),
+        ex AS (
+          SELECT doc_id, n_chars_t, pos, t[pos + 1] AS tok
+          FROM (SELECT doc_id, n_chars_t, t, unnest(range(0, len(t))) AS pos FROM docs)),
+        runs AS (
+          SELECT doc_id, max(runlen) AS max_run FROM (
+            SELECT doc_id, tok, grp, count(*) AS runlen FROM (
+              SELECT doc_id, tok,
+                     pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+              FROM ex)
+            GROUP BY doc_id, tok, grp)
+          GROUP BY doc_id),
+        prs AS (
+          SELECT doc_id, n_chars_t, pair, count(*) AS cnt FROM (
+            SELECT doc_id, n_chars_t,
+                   unnest(list_transform(range(len(t) - 1),
+                     i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))) AS pair
+            FROM docs)
+          GROUP BY doc_id, n_chars_t, pair),
+        tp AS (
+          SELECT doc_id, pair AS top_bigram,
+                 CAST(floor(cnt * length(pair) * 1000000.0 / n_chars_t) AS BIGINT)
+                   AS bigram_cov_e6
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY cnt DESC, pair ASC) AS rnk FROM prs)
+          WHERE rnk = 1),
+        dup AS (
+          SELECT doc_id,
+                 CAST(floor((count(*) - count(DISTINCT tok)) * 1000000.0
+                   / count(*)) AS BIGINT) AS dup_tok_e6
+          FROM ex GROUP BY doc_id)
+        SELECT runs.doc_id, CAST(max_run AS BIGINT) AS max_run, top_bigram,
+               bigram_cov_e6, dup_tok_e6
+        FROM runs JOIN tp ON runs.doc_id = tp.doc_id
+        JOIN dup ON runs.doc_id = dup.doc_id
+        ORDER BY runs.doc_id""")),
+
     // t49: BPE TOKENIZER TRAINING, the real iterative loop (t40 counts
     // round 1's candidates; t49 RUNS three rounds): distinct-word
     // frequency table → per round, frequency-weighted adjacent-pair
