@@ -26,6 +26,27 @@ class PropertySpec extends SparkSpec {
     Gen.choose(-100, 100000).map(Some(_)))
   private val dirtyDate = Gen.oneOf(0, 1234567, 20200101, 20231215, 99, 20190230)
 
+  test("ntileScalable == global ntile on random data, any (k, buckets, duplication)") {
+    // random id/score multisets with heavy tie probability, random tile
+    // and bucket counts — the bucketed tiling must agree with the
+    // single-partition reference bit-for-bit, including n < k and
+    // all-scores-equal degeneracies
+    val gen = Gen.zip(
+      Gen.listOfN(300, Gen.zip(Gen.choose(1L, 500L), Gen.choose(0L, 12L))),
+      Gen.choose(1, 9), Gen.choose(1, 20))
+    forAll(gen) { case (rows, k, buckets) =>
+      val df = rows.distinctBy(_._1).toDF("id", "score")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)
+      val expected = df.withColumn("t", ntile(k).over(w).cast("long"))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = Relational.ntileScalable(df, k, -col("score"),
+          Seq(col("score").desc, col("id").asc), "t", buckets = buckets)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"k=$k buckets=$buckets n=${expected.size}")
+    }
+  }
+
   test("bloomPruneJoin == plain join on random key sets (no false negatives ever)") {
     // keys drawn from a small domain so overlap, misses, dupes, and nulls
     // all occur; fpp varied to stress the probe — correctness must be
