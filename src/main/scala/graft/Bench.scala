@@ -30,7 +30,8 @@ object Bench {
       // their cost is micro-batch machinery, not the plan — the sweep
       // shows them flat from sf0.1 to sf0.5
       "s7_stream_sessions", "s8_stream_windowed_counts",
-      "s9_stream_stateful_sessions", "s10_stream_attribution")
+      "s9_stream_stateful_sessions", "s10_stream_attribution",
+      "s11_stream_exact_dedup")
   private[graft] def runsFor(name: String): Int = if (singleRunQueries(name)) 2 else 3
 
   /** 1-minute system load average, or -1 when the platform can't say.
@@ -88,6 +89,29 @@ object Bench {
     flaggedQueries(results).size >= MinFlaggedForSuspicion
 
   private def jsonNum(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+
+  /** Git commit of the working tree, read straight from `.git` (no
+    * subprocess): identical-result rounds are then verifiably fresh
+    * runs of identifiable code — the provenance the round-12 advice
+    * asked artifacts to carry. Empty string when not in a git checkout
+    * (artifact stays well-formed).
+    */
+  private[graft] def gitHead(repoRoot: String = "/root/repo"): String =
+    try {
+      val head = java.nio.file.Paths.get(repoRoot, ".git", "HEAD")
+      val s = new String(java.nio.file.Files.readAllBytes(head), "UTF-8").trim
+      if (s.startsWith("ref: ")) {
+        val ref = java.nio.file.Paths.get(repoRoot, ".git", s.stripPrefix("ref: "))
+        if (java.nio.file.Files.exists(ref))
+          new String(java.nio.file.Files.readAllBytes(ref), "UTF-8").trim
+        else { // packed refs
+          val packed = java.nio.file.Paths.get(repoRoot, ".git", "packed-refs")
+          scala.io.Source.fromFile(packed.toFile).getLines()
+            .find(_.endsWith(s.stripPrefix("ref: ")))
+            .map(_.split(" ")(0)).getOrElse("")
+        }
+      } else s
+    } catch { case _: Throwable => "" }
 
   /** `"errors":{name:firstLineOfMessage}` for every errored query — present
     * (possibly `{}`) in every artifact tier so the absence of failures is
@@ -153,6 +177,7 @@ object Bench {
             .mkString("{", ",", "}")).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":$total,"unit":"sec","load1":${jsonNum(load1)},""" +
+      s""""commit":${Jsons.str(gitHead())},"generated_at_ms":${System.currentTimeMillis()},""" +
       s"""${interferenceJson(results)},${errorsJson(results)},""" +
       s""""queries":${queriesJson(mins, _.toString)},""" +
       s""""runs":$runsJson,"qload1":$qloadJson,"stages":$stagesJson,"sf":"$sfDir"}"""

@@ -798,6 +798,37 @@ object TextQueries {
          AND c.ts_us <= v.ts_us + 3600000000
         ORDER BY v.user_id, imp_id, conv_id""")),
 
+    // s11: STREAMING EXACT DEDUP under real execution — ingest-time
+    // dedup, the streaming complement of t48's batch-index
+    // maintenance: documents replayed in 4 doc_id-sliced micro-batches
+    // through `dropDuplicates` on the t1 normalized-text fingerprint,
+    // so a duplicate arriving in batch 3 of a fingerprint first seen
+    // in batch 1 is suppressed by STATE carried across batches, and
+    // the sink receives each fingerprint exactly once (the frame is
+    // reduced to the fingerprint before dedup, so "which arrival wins"
+    // — nondeterministic within a batch — cannot leak into the
+    // output). No watermark: emission is immediate in append mode and
+    // state is O(distinct fingerprints); the production variant with
+    // bounded state is dropDuplicatesWithinWatermark when near-time
+    // re-arrivals are the only dup source. Oracle: the distinct
+    // fingerprint set of the whole corpus.
+    Q("s11_stream_exact_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val hi = docs.agg(max("doc_id")).head().getLong(0)
+        val sentinel = s.range(1).select(
+          lit(hi + 1000000L).as("doc_id"), lit("__wm").as("text"))
+        graft.streaming.StreamExec.replayFileStream(
+          docs, "doc_id", sentinel, 4) { st =>
+            st.select(TextOps.fingerprint(col("text")).as("fp"))
+              .dropDuplicates("fp")
+        }.filter(col("fp") =!= md5(lit("__wm")))
+          .orderBy("fp")
+      },
+      Some("""
+        SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents ORDER BY fp""")),
+
     // t18: sequence packing — assign documents to fixed-budget (512-token)
     // training sequences by cumulative token count, sharded: packs are
     // contiguous WITHIN a 1000-doc shard (the last pack of each shard may
