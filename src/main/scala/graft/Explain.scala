@@ -56,7 +56,7 @@ object Explain {
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is
-  // asserted in ExtensionsSpec instead. s7/s8/s9 are absent for the same
+  // asserted in ExtensionsSpec instead. s7–s11 are absent for the same
   // structural reason: their frames are read back from a streaming SINK,
   // so the batch explain is a parquet scan — the streaming plan shape is
   // pinned by StreamingSpec and the incremental-batch-count require in
