@@ -1839,6 +1839,54 @@ object RelationalQueries {
           WHERE ps.late = 1 AND po.n_supp >= 2 AND po.n_late = 1)
         SELECT s_name, count(*) AS numwait
         FROM b JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")),
+
+    // r68: DOMINANT SUPPLIERS — the TPC-H Q20 shape (a semi-join
+    // against an AGGREGATED threshold: Q20 keeps suppliers whose stock
+    // exceeds half their shipments; without a partsupp table the
+    // equivalent is suppliers who shipped MORE THAN HALF of some
+    // contested part's total quantity). Two chained reductions on the
+    // fact — per (part, supplier) quantity, then per part — a
+    // broadcast-back of the part totals (part-count-sized), and the
+    // share filter; quantities are exact integer cents (sum of raw
+    // doubles is order-dependent and banned). `n_supp >= 2` keeps the
+    // trivially-dominant sole-supplier parts out, so both the EXISTS
+    // and the threshold semantics do real work. One fact shuffle on
+    // (l_partkey, l_suppkey); the per-part frame is model-sized.
+    Q("r68_dominant_suppliers",
+      (s, d) => {
+        val sp = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), Q.cents(col("l_quantity")).as("q"))
+          .groupBy("l_partkey", "l_suppkey").agg(sum(col("q")).as("q_sp"))
+        val p = sp.groupBy("l_partkey")
+          .agg(sum(col("q_sp")).as("q_p"), count(lit(1)).as("n_supp"))
+        sp.join(p, "l_partkey")
+          .filter(col("n_supp") >= 2 && col("q_sp") * 2 > col("q_p"))
+          .withColumn("share_e4", expr("(q_sp * 10000) div q_p"))
+          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n_dominant_parts"),
+            max(col("share_e4")).as("max_share_e4"))
+          .orderBy(col("n_dominant_parts").desc, col("s_name")).limit(20)
+      },
+      Some("""
+        WITH sp AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS q_sp
+          FROM lineitem GROUP BY 1, 2),
+        p AS (
+          SELECT l_partkey, CAST(sum(q_sp) AS BIGINT) AS q_p,
+                 count(*) AS n_supp
+          FROM sp GROUP BY 1),
+        dom AS (
+          SELECT sp.l_suppkey, (sp.q_sp * 10000) // p.q_p AS share_e4
+          FROM sp JOIN p USING (l_partkey)
+          WHERE p.n_supp >= 2 AND sp.q_sp * 2 > p.q_p)
+        SELECT s_name, count(*) AS n_dominant_parts,
+               CAST(max(share_e4) AS BIGINT) AS max_share_e4
+        FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        ORDER BY n_dominant_parts DESC, s_name LIMIT 20"""))
   )
 }
