@@ -1887,6 +1887,47 @@ object RelationalQueries {
                CAST(max(share_e4) AS BIGINT) AS max_share_e4
         FROM dom JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
-        ORDER BY n_dominant_parts DESC, s_name LIMIT 20"""))
+        ORDER BY n_dominant_parts DESC, s_name LIMIT 20""")),
+
+    // r69: IDLE RICH CUSTOMERS — the TPC-H Q22 shape (scalar-subquery
+    // threshold + NOT EXISTS): customers whose balance exceeds the
+    // average POSITIVE balance yet never placed an order, grouped by
+    // nation (the schema's analogue of Q22's phone country code). The
+    // threshold compare is EXACT integer cross-multiplication —
+    // `bal_cents · n_pos > sum_pos_cents` instead of comparing against
+    // a divided float average, so no engine's division rounding can
+    // flip a boundary customer. The 1-row aggregate broadcasts; the
+    // NOT EXISTS is a left-anti equijoin on the customer key against
+    // the order keys projection (never a row-per-order blowup).
+    Q("r69_idle_rich_customers",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"),
+            Q.cents(col("c_acctbal")).as("bal_c"))
+        val thr = cust.filter(col("bal_c") > 0)
+          .agg(sum(col("bal_c")).as("sum_pos"), count(lit(1)).as("n_pos"))
+        cust.crossJoin(broadcast(thr))
+          .filter(col("bal_c") * col("n_pos") > col("sum_pos"))
+          .join(Tables.orders(s, d).select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").cast("long").as("nation"))
+          .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("total_bal_cents"))
+          .orderBy("nation")
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+          FROM customer),
+        t AS (
+          SELECT CAST(sum(bal_c) AS BIGINT) AS sum_pos, count(*) AS n_pos
+          FROM c WHERE bal_c > 0)
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               count(*) AS n_cust,
+               CAST(sum(bal_c) AS BIGINT) AS total_bal_cents
+        FROM c, t
+        WHERE bal_c * n_pos > sum_pos
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY c_nationkey ORDER BY nation"""))
   )
 }
