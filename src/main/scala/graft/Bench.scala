@@ -44,6 +44,35 @@ object Bench {
   private def load1: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Cumulative CPU seconds consumed by THIS JVM, or -1 when the
+    * platform bean can't say. The per-run delta separates "the query
+    * did more work" (cpu tracks wall) from "the machine was stolen /
+    * the process was blocked" (wall grows, cpu doesn't) — the
+    * distinction round 13's driver-vs-builder 11× gap on the events
+    * family could not make from wall-clock alone.
+    */
+  private def procCpuSec: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    }
+
+  /** Cumulative GC seconds across all collectors. A wall-time inflation
+    * that the GC delta explains is a heap-sizing problem (e.g. the
+    * driver launching the bench JVM with a smaller -Xmx than the
+    * builder), not a plan problem — `heap_mb` in the artifact carries
+    * the other half of that diagnosis.
+    */
+  private def gcSecTotal: Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  private def heapMb: Long = Runtime.getRuntime.maxMemory() / (1L << 20)
+
   /** All timing evidence for one query: every run's wall-clock plus the
     * ambient load sampled just before its first run. `error` non-empty when
     * any run threw — a failed query's elapsed time is a fast-fail, not
@@ -53,19 +82,37 @@ object Bench {
     */
   final case class QueryResult(runs: Seq[Double], load1AtStart: Double,
                                error: Option[String] = None,
-                               stages: Seq[Map[String, Double]] = Seq.empty) {
+                               stages: Seq[Map[String, Double]] = Seq.empty,
+                               cpuRuns: Seq[Double] = Seq.empty,
+                               gcRuns: Seq[Double] = Seq.empty) {
     def best: Double = runs.min
-    /** max/min across this query's STEADY-STATE runs. With ≥3 runs the
-      * first is excluded: run 1 deterministically carries codegen/JIT/
-      * datasource-init warmup and upstream-cache priming (measured 3–4×
-      * on e1/j1/t6 on an IDLE machine), and the reported min is already
-      * insulated from it — spread among the remaining runs is what
-      * distinguishes "the min is trustworthy" from "something external
-      * was stealing the machine mid-run". 1.0 when a single run (no
-      * spread evidence) or when the best time is ~0 (noise, not signal).
+    /** CPU seconds of the run that produced `best` (the reported
+      * number's own utilization evidence); -1 when not measured.
+      */
+    def cpuOfBest: Double = {
+      val i = runs.indexOf(best)
+      if (i >= 0 && i < cpuRuns.size) cpuRuns(i) else -1.0
+    }
+    def gcOfBest: Double = {
+      val i = runs.indexOf(best)
+      if (i >= 0 && i < gcRuns.size) gcRuns(i) else -1.0
+    }
+    /** max/min across this query's STEADY-STATE runs. Whenever there is
+      * more than one run the FIRST is excluded: run 1 deterministically
+      * carries codegen/JIT/datasource-init warmup and upstream-cache
+      * priming (measured 3–4× on e1/j1/t6 on an IDLE machine), and the
+      * reported min is already insulated from it — spread among the
+      * remaining runs is what distinguishes "the min is trustworthy"
+      * from "something external was stealing the machine mid-run". For
+      * min-of-2 queries that leaves a single steady-state sample, so
+      * spread is 1.0 (no evidence — same as single-run), rather than a
+      * warmup ratio masquerading as interference (round-13 advice: the
+      * 6 two-run checkpoint/streaming queries could otherwise trip the
+      * ≥3-flagged suspicion verdict on documented warmup alone). Also
+      * 1.0 when the best time is ~0 (noise, not signal).
       */
     def spread: Double = {
-      val obs = if (runs.size >= 3) runs.tail else runs
+      val obs = if (runs.size >= 2) runs.tail else runs
       if (obs.size < 2 || obs.min <= 1e-9) 1.0 else obs.max / obs.min
     }
   }
@@ -159,15 +206,28 @@ object Bench {
     * and the interference verdict — so a 4x-anomalous total (round 7) is
     * distinguishable from a code regression from the artifact alone.
     */
-  def renderFull(results: Map[String, QueryResult], sfDir: String): String = {
+  def renderFull(results: Map[String, QueryResult], sfDir: String,
+                 canary: Seq[(Int, Double, Double)] = Seq.empty): String = {
     val mins = results.collect { case (k, r) if r.error.isEmpty => k -> r.best }
     val total = if (mins.nonEmpty) mins.values.sum else 0.0
-    val runsJson = results.toSeq.sortBy(_._1)
-      .map { case (k, r) => "\"" + k + "\":" + r.runs.map(jsonNum).mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val qloadJson = results.toSeq.sortBy(_._1)
-      .map { case (k, r) => "\"" + k + "\":" + jsonNum(r.load1AtStart) }
-      .mkString("{", ",", "}")
+    def perQuery(f: QueryResult => String): String = results.toSeq.sortBy(_._1)
+      .map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+    val runsJson = perQuery(r => r.runs.map(jsonNum).mkString("[", ",", "]"))
+    val qloadJson = perQuery(r => jsonNum(r.load1AtStart))
+    // per-run JVM-cpu-seconds and GC-seconds deltas (same shape as
+    // `runs`): wall ≫ cpu with flat gc = the machine wasn't ours (I/O
+    // block or CPU theft); wall tracking gc = heap pressure. Either way
+    // the artifact names the stolen resource instead of indicting the
+    // plan (round-13 task #1).
+    val qcpuJson = perQuery(r => r.cpuRuns.map(jsonNum).mkString("[", ",", "]"))
+    val qgcJson = perQuery(r => r.gcRuns.map(jsonNum).mkString("[", ",", "]"))
+    val spreadJson = perQuery(r => jsonNum(r.spread))
+    // calibration canary: the same trivial query re-timed at fixed
+    // points through the run ([after-query-index, wall, cpu]) — a
+    // mid-run environment shift bends this line in-band, where a
+    // per-query spread (same-minute samples) cannot see it
+    val canaryJson = canary.map { case (i, w, c) =>
+      s"[$i,${jsonNum(w)},${jsonNum(c)}]" }.mkString("[", ",", "]")
     // per-run per-stage wall times for checkpoint-pipeline queries (p1):
     // one object per run, so a slow total names its guilty stage
     val stagesJson = results.toSeq.sortBy(_._1)
@@ -178,9 +238,11 @@ object Bench {
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":$total,"unit":"sec","load1":${jsonNum(load1)},""" +
       s""""commit":${Jsons.str(gitHead())},"generated_at_ms":${System.currentTimeMillis()},""" +
-      s"""${interferenceJson(results)},${errorsJson(results)},""" +
+      s""""heap_mb":$heapMb,${interferenceJson(results)},${errorsJson(results)},""" +
       s""""queries":${queriesJson(mins, _.toString)},""" +
-      s""""runs":$runsJson,"qload1":$qloadJson,"stages":$stagesJson,"sf":"$sfDir"}"""
+      s""""runs":$runsJson,"qload1":$qloadJson,"qcpu":$qcpuJson,"qgc":$qgcJson,""" +
+      s""""spread":$spreadJson,"canary":$canaryJson,""" +
+      s""""stages":$stagesJson,"sf":"$sfDir"}"""
   }
 
   /** The FINAL stdout line. Six tiers, first that fits the tail window
@@ -196,33 +258,105 @@ object Bench {
     * Every tier carries the interference verdict — the final line is the
     * artifact the driver archives, so it must acquit (or indict) itself.
     */
-  def renderFinal(results: Map[String, QueryResult], sfDir: String): String = {
+  /** Final-line self-diagnosis block, budget-capped by construction:
+    * `heap_mb` + whole-run cpu/gc totals, the canary track as
+    * `[[after-query-index, deciseconds], ...]`, and `diag` — per-query
+    * [run-order-index, wall ds, cpu ds, gc ds, load1×10] for at most
+    * [[DiagCap]] queries (every spread-flagged one, then the most
+    * expensive error-free ones ≥ 1 s). Run-order index is the query's
+    * rank in the sorted execution order, so the driver artifact alone
+    * places an anomaly on the run's timeline next to the canary bends.
+    */
+  private[graft] val DiagCap = 6
+  private def ds(v: Double): Long = math.round(v * 10)
+
+  /** `diag`: per-query `[run-order-index, wall ds, cpu ds, gc ds,
+    * load1×10]` for at most [[DiagCap]] queries — every spread-flagged
+    * one, then the most expensive error-free ones ≥ 1 s. The run-order
+    * index is the query's rank in the sorted execution order, so the
+    * driver artifact alone places an anomaly on the run's timeline
+    * next to the canary bends, and wall-vs-cpu-vs-gc names the stolen
+    * resource (cpu tracks wall = real work or GC; cpu flat = the
+    * machine wasn't ours). `fields` trims the per-entry vector when
+    * the line is squeezed (full per-query evidence is always in
+    * bench_out.json).
+    */
+  private[graft] def diagJson(results: Map[String, QueryResult],
+                              fields: Int = 5): String = {
+    val ordered = results.toSeq.sortBy(_._1)
+    val orderIdx = ordered.map(_._1).zipWithIndex.toMap
+    val flagged = flaggedQueries(results)
+    val heavy = ordered.collect {
+      case (k, r) if r.error.isEmpty && r.best >= 1.0 => k -> r.best }
+      .sortBy(-_._2).map(_._1)
+    val picked = (flagged ++ heavy).distinct.take(DiagCap)
+    val shortOk = results.keys.map(shortKey).toSet.size == results.size
+    picked.sortBy(orderIdx).map { k =>
+      val r = results(k)
+      val key = if (shortOk) shortKey(k) else k
+      val vec = Seq[Long](orderIdx(k), ds(r.best), ds(r.cpuOfBest),
+        ds(r.gcOfBest), ds(r.load1AtStart)).take(fields)
+      s""""$key":${vec.mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+  }
+
+  /** Fixed-size self-diagnosis block for every final-line tier:
+    * `heap_mb` (a smaller driver-side -Xmx would explain GC-bound
+    * inflation), whole-run JVM cpu/gc totals, and the canary track as
+    * `[[after-query-index, deciseconds], ...]` — a mid-run environment
+    * shift bends the canary line in-band.
+    */
+  private[graft] def diagFixedJson(results: Map[String, QueryResult],
+                                   canary: Seq[(Int, Double, Double)]): String = {
+    val canaryJson = canary.map { case (i, w, _) => s"[$i,${ds(w)}]" }
+      .mkString("[", ",", "]")
+    val cpuTotal = results.valuesIterator.map(_.cpuRuns.sum).sum
+    val gcTotal = results.valuesIterator.map(_.gcRuns.sum).sum
+    s""""heap_mb":$heapMb,"cpu_sec":${jsonNum1(cpuTotal)},"gc_sec":${
+      jsonNum1(gcTotal)},"canary":$canaryJson"""
+  }
+
+  def renderFinal(results: Map[String, QueryResult], sfDir: String,
+                  canary: Seq[(Int, Double, Double)] = Seq.empty): String = {
     val mins = results.collect { case (k, r) if r.error.isEmpty => k -> r.best }
     val total = if (mins.nonEmpty) mins.values.sum else 0.0
     val totalR = jsonNum(total)
     val nErr = results.count(_._2.error.nonEmpty)
-    val intf = interferenceJson(results) + s""","error_count":$nErr"""
+    val intf = interferenceJson(results) + s""","error_count":$nErr,""" +
+      diagFixedJson(results, canary)
     def line(mid: String): String =
       s"""{"metric":"total","value":$totalR,"unit":"sec","load1":${jsonNum(load1)},$intf,$mid"sf":"$sfDir"}"""
     val shortOk = results.keys.map(shortKey).toSet.size == results.size
+    def never = " " * (FinalLineBudget + 1) // never fits → next tier
+    def dsTier(diagFields: Int): String = if (!shortOk) never else
+      line(s""""diag":${diagJson(results, diagFields)},""" +
+        s""""keys":"short","qunit":"ds","queries":${
+          queriesJson(mins, v => math.round(v * 10).toString, shortKey)},""")
     val tiers: Seq[() => String] = Seq(
-      () => line(s""""queries":${queriesJson(mins, jsonNum2)},"""),
-      () => line(s""""queries":${queriesJson(mins, jsonNum1)},"""),
+      () => line(s""""diag":${diagJson(results)},"queries":${queriesJson(mins, jsonNum2)},"""),
+      () => line(s""""diag":${diagJson(results)},"queries":${queriesJson(mins, jsonNum1)},"""),
       () => if (shortOk)
-        line(s""""keys":"short","queries":${queriesJson(mins, jsonNum2, shortKey)},""")
-      else " " * (FinalLineBudget + 1), // never fits → next tier
+        line(s""""diag":${diagJson(results)},"keys":"short","queries":${
+          queriesJson(mins, jsonNum2, shortKey)},""")
+      else never,
       () => if (shortOk)
-        line(s""""keys":"short","queries":${queriesJson(mins, jsonNum1, shortKey)},""")
-      else " " * (FinalLineBudget + 1),
+        line(s""""diag":${diagJson(results)},"keys":"short","queries":${
+          queriesJson(mins, jsonNum1, shortKey)},""")
+      else never,
       // tier 5 — short keys, INTEGER DECISECONDS ("qunit":"ds", value
       // 4 = 0.4 s): ~2 chars/query denser than 1 dp, which carries
       // per-query detail to ~230 queries before the totals-only
-      // fallback (the 175-query gate crossed 1950 chars in tier 4)
+      // fallback (the 175-query gate crossed 1950 chars in tier 4).
+      // Squeezed further, the diag vectors trim to [order, wall, cpu]
+      // and then drop entirely — per-query TIMES outrank the diag in
+      // the final line because bench_out.json always carries both.
+      () => dsTier(5),
+      () => dsTier(3),
       () => if (shortOk)
         line(s""""keys":"short","qunit":"ds","queries":${
           queriesJson(mins, v => math.round(v * 10).toString, shortKey)},""")
-      else " " * (FinalLineBudget + 1),
-      () => line(s""""detail":"bench_out.json","""))
+      else never,
+      () => line(s""""diag":${diagJson(results)},"detail":"bench_out.json","""))
     tiers.iterator.map(_.apply()).find(_.length <= FinalLineBudget)
       .getOrElse(line("")) // unreachable: the summary tier is O(1) size
   }
@@ -261,7 +395,8 @@ object Bench {
     // ambient-load noise (first runs of sketch aggregates measured 5x
     // their steady state from one-time class init alone). Checkpoint-heavy
     // queries (singleRunQueries) run once — see runsFor.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String], Double, Double) = {
+      val (cpu0, gc0) = (procCpuSec, gcSecTotal)
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -271,7 +406,9 @@ object Bench {
           // otherwise render as an empty identifier in errors.json
           Some(graft.Jsons.firstLine(e))
         }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = if (cpu0 < 0) -1.0 else procCpuSec - cpu0
+      (wall, err, cpu, gcSecTotal - gc0)
     }
     // SPARK_GRAFT_ONLY="e9_fact_sales,e3_..." restricts the run — the
     // iteration loop for benchmarking one operator without the full gate.
@@ -285,23 +422,51 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Calibration canary: re-time one trivial fixed query at a steady
+    // cadence through the run. Two identical-code rounds bracketed
+    // ambient noise at ~3×, but round 13's driver run put three
+    // events-family queries at 11× the builder's same-commit numbers
+    // with internally-consistent runs — a shift the per-query spread
+    // (samples seconds apart) cannot see. A bent canary line localizes
+    // a mid-run environment change to a position in the execution
+    // order; a flat one exonerates the environment and indicts the
+    // code. The canary is r2 (single filter+project over lineitem,
+    // ~0.1 s steady-state): cheap enough to repeat, big enough to feel
+    // CPU theft.
+    val CanaryEvery = 30
+    val canaryName = "r2_filter_project"
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    def runCanary(afterIdx: Int): Unit =
+      SparkEntry.queries.get(canaryName).foreach { fn =>
+        val (w, err, c, _) = timeOnce(canaryName, fn)
+        if (err.isEmpty) canarySamples += ((afterIdx, w, c))
+      }
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val results = toRun.zipWithIndex
+      .map { case ((name, fn), idx) =>
+        if (idx % CanaryEvery == 0) runCanary(idx)
         val loadAtStart = load1
         val samples = (1 to runsFor(name)).map { _ =>
           graft.pipeline.TextPipeline.lastRunDurations = Map.empty
-          val (secs, err) = timeOnce(name, fn)
-          (secs, err, graft.pipeline.TextPipeline.lastRunDurations)
+          val (secs, err, cpu, gc) = timeOnce(name, fn)
+          (secs, err, graft.pipeline.TextPipeline.lastRunDurations, cpu, gc)
         }
+        // real streaming executions leave state-store providers and a
+        // maintenance thread alive after the query terminates; stop
+        // them so the NEXT query's timing can't carry their upkeep
+        // (no-op unless a StreamingQuery actually ran since last call)
+        graft.streaming.StreamExec.teardownStateStores()
         name -> QueryResult(samples.map(_._1), loadAtStart,
-          samples.flatMap(_._2).headOption, samples.map(_._3))
+          samples.flatMap(_._2).headOption, samples.map(_._3),
+          samples.map(_._4), samples.map(_._5))
       }.toMap
+    runCanary(toRun.size) // closing sample bounds the run's tail
     def markSubset(json: String): String =
       if (only.isEmpty) json
       else json.replaceFirst("\\{", """{"subset":true,""")
-    val full = markSubset(renderFull(results, sfDir))
-    val finalLine = markSubset(renderFinal(results, sfDir))
+    val full = markSubset(renderFull(results, sfDir, canarySamples.toSeq))
+    val finalLine = markSubset(renderFinal(results, sfDir, canarySamples.toSeq))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))

@@ -262,8 +262,21 @@ object Relational {
                     outCol: String, buckets: Int = 64): DataFrame = {
     require(k >= 1, s"ntileScalable: k must be >= 1, got $k")
     val in = df.withColumn("__ntk", rankKey.cast("long"))
-    val mm = in.agg(min(col("__ntk")).as("lo"), max(col("__ntk")).as("hi")).head()
+    // null-key count rides the same single aggregate as min/max: a NULL
+    // rankKey would land in a null range bucket that the offsets frame
+    // counts (Window.orderBy sorts nulls first) but the null-unsafe
+    // equi-join on __b then drops — silently shifting every surviving
+    // row's global rank by the null count. SQL ntile has a defined
+    // nulls-first answer; this operator's contract requires a total
+    // order carried by a NON-NULL key, so a null key is a caller error
+    // surfaced loudly, not a silent divergence.
+    val mm = in.agg(min(col("__ntk")).as("lo"), max(col("__ntk")).as("hi"),
+      sum(when(col("__ntk").isNull, 1L).otherwise(0L)).as("nulls")).head()
     if (mm.isNullAt(0)) return df.withColumn(outCol, lit(null).cast("long"))
+    require(mm.getAs[Long]("nulls") == 0L,
+      s"ntileScalable: rankKey has ${mm.getAs[Long]("nulls")} NULL values; " +
+        "coalesce the key to a sentinel (or filter nulls) before tiling — " +
+        "null keys cannot be range-bucketed into a total order")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     // same Long-wrap guard as prefixSumScalable: a key range wider than
     // Long.MaxValue would silently scramble bucket order

@@ -144,7 +144,9 @@ object DataQuality {
     *  - `IsComplete` for columns observed null-free;
     *  - `IsUnique` for complete columns whose distinct count equals the
     *    row count;
-    *  - observed `>= min` / `<= max` bounds for numeric columns;
+    *  - observed `>= floor(min)` / `<= ceil(max)` bounds for NULL-FREE
+    *    numeric columns (a NULL fails ColumnValues, and trunc-cast
+    *    bounds would exclude fractional extremes);
     *  - an `in [...]` value-set (sorted) for null-free low-cardinality
     *    string columns (≤ `maxInList` distinct values).
     * Every rule derives from an observation, so evaluating the
@@ -164,8 +166,11 @@ object DataQuality {
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
         count_distinct(col(c)).as(s"__ndv_$c")) ++
-        (if (numeric(c)) Seq(min(col(c)).cast("long").as(s"__mn_$c"),
-          max(col(c)).cast("long").as(s"__mx_$c")) else Nil)
+        // floor/ceil, NOT cast('long') (trunc-toward-zero): an observed
+        // fractional min of -3.7 must recommend ">= -4", not ">= -3"
+        // which the data itself violates — the self-consistency contract
+        (if (numeric(c)) Seq(floor(min(col(c))).cast("long").as(s"__mn_$c"),
+          ceil(max(col(c))).cast("long").as(s"__mx_$c")) else Nil)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = row.getAs[Long]("__rows")
@@ -176,10 +181,15 @@ object DataQuality {
       val ndv = row.getAs[Long](s"__ndv_$c")
       if (nulls == 0L) rules += s"""IsComplete "$c""""
       if (nulls == 0L && ndv == rows) rules += s"""IsUnique "$c""""
-      if (numeric(c)) {
+      // bounds only for null-free columns: a NULL fails ColumnValues
+      // (RowRule counts NULL as violating), so recommending a bound on a
+      // nullable column would fail its own evidence — same
+      // passes-by-construction contract as the in-list rule below. An
+      // all-null numeric column additionally has NULL min/max.
+      if (numeric(c) && nulls == 0L && rows > 0L) {
         rules += s"""ColumnValues "$c" >= ${row.getAs[Long](s"__mn_$c")}"""
         rules += s"""ColumnValues "$c" <= ${row.getAs[Long](s"__mx_$c")}"""
-      } else if (nulls == 0L && ndv <= maxInList) {
+      } else if (!numeric(c) && nulls == 0L && ndv <= maxInList) {
         val vals = df.select(col(c).cast("string")).distinct()
           .collect().map(_.getString(0)).sorted
         rules += s"""ColumnValues "$c" in [${vals.map(v => s""""$v"""").mkString(", ")}]"""

@@ -41,6 +41,28 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamExec {
 
+  /** True once a real StreamingQuery has terminated since the last
+    * [[teardownStateStores]] call. A finished query (even under
+    * `Trigger.AvailableNow` + `awaitTermination`) leaves its loaded
+    * state-store providers and the shared store-maintenance thread
+    * alive in the session — background upkeep that would otherwise be
+    * silently billed to whatever the bench times NEXT (round-13 task:
+    * rule out cross-query contamination from the five real streaming
+    * executions).
+    */
+  @volatile private var streamRanSinceTeardown = false
+
+  /** Stop the state-store maintenance thread and unload every cached
+    * provider. No-op unless a streaming query actually ran since the
+    * last call, so callers (Bench, after every query) pay nothing on
+    * the batch path. Spark restarts the maintenance machinery lazily
+    * on the next streaming load, so later replays are unaffected.
+    */
+  def teardownStateStores(): Unit = if (streamRanSinceTeardown) {
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    streamRanSinceTeardown = false
+  }
+
   /** One shared reaped scratch parent for every replay (source files,
     * checkpoint, sink), mirroring PipelineQueries.checkpointParent:
     * /dev/shm when writable (the files are rewritten-then-discarded
@@ -141,6 +163,7 @@ object StreamExec {
         .start()
     } finally spark.conf.set(shuffleKey, savedShuffle)
     q.awaitTermination()
+    streamRanSinceTeardown = true
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= slices,
       s"replayFileStream: expected >= $slices data micro-batches, saw " +
@@ -186,6 +209,7 @@ object StreamExec {
         .start()
     } finally spark.conf.set(shuffleKey, savedShuffle)
     q.awaitTermination()
+    streamRanSinceTeardown = true
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= slices,
       s"replayFileStream2: expected >= $slices data micro-batches, saw " +

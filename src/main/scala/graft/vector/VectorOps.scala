@@ -448,10 +448,11 @@ object VectorOps {
     *    sign), not convergence-tested — replayable as a CTE chain.
     *
     * Returns the axis in micro-units. Scale: one corpus pass producing
-    * 4096-keyed partial-aggregated sums (the shuffle is model-sized,
-    * never data-sized), one driver collect of the 64×64 matrix
-    * (bounded, the documented model-artifact pattern), and the
-    * iteration itself is driver-side arithmetic on a 64-vector.
+    * dims²-keyed partial-aggregated sums (the shuffle is model-sized,
+    * never data-sized), one driver collect of the dims×dims matrix
+    * (bounded, the documented model-artifact pattern; dims is derived
+    * from the data, 64 for the test embeddings), and the iteration
+    * itself is driver-side arithmetic on a dims-vector.
     * Integer headroom: |xm| ≤ ~1e6 ⇒ each Gram term ≤ 1e12, so the sum
     * stays inside Long past 10⁶ rows per stat — larger corpora fit on
     * a deterministic sample, like every other model fit here.
@@ -462,13 +463,17 @@ object VectorOps {
     val xm = corpus.select(
       expr(s"transform(`$cVec`, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))")
         .as("__xm"))
-    val dims = 64
     val g = xm
       .select(posexplode(col("__xm")).as(Seq("__i", "__xi")), col("__xm"))
       .select(col("__i"), col("__xi"), posexplode(col("__xm")).as(Seq("__j", "__xj")))
       .groupBy("__i", "__j")
       .agg(sum(col("__xi") * col("__xj")).as("__g"))
       .collect()
+    // dims from the DATA (widest observed index + 1), not a hardcoded 64:
+    // wider vectors previously overflowed the Gram fill and narrower ones
+    // silently zero-padded the axis. Empty corpus has no axis to return.
+    require(g.nonEmpty, "pcaPowerAxis: empty corpus (or all-null embeddings)")
+    val dims = g.iterator.map(_.getInt(0)).max + 1
     val gd = Array.ofDim[Double](dims, dims)
     g.foreach(r => gd(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
     var v = Array.fill(dims)(1000000L)

@@ -218,6 +218,64 @@ class BenchSpec extends AnyFunSuite {
     assert(QueryResult(Seq(9.9), 1.0).spread == 1.0)
   }
 
+  test("min-of-2 warmup spread never flags (round-13 advice)") {
+    // p1/s7-s11 run twice; run 1 carries documented 3-4x cold-start.
+    // With the first run excluded there is no steady-state PAIR, so
+    // spread must report 1.0 (no evidence) — six such queries were
+    // enough to trip MinFlaggedForSuspicion spuriously before.
+    val twoRun = QueryResult(Seq(8.0, 2.1), 1.0)
+    assert(twoRun.spread == 1.0)
+    val sixCold = fakeResults ++ (1 to 6).map(i =>
+      s"w${i}_two_run_pipeline" -> QueryResult(Seq(9.0, 2.5), 1.0)).toMap
+    assert(!Bench.interferenceSuspected(sixCold))
+  }
+
+  test("final line carries the self-diagnosis block (round-13 task #1)") {
+    val withEvidence = fakeResults.map { case (k, r) =>
+      k -> r.copy(cpuRuns = r.runs.map(_ * 3.0), gcRuns = r.runs.map(_ * 0.01)) }
+    val canary = Seq((0, 0.12, 0.3), (30, 0.11, 0.3), (60, 0.95, 0.3))
+    val line = Bench.renderFinal(withEvidence, "/root/testdata/sf0.1", canary)
+    assert(line.length <= Bench.FinalLineBudget)
+    val node = mapper.readTree(line)
+    assert(node.get("heap_mb").isNumber)
+    assert(node.get("cpu_sec").isNumber && node.get("gc_sec").isNumber)
+    // canary track: [[after-query-index, deciseconds], ...] — the third
+    // sample's 0.95 s (vs 0.12 steady) is a visible mid-run bend
+    val c = node.get("canary")
+    assert(c.size() == 3 && c.get(0).get(0).asInt() == 0)
+    assert(c.get(2).get(1).asInt() == 10, "0.95 s rounds to 10 ds")
+    // diag: most-expensive queries as [order, wall, cpu, gc, load1x10];
+    // fakeResults' 17.65 s outlier must be present with its evidence
+    val diag = node.get("diag")
+    assert(diag != null && diag.size() > 0 && diag.size() <= Bench.DiagCap)
+    val heavyName = fakeResults.maxBy(_._2.best)._1
+    val entry = diag.get(Bench.shortKey(heavyName))
+    assert(entry != null, s"heaviest query $heavyName missing from diag")
+    assert(entry.size() >= 3, "diag vector carries at least [order, wall, cpu]")
+    assert(entry.get(1).asInt() == 177, "17.654 s rounds to 177 ds")
+    if (entry.size() == 5) {
+      assert(entry.get(2).asInt() == math.round(17.654321987 * 3 * 10).toInt)
+      assert(entry.get(4).asInt() == 15, "load1 1.5 renders as 15")
+    }
+    // run-order index points into the sorted execution order
+    val sortedNames = withEvidence.keys.toSeq.sorted
+    assert(sortedNames(entry.get(0).asInt()) == heavyName)
+  }
+
+  test("full artifact carries qcpu/qgc/spread/canary evidence") {
+    val withEvidence = fakeResults.map { case (k, r) =>
+      k -> r.copy(cpuRuns = r.runs.map(_ * 2.0), gcRuns = r.runs.map(_ => 0.05)) }
+    val full = mapper.readTree(Bench.renderFull(withEvidence, "sf",
+      Seq((0, 0.12, 0.31))))
+    val firstName = SparkEntry.queries.keys.toSeq.sorted.head
+    assert(full.get("qcpu").get(firstName).size() == 3)
+    assert(full.get("qgc").get(firstName).get(0).asDouble() == 0.05)
+    assert(full.get("spread").get(firstName).isNumber)
+    val c = full.get("canary").get(0)
+    assert(c.get(1).asDouble() == 0.12 && c.get(2).asDouble() == 0.31)
+    assert(full.get("heap_mb").isNumber)
+  }
+
   test("full artifact carries per-run per-stage wall times for pipeline queries") {
     val withStages = fakeResults + ("p1_curation_pipeline" -> QueryResult(
       Seq(4.0, 3.8), 1.0, None,
