@@ -25,6 +25,8 @@ object Bench {
     */
   private[graft] val singleRunQueries: Set[String] =
     Set("p1_curation_pipeline",
+      // p2 additionally commits four snapshot versions per run
+      "p2_incremental_curation",
       // real streaming executions: each run writes sliced source files,
       // a checkpoint dir, and a parquet sink (all /dev/shm-backed), and
       // their cost is micro-batch machinery, not the plan — the sweep

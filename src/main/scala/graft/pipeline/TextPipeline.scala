@@ -40,16 +40,7 @@ class TextPipeline(spark: SparkSession, docsPath: String, outRoot: String,
     */
   private def stage(name: String)(df: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
-    val path = s"$outRoot/$name"
-    val tmp = s"$outRoot/__${name}_tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(outRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new Path(path)
-    fs.delete(dst, true)
-    require(fs.rename(new Path(tmp), dst), s"rename failed: $tmp -> $dst")
-    val back = spark.read.parquet(path)
+    val back = TextPipeline.materialize(spark, outRoot, name, df)
     durations(name) = (System.nanoTime() - t0) / 1e9
     counts(name) = back.count()
     back
@@ -57,74 +48,24 @@ class TextPipeline(spark: SparkSession, docsPath: String, outRoot: String,
 
   private def docs(): DataFrame = spark.read.parquet(docsPath)
 
-  /** Stage 1 — language + quality gate (t9/t10 heuristics): keep docs
-    * that look like the target language and clear the token-count and
-    * stopword-ratio floors. Pure map-side filter.
-    */
-  def runQuality(): DataFrame = stage("quality") {
-    val t = TextOps.tokens(col("text"))
-    docs()
-      .withColumn("__toks", t)
-      .filter(size(col("__toks")) >= cfg.minTokens &&
-        TextOps.stopwordRatio(col("__toks")) >= cfg.minStopwordRatio &&
-        TextOps.langIdHeuristic(col("__toks"), cfg.langThreshold) === "en")
-      .drop("__toks")
-  }
+  /** Stage 1 — language + quality gate (t9/t10 heuristics). */
+  def runQuality(): DataFrame = stage("quality")(TextPipeline.qualityGate(docs(), cfg))
 
-  /** Stage 2 — exact dedup (t1): one surviving doc (min doc_id) per
-    * normalized-text fingerprint. Hash shuffle on the 128-bit
-    * fingerprint, never on text.
-    */
-  def runExactDedup(in: DataFrame): DataFrame = stage("exact_dedup") {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("__fp").orderBy(col("doc_id"))
-    in.withColumn("__fp", TextOps.fingerprint(col("text")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__fp", "__rn")
-  }
+  /** Stage 2 — exact dedup (t1). */
+  def runExactDedup(in: DataFrame): DataFrame =
+    stage("exact_dedup")(TextPipeline.exactDedup(in))
 
-  /** Stage 3 — near-dup removal (t2→t3→t6): MinHash bands → bounded
-    * LSH candidate pairs → connected components → keep only each
-    * cluster's canonical representative (the min doc_id); docs in no
-    * pair survive untouched.
-    */
-  def runNearDedup(in: DataFrame): DataFrame = stage("near_dedup") {
-    val shingled = in
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
-      .select(col("doc_id"), TextOps.wordNgrams(col("__t"), 3).as("__sh"))
-    val bands = graft.functions.native.lshBands(col("__sh"), cfg.minhashK, cfg.rowsPerBand)
-    val banded = shingled.select(col("doc_id") +: bands: _*)
-    val exploded = banded.select(col("doc_id"),
-      explode(map((0 until cfg.minhashK / cfg.rowsPerBand)
-        .flatMap(b => Seq(lit(b), col(s"band$b"))): _*)).as(Seq("band_idx", "band_val")))
-    val pairs = TextOps.lshPairsBounded(exploded, cfg.maxBucketSize)
-    val reps = TextOps.clusterPairs(pairs)
-    // anti-join on the non-representatives: clustered docs keep exactly
-    // their min-id member, unclustered docs pass through
-    val losers = reps.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
-    in.join(losers, Seq("doc_id"), "left_anti")
-  }
+  /** Stage 3 — near-dup removal (t2→t3→t6). */
+  def runNearDedup(in: DataFrame): DataFrame =
+    stage("near_dedup")(TextPipeline.nearDedup(in, cfg))
 
-  /** Stage 4 — deterministic sample (t7): md5-bucket keep/drop, stable
-    * across runs and partitionings.
-    */
-  def runSample(in: DataFrame): DataFrame = stage("sample") {
-    in.filter(TextOps.deterministicSample(col("doc_id"), cfg.samplePermille))
-  }
+  /** Stage 4 — deterministic sample (t7). */
+  def runSample(in: DataFrame): DataFrame =
+    stage("sample")(TextPipeline.sample(in, cfg))
 
-  /** Stage 5 — training chunks (t16): fixed-size token windows with
-    * overlap, the unit downstream tokenization consumes.
-    */
-  def runChunks(in: DataFrame): DataFrame = stage("chunks") {
-    in.select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
-      .filter(size(col("__t")) > 0)
-      .select(col("doc_id"), col("__t"),
-        explode(sequence(lit(0), size(col("__t")) - 1, lit(cfg.chunkStride))).as("__start"))
-      .select(col("doc_id"),
-        (col("__start") / cfg.chunkStride).cast("long").as("chunk_idx"),
-        array_join(slice(col("__t"), col("__start") + 1, lit(cfg.chunkSize)), " ").as("chunk_text"))
-  }
+  /** Stage 5 — training chunks (t16). */
+  def runChunks(in: DataFrame): DataFrame =
+    stage("chunks")(TextPipeline.chunks(in, cfg))
 
   /** The whole DAG; returns the final chunks frame. */
   def runAll(): DataFrame = {
@@ -135,6 +76,106 @@ class TextPipeline(spark: SparkSession, docsPath: String, outRoot: String,
 }
 
 object TextPipeline {
+
+  /** Materialize a stage to `outRoot/<name>` via temp-dir + rename swap
+    * (mirroring `Scale.mergeParquet`): the stage's input DataFrame may
+    * lazily read an EARLIER checkpoint of the same name under this
+    * outRoot (re-running a stage, resuming a pipeline), and a direct
+    * mode(overwrite) would delete the files being read mid-scan. Writing
+    * to `__<name>_tmp` first means the plan fully materializes before
+    * the old checkpoint is touched; the swap is then a delete + rename.
+    * Shared by [[TextPipeline]] and [[IncrementalPipeline]].
+    */
+  private[pipeline] def materialize(spark: SparkSession, outRoot: String,
+                                    name: String, df: DataFrame): DataFrame = {
+    val path = s"$outRoot/$name"
+    val tmp = s"$outRoot/__${name}_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path)
+    fs.delete(dst, true)
+    require(fs.rename(new Path(tmp), dst), s"rename failed: $tmp -> $dst")
+    spark.read.parquet(path)
+  }
+
+  /** Language + quality gate (t9/t10 heuristics): keep docs that look
+    * like the target language and clear the token-count and
+    * stopword-ratio floors. Pure map-side filter — the same lazy plan
+    * whether the input is the whole corpus (p1 bootstrap) or a delta
+    * batch (p2 refresh).
+    */
+  def qualityGate(in: DataFrame, cfg: Config): DataFrame = in
+    .withColumn("__toks", TextOps.tokens(col("text")))
+    .filter(size(col("__toks")) >= cfg.minTokens &&
+      TextOps.stopwordRatio(col("__toks")) >= cfg.minStopwordRatio &&
+      TextOps.langIdHeuristic(col("__toks"), cfg.langThreshold) === "en")
+    .drop("__toks")
+
+  /** Exact dedup (t1): one surviving doc (min doc_id) per
+    * normalized-text fingerprint. Hash shuffle on the 128-bit
+    * fingerprint, never on text.
+    */
+  def exactDedup(in: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__fp").orderBy(col("doc_id"))
+    in.withColumn("__fp", TextOps.fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Exploded LSH band rows `(doc_id, band_idx, band_val)` for a doc
+    * frame — the shared currency of the in-batch pair join (t3), the
+    * persisted dedup index (t48), and its probe. NULL bands (docs too
+    * short to shingle) are dropped: they can never match, and the
+    * index contract requires them absent.
+    */
+  def bandRows(in: DataFrame, cfg: Config): DataFrame = {
+    val shingled = in
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), TextOps.wordNgrams(col("__t"), 3).as("__sh"))
+    val bands = graft.functions.native.lshBands(col("__sh"), cfg.minhashK, cfg.rowsPerBand)
+    shingled.select(col("doc_id") +: bands: _*)
+      .select(col("doc_id"),
+        explode(map((0 until cfg.minhashK / cfg.rowsPerBand)
+          .flatMap(b => Seq(lit(b), col(s"band$b"))): _*)).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+  }
+
+  /** Near-dup removal (t2→t3→t6): MinHash bands → bounded LSH
+    * candidate pairs → connected components → keep only each cluster's
+    * canonical representative (the min doc_id); docs in no pair
+    * survive untouched.
+    */
+  def nearDedup(in: DataFrame, cfg: Config): DataFrame = {
+    val pairs = TextOps.lshPairsBounded(bandRows(in, cfg), cfg.maxBucketSize)
+    val reps = TextOps.clusterPairs(pairs)
+    // anti-join on the non-representatives: clustered docs keep exactly
+    // their min-id member, unclustered docs pass through
+    val losers = reps.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+    in.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Deterministic sample (t7): md5-bucket keep/drop, stable across
+    * runs and partitionings.
+    */
+  def sample(in: DataFrame, cfg: Config): DataFrame =
+    in.filter(TextOps.deterministicSample(col("doc_id"), cfg.samplePermille))
+
+  /** Training chunks (t16): fixed-size token windows with overlap, the
+    * unit downstream tokenization consumes.
+    */
+  def chunks(in: DataFrame, cfg: Config): DataFrame =
+    in.select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0), size(col("__t")) - 1, lit(cfg.chunkStride))).as("__start"))
+      .select(col("doc_id"),
+        (col("__start") / cfg.chunkStride).cast("long").as("chunk_idx"),
+        array_join(slice(col("__t"), col("__start") + 1, lit(cfg.chunkSize)), " ").as("chunk_text"))
+
   /** Per-stage wall times of the most recent `runAll` in this JVM —
     * the bench's evidence channel. Two identical-code driver rounds
     * (r11: 10.42 s, r12: 7.61 s vs the builder's same-HEAD 4.0 s)

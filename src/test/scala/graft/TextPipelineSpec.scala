@@ -58,6 +58,52 @@ class TextPipelineSpec extends SparkSpec {
       "near-dedup removed docs on a second pass — clustering is not converging")
   }
 
+  test("incremental pipeline: O(delta) stages, index maintenance, cross-batch dedup") {
+    val out = freshRoot("inc")
+    val p = new graft.pipeline.IncrementalPipeline(
+      spark, s"$sf001/documents.parquet", out, openGate)
+    p.run()
+    val c = p.counts
+    // the hist/delta residue split partitions the gated corpus
+    assert(c("hist_quality") + c("delta_quality") == 500, s"split lost docs: $c")
+    // monotone shrink through the delta filter stages
+    assert(c("delta_quality") >= c("delta_exact") &&
+      c("delta_exact") >= c("delta_probe") &&
+      c("delta_probe") >= c("delta_near") &&
+      c("delta_near") >= c("delta_sample"), s"non-monotone delta stages: $c")
+    // the corpus has near-dups (t3/t6) and 3/4 of any dup's partners land
+    // in history, so the history probe must really drop delta docs here
+    assert(c("delta_probe") < c("delta_exact"),
+      s"index probe dropped nothing from a corpus with known near-dups: $c")
+    // every surviving delta doc is in the delta residue class
+    val dn = spark.read.parquet(s"$out/delta_near")
+    assert(dn.filter(col("doc_id") % 4 =!= 3).count() == 0,
+      "a history doc leaked into the delta stages")
+    // index maintenance is incremental: v1 = v0 + the survivors' bands,
+    // history never re-banded
+    val v0 = graft.operators.Scale.readSnapshot(spark, p.bandIdxPath, Some(0L))
+    val v1 = graft.operators.Scale.readSnapshot(spark, p.bandIdxPath, Some(1L))
+    val dnBands = TextPipeline.bandRows(dn, openGate)
+    assert(v1.count() == v0.count() + dnBands.count(),
+      "band index v1 is not v0 + delta survivors")
+    // cross-batch exact dedup: no delta survivor shares a fingerprint
+    // with the committed history index
+    val hFp = graft.operators.Scale.readSnapshot(spark, p.fpIdxPath, Some(0L)).select("fp")
+    val deFp = spark.read.parquet(s"$out/delta_exact")
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+    assert(deFp.join(hFp, Seq("fp"), "left_semi").count() == 0,
+      "a delta doc with a history fingerprint survived delta_exact")
+    // cross-batch near dedup: no probe survivor shares an un-capped band
+    // with index v0
+    val dpBands = TextPipeline.bandRows(
+      spark.read.parquet(s"$out/delta_probe"), openGate)
+    assert(dpBands.join(v0.select("band_idx", "band_val"),
+      Seq("band_idx", "band_val"), "left_semi").count() == 0,
+      "a delta doc sharing a history LSH band survived the probe")
+    // the commit wall times are first-class stage evidence
+    assert(p.durations.contains("commit_v0") && p.durations.contains("commit_v1"))
+  }
+
   test("the DAG is deterministic: two runs produce identical chunk sets") {
     val (outA, outB) = (freshRoot("c1"), freshRoot("c2"))
     def runOnce(out: String): Set[(Long, Long, String)] = {
