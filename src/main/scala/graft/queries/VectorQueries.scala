@@ -306,6 +306,149 @@ object VectorQueries {
     }
   }
 
+  /** v22's codebooks: per-subspace CONVERGENCE-TESTED k-means
+    * ([[VectorOps.kmeansFitConverged]] — the v18 movement-floor fit)
+    * instead of v11's fixed-round `deterministicCentroids`, so the PQ
+    * codebooks are *trained until stable*, per real PQ practice. Same
+    * memoization + on-disk artifact discipline as [[pqCodebooksFor]];
+    * the subspaces share the sample and seed ROWS (each slices its own
+    * dims), so the oracle replays one sample CTE.
+    */
+  private def pqConvergedCodebooksFor(s: org.apache.spark.sql.SparkSession,
+                                      dir: String, m: Int, subDims: Int,
+                                      k: Int): Seq[Array[Seq[Double]]] = {
+    val fp = embeddingsFingerprint(s, dir)
+    (0 until m).map { mi =>
+      ivfCentroids.computeIfAbsent(
+        s"pqc|$dir|$fp|$mi|$subDims|$k|$kmMaxIters|$kmFloorE6", { _ =>
+          val cacheDir = sys.props.get("graft.ivf.cache.dir")
+            .orElse(sys.env.get("GRAFT_IVF_CACHE_DIR"))
+            .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_ivf")
+          val artifact =
+            s"$cacheDir/pqc_${fp}_${mi}_${subDims}_${k}_${kmMaxIters}_$kmFloorE6.json"
+          VectorOps.loadCentroids(s, artifact).getOrElse {
+            val sliced = Tables.embeddings(s, dir).select(col("vec_id"),
+              slice(col("embedding"), mi * subDims + 1, subDims).as("sub"))
+            val fitted = VectorOps.kmeansFitConverged(
+              sliced, k, kmMaxIters, kmFloorE6, cVec = "sub")._1
+            scala.util.Try(VectorOps.saveCentroids(s, fitted, artifact))
+            fitted
+          }
+        })
+    }
+  }
+
+  /** v22 oracle: replays the per-subspace CONVERGED fits — up to
+    * `kmMaxIters` exact integer Lloyd rounds per subspace, each round's
+    * max centroid movement tested against the micro-unit floor, the
+    * first converged round's codebook selected (the cap's otherwise) —
+    * then the corpus encoding and ADC ranking, all in one statement.
+    * The movement arithmetic is [[lloydRoundE6]]'s at `subDims` width:
+    * remainder-subtracted integer division (trunc == floor on the
+    * exactly-divisible difference), so the stopping decision is made by
+    * the same integers in both engines. A codebook picked from the
+    * wrong round would shift cell assignments and diverge the ranking.
+    */
+  private def pqTrainedOracle(m: Int, subDims: Int, k: Int, topK: Int,
+                              permille: Int): String = {
+    def sl(x: String, mi: Int) =
+      s"list_slice($x, ${mi * subDims + 1}, ${(mi + 1) * subDims})"
+    def sDist2(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($subDims), i -> ($a[i + 1] - $b[i + 1]) * ($a[i + 1] - $b[i + 1]))), (acc, x) -> acc + x)"
+    def round(mi: Int, prev: String, next: String) = s"""
+        d_$next AS (
+          SELECT cell, list_transform(ctr_e6, v -> CAST(v AS DOUBLE) / 1000000.0) AS ctr
+          FROM $prev),
+        a_$next AS (
+          SELECT vec_id, xd, cell FROM (
+            SELECT s.vec_id, s.xd, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id
+                     ORDER BY ${sDist2("s.xd", "c.ctr")} ASC, c.cell ASC) AS rn
+            FROM smp_$mi s CROSS JOIN d_$next c)
+          WHERE rn = 1),
+        s_$next AS (
+          SELECT cell, i.i AS idx,
+                 CAST(sum(CAST(floor(xd[i.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sm,
+                 count(*) AS n
+          FROM a_$next CROSS JOIN (SELECT unnest(range($subDims)) AS i) i
+          GROUP BY cell, i.i),
+        u_$next AS (
+          SELECT cell, list((sm - (sm % n)) // n ORDER BY idx) AS ctr_e6
+          FROM s_$next GROUP BY cell),
+        $next AS (
+          SELECT p.cell, coalesce(u.ctr_e6, p.ctr_e6) AS ctr_e6,
+                 CAST(CASE WHEN u.cell IS NULL THEN 0
+                      ELSE list_aggregate(list_transform(range($subDims),
+                        j -> abs(u.ctr_e6[j + 1] - p.ctr_e6[j + 1])), 'max')
+                      END AS BIGINT) AS move_e6
+          FROM $prev p LEFT JOIN u_$next u ON p.cell = u.cell)"""
+    val perSub = (0 until m).map { mi =>
+      val rounds = (1 to kmMaxIters).map(r =>
+        round(mi, if (r == 1) s"cb0_$mi" else s"cb${r - 1}_$mi", s"cb${r}_$mi"))
+        .mkString(",")
+      val mvs = (1 to kmMaxIters)
+        .map(r => s"mv${r}_$mi AS (SELECT max(move_e6) AS m FROM cb${r}_$mi)")
+        .mkString(",\n        ")
+      // the FIRST round whose max movement hits the floor wins; the
+      // cap's round is the fallback when no round converged (and also
+      // covers converged-exactly-at-the-cap — no double emission, its
+      // branch only requires every EARLIER round to still be moving)
+      val fins = (1 to kmMaxIters).map { r =>
+        val before = (1 until r).map(j => s"(SELECT m FROM mv${j}_$mi) > $kmFloorE6")
+        val conds =
+          if (r == kmMaxIters) before
+          else before :+ s"(SELECT m FROM mv${r}_$mi) <= $kmFloorE6"
+        val w = if (conds.isEmpty) "" else " WHERE " + conds.mkString(" AND ")
+        s"SELECT cell, ctr_e6 FROM cb${r}_$mi$w"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+        smp_$mi AS (SELECT vec_id, ${sl("xd", mi)} AS xd FROM smp),
+        cb0_$mi AS (
+          SELECT cell, list_transform(${sl("xd", mi)},
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS ctr_e6
+          FROM seeds WHERE cell < $k),$rounds,
+        $mvs,
+        fin_$mi AS (
+          SELECT cell, list_transform(ctr_e6, v -> CAST(v AS DOUBLE) / 1000000.0) AS ctr
+          FROM ($fins)),
+        code_$mi AS (
+          SELECT vec_id, ctr AS ctr_$mi FROM (
+            SELECT e.vec_id, c.ctr,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sDist2(sl("e.cd", mi), "c.ctr")} ASC, c.cell ASC) AS rn
+            FROM corp e CROSS JOIN fin_$mi c)
+          WHERE rn = 1)"""
+    }.mkString(",")
+    def sDot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($subDims), i -> ($a[i + 1]) * ($b[i + 1]))), (acc, x) -> acc + x)"
+    val joins = (1 until m).map(mi => s"JOIN code_$mi USING (vec_id)").mkString(" ")
+    val cn2 = (0 until m).map(mi => sDot(s"ctr_$mi", s"ctr_$mi")).mkString(" + ")
+    val adcDot = (0 until m).map(mi => sDot(sl("p.qd", mi), s"e.ctr_$mi")).mkString(" + ")
+    s"""
+        WITH smp AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+          FROM embeddings
+          WHERE ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < $permille * 65536),
+        seeds AS (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY md5('ivfseed' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell, xd
+          FROM smp),
+        corp AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cd
+          FROM embeddings),$perSub,
+        enc AS (SELECT *, sqrt($cn2) AS cn FROM (SELECT * FROM code_0 $joins)),
+        probes AS (
+          SELECT vec_id AS qid, cd AS qd, sqrt(${dDot("cd", "cd")}) AS qn
+          FROM corp WHERE vec_id < 10),
+        scored AS (
+          SELECT p.qid, e.vec_id AS nid, ($adcDot) / (p.qn * e.cn) AS cos
+          FROM enc e CROSS JOIN probes p WHERE e.vec_id != p.qid),
+        ranked AS (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid FROM ranked WHERE rnk <= $topK ORDER BY qid, rnk"""
+  }
+
   /** v11 oracle: replays the per-subspace deterministic fits (shared
     * sample + seed rows), the corpus encoding, and the asymmetric-
     * distance ranking in SQL — the PQ analogue of [[ivfOracle]].
@@ -1048,6 +1191,52 @@ object VectorQueries {
             col("vec_id").as("nid"))
       },
       Some(pqOracle(m = 8, subDims = 8, k = 64, iters = 1, topK = 5,
+        permille = 200))),
+
+    // v22: PQ with TRAINED codebooks — v11's ranking machinery, but the
+    // per-subspace codebooks come from the v18 convergence-tested
+    // k-means (movement-floor early stop) instead of a fixed single
+    // Lloyd round: the "real PQ is trained" gap named in round 13.
+    // v11's exact 8×8d×64 geometry, trained to convergence; the oracle replays each
+    // subspace's full convergence loop (up to the cap, first round
+    // under the floor wins) plus encoding and ADC ranking in one
+    // statement, so the stopping RULE participates in the hash match.
+    // Ranking agreement vs exact v1 is measured in QualityMetricsSpec →
+    // docs/QUALITY.json. Scale: training is per-subspace jobs over the
+    // cached ‰ sample (k×subDims agg rows each); encoding is one
+    // map-side pass against broadcast codebook literals; ranking is the
+    // v11 broadcast-probes × streamed-corpus shape.
+    Q("v22_pq_trained",
+      (s, d) => {
+        val (m, subDims, k) = (8, 8, 64)
+        val cbs = pqConvergedCodebooksFor(s, d, m, subDims, k)
+        val emb = preparedEmbeddings(s, d)
+        def sel(mi: Int) = element_at(
+          array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            cbs(mi).map(c => typedLit(c))): _*), col(s"code_$mi") + 1)
+        val codes = (0 until m).map(mi => VectorOps.assignCell(
+          slice(col("__cd"), mi * subDims + 1, subDims), cbs(mi).toSeq).as(s"code_$mi"))
+        val cn = sqrt((0 until m).map(mi =>
+          graft.functions.native.dotD(sel(mi), sel(mi))).reduce(_ + _))
+        val coded = emb.select((col("vec_id") +: codes): _*)
+          .withColumn("cn", cn)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("__cd").as("qd"),
+            col("__cn").as("qn"))
+        val adcDot = (0 until m).map { mi =>
+          graft.functions.native.dotD(
+            slice(col("qd"), mi * subDims + 1, subDims), sel(mi))
+        }.reduce(_ + _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+        coded.join(broadcast(probes), col("vec_id") =!= col("qid"))
+          .withColumn("cos", adcDot / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"),
+            col("vec_id").as("nid"))
+      },
+      Some(pqTrainedOracle(m = 8, subDims = 8, k = 64, topK = 5,
         permille = 200))),
 
     // v3: LSH-bucketed approximate top-k (scale path). Fully

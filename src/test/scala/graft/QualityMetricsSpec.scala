@@ -37,6 +37,12 @@ class QualityMetricsSpec extends SparkSpec {
     // metric gap (the corpus is unnormalized), so its floor sits between
     // v10's binarized extreme and v9's near-exact agreement
     val v11Agree = (exactTopk intersect topkSet("v11_pq_topk")).size.toDouble / exactTopk.size
+    // v22 is PQ-ADC at v11's exact geometry (8×8d×64) but with
+    // codebooks trained to CONVERGENCE (movement-floor k-means) instead
+    // of one fixed Lloyd round — the trained-codebook recall row round
+    // 13 asked for; on this corpus the converged fit matches the
+    // 1-round agreement while guaranteeing stable codebooks
+    val v22Agree = (exactTopk intersect topkSet("v22_pq_trained")).size.toDouble / exactTopk.size
 
     // v6 pair recall vs the exhaustive threshold set: how many true
     // cos>=0.35 pairs does single-assignment cell blocking keep? (the
@@ -136,6 +142,7 @@ class QualityMetricsSpec extends SparkSpec {
     assert(v9Agree >= 0.8, s"v9 top-5 agreement $v9Agree")
     assert(v10Agree >= 0.1, s"v10 top-5 agreement $v10Agree")
     assert(v11Agree >= 0.1, s"v11 top-5 agreement $v11Agree")
+    assert(v22Agree >= 0.1, s"v22 top-5 agreement $v22Agree")
     assert(v6Recall >= 0.5, s"v6 pair recall $v6Recall")
     assert(v13EdgeRecall >= 0.4, s"v13 IVF-path edge recall $v13EdgeRecall")
     assert(v15Recall >= 0.3, s"v15 augmented-IVF MIPS recall $v15Recall")
@@ -161,6 +168,7 @@ class QualityMetricsSpec extends SparkSpec {
          |  "v9_sq8_topk":        {"topk_agreement_vs_v1": $v9Agree%.4f, "floor": 0.8},
          |  "v10_bitpack_topk":   {"topk_agreement_vs_v1": $v10Agree%.4f, "floor": 0.1},
          |  "v11_pq_topk":        {"topk_agreement_vs_v1": $v11Agree%.4f, "floor": 0.1},
+         |  "v22_pq_trained":     {"topk_agreement_vs_v1": $v22Agree%.4f, "floor": 0.1},
          |  "r21_approx_distinct": {"max_rel_err_vs_r20": $r21MaxRelErr%.4f, "bound": 0.05},
          |  "r35_approx_quantile": {"max_rel_err_vs_r33": $r35MaxRelErr%.4f, "bound": 0.01}
          |}
