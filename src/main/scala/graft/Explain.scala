@@ -53,7 +53,8 @@ object Explain {
     "h3_zorder_skipping", "r67_sole_blame_suppliers",
     "v20_matryoshka_agreement", "v21_hybrid_rrf",
     "t50_repetition_filters", "d4_dq_recommend", "r68_dominant_suppliers",
-    "r69_idle_rich_customers")
+    "r69_idle_rich_customers", "r70_small_quantity_revenue",
+    "r71_cheapest_supplier", "v22_pq_trained")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is

@@ -1928,6 +1928,118 @@ object RelationalQueries {
         FROM c, t
         WHERE bal_c * n_pos > sum_pos
           AND c_custkey NOT IN (SELECT o_custkey FROM orders)
-        GROUP BY c_nationkey ORDER BY nation"""))
+        GROUP BY c_nationkey ORDER BY nation""")),
+
+    // r70: TPC-H Q17 shape — the CORRELATED SCALAR-AGGREGATE threshold
+    // ("small-quantity orders", revenue from lineitems whose quantity is
+    // under 20% of their part's average). The naive plan recomputes the
+    // per-part average once per lineitem row (a correlated subquery —
+    // O(rows × group) or a rewrite the optimizer may fumble); the
+    // aggregate-then-join-back rewrite (r50's discipline) still SCANS
+    // THE FACT TWICE, once to reduce and once to re-join. The plan here
+    // does it in ONE fact scan: the per-part Σqty/n are window
+    // aggregates over `partition by l_partkey` — a single fact-wide
+    // exchange keyed by partkey serves both statistics and the row-level
+    // threshold test, with no self-join at all (at 100 TB the second
+    // scan, not the shuffle, is the dominated cost). The 20%-of-average
+    // test is exact integer cross-multiplication (qty·5·n < Σqty), no
+    // division, so both engines decide each row with the same BIGINTs.
+    // The part filter (p_size ≤ 5, ~10% of parts) broadcasts and prunes
+    // the fact before the exchange.
+    Q("r70_small_quantity_revenue",
+      (s, d) => {
+        val parts = Tables.part(s, d).filter(col("p_size") <= 5)
+          .select(col("p_partkey"), col("p_brand"))
+        val w = Window.partitionBy("l_partkey")
+        Tables.lineitem(s, d)
+          .select(col("l_partkey"), asLong(col("l_quantity")).as("qty"),
+            cents(col("l_extendedprice")).as("price_c"))
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .withColumn("sum_qty", sum(col("qty")).over(w))
+          .withColumn("n_li", count(lit(1)).over(w))
+          .filter(col("qty") * lit(5L) * col("n_li") < col("sum_qty"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_small"), sum(col("price_c")).as("rev_cents"))
+          .orderBy("p_brand")
+      },
+      Some(s"""
+        WITH p AS (SELECT p_partkey, p_brand FROM part WHERE p_size <= 5),
+        li AS (
+          SELECT l_partkey, p_brand,
+                 ${sqlLong("l_quantity")} AS qty,
+                 ${sqlCents("l_extendedprice")} AS price_c
+          FROM lineitem JOIN p ON l_partkey = p_partkey),
+        pp AS (
+          SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+                 count(*) AS n_li
+          FROM li GROUP BY 1)
+        SELECT p_brand, count(*) AS n_small,
+               CAST(sum(price_c) AS BIGINT) AS rev_cents
+        FROM li JOIN pp USING (l_partkey)
+        WHERE qty * 5 * n_li < sum_qty
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // r71: TPC-H Q2 shape — MIN-PER-KEY with the achieving rows joined
+    // back ("cheapest supplier per part", restricted to one region).
+    // Q2's correlated subquery (ps_supplycost = MIN over that part's
+    // suppliers) is the other classic place naive plans recompute an
+    // aggregate per row; the right plan is two reduced frames: offers
+    // per (part, supplier) — one partial-agg shuffle over the
+    // part-filtered fact — then the per-part minimum over THAT frame
+    // (offers-sized, not fact-sized), equi-joined back on (partkey,
+    // price) to select exactly the achieving pairs, ties included.
+    // Supplier/nation/region are broadcast dims; the region filter
+    // (EUROPE) prunes suppliers before the offer join. Prices compare
+    // as exact cents, and the output order (balance desc, name,
+    // partkey) is total.
+    Q("r71_cheapest_supplier",
+      (s, d) => {
+        val parts = Tables.part(s, d).filter(col("p_size") <= 3)
+          .select(col("p_partkey"), col("p_brand"))
+        val eurSupp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            cents(col("s_acctbal")).as("bal_c"))
+        val offers = Tables.lineitem(s, d)
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"), col("p_brand"),
+            col("s_name"), col("n_name"), col("bal_c"))
+          .agg(min(cents(col("l_extendedprice"))).as("offer_c"))
+        val best = offers.groupBy(col("l_partkey").as("bp"))
+          .agg(min(col("offer_c")).as("best_c"))
+        offers.join(best,
+            col("l_partkey") === col("bp") && col("offer_c") === col("best_c"))
+          .select(col("l_partkey").as("partkey"), col("p_brand"),
+            col("s_name"), col("n_name").as("nation"), col("bal_c"),
+            col("best_c"))
+          .orderBy(col("bal_c").desc, col("s_name").asc, col("partkey").asc)
+      },
+      Some(s"""
+        WITH p AS (SELECT p_partkey, p_brand FROM part WHERE p_size <= 3),
+        es AS (
+          SELECT s_suppkey, s_name, n_name,
+                 ${sqlCents("s_acctbal")} AS bal_c
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+        offers AS (
+          SELECT l_partkey, l_suppkey, p_brand, s_name, n_name, bal_c,
+                 CAST(min(${sqlCents("l_extendedprice")}) AS BIGINT) AS offer_c
+          FROM lineitem
+          JOIN p ON l_partkey = p_partkey
+          JOIN es ON l_suppkey = s_suppkey
+          GROUP BY 1, 2, 3, 4, 5, 6),
+        best AS (
+          SELECT l_partkey AS bp, CAST(min(offer_c) AS BIGINT) AS best_c
+          FROM offers GROUP BY 1)
+        SELECT l_partkey AS partkey, p_brand, s_name, n_name AS nation,
+               bal_c, best_c
+        FROM offers JOIN best ON l_partkey = bp AND offer_c = best_c
+        ORDER BY bal_c DESC, s_name ASC, partkey ASC"""))
   )
 }
