@@ -586,6 +586,61 @@ object RelationalQueries {
         SELECT o_orderkey, version, cents, o_orderstatus
         FROM merged WHERE rn = 1 AND NOT deleted ORDER BY o_orderkey""")),
 
+    // s12: STREAMING CDC UPSERT SINK — r36's merge semantics driven by a
+    // real StreamingQuery: a 3-version CDC log replays as one micro-batch
+    // per version (foreachBatch), and each batch's frame is applied to a
+    // keyed parquet TABLE via Scale.mergeParquet (newest-per-key,
+    // tombstone delete, locked rename-swap) — the incremental form of
+    // the reference's full-overwrite warehouse load. Cross-batch cases
+    // exercised for real: batch 0 bootstraps the table, batch 1 updates
+    // %10 keys and TOMBSTONES %20 keys, batch 2 RESURRECTS the %40 keys
+    // batch 1 deleted (an upsert against a base that no longer holds the
+    // key). The oracle replays the whole log in one newest-per-key
+    // statement — streamed merge-by-merge must equal the one-shot merge.
+    // Scale: each batch's merge cost is O(batch + touched base); the
+    // replay machinery is the production foreachBatch topology.
+    Q("s12_stream_cdc_upsert",
+      (s, d) => {
+        def v(n: Long, filt: org.apache.spark.sql.Column, dCents: Long,
+              status: org.apache.spark.sql.Column,
+              del: org.apache.spark.sql.Column) =
+          Tables.orders(s, d).filter(filt)
+            .select(col("o_orderkey"), lit(n).as("version"),
+              (cents(col("o_totalprice")) + dCents).as("cents"),
+              status.as("o_orderstatus"), del.as("deleted"))
+        val log = v(1L, lit(true), 0L, col("o_orderstatus"), lit(false))
+          .unionByName(v(2L, col("o_orderkey") % 10 === 0, 999L, lit("U"),
+            col("o_orderkey") % 20 === 0))
+          .unionByName(v(3L, col("o_orderkey") % 40 === 0, 500L, lit("R"),
+            lit(false)))
+        val table = java.nio.file.Files.createTempDirectory(
+          graft.streaming.StreamExec.scratchParent, "cdc_tbl_").toString + "/t"
+        graft.streaming.StreamExec.replayForeachBatch(log, "version", 3) { b =>
+          graft.operators.Scale.mergeParquet(s, table, b, Seq("o_orderkey"),
+            Seq(col("version").desc), deleteCol = Some("deleted"))
+        }
+        s.read.parquet(table).orderBy("o_orderkey")
+      },
+      Some(s"""
+        WITH log AS (
+          SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+                 ${sqlCents("o_totalprice")} AS cents, o_orderstatus,
+                 FALSE AS deleted
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, 2, ${sqlCents("o_totalprice")} + 999, 'U',
+                 o_orderkey % 20 = 0
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, 3, ${sqlCents("o_totalprice")} + 500, 'R', FALSE
+          FROM orders WHERE o_orderkey % 40 = 0),
+        m AS (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY version DESC) AS rn
+          FROM log)
+        SELECT o_orderkey, version, cents, o_orderstatus
+        FROM m WHERE rn = 1 AND NOT deleted ORDER BY o_orderkey""")),
+
     // r33: exact quantiles — both engines interpolate linearly at
     // (n-1)*p over sorted values; inputs are exact ints so the midpoint
     // arithmetic is bit-identical.

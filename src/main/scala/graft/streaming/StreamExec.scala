@@ -96,7 +96,8 @@ object StreamExec {
     * source's oldest-first order is the replay order, and the sentinel
     * must be processed last or every real event goes late.
     */
-  private def writeSlices(input: DataFrame, tsCol: String, sentinel: DataFrame,
+  private def writeSlices(input: DataFrame, tsCol: String,
+                          sentinelOpt: Option[DataFrame],
                           slices: Int, root: java.nio.file.Path,
                           src: java.nio.file.Path): Unit = {
     java.nio.file.Files.createDirectories(src)
@@ -122,7 +123,47 @@ object StreamExec {
         expr(s"(cast(`$tsCol` as bigint) - ${lo}L) div ${span}L") === i),
         f"slice$i%04d", i)
     }
-    addFile(sentinel, "zsentinel", slices)
+    // watermark-flush sentinel — append-mode aggregation replays need it;
+    // foreachBatch replays (no watermark, emission is the batch callback
+    // itself) omit it
+    sentinelOpt.foreach(addFile(_, "zsentinel", slices))
+  }
+
+  /** Replay `input` as `slices` files ordered by `orderCol` and hand
+    * each micro-batch's frame to `onBatch` — the `foreachBatch` half of
+    * the harness, for sinks that are STATEMENTS rather than appends
+    * (CDC upsert into a keyed table, warehouse MERGE). No watermark and
+    * no sentinel: emission IS the callback, which Structured Streaming
+    * invokes strictly in batch order with batch N+1 not starting until
+    * N's callback returns — exactly the ordering a merge sequence
+    * needs. Empty batches (possible when a slice range holds no rows)
+    * are skipped. The incrementality require is the same as
+    * [[replayFileStream]]'s: the work must actually arrive split.
+    */
+  def replayForeachBatch(input: DataFrame, orderCol: String, slices: Int)
+                        (onBatch: DataFrame => Unit): Unit = {
+    val spark = input.sparkSession
+    require(slices >= 2, s"replayForeachBatch: need >= 2 slices, got $slices")
+    val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayfb_")
+    val src = root.resolve("src")
+    writeSlices(input, orderCol, None, slices, root, src)
+    val q = spark.readStream
+      .schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!df.isEmpty) onBatch(df.toDF())
+      }
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streamRanSinceTeardown = true
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= slices,
+      s"replayForeachBatch: expected >= $slices data micro-batches, saw " +
+        s"$dataBatches - the run was not incremental")
   }
 
   def replayFileStream(input: DataFrame, tsCol: String, sentinel: DataFrame,
@@ -133,7 +174,7 @@ object StreamExec {
       s"cross-batch state, got $slices")
     val root = java.nio.file.Files.createTempDirectory(scratchParent, "replay_")
     val src = root.resolve("src")
-    writeSlices(input, tsCol, sentinel, slices, root, src)
+    writeSlices(input, tsCol, Some(sentinel), slices, root, src)
 
     val out = root.resolve("out").toString
     // State partition count is FROZEN INTO THE CHECKPOINT at query
@@ -190,8 +231,8 @@ object StreamExec {
     val root = java.nio.file.Files.createTempDirectory(scratchParent, "replay2_")
     val srcA = root.resolve("srcA")
     val srcB = root.resolve("srcB")
-    writeSlices(a, tsCol, sentinelA, slices, root, srcA)
-    writeSlices(b, tsCol, sentinelB, slices, root, srcB)
+    writeSlices(a, tsCol, Some(sentinelA), slices, root, srcA)
+    writeSlices(b, tsCol, Some(sentinelB), slices, root, srcB)
     val out = root.resolve("out").toString
     val shuffleKey = "spark.sql.shuffle.partitions"
     val savedShuffle = spark.conf.get(shuffleKey)

@@ -439,4 +439,19 @@ class StreamingSpec extends SparkSpec {
     assert(EventStreams.sessionizeNative(split.toDF(), gapUs).count() == 2)
     assert(EventStreams.sessionizeBatch(split.toDS(), gapUs).count() == 2)
   }
+
+  test("replayForeachBatch delivers one ordered batch per slice") {
+    // the CDC-merge contract (s12) rests on two properties of the
+    // harness: each version arrives as its OWN micro-batch, and
+    // callbacks run strictly in version order — pin both
+    val log = (1 to 3).flatMap(v => (1 to 5).map(k => (k.toLong, v.toLong)))
+      .toDF("k", "version")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    graft.streaming.StreamExec.replayForeachBatch(log, "version", 3) { b =>
+      val r = b.agg(min(col("version")), max(col("version")), count(lit(1))).head()
+      seen.synchronized { seen += ((r.getLong(0), r.getLong(1), r.getLong(2))); () }
+    }
+    assert(seen.toSeq == Seq((1L, 1L, 5L), (2L, 2L, 5L), (3L, 3L, 5L)),
+      s"batches arrived merged or out of order: $seen")
+  }
 }
