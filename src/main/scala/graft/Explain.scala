@@ -10,7 +10,7 @@ import java.nio.file.{Files, Paths}
   * Usage: sbt 'runMain graft.Explain [sfDir] [outFile]'
   */
 object Explain {
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "r1_pricing_summary", "r2_filter_project", "r10_star_join",
     "r7_dedup_latest", "r14_window_analytics", "e7_dim_customers",
     "e9_fact_sales", "t2_minhash_signature", "t3_lsh_dup_pairs",
@@ -80,16 +80,23 @@ object Explain {
     sb.append(s"Generated against `$sfDir` by `graft.Explain`. The evidence for the\n")
     sb.append("scale design: `PushedFilters`/`ReadSchema` at the scans, `BroadcastHashJoin`\n")
     sb.append("for dimension joins, bounded `Exchange` counts, `WholeStageCodegen` spans.\n")
+    val fps = scala.collection.mutable.ArrayBuffer.empty[(String, graft.plans.PlanFingerprint.Fp)]
     headline.foreach { name =>
       qs.get(name).foreach { fn =>
         val plan = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         sb.append(s"\n## $name\n\n```\n$plan```\n")
+        fps += (name -> graft.plans.PlanFingerprint.ofExplain(plan))
       }
     }
     Files.createDirectories(Paths.get(out).getParent)
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"[explain] wrote $out (${headline.size} plans)")
+    // the machine-checkable core of the same evidence: operator multiset
+    // + exchange counts per query, gated by PlanSpec against silent
+    // exchange growth (regenerate HERE to review a legitimate change)
+    val fpOut = Paths.get(out).resolveSibling("PLAN_FINGERPRINTS.json")
+    Files.writeString(fpOut, graft.plans.PlanFingerprint.toJson(fps.toSeq, sfDir))
+    println(s"[explain] wrote $out (${headline.size} plans) + $fpOut")
     spark.stop()
   }
 }

@@ -285,6 +285,38 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"v14 shuffles vector payloads on a key: ${bad14.map(_.schema.simpleString)}")
   }
 
+  test("plan fingerprints match the committed artifact (exchange budget gate)") {
+    // docs/PLAN_FINGERPRINTS.json is the machine-checkable half of
+    // EXPLAINS.md: per-query exchange counts, committed and reviewed.
+    // Any drift — a shuffle added by an innocent-looking refactor, a
+    // broadcast silently degrading to an exchange — fails here until
+    // `sbt 'runMain graft.Explain'` regenerates the artifact and the
+    // diff is reviewed in the commit. Same sfDir and session geometry
+    // as the generator, so plans are reproducible bit-for-bit.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val artifact = new java.io.File("/root/repo/docs/PLAN_FINGERPRINTS.json")
+    assert(artifact.exists, "run `sbt 'runMain graft.Explain'` to create the fingerprint artifact")
+    val committed = mapper.readTree(artifact).get("queries")
+    val qs = SparkEntry.queries
+    val sfDir = "/root/testdata/sf0.01"
+    val diffs = graft.Explain.headline.flatMap { name =>
+      val fp = graft.plans.PlanFingerprint.of(qs(name)(spark, sfDir))
+      val c = committed.get(name)
+      if (c == null) Some(s"$name: not in artifact (new query? regenerate)")
+      else {
+        val exp = (c.get("shuffles").asInt(), c.get("broadcasts").asInt(),
+          c.get("reused").asInt())
+        val got = (fp.shuffles, fp.broadcasts, fp.reused)
+        if (exp != got)
+          Some(s"$name: committed (shuffles,broadcasts,reused)=$exp, current $got")
+        else None
+      }
+    }
+    assert(diffs.isEmpty,
+      "exchange-count drift vs docs/PLAN_FINGERPRINTS.json — review and " +
+        "regenerate via `sbt 'runMain graft.Explain'`:\n" + diffs.mkString("\n"))
+  }
+
   test("h2: the gate layout's zone map actually skips files for the gate range") {
     val (path, zones) = graft.queries.IoQueries.zonedDocs(spark, sf001)
     import spark.implicits._
