@@ -64,6 +64,19 @@ object Explain {
   // pinned by StreamingSpec and the incremental-batch-count require in
   // StreamExec.
 
+  /** Queries whose PHYSICAL plan depends on in-process cache state:
+    * v6/v8 consume the memoized, `persist()`-ed near-dup pair frame, so
+    * their explain shows either the full lineage or an
+    * InMemoryTableScan depending on whether an earlier consumer already
+    * materialized it — not a stable fingerprint. They stay in
+    * EXPLAINS.md for human review (with that caveat) but are excluded
+    * from the machine-checked fingerprint artifact; their plan-shape
+    * guarantees are asserted semantically in PlanSpec/ShuffleBudgetSpec
+    * instead.
+    */
+  private[graft] val cacheDependentPlans: Set[String] =
+    Set("v6_ivf_neardup", "v8_semdedup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "docs/EXPLAINS.md"
@@ -86,7 +99,8 @@ object Explain {
         val plan = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         sb.append(s"\n## $name\n\n```\n$plan```\n")
-        fps += (name -> graft.plans.PlanFingerprint.ofExplain(plan))
+        if (!cacheDependentPlans(name))
+          fps += (name -> graft.plans.PlanFingerprint.ofExplain(plan))
       }
     }
     Files.createDirectories(Paths.get(out).getParent)

@@ -299,7 +299,8 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val committed = mapper.readTree(artifact).get("queries")
     val qs = SparkEntry.queries
     val sfDir = "/root/testdata/sf0.01"
-    val diffs = graft.Explain.headline.flatMap { name =>
+    val diffs = graft.Explain.headline
+      .filterNot(graft.Explain.cacheDependentPlans).flatMap { name =>
       val fp = graft.plans.PlanFingerprint.of(qs(name)(spark, sfDir))
       val c = committed.get(name)
       if (c == null) Some(s"$name: not in artifact (new query? regenerate)")
