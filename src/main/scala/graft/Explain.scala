@@ -54,7 +54,7 @@ object Explain {
     "v20_matryoshka_agreement", "v21_hybrid_rrf",
     "t50_repetition_filters", "d4_dq_recommend", "r68_dominant_suppliers",
     "r69_idle_rich_customers", "r70_small_quantity_revenue",
-    "r71_cheapest_supplier", "v22_pq_trained")
+    "r71_cheapest_supplier", "v22_pq_trained", "v23_incremental_ivf_index")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is
@@ -62,20 +62,28 @@ object Explain {
   // structural reason: their frames are read back from a streaming SINK,
   // so the batch explain is a parquet scan — the streaming plan shape is
   // pinned by StreamingSpec and the incremental-batch-count require in
-  // StreamExec.
+  // StreamExec. s12 (foreachBatch CDC merge) and p1/p2 (checkpointed
+  // pipelines) likewise return table/checkpoint read-backs; v23 IS
+  // listed because its returned frame is the real index-search plan
+  // (the fit/commit side effects run at construction).
 
   /** Queries whose PHYSICAL plan depends on in-process cache state:
-    * v6/v8 consume the memoized, `persist()`-ed near-dup pair frame, so
-    * their explain shows either the full lineage or an
-    * InMemoryTableScan depending on whether an earlier consumer already
-    * materialized it — not a stable fingerprint. They stay in
-    * EXPLAINS.md for human review (with that caveat) but are excluded
-    * from the machine-checked fingerprint artifact; their plan-shape
-    * guarantees are asserted semantically in PlanSpec/ShuffleBudgetSpec
-    * instead.
+    * every consumer of the two memoized, `persist()`-ed PAIR frames
+    * (t3's text LSH pairs: t6/t44/m8; v6's cell-blocked vector pairs:
+    * v6/v8/m8) explains as either the full derivation lineage or a
+    * collapsed in-memory scan depending on what an earlier consumer in
+    * the same session already did — not a stable fingerprint. They stay
+    * in EXPLAINS.md for human review (with that caveat) but are
+    * excluded from the machine-checked fingerprint artifact; their
+    * plan-shape guarantees are asserted semantically in
+    * PlanSpec/ShuffleBudgetSpec instead. (`preparedEmbeddings` is also
+    * persisted, but its consumers fingerprint stably — the frame is
+    * built by the first vector query in EVERY session, so its plan
+    * state never varies by ordering.)
     */
   private[graft] val cacheDependentPlans: Set[String] =
-    Set("v6_ivf_neardup", "v8_semdedup")
+    Set("v6_ivf_neardup", "v8_semdedup", "t6_dedup_clusters",
+      "t44_leakfree_split", "m8_modality_agreement")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -338,6 +338,29 @@ object VectorQueries {
     }
   }
 
+  /** v23's frozen quantizer: fit on the HISTORY batch only
+    * (vec_id % 4 != 3) — new batches are indexed under it without a
+    * refit, so the fit input is part of the contract. Same memoization
+    * + artifact discipline as the other quantizer fits.
+    */
+  private def ivfBatch1CentroidsFor(s: org.apache.spark.sql.SparkSession,
+                                    dir: String, nCentroids: Int,
+                                    iters: Int): Array[Seq[Double]] = {
+    val fp = embeddingsFingerprint(s, dir)
+    ivfCentroids.computeIfAbsent(s"ivfb1|$dir|$fp|$nCentroids|$iters", { _ =>
+      val cacheDir = sys.props.get("graft.ivf.cache.dir")
+        .orElse(sys.env.get("GRAFT_IVF_CACHE_DIR"))
+        .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_ivf")
+      val artifact = s"$cacheDir/ivfb1_${fp}_${nCentroids}_$iters.json"
+      VectorOps.loadCentroids(s, artifact).getOrElse {
+        val b1 = Tables.embeddings(s, dir).filter(col("vec_id") % 4 =!= 3)
+        val fitted = VectorOps.deterministicCentroids(b1, nCentroids, iters)
+        scala.util.Try(VectorOps.saveCentroids(s, fitted, artifact))
+        fitted
+      }
+    })
+  }
+
   /** v22 oracle: replays the per-subspace CONVERGED fits — up to
     * `kmMaxIters` exact integer Lloyd rounds per subspace, each round's
     * max centroid movement tested against the micro-unit floor, the
@@ -1238,6 +1261,103 @@ object VectorQueries {
       },
       Some(pqTrainedOracle(m = 8, subDims = 8, k = 64, topK = 5,
         permille = 200))),
+
+    // v23: INCREMENTAL IVF INDEX MAINTENANCE — the vector-side analogue
+    // of t48: the coarse quantizer is trained ONCE on the history batch
+    // (vec_id % 4 != 3) and FROZEN; history's cell assignments commit as
+    // postings snapshot v0; the arriving batch (vec_id % 4 = 3) is
+    // assigned under the frozen quantizer and appended as v1 — history
+    // is never re-clustered or re-assigned (the real-world serving
+    // contract: new data indexed under the old model until the next
+    // planned refit). Search reads the COMMITTED v1 postings (3-probe,
+    // exact cosine rerank), so a posting dropped/duplicated by the
+    // snapshot plumbing diverges the ranking, and a require pins v0 =
+    // exactly the history postings. The oracle replays the batch-1-only
+    // fit, whole-corpus assignment under it, and the probe/rank chain.
+    // Scale: fit on the history ‰ sample; per-batch indexing is one
+    // map-side assignment pass + an append-sized snapshot commit;
+    // search shuffles candidates by cell — postings-sized, never
+    // corpus² — and the postings table partition-prunes by cell.
+    Q("v23_incremental_ivf_index",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nProbe = 3
+        val cents = ivfBatch1CentroidsFor(s, d, nCentroids = 8, iters = 2)
+        val prepped = preparedEmbeddings(s, d)
+        def assigned(residue: Boolean) = prepped
+          .filter((col("vec_id") % 4 === 3) === residue)
+          .select(col("vec_id"),
+            VectorOps.assignCell(col("__cd"), cents.toSeq).as("cell"))
+        val path = java.nio.file.Files.createTempDirectory(
+          PipelineQueries.checkpointParent, "ivf_idx_").toString + "/postings"
+        graft.operators.Scale.writeSnapshot(s, path, assigned(residue = false))
+        val v0 = graft.operators.Scale.readSnapshot(s, path, Some(0L))
+        graft.operators.Scale.writeSnapshot(s, path,
+          v0.unionByName(assigned(residue = true)))
+        val v1 = graft.operators.Scale.readSnapshot(s, path, Some(1L))
+        require(v0.count() ==
+          prepped.filter(col("vec_id") % 4 =!= 3).count(),
+          "postings v0 must hold exactly the history batch")
+        val cand = v1.join(prepped, Seq("vec_id"))
+          .select(col("cell"), col("vec_id").as("nid"),
+            col("__cd").as("cd"), col("__cn").as("cn"))
+        val wp = Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col("cell").asc)
+        val probes = prepped.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("__cd").as("qd"),
+            col("__cn").as("qn"),
+            posexplode(VectorOps.cellDists(col("__cd"), cents.toSeq))
+              .as(Seq("cell", "dist")))
+          .withColumn("pr", row_number().over(wp))
+          .filter(col("pr") <= nProbe)
+          .select("qid", "qd", "qn", "cell")
+        val wr = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("nid").asc)
+        broadcast(probes).join(cand, Seq("cell"))
+          .filter(col("nid") =!= col("qid"))
+          .withColumn("cos", graft.functions.native.dotD(col("qd"), col("cd"))
+            / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"))
+      },
+      Some(s"""
+        WITH smp AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+          FROM embeddings
+          WHERE vec_id % 4 != 3
+            AND ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < 200 * 65536),
+        c0 AS (
+          SELECT cell, xd AS ctr FROM (
+            SELECT CAST(row_number() OVER (
+                     ORDER BY md5('ivfseed' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell, xd
+            FROM smp)
+          WHERE cell < 8),${lloydRound("c0", "c1")},${lloydRound("c1", "c2")},
+        corp AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cd
+          FROM embeddings),
+        post AS (
+          SELECT vec_id, cd, cell, sqrt(${dDot("cd", "cd")}) AS cn FROM (
+            SELECT e.vec_id, e.cd, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${dDist2("e.cd", "c.ctr")} ASC, c.cell ASC) AS rn
+            FROM corp e CROSS JOIN c2 c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT qid, qd, qn, cell FROM (
+            SELECT q.vec_id AS qid, q.cd AS qd, sqrt(${dDot("q.cd", "q.cd")}) AS qn, c.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${dDist2("q.cd", "c.ctr")} ASC, c.cell ASC) AS rn
+            FROM corp q CROSS JOIN c2 c WHERE q.vec_id < 10)
+          WHERE rn <= 3),
+        scored AS (
+          SELECT p.qid, a.vec_id AS nid, ${dDot("p.qd", "a.cd")} / (p.qn * a.cn) AS cos
+          FROM probes p JOIN post a ON p.cell = a.cell AND a.vec_id != p.qid),
+        ranked AS (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid
+        FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
     // v3: LSH-bucketed approximate top-k (scale path). Fully
     // oracle-checked: the hyperplane coefficients are deterministic
