@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * `ColumnValues` family (Glue DQ's per-row predicate shape):
   * `ColumnValues "col" <op> N`, `ColumnValues "col" in ["a", "b"]`,
   * `ColumnValues "col" matches "regex"`. A NULL value FAILS a
-  * ColumnValues rule (Glue's default null handling).
+  * ColumnValues rule (Glue's default null handling). Cross-dataset:
+  * `ReferentialIntegrity "col" "ref.refCol"` against the named frame in
+  * the `refs` map handed to [[evaluate]] (one anti-join job per rule).
   * Metric rules that need data (RowCount/IsComplete/IsUnique/dataset-level
   * ColumnValues) run in ONE aggregate job over the frame; ColumnCount is
   * metadata-only. Row-level outcomes come from [[annotate]]/[[quarantine]]
@@ -48,6 +50,14 @@ object DataQuality {
                                          text: String) extends RowRule {
     def predicate: org.apache.spark.sql.Column = col(colName).rlike(regex)
   }
+  /** Cross-dataset rule (Glue DQ `ReferentialIntegrity`): every value of
+    * `colName` must exist in `refName.refCol` among the reference frames
+    * handed to [[evaluate]]. A NULL foreign key FAILS (Glue's default
+    * null handling, same as ColumnValues). `observed` is the violation
+    * count — NULL or unmatched rows.
+    */
+  private case class RefIntegrity(colName: String, refName: String,
+                                  refCol: String, text: String) extends Rule
 
   case class Result(rule: String, passed: Boolean, observed: Long)
   case class Report(results: Seq[Result]) {
@@ -62,6 +72,7 @@ object DataQuality {
   private val cvCmpRe = """ColumnValues\s+"([^"]+)"\s*(>|>=|<|<=|==|=)\s*(-?\d+)""".r
   private val cvInRe = """ColumnValues\s+"([^"]+)"\s+in\s+\[([^\]]*)\]""".r
   private val cvMatchRe = """ColumnValues\s+"([^"]+)"\s+matches\s+"([^"]+)"""".r
+  private val refIntRe = """ReferentialIntegrity\s+"([^"]+)"\s+"([^".]+)\.([^"]+)"""".r
 
   /** Top-level rule split: commas inside `in [...]` value lists or inside
     * quoted strings (e.g. a regex containing `,`) are NOT separators —
@@ -101,6 +112,7 @@ object DataQuality {
       case r @ cvInRe(c, vals)   => ColumnValuesIn(c,
         """"([^"]*)"""".r.findAllMatchIn(vals).map(_.group(1)).toSeq, r)
       case r @ cvMatchRe(c, rx)  => ColumnValuesMatches(c, rx, r)
+      case r @ refIntRe(c, rn, rc) => RefIntegrity(c, rn, rc, r)
       case other => throw new IllegalArgumentException(s"unsupported DQ rule: $other")
     }
   }
@@ -115,13 +127,42 @@ object DataQuality {
 
   /** Evaluate a ruleset. BEST_EFFORT (the reference's publishing mode):
     * evaluation errors yield a failed result, never an exception.
+    *
+    * `refs` names the reference frames `ReferentialIntegrity` rules may
+    * cite. Each RI rule costs ONE extra job: a left-anti join of the
+    * (already-projected) key column against the reference's distinct
+    * keys — partial-agg distinct then a keyed anti join, so at 100 TB
+    * it is one bounded shuffle per rule (AQE broadcasts the distinct
+    * side when the dimension is small, the usual FK case). A NULL key
+    * never matches an anti join, so NULL foreign keys are counted as
+    * violations without a separate pass — exactly Glue's null handling.
     */
-  def evaluate(df: DataFrame, ruleset: String): Report = {
+  def evaluate(df: DataFrame, ruleset: String,
+               refs: Map[String, DataFrame] = Map.empty): Report = {
     val rules = parse(ruleset)
     val metadataResults = rules.collect { case r: ColumnCount =>
       Result(r.text, cmp(df.schema.size.toLong, r.op, r.n), df.schema.size.toLong)
     }
-    val metricRules = rules.filter(!_.isInstanceOf[ColumnCount])
+    val refResults = rules.collect { case r: RefIntegrity =>
+      refs.get(r.refName) match {
+        case None =>
+          Result(s"${r.text} [error: unknown reference '${r.refName}']",
+            passed = false, -1L)
+        case Some(ref) =>
+          try {
+            val violations = df.select(col(r.colName).as("__fk"))
+              .join(ref.select(col(r.refCol).as("__fk")).distinct(),
+                Seq("__fk"), "left_anti")
+              .count()
+            Result(r.text, violations == 0L, violations)
+          } catch {
+            case e: Exception =>
+              Result(s"${r.text} [error: ${e.getMessage}]", passed = false, -1L)
+          }
+      }
+    }
+    val metricRules = rules.filter(r =>
+      !r.isInstanceOf[ColumnCount] && !r.isInstanceOf[RefIntegrity])
     val metricResults =
       if (metricRules.isEmpty) Nil
       else try {
@@ -134,7 +175,7 @@ object DataQuality {
         case e: Exception =>
           metricRules.map(r => Result(s"${r.text} [error: ${e.getMessage}]", passed = false, -1L))
       }
-    Report(metadataResults ++ metricResults)
+    Report(metadataResults ++ refResults ++ metricResults)
   }
 
   /** GLUE "RECOMMENDATION RUN" twin — the other half of the reference's
@@ -213,7 +254,9 @@ object DataQuality {
     // rows (NULL fails); coalesce guards the empty-frame null sum
     case rr: RowRule      => Seq(coalesce(
         sum(when(rr.predicate, 0L).otherwise(1L)), lit(0L)).as(s"__m$i"))
-    case _: ColumnCount   => Nil
+    // metadata / cross-dataset rules never reach the metric aggregate
+    // (evaluate routes them separately)
+    case _: ColumnCount | _: RefIntegrity => Nil
   }
 
   private def interpret(metricRules: Seq[Rule], metric: String => Long): Seq[Result] = {
@@ -230,7 +273,7 @@ object DataQuality {
       case (r: RowRule, i) =>
         val violations = metric(s"__m$i")
         Result(r.text, violations == 0L, violations)
-      case (r: ColumnCount, _) =>
+      case (r @ (_: ColumnCount | _: RefIntegrity), _) =>
         Result(r.text, passed = false, -1L) // unreachable: filtered out
     }
   }

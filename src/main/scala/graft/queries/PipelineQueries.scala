@@ -564,6 +564,64 @@ object PipelineQueries {
           UNION ALL SELECT 'IsComplete "text"', TRUE, nn_t FROM s WHERE nn_t = 0
           UNION ALL SELECT 'IsUnique "text"', TRUE, ndv_t FROM s
                  WHERE nn_t = 0 AND ndv_t = rows_)
+        ORDER BY rule""")),
+
+    // d5: REFERENTIAL INTEGRITY — the Glue DQ rule family d1–d4 could
+    // not cover because it crosses datasets: every lineitem FK audited
+    // against its dimension's key set, one audit row per rule. Three
+    // rules pass (the TPC-H FKs hold); the fourth audits l_suppkey
+    // against NATION keys and fails with the exact violation count, so
+    // the false branch and the observed metric are both under oracle.
+    // Scale: each rule is distinct(reference-key) — a partial-agg
+    // shuffle on the dimension, tiny — then a keyed LEFT ANTI join
+    // counted; AQE broadcasts the distinct side in the usual FK case,
+    // so at 100 TB the fact side is scanned once per rule with no
+    // pairwise or driver-side step. A NULL FK never matches an anti
+    // join, so Glue's nulls-fail semantics cost nothing extra.
+    Q("d5_dq_referential",
+      (s, d) => {
+        import s.implicits._
+        val ruleset = """Rules = [
+          ReferentialIntegrity "l_orderkey" "orders.o_orderkey",
+          ReferentialIntegrity "l_partkey" "part.p_partkey",
+          ReferentialIntegrity "l_suppkey" "supplier.s_suppkey",
+          ReferentialIntegrity "l_suppkey" "nation.n_nationkey" ]"""
+        val refs = Map(
+          "orders" -> Tables.orders(s, d),
+          "part" -> Tables.part(s, d),
+          "supplier" -> Tables.supplier(s, d),
+          "nation" -> Tables.nation(s, d))
+        graft.quality.DataQuality
+          .evaluate(Tables.lineitem(s, d), ruleset, refs)
+          .results.map(r => (r.rule, r.passed, r.observed))
+          .toDF("rule", "passed", "observed")
+          .orderBy("rule")
+      },
+      Some("""
+        WITH v1 AS (SELECT count(*) AS n FROM lineitem
+                    WHERE l_orderkey IS NULL
+                       OR l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        v2 AS (SELECT count(*) AS n FROM lineitem
+               WHERE l_partkey IS NULL
+                  OR l_partkey NOT IN (SELECT p_partkey FROM part)),
+        v3 AS (SELECT count(*) AS n FROM lineitem
+               WHERE l_suppkey IS NULL
+                  OR l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+        v4 AS (SELECT count(*) AS n FROM lineitem
+               WHERE l_suppkey IS NULL
+                  OR l_suppkey NOT IN (SELECT n_nationkey FROM nation))
+        SELECT rule, passed, observed FROM (
+          SELECT 'ReferentialIntegrity "l_orderkey" "orders.o_orderkey"' AS rule,
+                 n = 0 AS passed, CAST(n AS BIGINT) AS observed FROM v1
+          UNION ALL
+          SELECT 'ReferentialIntegrity "l_partkey" "part.p_partkey"',
+                 n = 0, CAST(n AS BIGINT) FROM v2
+          UNION ALL
+          SELECT 'ReferentialIntegrity "l_suppkey" "supplier.s_suppkey"',
+                 n = 0, CAST(n AS BIGINT) FROM v3
+          UNION ALL
+          SELECT 'ReferentialIntegrity "l_suppkey" "nation.n_nationkey"',
+                 n = 0, CAST(n AS BIGINT) FROM v4)
         ORDER BY rule"""))
   )
 }

@@ -30,6 +30,27 @@ class DataQualitySpec extends SparkSpec {
     assert(rep.results.nonEmpty && !rep.allPassed)
   }
 
+  test("ReferentialIntegrity: unmatched and NULL FKs count as violations") {
+    val fact = Seq(Some(1), Some(2), Some(9), None).toDF("fk")
+    val dim = Seq(1, 2, 3).toDF("k")
+    val rep = DataQuality.evaluate(fact,
+      """Rules = [ ReferentialIntegrity "fk" "dim.k" ]""",
+      Map("dim" -> dim))
+    val r = rep.results.head
+    assert(!r.passed && r.observed == 2L) // fk=9 unmatched + the NULL
+    val ok = DataQuality.evaluate(fact.na.drop().filter($"fk" < 9),
+      """Rules = [ ReferentialIntegrity "fk" "dim.k" ]""", Map("dim" -> dim))
+    assert(ok.allPassed && ok.results.head.observed == 0L)
+  }
+
+  test("ReferentialIntegrity: unknown reference is BEST_EFFORT failed, not thrown") {
+    val fact = Seq(1).toDF("fk")
+    val rep = DataQuality.evaluate(fact,
+      """Rules = [ ReferentialIntegrity "fk" "nope.k" ]""")
+    assert(rep.results.length == 1 && !rep.allPassed)
+    assert(rep.results.head.rule.contains("unknown reference"))
+  }
+
   test("IsUnique: NULLs never break uniqueness (UNIQUE-constraint semantics)") {
     val df = Seq(Some(1), Some(2), None, None).toDF("id")
     assert(DataQuality.evaluate(df, """Rules = [ IsUnique "id" ]""").allPassed)
