@@ -2095,6 +2095,110 @@ object RelationalQueries {
         SELECT l_partkey AS partkey, p_brand, s_name, n_name AS nation,
                bal_c, best_c
         FROM offers JOIN best ON l_partkey = bp AND offer_c = best_c
-        ORDER BY bal_c DESC, s_name ASC, partkey ASC"""))
+        ORDER BY bal_c DESC, s_name ASC, partkey ASC""")),
+
+    // r72: TPC-H Q15 shape — TOP-REVENUE SUPPLIER over a quarter: an
+    // aggregate VIEW (revenue per supplier) consumed twice, once for
+    // its global max and once to select the achieving rows. The trap is
+    // materializing the view twice (Q15's original formulation is a
+    // CREATE VIEW read by both the subquery and the outer query); here
+    // the revenue frame is one partial-agg shuffle over the
+    // quarter-pruned fact and Catalyst's ReuseExchange serves BOTH
+    // consumers from that single exchange — the fact is scanned once
+    // (plan fingerprint pins the exchange count). The max is a 1-row
+    // frame broadcast into the filter, ties kept; the winners (a
+    // handful of rows) broadcast into the supplier name join, so the
+    // supplier table — which grows with scale — is never shuffled.
+    Q("r72_top_revenue_supplier",
+      (s, d) => {
+        // the explicit isNotNull matches what the winners join would push
+        // into ITS branch anyway — with it in `rev` both consumers (max
+        // and join) canonicalize to the SAME subplan, so ReuseExchange
+        // actually fires and the fact is scanned once (without it the
+        // pushed join-key nullability forks the plans and doubles the scan)
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_suppkey").isNotNull &&
+            col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+            col("l_shipdate").cast("date") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("total_rev_cents"))
+        val best = rev.agg(max(col("total_rev_cents")).as("best_c"))
+        val winners = rev.join(broadcast(best),
+          col("total_rev_cents") === col("best_c"))
+        Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))
+          .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey").as("suppkey"), col("s_name"),
+            col("total_rev_cents"))
+          .orderBy("suppkey")
+      },
+      Some(s"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(sum(${sqlCents("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+                   AS total_rev_cents
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+          GROUP BY 1),
+        best AS (SELECT max(total_rev_cents) AS best_c FROM rev)
+        SELECT s_suppkey AS suppkey, s_name, total_rev_cents
+        FROM rev, best, supplier
+        WHERE total_rev_cents = best_c AND s_suppkey = l_suppkey
+        ORDER BY suppkey""")),
+
+    // r73: TPC-H Q19 shape — DISJUNCTIVE join predicate (OR of brand ×
+    // size × quantity conjunctions). The scale hazard is the OR
+    // defeating pushdown: evaluated only as a post-join residual, the
+    // fact scan reads every row and the join carries them all. The
+    // plan here pushes each side's CONVEX HULL explicitly — part is
+    // pre-filtered to the three brands and the union size range
+    // (broadcast after pruning: ~3 brands of a 6%-selectivity dim),
+    // the fact to the union quantity range — so both pushed filters
+    // reach the parquet scans (PushedFilters evidence in EXPLAINS.md)
+    // and the exact disjunction evaluates as a residual on the
+    // already-small joined frame. One fact scan, one broadcast join,
+    // one partial-agg shuffle on p_brand.
+    Q("r73_disjunctive_revenue",
+      (s, d) => {
+        val brands = Seq("Brand#12", "Brand#14", "Brand#17")
+        val p = Tables.part(s, d)
+          .filter(col("p_brand").isin(brands: _*) && col("p_size").between(1, 15))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), asLong(col("l_quantity")).as("qty"),
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+          .filter(col("qty").between(1, 30))
+        val disj =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("qty").between(1, 11)) ||
+          (col("p_brand") === "Brand#14" && col("p_size").between(1, 10) &&
+            col("qty").between(10, 20)) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(1, 15) &&
+            col("qty").between(20, 30))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(disj)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("rev_cents"))
+          .orderBy("p_brand")
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT p_partkey, p_brand, p_size FROM part
+          WHERE p_brand IN ('Brand#12', 'Brand#14', 'Brand#17')
+            AND p_size BETWEEN 1 AND 15),
+        li AS (
+          SELECT l_partkey, ${sqlLong("l_quantity")} AS qty,
+                 ${sqlCents("l_extendedprice * (1.0 - l_discount)")} AS rev_c
+          FROM lineitem
+          WHERE ${sqlLong("l_quantity")} BETWEEN 1 AND 30)
+        SELECT p_brand, count(*) AS n_items,
+               CAST(sum(rev_c) AS BIGINT) AS rev_cents
+        FROM li JOIN p ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND qty BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10 AND qty BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15 AND qty BETWEEN 20 AND 30)
+        GROUP BY p_brand ORDER BY p_brand"""))
   )
 }

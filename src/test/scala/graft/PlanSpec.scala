@@ -44,6 +44,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!s.contains("SortMergeJoin"), s"fact chain degraded to SMJ:\n${s.take(2000)}")
   }
 
+  test("r72 revenue view: both consumers reuse ONE exchange — fact scanned once") {
+    val q = RelationalQueries.all.find(_.name == "r72_top_revenue_supplier").get
+    val s = executed(q.run(spark, sf001)).toString
+    // AQE materializes the per-supplier revenue exchange for the max
+    // branch and must serve the join-back branch from the same stage;
+    // without reuse the static plan's two identical subtrees each scan
+    // the fact (the regression this guards: a pushed join-key nullability
+    // forking the canonical forms)
+    assert(s.contains("ReusedExchange") || s.contains("StageReuse") ||
+      s.contains("ReusedQueryStage"),
+      s"rev exchange not reused — fact scanned twice:\n${s.take(3000)}")
+  }
+
   test("t19 n-gram counts partial-aggregate before the shuffle") {
     val q = graft.queries.TextQueries.all.find(_.name == "t19_top_ngrams").get
     val s = executed(q.run(spark, sf001)).toString
