@@ -251,6 +251,54 @@ object TextQueries {
         SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_rep
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // t51: CLUSTER REPRESENTATIVE SELECTION — the curation step t6
+    // stops short of: near-dup dedup keeps the BEST member of each
+    // cluster, not an arbitrary one (the standard web-corpus heuristic
+    // keeps the longest document; doc_id breaks length ties
+    // deterministically). Composes t6's connected components with a
+    // per-cluster argmax: min(struct(-len, doc_id)) is ONE partial-agg
+    // shuffle keyed by cluster_rep — the struct-min combines map-side,
+    // so no window, no sort, no second pass over members; at 100 TB
+    // the cost is the CC labels join (doc-keyed equijoin) plus that
+    // single reduced exchange. n_dropped is the dedup's removal ledger.
+    Q("t51_cluster_representatives",
+      (s, d) => {
+        val clusters = TextOps.clusterPairs(lshPairsFor(s, d))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        clusters.join(docs, "doc_id")
+          .groupBy("cluster_rep")
+          .agg(min(struct((-col("len")).as("nl"), col("doc_id").as("id"))).as("best"),
+            count(lit(1)).as("n_members"))
+          .select(col("cluster_rep"), col("best.id").as("kept_doc"),
+            (-col("best.nl")).as("kept_len"), col("n_members"),
+            (col("n_members") - 1).as("n_dropped"))
+          .orderBy("cluster_rep")
+      },
+      Some(s"""
+        WITH RECURSIVE $lshPairCtes,
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(src, node) AS (
+          SELECT s, s FROM (SELECT DISTINCT s FROM edges) v
+          UNION
+          SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s),
+        clusters AS (
+          SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_rep
+          FROM reach GROUP BY src),
+        mem AS (
+          SELECT c.doc_id, c.cluster_rep, CAST(length(doc.text) AS BIGINT) AS len
+          FROM clusters c JOIN documents doc USING (doc_id)),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY cluster_rep
+                      ORDER BY len DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY cluster_rep) AS n_members
+          FROM mem)
+        SELECT cluster_rep, doc_id AS kept_doc, len AS kept_len,
+               n_members, n_members - 1 AS n_dropped
+        FROM rk WHERE rn = 1 ORDER BY cluster_rep""")),
+
     // t4: n-gram Jaccard similarity between consecutive documents
     // (pair generation kept trivial; the similarity math is the point).
     Q("t4_ngram_jaccard",
@@ -828,6 +876,55 @@ object TextQueries {
       Some("""
         SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         FROM documents ORDER BY fp""")),
+
+    // s13: STREAM-STATIC enrichment under real execution — the one
+    // streaming shape s7–s12 left as a batch twin (s4): each
+    // micro-batch of the replayed event stream broadcast-joins the
+    // STATIC nation×region dim (stateless — no join state, the static
+    // side re-broadcast per batch is the production pattern for
+    // dimension enrichment), then feeds a watermarked hourly window
+    // aggregation whose partial state spans micro-batch boundaries.
+    // The same enrichJoin transform as s4, so the oracle is s4's
+    // aggregation bucketed by hour: streamed sink == one-shot GROUP BY.
+    Q("s13_stream_static_enrich",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        val dim = Tables.nation(s, d)
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("r_name"))
+        val hourUs = 3600L * 1000000
+        val mm = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val latenessUs = (hi - lo) + hourUs
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"), lit(hi + latenessUs + 2 * hourUs).as("ts_us"),
+          lit(-1L).as("user_id"), lit("__wm").as("event_type"),
+          lit(0.0).as("value"))
+        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 4) { st =>
+          val keyed = st
+            .withColumn("n_key", (col("user_id") % 25).cast("int"))
+            .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+            .withWatermark("ts_ts", s"$latenessUs microseconds")
+          graft.streaming.EventStreams.enrichJoin(keyed, dim, "n_key", "n_nationkey")
+            .groupBy(window(col("ts_ts"), "1 hour").as("w"),
+              col("r_name"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"), sum(Q.cents(col("value"))).as("value_cents"))
+            .select(unix_timestamp(col("w.start")).as("bucket"),
+              col("r_name"), col("event_type"), col("cnt"), col("value_cents"))
+        }.filter(col("event_type") =!= "__wm")
+          .orderBy("bucket", "r_name", "event_type")
+      },
+      Some(s"""
+        WITH dim AS (
+          SELECT n_nationkey, r_name
+          FROM nation JOIN region ON n_regionkey = r_regionkey)
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+               r_name, event_type, count(*) AS cnt,
+               CAST(sum(${Q.sqlCents("value")}) AS BIGINT) AS value_cents
+        FROM events e LEFT JOIN dim ON CAST(e.user_id % 25 AS INT) = n_nationkey
+        GROUP BY 1, 2, 3 ORDER BY bucket, r_name, event_type""")),
 
     // t18: sequence packing — assign documents to fixed-budget (512-token)
     // training sequences by cumulative token count, sharded: packs are
