@@ -33,7 +33,8 @@ object Bench {
       // shows them flat from sf0.1 to sf0.5
       "s7_stream_sessions", "s8_stream_windowed_counts",
       "s9_stream_stateful_sessions", "s10_stream_attribution",
-      "s11_stream_exact_dedup", "s12_stream_cdc_upsert")
+      "s11_stream_exact_dedup", "s12_stream_cdc_upsert",
+      "s13_stream_static_enrich")
   private[graft] def runsFor(name: String): Int = if (singleRunQueries(name)) 2 else 3
 
   /** 1-minute system load average, or -1 when the platform can't say.
@@ -358,6 +359,17 @@ object Bench {
         line(s""""keys":"short","qunit":"ds","queries":${
           queriesJson(mins, v => math.round(v * 10).toString, shortKey)},""")
       else never,
+      // tier 8 — short keys + deciseconds packed into ONE JSON string
+      // ("e1:4,r10:12,…", marked "qfmt":"kv"): drops the per-entry
+      // quote/colon overhead of a JSON object (~2 chars/query — the
+      // margin the 192-query gate outgrew), carrying per-query detail
+      // to ~240 queries before the totals-only fallback.
+      () => if (shortOk) {
+        val body = mins.toSeq.sortBy(_._1)
+          .map { case (k, v) => shortKey(k) + ":" + math.round(v * 10) }
+          .mkString(",")
+        line(s""""keys":"short","qunit":"ds","qfmt":"kv","queries":${Jsons.str(body)},""")
+      } else never,
       () => line(s""""diag":${diagJson(results)},"detail":"bench_out.json","""))
     tiers.iterator.map(_.apply()).find(_.length <= FinalLineBudget)
       .getOrElse(line("")) // unreachable: the summary tier is O(1) size

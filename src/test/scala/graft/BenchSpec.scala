@@ -15,6 +15,21 @@ import Bench.QueryResult
 class BenchSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
+  /** Per-query entry count of a rendered final line's `queries` node,
+    * across both shapes: JSON object (tiers 1–7) and the packed
+    * "key:ds,key:ds" string of the `"qfmt":"kv"` tier.
+    */
+  private def queryCount(node: com.fasterxml.jackson.databind.JsonNode): Int = {
+    val qs = node.get("queries")
+    if (qs == null) 0
+    else if (node.get("qfmt") != null && node.get("qfmt").asText() == "kv") {
+      val entries = qs.asText().split(",")
+      assert(entries.forall(_.matches("[A-Za-z0-9]+:-?\\d+")),
+        s"malformed kv entry in: ${qs.asText().take(120)}")
+      entries.length
+    } else qs.size()
+  }
+
   // Realistic per-query timings: a skewed mix like the observed bench
   // (median ~0.4 s, one ~18 s outlier) so value widths match production.
   private def fakeResults: Map[String, QueryResult] =
@@ -47,8 +62,7 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("sf").asText() == "/root/testdata/sf0.1")
     // Per-query detail must survive into the final line for the real gate
     // (via whichever compression tier fits).
-    val qs = node.get("queries")
-    assert(qs != null && qs.size() == SparkEntry.queries.size)
+    assert(queryCount(node) == SparkEntry.queries.size)
   }
 
   test("per-query detail survives past 100 queries (short-key tier)") {
@@ -64,11 +78,12 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.renderFinal(grown, "/root/testdata/sf0.1")
     assert(line.length <= Bench.FinalLineBudget)
     val node = mapper.readTree(line)
-    val qs = node.get("queries")
-    assert(qs != null && qs.size() == target,
+    assert(queryCount(node) == target,
       s"per-query detail was dropped at $target queries")
     // short-key tier must be self-describing and collision-free
-    if (node.get("keys") != null && node.get("keys").asText() == "short") {
+    if (node.get("keys") != null && node.get("keys").asText() == "short" &&
+        node.get("qfmt") == null) {
+      val qs = node.get("queries")
       assert(qs.has("e1") || qs.has(Bench.shortKey(fakeResults.keys.head)))
     }
   }
