@@ -54,7 +54,9 @@ object Explain {
     "v20_matryoshka_agreement", "v21_hybrid_rrf",
     "t50_repetition_filters", "d4_dq_recommend", "r68_dominant_suppliers",
     "r69_idle_rich_customers", "r70_small_quantity_revenue",
-    "r71_cheapest_supplier", "v22_pq_trained", "v23_incremental_ivf_index")
+    "r71_cheapest_supplier", "v22_pq_trained", "v23_incremental_ivf_index",
+    "d5_dq_referential", "r72_top_revenue_supplier",
+    "r73_disjunctive_revenue", "t51_cluster_representatives")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is
@@ -83,7 +85,9 @@ object Explain {
     */
   private[graft] val cacheDependentPlans: Set[String] =
     Set("v6_ivf_neardup", "v8_semdedup", "t6_dedup_clusters",
-      "t44_leakfree_split", "m8_modality_agreement")
+      "t44_leakfree_split", "m8_modality_agreement",
+      // consumes the persisted lshPairsFor frame like t6
+      "t51_cluster_representatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
