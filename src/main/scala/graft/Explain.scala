@@ -56,7 +56,10 @@ object Explain {
     "r69_idle_rich_customers", "r70_small_quantity_revenue",
     "r71_cheapest_supplier", "v22_pq_trained", "v23_incremental_ivf_index",
     "d5_dq_referential", "r72_top_revenue_supplier",
-    "r73_disjunctive_revenue", "t51_cluster_representatives")
+    "r73_disjunctive_revenue", "t51_cluster_representatives",
+    "r74_market_share", "r75_nation_profit", "r76_top_return_customers",
+    "r77_priority_exists", "r78_supplier_part_classes",
+    "r79_big_spenders", "r80_forecast_revenue")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is

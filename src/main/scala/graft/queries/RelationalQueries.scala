@@ -2199,6 +2199,285 @@ object RelationalQueries {
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND qty BETWEEN 1 AND 11)
            OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10 AND qty BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15 AND qty BETWEEN 20 AND 30)
-        GROUP BY p_brand ORDER BY p_brand"""))
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // r74: TPC-H Q8 shape — MARKET SHARE: of all lineitem volume sold
+    // into one region's market (the CUSTOMER's region) for one part
+    // type, what fraction per order-year came from one target supplier
+    // nation? The shape is a conditional-aggregate RATIO over a
+    // multi-join: the numerator is a CASE inside the same aggregation
+    // as the denominator, so share costs zero extra passes. Geometry
+    // at 100 TB: lineitem⋈orders and orders⋈customer are the two
+    // key-partitioned fact shuffles (same as r43/Q5); part (pre-filtered
+    // to the type), supplier (2 columns), nation (×2 roles: customer
+    // region membership, supplier name) and region are broadcast. The
+    // share is an exact-integer basis-point division of two BIGINT
+    // cents sums — no float summation anywhere.
+    Q("r74_market_share",
+      (s, d) => {
+        val nat = Tables.nation(s, d)
+        val custRegion = broadcast(nat
+          .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_natkey")))
+        val supNation = broadcast(nat
+          .select(col("n_nationkey").as("s_natkey"), col("n_name").as("sup_nation")))
+        val p = broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "PROMO").select("p_partkey"))
+        val sup = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("vol_c"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(custRegion, col("c_nationkey") === col("c_natkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(supNation, col("s_nationkey") === col("s_natkey"))
+          .groupBy("o_year")
+          .agg(sum(when(col("sup_nation") === "NATION_7", col("vol_c"))
+              .otherwise(lit(0L))).as("target_cents"),
+            sum(col("vol_c")).as("total_cents"))
+          // share_bp via explicit floor: `/` is double division in BOTH
+          // engines (numerator ≤ 1e15 stays double-exact), but a bare
+          // CAST(double AS BIGINT) truncates in Spark and ROUNDS in
+          // DuckDB — floor first makes them agree
+          .select(col("o_year"), col("target_cents"), col("total_cents"),
+            floor(lit(10000L) * col("target_cents") / col("total_cents"))
+              .cast("long").as("share_bp"))
+          .orderBy("o_year")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT year(o_orderdate) AS o_year,
+                 CASE WHEN ns.n_name = 'NATION_7'
+                      THEN ${sqlCents("l_extendedprice * (1.0 - l_discount)")}
+                      ELSE 0 END AS tgt_c,
+                 ${sqlCents("l_extendedprice * (1.0 - l_discount)")} AS vol_c
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation nc ON c_nationkey = nc.n_nationkey
+          JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ns ON s_nationkey = ns.n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT o_year, CAST(sum(tgt_c) AS BIGINT) AS target_cents,
+               CAST(sum(vol_c) AS BIGINT) AS total_cents,
+               CAST(floor(10000 * CAST(sum(tgt_c) AS BIGINT)
+                    / CAST(sum(vol_c) AS BIGINT)) AS BIGINT) AS share_bp
+        FROM m GROUP BY o_year ORDER BY o_year""")),
+
+    // r75: TPC-H Q9 shape — PROFIT by supplier nation × order year for
+    // a part-name family. Q9's cost term uses partsupp.ps_supplycost,
+    // which this schema doesn't ship; p_retailprice stands in (the
+    // geometry — a per-row cost joined from the part dim — is
+    // identical). Profit stays exact: revenue floored to cents minus
+    // integer-quantity × retail-price-cents, all BIGINT. The LIKE on
+    // p_name prunes part BEFORE its broadcast; lineitem⋈orders is the
+    // one fact-fact shuffle; supplier/nation ride broadcasts. The
+    // aggregate key space is nations × years (bounded), so the final
+    // exchange is model-sized.
+    Q("r75_nation_profit",
+      (s, d) => {
+        val p = broadcast(Tables.part(s, d)
+          .filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_c")))
+        val sup = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"))
+        val nat = broadcast(Tables.nation(s, d).select("n_nationkey", "n_name"))
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            asLong(col("l_quantity")).as("qty"),
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"), col("o_year"))
+          .agg(sum(col("rev_c") - col("qty") * col("retail_c")).as("profit_cents"),
+            count(lit(1)).as("n_items"))
+          .orderBy("nation", "o_year")
+      },
+      Some(s"""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(sum(${sqlCents("l_extendedprice * (1.0 - l_discount)")}
+                 - ${sqlLong("l_quantity")} * ${sqlCents("p_retailprice")}) AS BIGINT)
+                 AS profit_cents,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 ORDER BY nation, o_year""")),
+
+    // r76: TPC-H Q10 shape — TOP RETURNING CUSTOMERS: revenue lost to
+    // returns in one quarter, top 20 customers. The scale discipline is
+    // the GLOBAL top-k: orderBy(...).limit(20) plans as
+    // TakeOrderedAndProject — each task keeps its local top-20 and the
+    // driver merges task-level heads, so no global sort and no single
+    // reduce task ever sees more than tasks×20 rows. The tie order is
+    // total (revenue DESC, custkey ASC) so the kept SET is deterministic
+    // in both engines. Customer is joined AFTER the per-customer
+    // reduction — the join input is the reduced frame, not the fact.
+    Q("r76_top_return_customers",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("rev_c")).as("return_rev_cents"))
+        rev.join(Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_mktsegment"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey").as("custkey"), col("c_name"),
+            col("c_mktsegment"), col("return_rev_cents"))
+          .orderBy(col("return_rev_cents").desc, col("custkey").asc)
+          .limit(20)
+      },
+      Some(s"""
+        SELECT c_custkey AS custkey, c_name, c_mktsegment,
+               CAST(sum(${sqlCents("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+                 AS return_rev_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1, 2, 3
+        ORDER BY return_rev_cents DESC, custkey ASC LIMIT 20""")),
+
+    // r77: TPC-H Q4 shape — ORDER PRIORITY via EXISTS: count orders per
+    // priority in one quarter that have at least one returned line
+    // (this schema has no commit/receipt dates; the EXISTS-on-lineitem
+    // geometry is the point). The EXISTS is a LEFT SEMI join — the
+    // probe side is pre-reduced to the bare orderkey column and
+    // duplicate matches never multiply rows, so the join output is
+    // bounded by the orders side. One keyed shuffle pair + a
+    // priority-keyed (5-row) partial aggregate.
+    Q("r77_priority_exists",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        .select("o_orderkey", "o_orderpriority")
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+            .select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // r78: TPC-H Q16 shape — SUPPLIER-COUNT-PER-PART-CLASS with an
+    // exclusion list: distinct suppliers able to supply each
+    // (brand, size) class, excluding one brand and any supplier with a
+    // negative account balance (Q16's NOT IN complaint-suppliers list).
+    // The NOT IN is a LEFT ANTI join against the (tiny, pre-filtered)
+    // exclusion frame; COUNT(DISTINCT) compiles to the standard
+    // two-phase expand — dedup on (brand, size, suppkey) partial-aggs
+    // map-side, then counts — so no single task ever holds a class's
+    // full supplier set.
+    Q("r78_supplier_part_classes",
+      (s, d) => {
+        val badSup = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0.0).select(col("s_suppkey").as("bad_key"))
+        val p = broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#13" && col("p_size").isin(1, 5, 9, 14, 23))
+          .select("p_partkey", "p_brand", "p_size"))
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(broadcast(badSup), col("l_suppkey") === col("bad_key"), "left_anti")
+          .groupBy("p_brand", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_size").asc)
+      },
+      Some("""
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_size IN (1, 5, 9, 14, 23)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC""")),
+
+    // r79: TPC-H Q11 shape — GROUP SHARE vs a GLOBAL threshold: keep
+    // customers whose order spend exceeds 1/1000 of ALL spend (Q11's
+    // HAVING sum > fraction × global sum, asked of orders since this
+    // schema has no partsupp). Both sides reduce from the SAME
+    // per-customer frame: the global total re-aggregates the reduced
+    // frame (customer-count-sized, not fact-sized) into a 1-row
+    // broadcast, and the threshold compare is an exact integer
+    // cross-multiply (spend × 1000 > total) — no division, no float,
+    // no second fact scan.
+    Q("r79_big_spenders",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+        val total = spend.agg(sum(col("spend_cents")).as("total_cents"))
+        spend.join(broadcast(total),
+            col("spend_cents") * lit(1000L) > col("total_cents"))
+          .select(col("o_custkey").as("custkey"), col("spend_cents"),
+            col("total_cents"))
+          .orderBy(col("spend_cents").desc, col("custkey").asc)
+      },
+      Some(s"""
+        WITH spend AS (
+          SELECT o_custkey AS custkey,
+                 CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS spend_cents
+          FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(sum(spend_cents) AS BIGINT) AS total_cents FROM spend)
+        SELECT custkey, spend_cents, total_cents
+        FROM spend, tot
+        WHERE spend_cents * 1000 > total_cents
+        ORDER BY spend_cents DESC, custkey ASC""")),
+
+    // r80: TPC-H Q6 shape — the pure scan-aggregate forecast: one
+    // filter, one global sum, zero joins. The entire query is a single
+    // whole-stage-codegen span over the parquet scan with every
+    // predicate pushed (quantity/discount/date all reach PushedFilters)
+    // and a 2-column ReadSchema; the aggregate is a map-side partial
+    // into a 1-row exchange. The simplest query in the inventory — and
+    // the one where anything BUT a full-pushdown plan would be wrong.
+    Q("r80_forecast_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n_items")),
+      Some(s"""
+        SELECT CAST(sum(${sqlCents("l_extendedprice * l_discount")}) AS BIGINT)
+                 AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24.0"""))
   )
 }

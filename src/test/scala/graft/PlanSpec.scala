@@ -57,6 +57,28 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"rev exchange not reused — fact scanned twice:\n${s.take(3000)}")
   }
 
+  test("r76 global top-20 plans as TakeOrdered, never a global sort") {
+    val q = RelationalQueries.all.find(_.name == "r76_top_return_customers").get
+    val s = executed(q.run(spark, sf001)).toString
+    // each task keeps a local top-20 and the driver merges heads; a
+    // global Sort + Limit would single-task the whole reduced frame
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k degraded to a global sort:\n${s.take(2000)}")
+  }
+
+  test("r80 scan-aggregate pushes every predicate and prunes to 3 columns") {
+    val q = RelationalQueries.all.find(_.name == "r80_forecast_revenue").get
+    val s = executed(q.run(spark, sf001)).toString
+    // the rendered PushedFilters list is truncated by toString, so pin
+    // the stable prefix (all three columns' IsNotNull + the first range
+    // bound made it into the pushed set)
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"predicates not pushed to the scan:\n${s.take(2500)}")
+    assert(s.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double"),
+      s"column pruning failed:\n${s.take(2500)}")
+  }
+
   test("t19 n-gram counts partial-aggregate before the shuffle") {
     val q = graft.queries.TextQueries.all.find(_.name == "t19_top_ngrams").get
     val s = executed(q.run(spark, sf001)).toString
