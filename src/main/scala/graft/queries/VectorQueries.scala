@@ -361,21 +361,45 @@ object VectorQueries {
     })
   }
 
-  /** v22 oracle: replays the per-subspace CONVERGED fits — up to
-    * `kmMaxIters` exact integer Lloyd rounds per subspace, each round's
-    * max centroid movement tested against the micro-unit floor, the
-    * first converged round's codebook selected (the cap's otherwise) —
-    * then the corpus encoding and ADC ranking, all in one statement.
-    * The movement arithmetic is [[lloydRoundE6]]'s at `subDims` width:
-    * remainder-subtracted integer division (trunc == floor on the
-    * exactly-divisible difference), so the stopping decision is made by
-    * the same integers in both engines. A codebook picked from the
-    * wrong round would shift cell assignments and diverge the ranking.
+  /** Subspace slice / fixed-order dot helpers shared by the PQ-family
+    * oracles (v22 and the v24 composition).
     */
-  private def pqTrainedOracle(m: Int, subDims: Int, k: Int, topK: Int,
-                              permille: Int): String = {
-    def sl(x: String, mi: Int) =
-      s"list_slice($x, ${mi * subDims + 1}, ${(mi + 1) * subDims})"
+  private def pqSl(x: String, mi: Int, subDims: Int): String =
+    s"list_slice($x, ${mi * subDims + 1}, ${(mi + 1) * subDims})"
+  private def pqSDot(a: String, b: String, subDims: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($subDims), i -> ($a[i + 1]) * ($b[i + 1]))), (acc, x) -> acc + x)"
+  /** ADC dot of a query vector `qd` against the encoded row `encAlias`:
+    * the sum of per-subspace fixed-order dots against the reconstructed
+    * codebook centroids.
+    */
+  private def pqAdcDot(m: Int, subDims: Int, qd: String, encAlias: String): String =
+    (0 until m).map(mi =>
+      pqSDot(pqSl(qd, mi, subDims), s"$encAlias.ctr_$mi", subDims)).mkString(" + ")
+
+  /** Shared CTE prefix of the trained-quantizer oracles: the md5
+    * content-hash ‰ sample, the md5-ordered seed rows, and the
+    * double-cast corpus.
+    */
+  private def pqSampleCtes(permille: Int): String = s"""smp AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+          FROM embeddings
+          WHERE ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < $permille * 65536),
+        seeds AS (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY md5('ivfseed' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell, xd
+          FROM smp),
+        corp AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cd
+          FROM embeddings)"""
+
+  /** The converged per-subspace PQ fit + corpus encode of
+    * [[pqTrainedOracle]], factored out so a composed oracle (v24
+    * IVF-PQ) can splice it after its own coarse-quantizer CTEs.
+    * Expects `smp`, `seeds`, `corp` (from [[pqSampleCtes]]) in scope;
+    * yields `enc` = (vec_id, ctr_0..ctr_{m-1}, cn).
+    */
+  private def pqFitEncodeCtes(m: Int, subDims: Int, k: Int): String = {
+    def sl(x: String, mi: Int) = pqSl(x, mi, subDims)
     def sDist2(a: String, b: String) =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($subDims), i -> ($a[i + 1] - $b[i + 1]) * ($a[i + 1] - $b[i + 1]))), (acc, x) -> acc + x)"
     def round(mi: Int, prev: String, next: String) = s"""
@@ -442,30 +466,69 @@ object VectorQueries {
             FROM corp e CROSS JOIN fin_$mi c)
           WHERE rn = 1)"""
     }.mkString(",")
-    def sDot(a: String, b: String) =
-      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($subDims), i -> ($a[i + 1]) * ($b[i + 1]))), (acc, x) -> acc + x)"
     val joins = (1 until m).map(mi => s"JOIN code_$mi USING (vec_id)").mkString(" ")
-    val cn2 = (0 until m).map(mi => sDot(s"ctr_$mi", s"ctr_$mi")).mkString(" + ")
-    val adcDot = (0 until m).map(mi => sDot(sl("p.qd", mi), s"e.ctr_$mi")).mkString(" + ")
-    s"""
-        WITH smp AS (
-          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
-          FROM embeddings
-          WHERE ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < $permille * 65536),
-        seeds AS (
-          SELECT CAST(row_number() OVER (
-                   ORDER BY md5('ivfseed' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell, xd
-          FROM smp),
-        corp AS (
-          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cd
-          FROM embeddings),$perSub,
-        enc AS (SELECT *, sqrt($cn2) AS cn FROM (SELECT * FROM code_0 $joins)),
+    val cn2 = (0 until m)
+      .map(mi => pqSDot(s"ctr_$mi", s"ctr_$mi", subDims)).mkString(" + ")
+    s"""$perSub,
+        enc AS (SELECT *, sqrt($cn2) AS cn FROM (SELECT * FROM code_0 $joins))"""
+  }
+
+  /** v22 oracle: replays the per-subspace CONVERGED fits — up to
+    * `kmMaxIters` exact integer Lloyd rounds per subspace, each round's
+    * max centroid movement tested against the micro-unit floor, the
+    * first converged round's codebook selected (the cap's otherwise) —
+    * then the corpus encoding and ADC ranking, all in one statement.
+    * The movement arithmetic is [[lloydRoundE6]]'s at `subDims` width:
+    * remainder-subtracted integer division (trunc == floor on the
+    * exactly-divisible difference), so the stopping decision is made by
+    * the same integers in both engines. A codebook picked from the
+    * wrong round would shift cell assignments and diverge the ranking.
+    */
+  private def pqTrainedOracle(m: Int, subDims: Int, k: Int, topK: Int,
+                              permille: Int): String = s"""
+        WITH ${pqSampleCtes(permille)},${pqFitEncodeCtes(m, subDims, k)},
         probes AS (
           SELECT vec_id AS qid, cd AS qd, sqrt(${dDot("cd", "cd")}) AS qn
           FROM corp WHERE vec_id < 10),
         scored AS (
-          SELECT p.qid, e.vec_id AS nid, ($adcDot) / (p.qn * e.cn) AS cos
+          SELECT p.qid, e.vec_id AS nid, (${pqAdcDot(m, subDims, "p.qd", "e")}) / (p.qn * e.cn) AS cos
           FROM enc e CROSS JOIN probes p WHERE e.vec_id != p.qid),
+        ranked AS (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid FROM ranked WHERE rnk <= $topK ORDER BY qid, rnk"""
+
+  /** v24 oracle: the coarse-quantizer fit + whole-corpus cell
+    * assignment (v4's two Lloyd rounds, replayed from the shared
+    * sample/seed CTEs) composed with the converged PQ fit/encode
+    * ([[pqFitEncodeCtes]]); probes restricted to their nProbe nearest
+    * cells; ADC ranking over the probed postings only.
+    */
+  private def ivfPqOracle(nCentroids: Int, nProbe: Int, m: Int, subDims: Int,
+                          k: Int, topK: Int, permille: Int): String = {
+    val rounds = Seq(lloydRound("c0", "c1"), lloydRound("c1", "c2")).mkString(",")
+    s"""
+        WITH ${pqSampleCtes(permille)},
+        c0 AS (SELECT cell, xd AS ctr FROM seeds WHERE cell < $nCentroids),$rounds,
+        cells AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${dDist2("e.cd", "c.ctr")} ASC, c.cell ASC) AS rn
+            FROM corp e CROSS JOIN c2 c)
+          WHERE rn = 1),${pqFitEncodeCtes(m, subDims, k)},
+        probes AS (
+          SELECT qid, qd, qn, cell FROM (
+            SELECT q.vec_id AS qid, q.cd AS qd, sqrt(${dDot("q.cd", "q.cd")}) AS qn, c.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${dDist2("q.cd", "c.ctr")} ASC, c.cell ASC) AS rn
+            FROM corp q CROSS JOIN c2 c WHERE q.vec_id < 10)
+          WHERE rn <= $nProbe),
+        scored AS (
+          SELECT p.qid, e.vec_id AS nid, (${pqAdcDot(m, subDims, "p.qd", "e")}) / (p.qn * e.cn) AS cos
+          FROM probes p
+          JOIN cells cl ON p.cell = cl.cell
+          JOIN enc e ON e.vec_id = cl.vec_id AND e.vec_id != p.qid),
         ranked AS (
           SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
           FROM scored)
@@ -2175,7 +2238,64 @@ object VectorQueries {
                     ORDER BY rrf_e6 DESC, nid ASC) AS rnk
           FROM fu)
         SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, CAST(rrf_e6 AS BIGINT) AS rrf_e6
-        FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""))
+        FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // v24: IVF-PQ — the composed billion-scale ANN layout (the FAISS
+    // IVFADC geometry): the v4 coarse quantizer confines each query to
+    // its nProbe nearest cells, and within the probed postings the
+    // ranking is v22's ADC against CONVERGENCE-TRAINED codebooks — so
+    // candidate generation never scans the corpus AND scoring never
+    // touches the original vectors (the candidate frame carries m 1-byte
+    // codes + a norm, not the 64-double embedding). Both models are the
+    // memoized per-dir artifacts (ivfCentroidsFor / the v22 codebooks):
+    // search-time cost is one broadcast of the (queries × nProbe) probe
+    // frame into a cell-keyed equijoin against the postings, then the
+    // per-query top-k window over probed-cell occupancy. At 100 TB the
+    // postings table partition-prunes by cell and the shuffle carries
+    // codes, not vectors — the reason IVFADC is the standard layout.
+    // The oracle replays coarse fit + cell assignment + per-subspace
+    // converged PQ fit + encode + probe + ADC ranking in one statement.
+    Q("v24_ivfpq_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (m, subDims, kCodes, nProbe) = (8, 8, 64, 3)
+        val cents = ivfCentroidsFor(s, d, nCentroids = 8, iters = 2)
+        val cbs = pqConvergedCodebooksFor(s, d, m, subDims, kCodes)
+        val emb = preparedEmbeddings(s, d)
+        def sel(mi: Int) = element_at(
+          array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            cbs(mi).map(c => typedLit(c))): _*), col(s"code_$mi") + 1)
+        val codes = (0 until m).map(mi => VectorOps.assignCell(
+          slice(col("__cd"), mi * subDims + 1, subDims), cbs(mi).toSeq).as(s"code_$mi"))
+        val cn = sqrt((0 until m).map(mi =>
+          graft.functions.native.dotD(sel(mi), sel(mi))).reduce(_ + _))
+        val postings = emb.select((col("vec_id") +:
+            VectorOps.assignCell(col("__cd"), cents.toSeq).as("cell") +: codes): _*)
+          .withColumn("cn", cn)
+        val wp = Window.partitionBy("qid").orderBy(col("dist").asc, col("cell").asc)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("__cd").as("qd"),
+            col("__cn").as("qn"),
+            posexplode(VectorOps.cellDists(col("__cd"), cents.toSeq))
+              .as(Seq("cell", "dist")))
+          .withColumn("pr", row_number().over(wp))
+          .filter(col("pr") <= nProbe)
+          .select("qid", "qd", "qn", "cell")
+        val adcDot = (0 until m).map { mi =>
+          graft.functions.native.dotD(
+            slice(col("qd"), mi * subDims + 1, subDims), sel(mi))
+        }.reduce(_ + _)
+        val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(probes).join(postings, Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos", adcDot / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"),
+            col("vec_id").as("nid"))
+      },
+      Some(ivfPqOracle(nCentroids = 8, nProbe = 3, m = 8, subDims = 8,
+        k = 64, topK = 5, permille = 200)))
   )
 
   /** v19's oracle: the full Gram → fixed-order power iteration →

@@ -43,6 +43,11 @@ class QualityMetricsSpec extends SparkSpec {
     // 13 asked for; on this corpus the converged fit matches the
     // 1-round agreement while guaranteeing stable codebooks
     val v22Agree = (exactTopk intersect topkSet("v22_pq_trained")).size.toDouble / exactTopk.size
+    // v24 composes BOTH approximations — v4's 3-probe candidate pruning
+    // AND v22's ADC codebook quantization — so its agreement is bounded
+    // above by each component's and its floor documents the compounded
+    // loss of the full IVFADC layout
+    val v24Agree = (exactTopk intersect topkSet("v24_ivfpq_topk")).size.toDouble / exactTopk.size
 
     // v6 pair recall vs the exhaustive threshold set: how many true
     // cos>=0.35 pairs does single-assignment cell blocking keep? (the
@@ -143,6 +148,9 @@ class QualityMetricsSpec extends SparkSpec {
     assert(v10Agree >= 0.1, s"v10 top-5 agreement $v10Agree")
     assert(v11Agree >= 0.1, s"v11 top-5 agreement $v11Agree")
     assert(v22Agree >= 0.1, s"v22 top-5 agreement $v22Agree")
+    assert(v24Agree >= 0.05, s"v24 top-5 agreement $v24Agree")
+    assert(v24Agree <= v22Agree + 1e-9 || v24Agree <= v4Recall + 1e-9,
+      s"v24 ($v24Agree) cannot beat BOTH of its components (v4 $v4Recall, v22 $v22Agree)")
     assert(v6Recall >= 0.5, s"v6 pair recall $v6Recall")
     assert(v13EdgeRecall >= 0.4, s"v13 IVF-path edge recall $v13EdgeRecall")
     assert(v15Recall >= 0.3, s"v15 augmented-IVF MIPS recall $v15Recall")
@@ -169,6 +177,7 @@ class QualityMetricsSpec extends SparkSpec {
          |  "v10_bitpack_topk":   {"topk_agreement_vs_v1": $v10Agree%.4f, "floor": 0.1},
          |  "v11_pq_topk":        {"topk_agreement_vs_v1": $v11Agree%.4f, "floor": 0.1},
          |  "v22_pq_trained":     {"topk_agreement_vs_v1": $v22Agree%.4f, "floor": 0.1},
+         |  "v24_ivfpq_topk":     {"topk_agreement_vs_v1": $v24Agree%.4f, "floor": 0.05},
          |  "r21_approx_distinct": {"max_rel_err_vs_r20": $r21MaxRelErr%.4f, "bound": 0.05},
          |  "r35_approx_quantile": {"max_rel_err_vs_r33": $r35MaxRelErr%.4f, "bound": 0.01}
          |}
