@@ -111,6 +111,35 @@ object IoQueries {
         out
       })
 
+  /** h4's dimension table: (lang, tier), written to parquet once per
+    * table fingerprint so the fact join's build side is a real file
+    * source — dynamic partition pruning needs a broadcastable scan with
+    * a SELECTIVE predicate, which is exactly the production star-schema
+    * shape (a LocalRelation dim would constant-fold the filter away and
+    * prove nothing). `tier` is an INT compared with `=== 1`, not a
+    * boolean flag: Catalyst simplifies `flag = true` to the bare
+    * attribute, and PartitionPruning's `isLikelySelective` heuristic
+    * does not count a bare attribute as a selective predicate — a
+    * boolean-flagged dim silently loses DPP (measured: no
+    * dynamicpruning filter on the fact scan). The comparison survives
+    * optimization, so the rule sees a selective build side.
+    */
+  private val langDims = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def langDim(s: SparkSession, d: String): DataFrame = {
+    val path = langDims.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "lang_dim_").toString
+        import s.implicits._
+        Seq(("en", 1), ("de", 1), ("es", 0), ("fr", 0), ("zh", 0))
+          .toDF("lang", "tier")
+          .coalesce(1).write.mode("overwrite").parquet(out)
+        out
+      })
+    s.read.parquet(path)
+  }
+
   /** Range-CLUSTERED layout + its file zone map, the h2 companion to h1's
     * directory layout: documents written with n_chars range-clustered
     * across files (repartitionByRange + sorted within), and the per-file
@@ -271,6 +300,38 @@ object IoQueries {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM documents
         WHERE n_chars BETWEEN 150 AND 400 AND doc_id BETWEEN 100 AND 2600
+        GROUP BY lang ORDER BY lang""")),
+
+    // h4: DYNAMIC partition pruning — h1 prunes by a LITERAL predicate
+    // the planner sees; h4 is the case where the partition filter only
+    // exists at RUNTIME, as the join-key set of a filtered dimension
+    // (the star-schema norm: `fact JOIN dim WHERE dim.attr = ...` with
+    // no literal on the fact side). Catalyst's DPP inserts a pruning
+    // subquery that reuses the dimension's broadcast to enumerate the
+    // surviving lang= directories before the fact scan starts, so only
+    // the tier-1 partitions are read — without DPP the fact scan is
+    // full-width and the filter rides the join. PlanSpec pins the
+    // `dynamicpruning` expression in the scan's PartitionFilters. At
+    // 100 TB this is THE mechanism that keeps dim-driven fact queries
+    // proportional to selectivity; the dim here is a tiny lang-tier
+    // frame (written to parquet so the scan side sees a real source —
+    // and filtered by an int COMPARISON; see [[langDim]] for why a
+    // boolean flag would silently disable the rule).
+    Q("h4_dynamic_partition_prune",
+      (s, d) => {
+        val dim = langDim(s, d)
+        s.read.parquet(partitionedDocs(s, d))
+          .join(dim.filter(col("tier") === 1), Seq("lang"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents
+        WHERE lang IN ('de', 'en')
         GROUP BY lang ORDER BY lang""")),
 
     // r60: SNAPSHOT TIME-TRAVEL DIFF — what arrived between version 0

@@ -926,6 +926,84 @@ object TextQueries {
         FROM events e LEFT JOIN dim ON CAST(e.user_id % 25 AS INT) = n_nationkey
         GROUP BY 1, 2, 3 ORDER BY bucket, r_name, event_type""")),
 
+    // s14: DQ-GATED STREAMING INGEST — the reference's publish-time DQ
+    // (bronze writes + a Glue ruleset verdict) run as a real streaming
+    // topology: each micro-batch of the replayed document feed is split
+    // by the row-level ruleset (DataQuality.quarantine — clean rows to
+    // the curated sink, violating rows with their failed-rule
+    // annotations to the quarantine sink) and appends a per-batch audit
+    // row per rule. The gate checks BOTH halves of the contract: the
+    // streamed sinks' row counts equal the one-shot batch split, and
+    // the per-batch audit counts SUM to the full-table violation counts
+    // (a row double-counted across batch boundaries, or a batch
+    // silently skipped, breaks the sums). Scale: per-batch cost is
+    // O(batch) — one scan for the split's two writes sharing a lineage
+    // + one aggregate job for the audit; the audit table is
+    // (rules × batches)-sized; nothing ever re-reads the sinks during
+    // ingest.
+    Q("s14_stream_dq_gate",
+      (s, d) => {
+        import s.implicits._
+        val ruleset = """Rules = [
+          ColumnValues "n_chars" <= 400,
+          ColumnValues "lang" in ["en", "es", "de", "fr"],
+          ColumnValues "doc_id" >= 0 ]"""
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val base = java.nio.file.Files.createTempDirectory(
+          graft.streaming.StreamExec.scratchParent, "dqgate_")
+        val (cleanDir, quarDir, auditDir) = (base.resolve("clean").toString,
+          base.resolve("quar").toString, base.resolve("audit").toString)
+        graft.streaming.StreamExec.replayForeachBatch(docs, "doc_id", 4) { b =>
+          val (clean, bad) = graft.quality.DataQuality.quarantine(b, ruleset)
+          clean.write.mode("append").parquet(cleanDir)
+          bad.write.mode("append").parquet(quarDir)
+          graft.quality.DataQuality.evaluate(b, ruleset)
+            .results.map(r => (r.rule, r.passed, r.observed))
+            .toDF("rule", "passed", "observed")
+            .write.mode("append").parquet(auditDir)
+        }
+        val audit = s.read.parquet(auditDir)
+          .groupBy("rule")
+          .agg(sum(col("observed")).as("value"),
+            min(when(col("passed"), 1L).otherwise(0L)).as("flag"))
+          .select(concat(lit("rule:"), col("rule")).as("metric"),
+            col("value"), col("flag"))
+        val counts = Seq(
+          ("clean_rows", s.read.parquet(cleanDir).count(), -1L),
+          ("quarantined_rows", s.read.parquet(quarDir).count(), -1L))
+          .toDF("metric", "value", "flag")
+        audit.unionByName(counts).orderBy("metric")
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, lang, n_chars,
+                 (n_chars IS NULL OR NOT n_chars <= 400) AS v1,
+                 (lang IS NULL OR lang NOT IN ('en', 'es', 'de', 'fr')) AS v2,
+                 (doc_id IS NULL OR NOT doc_id >= 0) AS v3
+          FROM documents),
+        rules AS (
+          SELECT 'rule:ColumnValues "n_chars" <= 400' AS metric,
+                 CAST(sum(CASE WHEN v1 THEN 1 ELSE 0 END) AS BIGINT) AS value
+          FROM v
+          UNION ALL
+          SELECT 'rule:ColumnValues "lang" in ["en", "es", "de", "fr"]',
+                 CAST(sum(CASE WHEN v2 THEN 1 ELSE 0 END) AS BIGINT) FROM v
+          UNION ALL
+          SELECT 'rule:ColumnValues "doc_id" >= 0',
+                 CAST(sum(CASE WHEN v3 THEN 1 ELSE 0 END) AS BIGINT) FROM v)
+        SELECT metric, value,
+               CAST(CASE WHEN value = 0 THEN 1 ELSE 0 END AS BIGINT) AS flag
+        FROM rules
+        UNION ALL
+        SELECT 'clean_rows',
+               CAST(sum(CASE WHEN NOT (v1 OR v2 OR v3) THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(-1 AS BIGINT) FROM v
+        UNION ALL
+        SELECT 'quarantined_rows',
+               CAST(sum(CASE WHEN v1 OR v2 OR v3 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(-1 AS BIGINT) FROM v
+        ORDER BY metric""")),
+
     // t18: sequence packing — assign documents to fixed-budget (512-token)
     // training sequences by cumulative token count, sharded: packs are
     // contiguous WITHIN a 1000-doc shard (the last pack of each shard may
@@ -1007,6 +1085,49 @@ object TextQueries {
                           / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS dup_frac_e4
         FROM sp JOIN idx USING (h)
         GROUP BY sp.doc_id ORDER BY sp.doc_id""")),
+
+    // t52: BOILERPLATE STRIPPING — the transform t23's measurement stops
+    // short of (C4's "discard repeated lines across documents", CCNet's
+    // paragraph-hash dedup): spans shared by >= 2 docs are cut out and
+    // each doc is REBUILT from its surviving tokens, with the removal
+    // ledger and an md5 of the cleaned text under oracle — so the
+    // reconstruction (coverage expansion, order-preserving token
+    // filter), not just the counts, is hash-checked. Scale: t23's
+    // inverted-index geometry plus one doc-keyed join-back and
+    // row-local array rebuild; see TextOps.stripBoilerplate.
+    Q("t52_boilerplate_strip",
+      (s, d) => TextOps.stripBoilerplate(
+        Tables.documents(s, d), "text", "doc_id", n = 8, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        sp AS (
+          SELECT doc_id, toks,
+                 unnest(CASE WHEN len(toks) >= 8
+                   THEN range(len(toks) - 7) ELSE [] END) AS i
+          FROM t),
+        sph AS (
+          SELECT doc_id, i,
+                 ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 15))::BIGINT AS h
+          FROM sp),
+        idx AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sph GROUP BY h),
+        bp AS (SELECT sph.doc_id, sph.i FROM sph JOIN idx USING (h) WHERE nd >= 2),
+        cov AS (
+          SELECT doc_id, list(DISTINCT j) AS cov FROM (
+            SELECT doc_id, unnest(range(i, i + 8)) AS j FROM bp)
+          GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(cov), 0) AS BIGINT) AS n_removed,
+               -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+               -- array_join([]) is '' — a fully-stripped doc must hash ''
+               md5(COALESCE(array_to_string(
+                 list_transform(
+                   list_filter(range(len(toks)),
+                     j -> NOT list_contains(COALESCE(cov, []), j)),
+                   j -> toks[j + 1]), ' '), '')) AS clean_fp
+        FROM t LEFT JOIN cov USING (doc_id)
+        ORDER BY t.doc_id""")),
 
     // t24: corpus mixture rebalancing (data mixing) — per-source keep
     // rates derived so every source downsamples toward the smallest one,

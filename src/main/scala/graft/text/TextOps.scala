@@ -87,6 +87,55 @@ object TextOps {
           * lit(10000.0) + lit(0.5)).cast("long").as("dup_frac_e4"))
   }
 
+  /** The REMOVAL half of [[spanDupStats]] (the C4/CCNet "deduplicate
+    * repeated lines across documents" transform): every n-token span
+    * whose hash occurs in >= `minDocs` DISTINCT documents is
+    * boilerplate, and each document is rebuilt with every token covered
+    * by any such span cut out (remaining tokens keep their order).
+    * Emits the removal ledger + a fingerprint of the cleaned text so
+    * the reconstruction itself is oracle-checkable.
+    *
+    * Scale shape: same inverted-index geometry as [[spanDupStats]] —
+    * one span explosion folded to (hash, doc) with the doc's start
+    * positions, a window on that reduced frame, then coverage expansion
+    * bounded by n × boilerplate-starts and one doc-keyed join back.
+    * The rebuild is row-local array arithmetic (no second corpus scan,
+    * no pairwise step); per-row cost is O(doc tokens × covered), both
+    * bounded by document length.
+    */
+  def stripBoilerplate(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String, n: Int,
+                       minDocs: Int): org.apache.spark.sql.DataFrame = {
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val spans = toked
+      .select(col(idCol), posexplode(wordNgrams(col("__t"), n)).as(Seq("__i", "__span")))
+      .select(col(idCol), col("__i"),
+        conv(substring(md5(col("__span")), 1, 15), 16, 10).cast("long").as("__h"))
+    // fold to (hash, doc) keeping the doc's span-start positions, then
+    // count docs per hash via a window on the reduced frame (t23's
+    // one-explosion discipline — the explosion never runs twice)
+    val perDoc = spans.groupBy(col("__h"), col(idCol))
+      .agg(collect_list(col("__i")).as("__is"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val bpStarts = perDoc.withColumn("__nd", count(lit(1)).over(w))
+      .filter(col("__nd") >= minDocs)
+      .select(col(idCol), explode(col("__is")).as("__i"))
+    val covered = bpStarts
+      .select(col(idCol),
+        explode(sequence(col("__i"), col("__i") + lit(n - 1))).as("__j"))
+      .groupBy(idCol).agg(collect_set(col("__j")).as("__cov"))
+    val kept = transform(
+      filter(transform(col("__t"), (t, j) => struct(j.as("j"), t.as("t"))),
+        x => !array_contains(col("__cov"), x.getField("j"))),
+      x => x.getField("t"))
+    toked.join(covered, Seq(idCol), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_removed"),
+        md5(array_join(kept, " ")).as("clean_fp"))
+  }
+
   /** Benchmark decontamination (the GPT-3 rule: a training document is
     * contaminated if it shares any ≥n-token span with the evaluation
     * set): emits each contaminated training doc with how many DISTINCT

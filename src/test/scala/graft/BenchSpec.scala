@@ -295,7 +295,7 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.renderFinal(heavy, "/root/testdata/sf0.1")
     assert(line.length <= Bench.FinalLineBudget)
     val node = mapper.readTree(line)
-    assert(node.get("queries") != null && node.get("queries").size() == heavy.size,
+    assert(queryCount(node) == heavy.size,
       "per-query detail was sacrificed for the diag block")
     assert(node.get("heap_mb") != null && node.get("cpu_sec") != null &&
       node.get("canary") != null)

@@ -79,6 +79,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"column pruning failed:\n${s.take(2500)}")
   }
 
+  test("h4 fact scan carries a dynamicpruning partition filter from the dim") {
+    val q = graft.queries.IoQueries.all.find(_.name == "h4_dynamic_partition_prune").get
+    val s = executed(q.run(spark, sf001)).toString
+    // the partition filter must be the RUNTIME subquery DPP inserts,
+    // not a literal — proof the lang= directories are enumerated from
+    // the filtered dimension before the fact scan starts
+    assert(s.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n${s.take(3000)}")
+  }
+
   test("t19 n-gram counts partial-aggregate before the shuffle") {
     val q = graft.queries.TextQueries.all.find(_.name == "t19_top_ngrams").get
     val s = executed(q.run(spark, sf001)).toString
