@@ -1030,6 +1030,68 @@ object VectorQueries {
           UNION ALL SELECT c FROM tri)
         SELECT id, count(*) AS n_tri FROM nodes GROUP BY id ORDER BY id""")),
 
+    // g3: COMMUNITY DETECTION by synchronous label propagation over the
+    // same mutual-kNN graph — the coarser grouping signal between t6's
+    // exact connected components (any path merges) and g2's triangles
+    // (local density): three synchronous LPA rounds where each node
+    // adopts its neighbors' most frequent PREVIOUS-round label, ties
+    // broken by the smallest label, so the trajectory is fully
+    // deterministic (classic async LPA is order-dependent — useless
+    // under a cross-engine hash oracle). Each round is one
+    // (dst, label)-keyed partial-agg count + a top-1 window per dst on
+    // the counted frame (rows ≤ E, combiner-reduced); nothing is ever
+    // keyed on pairs of nodes. The oracle unrolls the three rounds with
+    // the identical tie rule.
+    Q("g3_label_propagation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = mutualKnnEdges(s, d, 5) // memoized, lineage already cut
+        val both = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+        var lab = both.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl"))
+        for (_ <- 1 to 3) {
+          val w = Window.partitionBy("dst").orderBy(col("c").desc, col("lbl").asc)
+          lab = both.join(lab, col("src") === col("id"))
+            .groupBy(col("dst"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("dst").as("id"), col("lbl"))
+        }
+        val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+        lab.join(sizes, "lbl")
+          .select(col("id"), col("lbl").as("community"), col("community_size"))
+          .orderBy("id")
+      },
+      Some(s"""$mutualKnnCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM mutual
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM mutual),
+        l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+        l1 AS (SELECT id, lbl FROM (
+            SELECT e.dst AS id, p.lbl, count(*) AS c,
+                   row_number() OVER (PARTITION BY e.dst
+                     ORDER BY count(*) DESC, p.lbl ASC) AS rn
+            FROM edges e JOIN l0 p ON p.id = e.src
+            GROUP BY e.dst, p.lbl) WHERE rn = 1),
+        l2 AS (SELECT id, lbl FROM (
+            SELECT e.dst AS id, p.lbl, count(*) AS c,
+                   row_number() OVER (PARTITION BY e.dst
+                     ORDER BY count(*) DESC, p.lbl ASC) AS rn
+            FROM edges e JOIN l1 p ON p.id = e.src
+            GROUP BY e.dst, p.lbl) WHERE rn = 1),
+        l3 AS (SELECT id, lbl FROM (
+            SELECT e.dst AS id, p.lbl, count(*) AS c,
+                   row_number() OVER (PARTITION BY e.dst
+                     ORDER BY count(*) DESC, p.lbl ASC) AS rn
+            FROM edges e JOIN l2 p ON p.id = e.src
+            GROUP BY e.dst, p.lbl) WHERE rn = 1),
+        sizes AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
+        SELECT l3.id, l3.lbl AS community, community_size
+        FROM l3 JOIN sizes USING (lbl) ORDER BY l3.id""")),
+
     // v6: LABEL-FREE embedding near-dup — v2 blocks on a label column,
     // but a real 100 TB corpus has no labels: here the blocking key is
     // the deterministic IVF quantizer's cell (the same memoized fit as
