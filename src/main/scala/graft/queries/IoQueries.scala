@@ -140,6 +140,47 @@ object IoQueries {
     s.read.parquet(path)
   }
 
+  /** h5's bucketed pair: orders and lineitem pre-projected and written
+    * `bucketBy(8, orderkey).sortBy(orderkey)` as external tables (data
+    * under the scratch dir, metadata in the session catalog — bucketing
+    * lives in the CATALOG, which is why h5 reads via `spark.table`, not
+    * a path). Memoized per (dir, fingerprint) AND re-registered when a
+    * fresh session's catalog doesn't know the name.
+    */
+  private val bucketedPairs = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def bucketedPair(s: SparkSession, d: String): (String, String) = {
+    import graft.queries.{Q => QQ}
+    val fp = Tables.fileFingerprint(s, d, "lineitem")
+    val tag = java.lang.Integer.toHexString((d + "|" + fp).hashCode)
+    val names = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+    def writeTables(): Unit = {
+      val root = java.nio.file.Files
+        .createTempDirectory(scratchParent, "bucketed_").toString
+      // repartition on the bucket column first: bucket hashing and
+      // repartition use the same Murmur3 HashPartitioning, so each of
+      // the 8 write tasks holds exactly one bucket → ONE file per
+      // bucket, which is the precondition for Spark to trust the
+      // sortBy metadata and elide the join-side Sorts too
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/orders").saveAsTable(names._1)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), QQ.cents(col("l_extendedprice")).as("price_cents"))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/lineitem").saveAsTable(names._2)
+    }
+    bucketedPairs.compute(s"$d|$fp", (_, prev) => {
+      if (prev == null || !s.catalog.tableExists(prev._1) ||
+          !s.catalog.tableExists(prev._2)) writeTables()
+      names
+    })
+  }
+
   /** Range-CLUSTERED layout + its file zone map, the h2 companion to h1's
     * directory layout: documents written with n_chars range-clustered
     * across files (repartitionByRange + sorted within), and the per-file
@@ -333,6 +374,37 @@ object IoQueries {
         FROM documents
         WHERE lang IN ('de', 'en')
         GROUP BY lang ORDER BY lang""")),
+
+    // h5: BUCKETED CO-LOCATED JOIN — the data-placement answer to the
+    // fact-fact shuffle the r-series pays on lineitem⋈orders: both
+    // sides written bucketBy(8, orderkey).sortBy(orderkey), so the
+    // sort-merge join consumes the on-disk bucket layout directly and
+    // the plan has NO exchange (and no sort) on either join input —
+    // the shuffle was paid ONCE at layout time and amortizes over
+    // every subsequent join on the key. PlanSpec pins the
+    // exchange-free join subtree. At 100 TB this is the difference
+    // between re-shuffling two fact tables per query and never
+    // shuffling them again; the trade (fixed bucket count must suit
+    // the data volume) is the documented reason AQE can't help here —
+    // bucketing is a write-time contract.
+    Q("h5_bucketed_join",
+      (s, d) => {
+        val (oTbl, lTbl) = bucketedPair(s, d)
+        // hint("merge"): at gate scale orders fits the broadcast
+        // threshold and the whole point — the exchange-free SMJ over
+        // the bucket layout — never appears; at 100 TB both sides are
+        // facts and SMJ is what the planner picks unhinted
+        s.table(lTbl)
+          .join(s.table(oTbl).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("rev_cents"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""
+        SELECT o_orderstatus, count(*) AS n_items,
+               CAST(sum(${Q.sqlCents("l_extendedprice")}) AS BIGINT) AS rev_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // r60: SNAPSHOT TIME-TRAVEL DIFF — what arrived between version 0
     // and the latest commit of the snapshot table, computed as a

@@ -89,6 +89,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no dynamic partition pruning on the fact scan:\n${s.take(3000)}")
   }
 
+  test("h5 bucketed join subtree has no exchange and no sort on either input") {
+    val q = graft.queries.IoQueries.all.find(_.name == "h5_bucketed_join").get
+    val full = executed(q.run(spark, sf001)).toString
+    // AQE's toString appends the pre-execution "== Initial Plan ==",
+    // which legitimately contains exchanges — judge the FINAL plan only
+    val s = full.split("== Initial Plan ==")(0)
+    assert(s.contains("SortMergeJoin"), s"expected a bucket-layout SMJ:\n${s.take(2000)}")
+    assert(s.contains("Bucketed: true"), s"join inputs are not bucketed scans:\n${s.take(2000)}")
+    // everything printed under the SMJ is its two inputs: with the
+    // bucket contract honored they are bare bucketed scans — a shuffle
+    // there means the layout was re-partitioned at query time. (The
+    // per-bucket in-task Sorts remain: Spark 3+ ignores sortBy metadata
+    // on read unless spark.sql.legacy.bucketedTableScan.outputOrdering
+    // is set — the exchange elision is the contract worth pinning.)
+    val below = s.substring(s.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange") && !below.contains("ShuffleQueryStage"),
+      s"bucketed join re-shuffled its input:\n${below.take(2000)}")
+  }
+
   test("t19 n-gram counts partial-aggregate before the shuffle") {
     val q = graft.queries.TextQueries.all.find(_.name == "t19_top_ngrams").get
     val s = executed(q.run(spark, sf001)).toString
