@@ -34,7 +34,8 @@ object Bench {
       "s7_stream_sessions", "s8_stream_windowed_counts",
       "s9_stream_stateful_sessions", "s10_stream_attribution",
       "s11_stream_exact_dedup", "s12_stream_cdc_upsert",
-      "s13_stream_static_enrich", "s14_stream_dq_gate")
+      "s13_stream_static_enrich", "s14_stream_dq_gate",
+      "s15_stream_late_data")
   private[graft] def runsFor(name: String): Int = if (singleRunQueries(name)) 2 else 3
 
   /** 1-minute system load average, or -1 when the platform can't say.

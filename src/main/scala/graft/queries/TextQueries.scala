@@ -1004,6 +1004,61 @@ object TextQueries {
                CAST(-1 AS BIGINT) FROM v
         ORDER BY metric""")),
 
+    // s15: LATE-DATA DISCARD under real execution — the watermark
+    // semantic none of s7–s14 could exercise, because the time-sliced
+    // replay harness never delivers a late row by construction. Here
+    // the ARRIVAL order is explicit (StreamExec.replayFileSequence):
+    // the odd-event_id half of the first time-quarter is withheld and
+    // re-delivered only AFTER two newer batches have advanced the
+    // watermark (1 h lateness; the quarters are ~180 h wide, so the
+    // early hour-windows' state is long finalized and evicted) — the
+    // engine must DROP those rows, and the oracle is the hourly
+    // aggregation over everything EXCEPT the withheld set. If late
+    // rows leaked into closed windows (or on-time rows were dropped),
+    // the counts hash-diverge. This is the at-scale correctness
+    // contract of watermarking: state is bounded because closed
+    // windows never reopen, at the documented price that data later
+    // than the allowed lateness is discarded, deterministically.
+    Q("s15_stream_late_data",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"), col("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        val hourUs = 3600L * 1000000
+        val mm = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val q = (hi - lo) / 4
+        val isEarly = col("ts_us") < lo + q
+        val isOdd = col("event_id") % 2 === 1
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"), lit(hi + 10 * hourUs).as("ts_us"),
+          lit(-1L).as("user_id"), lit("__wm").as("event_type"),
+          lit(0.0).as("value"))
+        val batches = Seq(
+          ev.filter(isEarly && !isOdd),
+          ev.filter(col("ts_us") >= lo + q && col("ts_us") < lo + 3 * q),
+          ev.filter(col("ts_us") >= lo + 3 * q),
+          ev.filter(isEarly && isOdd), // late: behind the watermark now
+          sentinel)
+        graft.streaming.StreamExec.replayFileSequence(batches) { st =>
+          st.withColumn("ts_ts", timestamp_micros(col("ts_us")))
+            .withWatermark("ts_ts", "1 hour")
+            .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(unix_timestamp(col("w.start")).as("bucket"),
+              col("event_type"), col("cnt"))
+        }.filter(col("event_type") =!= "__wm")
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                   FROM events),
+        keep AS (
+          SELECT e.* FROM events e, b
+          WHERE NOT (epoch_us(ts) < lo + (hi - lo) // 4 AND event_id % 2 = 1))
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+               event_type, count(*) AS cnt
+        FROM keep GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+
     // t18: sequence packing — assign documents to fixed-budget (512-token)
     // training sequences by cumulative token count, sharded: packs are
     // contiguous WITHIN a 1000-doc shard (the last pack of each shard may

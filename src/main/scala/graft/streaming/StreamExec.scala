@@ -96,6 +96,69 @@ object StreamExec {
     * source's oldest-first order is the replay order, and the sentinel
     * must be processed last or every real event goes late.
     */
+  /** Write one replay source file: one part file, renamed into `src`,
+    * mtime pinned strictly ascending in `idx` so the file source's
+    * oldest-first order IS the arrival order.
+    */
+  private def addSourceFile(root: java.nio.file.Path, src: java.nio.file.Path,
+                            df: DataFrame, name: String, idx: Int): Unit = {
+    val baseMtime = (System.currentTimeMillis() / 1000) * 1000 - 3600L * 1000
+    val tmp = root.resolve(s"__${src.getFileName}_$name").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .getOrElse(sys.error(s"no part file written for slice $name"))
+    val dst = src.resolve(s"$name.parquet").toFile
+    require(part.renameTo(dst), s"rename failed: $part -> $dst")
+    require(dst.setLastModified(baseMtime + idx * 60000L),
+      s"cannot pin mtime for $dst")
+  }
+
+  /** Replay EXPLICIT batches in the given ARRIVAL order (one micro-batch
+    * each, oldest-mtime-first), run `transform`, and return the parquet
+    * sink. Unlike [[replayFileStream]], the batches need not be
+    * event-time slices — this is the surface for exercising LATE
+    * arrivals: a batch whose event times lie behind the watermark the
+    * earlier batches advanced. The caller appends its own
+    * watermark-flush sentinel batch when the transform aggregates.
+    */
+  def replayFileSequence(batches: Seq[DataFrame], statePartitions: Int = 8)
+                        (transform: DataFrame => DataFrame): DataFrame = {
+    val spark = batches.head.sparkSession
+    require(batches.size >= 2, s"replayFileSequence: need >= 2 batches, got ${batches.size}")
+    val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayseq_")
+    val src = root.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      addSourceFile(root, src, b, f"file$i%04d", i)
+    }
+    val out = root.resolve("out").toString
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val savedShuffle = spark.conf.get(shuffleKey)
+    val q = try {
+      spark.conf.set(shuffleKey, statePartitions.toString)
+      spark.readStream
+        .schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .transform(transform)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(shuffleKey, savedShuffle)
+    q.awaitTermination()
+    streamRanSinceTeardown = true
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= batches.size,
+      s"replayFileSequence: expected >= ${batches.size} data micro-batches, saw " +
+        s"$dataBatches - the run was not incremental")
+    spark.read.parquet(out)
+  }
+
   private def writeSlices(input: DataFrame, tsCol: String,
                           sentinelOpt: Option[DataFrame],
                           slices: Int, root: java.nio.file.Path,
@@ -106,18 +169,8 @@ object StreamExec {
     require(!mm.isNullAt(0), "replayFileStream: empty input")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(1L, (hi - lo) / slices + 1)
-    val baseMtime = (System.currentTimeMillis() / 1000) * 1000 - 3600L * 1000
-    def addFile(df: DataFrame, name: String, idx: Int): Unit = {
-      val tmp = root.resolve(s"__${src.getFileName}_$name").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-        .getOrElse(sys.error(s"no part file written for slice $name"))
-      val dst = src.resolve(s"$name.parquet").toFile
-      require(part.renameTo(dst), s"rename failed: $part -> $dst")
-      require(dst.setLastModified(baseMtime + idx * 60000L),
-        s"cannot pin mtime for $dst")
-    }
+    def addFile(df: DataFrame, name: String, idx: Int): Unit =
+      addSourceFile(root, src, df, name, idx)
     (0 until slices).foreach { i =>
       addFile(input.filter(
         expr(s"(cast(`$tsCol` as bigint) - ${lo}L) div ${span}L") === i),
