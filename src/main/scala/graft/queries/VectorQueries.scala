@@ -2317,10 +2317,19 @@ object VectorQueries {
     // codes, not vectors — the reason IVFADC is the standard layout.
     // The oracle replays coarse fit + cell assignment + per-subspace
     // converged PQ fit + encode + probe + ADC ranking in one statement.
-    Q("v24_ivfpq_topk",
-      (s, d) => {
+    Q("v24_ivfpq_topk", (s, d) => ivfPqTopK(s, d, nProbe = 3),
+      Some(ivfPqOracle(nCentroids = 8, nProbe = 3, m = 8, subDims = 8,
+        k = 64, topK = 5, permille = 200)))
+  )
+
+  /** The v24 IVFADC search, probe count exposed so QualityMetricsSpec
+    * can publish the probes/agreement curve (the knob a 100 TB operator
+    * turns) without duplicating the pipeline.
+    */
+  private[graft] def ivfPqTopK(s: org.apache.spark.sql.SparkSession,
+                                 d: String, nProbe: Int): org.apache.spark.sql.DataFrame = {
         import org.apache.spark.sql.expressions.Window
-        val (m, subDims, kCodes, nProbe) = (8, 8, 64, 3)
+        val (m, subDims, kCodes) = (8, 8, 64)
         val cents = ivfCentroidsFor(s, d, nCentroids = 8, iters = 2)
         val cbs = pqConvergedCodebooksFor(s, d, m, subDims, kCodes)
         val emb = preparedEmbeddings(s, d)
@@ -2355,10 +2364,7 @@ object VectorQueries {
           .filter(col("rnk") <= 5)
           .select(col("qid"), col("rnk").cast("long").as("rnk"),
             col("vec_id").as("nid"))
-      },
-      Some(ivfPqOracle(nCentroids = 8, nProbe = 3, m = 8, subDims = 8,
-        k = 64, topK = 5, permille = 200)))
-  )
+  }
 
   /** v19's oracle: the full Gram → fixed-order power iteration →
     * projection chain as CTEs, arithmetic-for-arithmetic the Spark/

@@ -48,6 +48,16 @@ class QualityMetricsSpec extends SparkSpec {
     // above by each component's and its floor documents the compounded
     // loss of the full IVFADC layout
     val v24Agree = (exactTopk intersect topkSet("v24_ivfpq_topk")).size.toDouble / exactTopk.size
+    // probes/agreement curve for the composed layout — the same knob
+    // framing as v13/v15: more probed cells per query means more ADC
+    // candidates and higher agreement, cost ∝ probes/cells
+    def v24AgreeAtProbes(p: Int): Double = {
+      val approx = graft.queries.VectorQueries.ivfPqTopK(spark, sf01, p)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactTopk intersect approx).size.toDouble / exactTopk.size
+    }
+    val v24Curve = Seq(2, 3, 4).map(p => p -> v24AgreeAtProbes(p))
 
     // v6 pair recall vs the exhaustive threshold set: how many true
     // cos>=0.35 pairs does single-assignment cell blocking keep? (the
@@ -151,6 +161,19 @@ class QualityMetricsSpec extends SparkSpec {
     assert(v24Agree >= 0.05, s"v24 top-5 agreement $v24Agree")
     assert(v24Agree <= v22Agree + 1e-9 || v24Agree <= v4Recall + 1e-9,
       s"v24 ($v24Agree) cannot beat BOTH of its components (v4 $v4Recall, v22 $v22Agree)")
+    // NOT asserted monotone, deliberately: v13/v15's curves rank
+    // candidates with EXACT cosine, so more probed cells is a superset
+    // of candidates and agreement can only rise; v24 ranks with ADC,
+    // and an extra probed cell can admit a candidate whose QUANTIZED
+    // score overtakes a true top-5 item — measured here as 4-probe
+    // dipping below 3-probe (0.28 vs 0.30). That interaction is a real
+    // property of IVFADC (the reason production systems re-rank a
+    // wider ADC shortlist with exact vectors), so the curve is
+    // published as measured and only sanity-bounded.
+    assert(v24Curve.forall { case (_, r) => r > 0.0 && r <= 1.0 },
+      s"v24 probe/agreement curve out of range: $v24Curve")
+    assert(math.abs(v24Curve.toMap.apply(3) - v24Agree) < 1e-9,
+      s"curve@3 must equal the gate operating point")
     assert(v6Recall >= 0.5, s"v6 pair recall $v6Recall")
     assert(v13EdgeRecall >= 0.4, s"v13 IVF-path edge recall $v13EdgeRecall")
     assert(v15Recall >= 0.3, s"v15 augmented-IVF MIPS recall $v15Recall")
@@ -177,7 +200,8 @@ class QualityMetricsSpec extends SparkSpec {
          |  "v10_bitpack_topk":   {"topk_agreement_vs_v1": $v10Agree%.4f, "floor": 0.1},
          |  "v11_pq_topk":        {"topk_agreement_vs_v1": $v11Agree%.4f, "floor": 0.1},
          |  "v22_pq_trained":     {"topk_agreement_vs_v1": $v22Agree%.4f, "floor": 0.1},
-         |  "v24_ivfpq_topk":     {"topk_agreement_vs_v1": $v24Agree%.4f, "floor": 0.05},
+         |  "v24_ivfpq_topk":     {"topk_agreement_vs_v1": $v24Agree%.4f, "floor": 0.05,
+         |                         "probe_agreement_curve": {${v24Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}}},
          |  "r21_approx_distinct": {"max_rel_err_vs_r20": $r21MaxRelErr%.4f, "bound": 0.05},
          |  "r35_approx_quantile": {"max_rel_err_vs_r33": $r35MaxRelErr%.4f, "bound": 0.01}
          |}
