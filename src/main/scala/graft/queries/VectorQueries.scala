@@ -505,8 +505,28 @@ object VectorQueries {
     * cells; ADC ranking over the probed postings only.
     */
   private def ivfPqOracle(nCentroids: Int, nProbe: Int, m: Int, subDims: Int,
-                          k: Int, topK: Int, permille: Int): String = {
+                          k: Int, topK: Int, permille: Int,
+                          rerank: Int = 0): String = {
     val rounds = Seq(lloydRound("c0", "c1"), lloydRound("c1", "c2")).mkString(",")
+    // rerank > 0 (v25): the ADC ranking becomes a SHORTLIST, re-ranked
+    // by exact cosine over the true vectors — same fixed-order dot as
+    // the Spark side, so the re-ranked order is bit-stable
+    val tail =
+      if (rerank == 0)
+        s"""SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid FROM ranked
+        WHERE rnk <= $topK ORDER BY qid, rnk"""
+      else s"""short AS (SELECT qid, nid FROM ranked WHERE rnk <= $rerank),
+        rr AS (
+          SELECT s.qid, s.nid,
+                 row_number() OVER (PARTITION BY s.qid
+                   ORDER BY ${dDot("q.cd", "c.cd")}
+                     / (sqrt(${dDot("q.cd", "q.cd")}) * sqrt(${dDot("c.cd", "c.cd")})) DESC,
+                     s.nid ASC) AS rnk
+          FROM short s
+          JOIN corp q ON q.vec_id = s.qid
+          JOIN corp c ON c.vec_id = s.nid)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid FROM rr
+        WHERE rnk <= $topK ORDER BY qid, rnk"""
     s"""
         WITH ${pqSampleCtes(permille)},
         c0 AS (SELECT cell, xd AS ctr FROM seeds WHERE cell < $nCentroids),$rounds,
@@ -531,8 +551,8 @@ object VectorQueries {
           JOIN enc e ON e.vec_id = cl.vec_id AND e.vec_id != p.qid),
         ranked AS (
           SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
-          FROM scored)
-        SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid FROM ranked WHERE rnk <= $topK ORDER BY qid, rnk"""
+          FROM scored)${if (rerank == 0) "" else ","}
+        $tail"""
   }
 
   /** v11 oracle: replays the per-subspace deterministic fits (shared
@@ -2319,15 +2339,35 @@ object VectorQueries {
     // converged PQ fit + encode + probe + ADC ranking in one statement.
     Q("v24_ivfpq_topk", (s, d) => ivfPqTopK(s, d, nProbe = 3),
       Some(ivfPqOracle(nCentroids = 8, nProbe = 3, m = 8, subDims = 8,
-        k = 64, topK = 5, permille = 200)))
+        k = 64, topK = 5, permille = 200))),
+
+    // v25: IVFADC + EXACT RE-RANK — the production completion of v24,
+    // motivated by a measurement: QUALITY.json's v24 probe/agreement
+    // curve is NON-monotone (0.22/0.30/0.28 at 2/3/4 probes) because
+    // quantized ADC scores mis-order close candidates, so widening the
+    // candidate set can DEMOTE a true neighbor. The fix every serving
+    // stack uses: take a 4×-wider ADC shortlist (top-20) and re-rank
+    // just those rows by exact cosine over the true vectors. Measured
+    // agreement vs exact rises 0.30 → 0.56 (QUALITY.json; v4's 0.68 —
+    // exact scoring of EVERYTHING in the probed cells — is the ceiling
+    // the 20-deep shortlist approaches). Scale: the
+    // corpus-wide pass still touches only codes; exact vectors are
+    // fetched for queries × 20 rows — a keyed join on the shortlist,
+    // never a second corpus scan.
+    Q("v25_ivfpq_rerank",
+      (s, d) => ivfPqRerank(s, d, nProbe = 3, shortlist = 20, topK = 5),
+      Some(ivfPqOracle(nCentroids = 8, nProbe = 3, m = 8, subDims = 8,
+        k = 64, topK = 5, permille = 200, rerank = 20)))
   )
 
-  /** The v24 IVFADC search, probe count exposed so QualityMetricsSpec
-    * can publish the probes/agreement curve (the knob a 100 TB operator
-    * turns) without duplicating the pipeline.
+  /** The v24 IVFADC search, probe count and k exposed so
+    * QualityMetricsSpec can publish the probes/agreement curve and v25
+    * can take a wider ADC SHORTLIST to re-rank, without duplicating the
+    * pipeline.
     */
   private[graft] def ivfPqTopK(s: org.apache.spark.sql.SparkSession,
-                                 d: String, nProbe: Int): org.apache.spark.sql.DataFrame = {
+                               d: String, nProbe: Int,
+                               topK: Int = 5): org.apache.spark.sql.DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val (m, subDims, kCodes) = (8, 8, 64)
         val cents = ivfCentroidsFor(s, d, nCentroids = 8, iters = 2)
@@ -2361,9 +2401,39 @@ object VectorQueries {
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("cos", adcDot / (col("qn") * col("cn")))
           .withColumn("rnk", row_number().over(wr))
-          .filter(col("rnk") <= 5)
+          .filter(col("rnk") <= topK)
           .select(col("qid"), col("rnk").cast("long").as("rnk"),
             col("vec_id").as("nid"))
+  }
+
+  /** v25: exact re-rank of the ADC shortlist — the production IVFADC
+    * pattern the v24 probe-curve measurement motivates (QUALITY.json:
+    * the ADC curve is non-monotone in probes because quantized scores
+    * mis-order candidates; an exact re-rank of a wider shortlist fixes
+    * exactly that). Takes v24's top-`shortlist` per query, joins the
+    * TRUE vectors back for just those (queries × shortlist) rows, and
+    * re-ranks by exact cosine. At 100 TB the exact vectors are fetched
+    * for ~20 rows per query — the corpus-wide scan still touches only
+    * codes.
+    */
+  private[graft] def ivfPqRerank(s: org.apache.spark.sql.SparkSession,
+                                 d: String, nProbe: Int, shortlist: Int,
+                                 topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = ivfPqTopK(s, d, nProbe, shortlist).select("qid", "nid")
+    val emb = preparedEmbeddings(s, d)
+    val qv = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("__qid"), col("__cd").as("qd"), col("__cn").as("qn"))
+    val cv = emb.select(col("vec_id").as("__nid"), col("__cd").as("cd"),
+      col("__cn").as("nn"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    short.join(broadcast(qv), col("qid") === col("__qid"))
+      .join(cv, col("nid") === col("__nid"))
+      .withColumn("cos",
+        graft.functions.native.dotD(col("qd"), col("cd")) / (col("qn") * col("nn")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"))
   }
 
   /** v19's oracle: the full Gram → fixed-order power iteration →

@@ -58,6 +58,11 @@ class QualityMetricsSpec extends SparkSpec {
       (exactTopk intersect approx).size.toDouble / exactTopk.size
     }
     val v24Curve = Seq(2, 3, 4).map(p => p -> v24AgreeAtProbes(p))
+    // v25 = exact re-rank of the 20-deep ADC shortlist: must recover
+    // (essentially all of) what ADC mis-ordering cost within the
+    // probed cells — the remaining gap to 1.0 is pure candidate
+    // pruning (cells the 3 probes never opened)
+    val v25Agree = (exactTopk intersect topkSet("v25_ivfpq_rerank")).size.toDouble / exactTopk.size
 
     // v6 pair recall vs the exhaustive threshold set: how many true
     // cos>=0.35 pairs does single-assignment cell blocking keep? (the
@@ -174,6 +179,9 @@ class QualityMetricsSpec extends SparkSpec {
       s"v24 probe/agreement curve out of range: $v24Curve")
     assert(math.abs(v24Curve.toMap.apply(3) - v24Agree) < 1e-9,
       s"curve@3 must equal the gate operating point")
+    assert(v25Agree >= v24Agree - 1e-9,
+      s"exact re-rank ($v25Agree) must not lose to raw ADC ($v24Agree)")
+    assert(v25Agree >= 0.2, s"v25 re-ranked agreement $v25Agree")
     assert(v6Recall >= 0.5, s"v6 pair recall $v6Recall")
     assert(v13EdgeRecall >= 0.4, s"v13 IVF-path edge recall $v13EdgeRecall")
     assert(v15Recall >= 0.3, s"v15 augmented-IVF MIPS recall $v15Recall")
@@ -202,6 +210,7 @@ class QualityMetricsSpec extends SparkSpec {
          |  "v22_pq_trained":     {"topk_agreement_vs_v1": $v22Agree%.4f, "floor": 0.1},
          |  "v24_ivfpq_topk":     {"topk_agreement_vs_v1": $v24Agree%.4f, "floor": 0.05,
          |                         "probe_agreement_curve": {${v24Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}}},
+         |  "v25_ivfpq_rerank":   {"topk_agreement_vs_v1": $v25Agree%.4f, "floor": 0.2},
          |  "r21_approx_distinct": {"max_rel_err_vs_r20": $r21MaxRelErr%.4f, "bound": 0.05},
          |  "r35_approx_quantile": {"max_rel_err_vs_r33": $r35MaxRelErr%.4f, "bound": 0.01}
          |}
