@@ -41,6 +41,34 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(3L) == ((5L, 0L, 0L)))
   }
 
+  test("stripBoilerplate: coverage expansion, order-preserving rebuild, full-strip law") {
+    // docs 1 and 2 share "w x y z"; each keeps its non-covered tokens
+    // IN ORDER. docs 10 and 11 are verbatim twins → every span shared →
+    // fully stripped (clean_fp = md5 of the empty string). doc 3 shares
+    // nothing → untouched, clean_fp = md5 of its own rebuilt text.
+    val docs = Seq(
+      (1L, "w x y z tail1"),
+      (2L, "head2 w x y z"),
+      (3L, "p q r s t u"),
+      (10L, "dup dup2 dup3 dup4 dup5"),
+      (11L, "dup dup2 dup3 dup4 dup5")
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripBoilerplate(docs, "text", "doc_id", n = 4, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val emptyMd5 = one(md5(lit(""))).getString(0)
+    // doc 1: spans "w x y z"(shared) + "x y z tail1" — coverage is the
+    // UNION of windows of shared spans only = tokens 0..3, keeps tail1
+    assert(out(1L)._1 == 5 && out(1L)._2 == 4)
+    assert(out(1L)._3 == one(md5(lit("tail1"))).getString(0))
+    assert(out(2L)._1 == 5 && out(2L)._2 == 4)
+    assert(out(2L)._3 == one(md5(lit("head2"))).getString(0))
+    // untouched doc keeps everything, fingerprint of the full rebuild
+    assert(out(3L)._2 == 0 && out(3L)._3 == one(md5(lit("p q r s t u"))).getString(0))
+    // verbatim twins share all spans → both fully stripped
+    assert(out(10L) == ((5L, 5L, emptyMd5)) && out(11L) == ((5L, 5L, emptyMd5)))
+  }
+
   test("decontaminate: flags only train docs sharing a full n-token span") {
     val bench = Seq((100L, "a b c d e suffix-b")).toDF("doc_id", "text")
     val train = Seq(
