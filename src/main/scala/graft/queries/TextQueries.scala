@@ -2746,7 +2746,42 @@ object TextQueries {
           .select(lit("token").as("part"), col("item"), col("cnt"))
         mergeRows.unionByName(topTok).orderBy("part", "item")
       },
-      Some(bpeTrainSql))
+      Some(bpeTrainSql)),
+
+    // t53: BPE ENCODE AT CORPUS SCALE — the apply half of the t49
+    // tokenizer: the trained 3-round segmentation of each DISTINCT
+    // vocabulary word is broadcast-joined back onto the corpus's word
+    // stream, giving per-document token counts under the trained
+    // merges (the fertility/compression signal a data pipeline uses
+    // to budget sequence packing and price corpora in tokens). This
+    // is the production encode shape: the expensive iterative merge
+    // loop runs once over the VOCABULARY (distinct words — Zipf makes
+    // this orders of magnitude smaller than the corpus), and the
+    // corpus-sized pass is a single stateless broadcast hash join +
+    // partial-aggregated groupBy(doc_id) — no window, no shuffle of
+    // text, O(corpus) map-side work however large the corpus grows.
+    // The oracle replays training (t49's exact CTE chain) AND the
+    // encode join, so a drift in any round's merges breaks the
+    // per-doc token totals downstream.
+    Q("t53_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = docs
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]{2,}$"))
+          .groupBy("w").agg(count(lit(1)).as("wcnt"))
+        val (_, segs) = TextOps.bpeTrain(vocab, rounds = 3)
+        val tokLen = segs.select(col("w"), size(col("toks")).cast("long").as("ntok"))
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]{2,}$"))
+          .join(broadcast(tokLen), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("ntok")).as("n_tokens"),
+            sum(length(col("w")).cast("long")).as("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodeSql))
   )
 
   /** t49's oracle: the full three-round BPE loop as CTEs. Each round's
@@ -2755,7 +2790,50 @@ object TextQueries {
     * scalar subqueries, the run-alternating greedy merge via the same
     * window expressions (0-based positions match posexplode).
     */
-  private def bpeTrainSql: String = {
+  private def bpeTrainSql: String =
+    s"""
+        WITH $bpeCtes,
+        toptok AS (
+          SELECT item, cnt FROM (
+            SELECT t AS item, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+              SELECT wcnt, unnest(toks) AS t FROM segs3)
+            GROUP BY t)
+          ORDER BY cnt DESC, item LIMIT 10)
+        SELECT part, item, cnt FROM (
+          SELECT 'merge_1' AS part, a || '>' || b AS item, cnt FROM top1
+          UNION ALL SELECT 'merge_2', a || '>' || b, cnt FROM top2
+          UNION ALL SELECT 'merge_3', a || '>' || b, cnt FROM top3
+          UNION ALL SELECT 'token', item, cnt FROM toptok)
+        ORDER BY part, item"""
+
+  /** t53's oracle: the SAME training chain (so the trained merges are
+    * re-derived, not trusted), then the encode join — per-word final
+    * token counts from segs3 joined back onto the per-document word
+    * stream, aggregated to per-doc word/token/byte totals.
+    */
+  private def bpeEncodeSql: String =
+    s"""
+        WITH $bpeCtes,
+        tl AS (SELECT w, CAST(len(toks) AS BIGINT) AS ntok FROM segs3),
+        fw AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE regexp_matches(w, '^[a-z]{2,}$$'))
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(tl.ntok) AS BIGINT) AS n_tokens,
+               CAST(sum(length(fw.w)) AS BIGINT) AS n_bytes
+        FROM fw JOIN tl ON fw.w = tl.w
+        GROUP BY doc_id ORDER BY doc_id"""
+
+  /** The shared 3-round BPE training trajectory as a WITH-body prefix
+    * (vocab → segs0 → per-round pair-count/argmax/greedy-merge chain →
+    * segs3), mirroring [[TextOps.bpeTrain]] operation for operation —
+    * weighted pair counts, the argmax as a LIMIT-1 CTE consumed by
+    * scalar subqueries, the run-alternating greedy merge via the same
+    * window expressions (0-based positions match posexplode). Used by
+    * both t49 (training trajectory output) and t53 (corpus encode).
+    */
+  private def bpeCtes: String = {
     def round(r: Int): String = {
       val prev = if (r == 1) "segs0" else s"segs${r - 1}"
       s"""
@@ -2787,26 +2865,13 @@ object TextQueries {
                  list(CASE WHEN sel THEN t || nxt ELSE t END ORDER BY pos) AS toks
           FROM kk$r WHERE NOT dropnext GROUP BY w, wcnt)"""
     }
-    s"""
-        WITH vocab AS (
+    s"""vocab AS (
           SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
           WHERE regexp_matches(w, '^[a-z]{2,}$$')
           GROUP BY w),
         segs0 AS (
           SELECT w, wcnt, list_filter(string_split(w, ''), x -> x != '') AS toks
-          FROM vocab),${(1 to 3).map(round).mkString(",")},
-        toptok AS (
-          SELECT item, cnt FROM (
-            SELECT t AS item, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
-              SELECT wcnt, unnest(toks) AS t FROM segs3)
-            GROUP BY t)
-          ORDER BY cnt DESC, item LIMIT 10)
-        SELECT part, item, cnt FROM (
-          SELECT 'merge_1' AS part, a || '>' || b AS item, cnt FROM top1
-          UNION ALL SELECT 'merge_2', a || '>' || b, cnt FROM top2
-          UNION ALL SELECT 'merge_3', a || '>' || b, cnt FROM top3
-          UNION ALL SELECT 'token', item, cnt FROM toptok)
-        ORDER BY part, item"""
+          FROM vocab),${(1 to 3).map(round).mkString(",")}"""
   }
 }

@@ -328,6 +328,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got2("aaaa") == Seq("aa", "aa"))
   }
 
+  test("bpe encode composition: trained segment lengths join back to exact per-doc totals") {
+    // the t53 shape: train on the distinct-word vocab, then broadcast
+    // the per-word final token counts onto the corpus word stream.
+    // Hand-checked: (a,a) wins round 1 with weight 2*3 + 1*2 = 8, so
+    // aaaa -> [aa,aa], aaa -> [aa,a], abab and xx untouched.
+    val docs = Seq((1L, "aaaa abab xx"), (2L, "aaa aaaa")).toDF("doc_id", "text")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    val (merges, segs) = TextOps.bpeTrain(vocab, rounds = 1)
+    assert(merges == Seq(("a", "a", 8L)), s"wrong merge: $merges")
+    val tokLen = segs.select(col("w"), size(col("toks")).cast("long").as("ntok"))
+    val got = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(tokLen), "w")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_words"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_bytes"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 8L, 10L)), s"doc 1: ${got(1L)}")   // 2 + 4 + 2 tokens
+    assert(got(2L) == ((2L, 4L, 7L)), s"doc 2: ${got(2L)}")    // 2 + 2 tokens
+  }
+
   test("pigeonholePairs: finds all Hamming<=3 pairs, misses none (losslessness)") {
     // hand-built 32-bit hashes: pairs at distance 0..3 must all surface,
     // a distance-4 pair must not, regardless of which blocks differ
