@@ -61,7 +61,8 @@ object Explain {
     "r77_priority_exists", "r78_supplier_part_classes",
     "r79_big_spenders", "r80_forecast_revenue", "v24_ivfpq_topk",
     "t52_boilerplate_strip", "h4_dynamic_partition_prune",
-    "g3_label_propagation", "h5_bucketed_join", "v25_ivfpq_rerank")
+    "g3_label_propagation", "h5_bucketed_join", "v25_ivfpq_rerank",
+    "t53_bpe_encode", "h6_schema_evolution")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is

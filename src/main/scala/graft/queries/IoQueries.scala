@@ -111,6 +111,31 @@ object IoQueries {
         out
       })
 
+  /** h6's two-generation layout: the corpus split into a LEGACY batch
+    * (doc_id % 4 == 0) written WITHOUT `n_chars` — the file footprint
+    * of writers that predate the column — and a CURRENT batch with the
+    * full schema, both parquet file sets in one directory. Memoized per
+    * (dir, table fingerprint) like [[partitionedDocs]]; the split is
+    * deterministic in doc_id so the oracle can re-derive which
+    * generation each row landed in.
+    */
+  private val evolvedCopies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def evolvedDocs(s: SparkSession, d: String): String =
+    evolvedCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "evolved_").toString
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 4 === 0)
+          .select("doc_id", "text", "lang", "source")
+          .write.mode("overwrite").parquet(out)
+        docs.filter(col("doc_id") % 4 =!= 0)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("append").parquet(out)
+        out
+      })
+
   /** h4's dimension table: (lang, tier), written to parquet once per
     * table fingerprint so the fact join's build side is a real file
     * source — dynamic partition pruning needs a broadcastable scan with
@@ -405,6 +430,38 @@ object IoQueries {
                CAST(sum(${Q.sqlCents("l_extendedprice")}) AS BIGINT) AS rev_cents
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // h6: SCHEMA EVOLUTION READ — every long-lived lakehouse table
+    // accretes columns, and at 100 TB you do NOT rewrite old files
+    // when one is added: readers must merge footers (`mergeSchema`)
+    // and null-fill the column for pre-evolution files. The layout is
+    // the corpus written as two generations into ONE directory — a
+    // legacy batch missing `n_chars` entirely and a current batch
+    // with it — and the query does the production read: merged
+    // schema, then a READ-TIME BACKFILL (coalesce the missing stat
+    // from the text itself) feeding a per-language aggregate. The
+    // oracle recomputes the same backfill from the original table, so
+    // a reader that dropped legacy rows, picked one footer's schema,
+    // or misaligned columns across generations breaks the hash. At
+    // scale the footer merge is a one-off planning cost you'd pin in
+    // a catalog; per-file column pruning and row-group pushdown are
+    // unaffected because parquet resolves columns by name per file.
+    Q("h6_schema_evolution",
+      (s, d) => {
+        s.read.option("mergeSchema", "true").parquet(evolvedDocs(s, d))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_legacy"),
+            sum(coalesce(col("n_chars"),
+              length(col("text")).cast("long"))).as("sum_chars_filled"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+               CAST(sum(CASE WHEN doc_id % 4 = 0 THEN length(text) ELSE n_chars END) AS BIGINT)
+                 AS sum_chars_filled
+        FROM documents GROUP BY lang ORDER BY lang""")),
 
     // r60: SNAPSHOT TIME-TRAVEL DIFF — what arrived between version 0
     // and the latest commit of the snapshot table, computed as a

@@ -32,6 +32,24 @@ class CatalogIoSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(n_regionkey"), scan)
   }
 
+  test("h6 layout: two real footer schemas on disk; merged read null-fills exactly the legacy rows") {
+    val path = graft.queries.IoQueries.evolvedDocs(spark, sf001)
+    // the directory must genuinely hold BOTH generations' footers —
+    // a 4-column legacy schema and the 5-column current one — or the
+    // query proves nothing about schema merging
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    val widths = files.map(f => spark.read.parquet(f.getAbsolutePath).schema.size).toSet
+    assert(widths == Set(4, 5), s"expected 4- and 5-column footers, got $widths")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.schema.fieldNames.contains("n_chars"))
+    val docs = graft.queries.Tables.documents(spark, sf001)
+    val legacy = docs.filter(col("doc_id") % 4 === 0).count()
+    assert(merged.filter(col("n_chars").isNull).count() == legacy,
+      "null n_chars rows must be exactly the legacy generation")
+    assert(merged.count() == docs.count(), "no rows lost across generations")
+  }
+
   test("CSV source: explicit schema, header, CRLF-safe on the reference corpus") {
     val df = Sources.csv(spark, "/root/reference/datasets/erp/LOC_A101.csv",
       Schemas.erpLocA101)
