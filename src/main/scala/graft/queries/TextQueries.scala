@@ -1059,6 +1059,61 @@ object TextQueries {
                event_type, count(*) AS cnt
         FROM keep GROUP BY 1, 2 ORDER BY bucket, event_type""")),
 
+    // s16: STREAM-STREAM LEFT OUTER JOIN under real execution — the
+    // semantics corner the inner join (s10) cannot reach: an
+    // impression with NO conversion in its window must still emit,
+    // null-padded, and in streaming that row can only appear after
+    // the WATERMARK has passed its entire match window (before that,
+    // a matching click could still arrive — emitting early would be
+    // wrong, emitting never would drop it). The replay drives exactly
+    // that machinery: unmatched views buffered as join state across
+    // micro-batches are declared unmatched only once the two
+    // sentinels push both watermarks past the whole horizon, and the
+    // trailing no-data batch flushes the null-padded rows to the
+    // sink. Matched rows still emit in the batch where the second
+    // side arrives — both emission paths land in one sink under one
+    // oracle: the batch LEFT JOIN with the same residual time
+    // condition (NULLS FIRST pins the cross-engine sort of the
+    // null-padded rows). State cost is identical to s10's inner join
+    // (the unmatched flag rides the existing buffered row).
+    Q("s16_stream_outer_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        val mm = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val hourUs = 3600L * 1000000
+        val latenessUs = (hi - lo) + hourUs
+        def sentinel = s.range(1).select(
+          lit(-1L).as("event_id"), lit(hi + latenessUs + 2 * hourUs).as("ts_us"),
+          lit(-1L).as("user_id"), lit("__wm").as("event_type"),
+          lit(0.0).as("value"))
+        graft.streaming.StreamExec.replayFileStream2(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          "ts_us", sentinel, sentinel, 4) { (imps, convs) =>
+            graft.streaming.EventStreams.attributionJoin(
+              imps, convs, windowSec = 3600,
+              lateness = s"$latenessUs microseconds", joinType = "leftOuter")
+        }.filter(col("user_id") >= 0)
+          .orderBy("user_id", "imp_id", "conv_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT event_id AS imp_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'view'),
+        c AS (
+          SELECT event_id AS conv_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'click')
+        SELECT v.user_id, imp_id, conv_id,
+               CAST(c.ts_us - v.ts_us AS BIGINT) AS delay_us
+        FROM v LEFT JOIN c
+          ON v.user_id = c.user_id
+         AND c.ts_us >= v.ts_us
+         AND c.ts_us <= v.ts_us + 3600000000
+        ORDER BY v.user_id, imp_id, conv_id NULLS FIRST""")),
+
     // t18: sequence packing — assign documents to fixed-budget (512-token)
     // training sequences by cumulative token count, sharded: packs are
     // contiguous WITHIN a 1000-doc shard (the last pack of each shard may

@@ -136,7 +136,8 @@ object EventStreams {
     */
   def attributionJoin(imps: DataFrame, convs: DataFrame,
                       windowSec: Long = 3600,
-                      lateness: String = "1 hour"): DataFrame = {
+                      lateness: String = "1 hour",
+                      joinType: String = "inner"): DataFrame = {
     def prep(df: DataFrame, side: String): DataFrame = {
       val withTs = df.select(
         col("event_id").as(s"${side}_id"),
@@ -147,10 +148,17 @@ object EventStreams {
     }
     val i = prep(imps, "imp")
     val c = prep(convs, "conv")
+    // leftOuter is the UNMATCHED-IMPRESSION surface: in streaming,
+    // Spark can only declare a buffered left row unmatched once the
+    // watermark has passed its whole match window (imp_ts + windowSec),
+    // so null-padded rows emit with that delay — the same state-expiry
+    // bound the inner join uses, no extra state. In batch the same
+    // code is a plain outer equijoin with the residual time condition.
     i.join(c,
         col("imp_user") === col("conv_user") &&
           col("conv_ts") >= col("imp_ts") &&
-          col("conv_ts") <= col("imp_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+          col("conv_ts") <= col("imp_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+        joinType)
       .select(col("imp_user").as("user_id"), col("imp_id"), col("conv_id"),
         (col("conv_us") - col("imp_us")).as("delay_us"))
   }

@@ -345,6 +345,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((1L, 10L, 20L, 100L * us)))
   }
 
+  test("attributionJoin leftOuter: unmatched views emit null-padded only after watermark passes their window") {
+    implicit val sq = spark.sqlContext
+    // same geometry as the inner test: only (view 10, click 20) pairs;
+    // views 11 (u1) and 12 (u2) have no click in window and must
+    // surface null-padded — but ONLY once the watermark clears their
+    // whole match window (before that a matching click could still
+    // arrive, so early emission would be wrong).
+    val views = Seq(ev(10, 100, 1, "view"), ev(11, 5000, 1, "view"),
+      ev(12, 100, 2, "view"))
+    val clicks = Seq(ev(20, 200, 1), ev(21, 4100, 1), ev(22, 90, 1))
+    val memV = MemoryStream[Event]
+    val memC = MemoryStream[Event]
+    memV.addData(views: _*)
+    memC.addData(clicks: _*)
+    val q = EventStreams.attributionJoin(memV.toDF(), memC.toDF(),
+        windowSec = 3600, lateness = "10 minutes", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    def rows() = spark.table("attr_outer_out")
+      .select("user_id", "imp_id", "conv_id", "delay_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    // watermark is still at 5000s - 600s: views 11/12 could yet match,
+    // so only the real pair has emitted
+    assert(rows() == Set((1L, 10L, Some(20L), Some(100L * us))),
+      s"premature outer emission: ${rows()}")
+    // advance both watermarks far past every window; the no-data batch
+    // then flushes the evicted unmatched views, null-padded. View 13's
+    // own window stays open, so it must NOT emit (the batch twin would
+    // emit it - the difference IS the streaming contract).
+    memV.addData(ev(13, 100000, 3, "view"))
+    memC.addData(ev(23, 100000, 4))
+    q.processAllAvailable(); q.stop()
+    assert(rows() == Set(
+      (1L, 10L, Some(20L), Some(100L * us)),
+      (1L, 11L, None, None),
+      (2L, 12L, None, None)), s"outer flush wrong: ${rows()}")
+  }
+
   test("enrichJoin: stream-static broadcast join matches the batch twin") {
     implicit val sq = spark.sqlContext
     val data = Seq((1L, 1L, 1.0), (2L, 2L, 2.0), (3L, 5L, 3.0))
