@@ -63,6 +63,20 @@ class QualityMetricsSpec extends SparkSpec {
     // probed cells — the remaining gap to 1.0 is pure candidate
     // pruning (cells the 3 probes never opened)
     val v25Agree = (exactTopk intersect topkSet("v25_ivfpq_rerank")).size.toDouble / exactTopk.size
+    // shortlist-depth/agreement curve for the re-rank: unlike the ADC
+    // probe curve this IS provably monotone — the exact-reranked top-5
+    // of a wider shortlist keeps every global-top-5 member the
+    // shortlist contains (anything outscoring it by TRUE cosine is
+    // itself global top-5), so agreement(depth) = |top5 ∩ shortlist|/5,
+    // non-decreasing, with the 3-probe cell recall as its ceiling
+    def v25AgreeAtDepth(sl: Int): Double = {
+      val approx = graft.queries.VectorQueries
+        .ivfPqRerank(spark, sf01, nProbe = 3, shortlist = sl, topK = 5)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactTopk intersect approx).size.toDouble / exactTopk.size
+    }
+    val v25Curve = Seq(10, 20, 40).map(sl => sl -> v25AgreeAtDepth(sl))
 
     // v6 pair recall vs the exhaustive threshold set: how many true
     // cos>=0.35 pairs does single-assignment cell blocking keep? (the
@@ -182,6 +196,12 @@ class QualityMetricsSpec extends SparkSpec {
     assert(v25Agree >= v24Agree - 1e-9,
       s"exact re-rank ($v25Agree) must not lose to raw ADC ($v24Agree)")
     assert(v25Agree >= 0.2, s"v25 re-ranked agreement $v25Agree")
+    assert(v25Curve.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 - 1e-9 },
+      s"v25 depth/agreement curve must be monotone (exact re-rank of a superset): $v25Curve")
+    assert(math.abs(v25Curve.toMap.apply(20) - v25Agree) < 1e-9,
+      s"v25 curve@20 must equal the gate operating point")
+    assert(v25Curve.forall { case (_, r) => r <= v4Recall + 1e-9 },
+      s"re-rank cannot exceed the probed-cell recall ceiling (v4 $v4Recall): $v25Curve")
     assert(v6Recall >= 0.5, s"v6 pair recall $v6Recall")
     assert(v13EdgeRecall >= 0.4, s"v13 IVF-path edge recall $v13EdgeRecall")
     assert(v15Recall >= 0.3, s"v15 augmented-IVF MIPS recall $v15Recall")
@@ -210,7 +230,8 @@ class QualityMetricsSpec extends SparkSpec {
          |  "v22_pq_trained":     {"topk_agreement_vs_v1": $v22Agree%.4f, "floor": 0.1},
          |  "v24_ivfpq_topk":     {"topk_agreement_vs_v1": $v24Agree%.4f, "floor": 0.05,
          |                         "probe_agreement_curve": {${v24Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}}},
-         |  "v25_ivfpq_rerank":   {"topk_agreement_vs_v1": $v25Agree%.4f, "floor": 0.2},
+         |  "v25_ivfpq_rerank":   {"topk_agreement_vs_v1": $v25Agree%.4f, "floor": 0.2,
+         |                         "rerank_depth_curve": {${v25Curve.map { case (sl, r) => f""""$sl": $r%.4f""" }.mkString(", ")}}},
          |  "r21_approx_distinct": {"max_rel_err_vs_r20": $r21MaxRelErr%.4f, "bound": 0.05},
          |  "r35_approx_quantile": {"max_rel_err_vs_r33": $r35MaxRelErr%.4f, "bound": 0.01}
          |}
