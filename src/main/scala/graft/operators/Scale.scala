@@ -691,4 +691,110 @@ object Scale {
       victims
     }
   }
+
+  // ---------------------------------------------------------------
+  // MERGE-ON-READ deletes — the third lakehouse mutation discipline,
+  // completing the story: mergeParquet rewrites touched partitions in
+  // place (copy-on-write, cheap reads / expensive deletes),
+  // writeSnapshot rewrites whole versions (time travel), and
+  // merge-on-read makes a delete O(deleted keys): an immutable `base/`
+  // file set plus append-only `_deletes/d=<n>/` EQUALITY-DELETE files
+  // (deleted key values, the Iceberg-v2 shape), reconciled at READ
+  // time by an anti-join. At 100 TB a delete of a million keys from a
+  // billion-row table writes megabytes instead of rewriting terabytes;
+  // the read-side tax is one broadcast anti-join, bounded because
+  // [[compactDeletes]] periodically folds the accumulated deletes back
+  // into the base (the Iceberg `rewrite_data_files` cadence) — the
+  // delete set between compactions stays broadcast-sized BY CONTRACT.
+  // ---------------------------------------------------------------
+
+  /** Initialize (or replace) the immutable base file set of a
+    * merge-on-read table. Clears any delete files: the new base is by
+    * definition fully reconciled.
+    */
+  def writeMorBase(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(path))
+    withTableLock(fs, path) {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$path/base")
+      fs.delete(new Path(path, "_deletes"), true); ()
+    }
+  }
+
+  /** Append one equality-delete file: `keys` (a single-column frame of
+    * deleted key values) lands as `_deletes/d=<n>/` without touching a
+    * byte of the base. Monotone file numbering under the maintenance
+    * lock; deleting an already-deleted or absent key is a no-op at
+    * read time (anti-join semantics), so retries are idempotent.
+    * Returns the delete-file number.
+    */
+  def appendDeletes(spark: SparkSession, path: String, keys: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    require(keys.columns.length == 1,
+      s"equality-delete frame must be single-column, got ${keys.columns.mkString(",")}")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withTableLock(fs, path) {
+      val dels = new Path(path, "_deletes")
+      val next =
+        if (!fs.exists(dels)) 0L
+        else fs.listStatus(dels).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("d=") => n.stripPrefix("d=").toLong }
+          .foldLeft(-1L)(math.max) + 1
+      keys.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/_deletes/d=$next")
+      next
+    }
+  }
+
+  /** The reconciled view: base minus every key in any delete file. The
+    * delete union is DISTINCT'd (re-deletes collapse) and broadcast —
+    * the base scan stays shuffle-free, each task hash-probing the
+    * delete set as it reads, which is exactly how engine-native
+    * deletion vectors behave. `keyCol` must be the column the delete
+    * files were written from.
+    */
+  def readMergeOnRead(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(s"$path/base")
+    val dels = new Path(path, "_deletes")
+    // explicit dir list, not a `d=*` glob: the glob path trips Spark's
+    // streaming-sink metadata probe into logging a spurious
+    // FileNotFoundException stack per read
+    val delDirs =
+      if (!fs.exists(dels)) Seq.empty
+      else fs.listStatus(dels).toSeq
+        .filter(_.getPath.getName.startsWith("d="))
+        .map(_.getPath.toString)
+    if (delDirs.isEmpty) base
+    else {
+      val keys = spark.read.parquet(delDirs: _*).toDF(keyCol).distinct()
+      base.join(org.apache.spark.sql.functions.broadcast(keys), Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** Fold the accumulated deletes into the base (the periodic rewrite
+    * that keeps the read-side delete set broadcast-sized): rewrite
+    * `base/` as the reconciled view through a temp dir + rename swap
+    * (never read-and-overwrite the same path — the lazy scan would
+    * read its own half-deleted input), then drop the delete files.
+    * Readers resolve the old or the new base dir, never a mix.
+    */
+  def compactDeletes(spark: SparkSession, path: String, keyCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withTableLock(fs, path) {
+      val dels = new Path(path, "_deletes")
+      if (fs.exists(dels) && fs.listStatus(dels).nonEmpty) {
+        val tmp = new Path(path, "__base_tmp")
+        fs.delete(tmp, true)
+        readMergeOnRead(spark, path, keyCol)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val live = new Path(path, "base")
+        fs.delete(live, true)
+        renameOrFail(fs, tmp, live)
+        fs.delete(dels, true); ()
+      }
+    }
+  }
 }

@@ -136,6 +136,28 @@ object IoQueries {
         out
       })
 
+  /** h7's merge-on-read table: the corpus as an immutable base plus two
+    * appended equality-delete files — doc_ids with n_chars < 200, then
+    * doc_ids with lang = 'de' (overlapping: short German docs appear in
+    * both, pinning the re-delete-collapses contract). Memoized per
+    * (dir, table fingerprint) like [[partitionedDocs]].
+    */
+  private val morCopies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def morDocs(s: SparkSession, d: String): String =
+    morCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "mor_").toString
+        val docs = Tables.documents(s, d)
+        graft.operators.Scale.writeMorBase(s, out, docs)
+        graft.operators.Scale.appendDeletes(s, out,
+          docs.filter(col("n_chars") < 200).select("doc_id"))
+        graft.operators.Scale.appendDeletes(s, out,
+          docs.filter(col("lang") === "de").select("doc_id"))
+        out
+      })
+
   /** h4's dimension table: (lang, tier), written to parquet once per
     * table fingerprint so the fact join's build side is a real file
     * source — dynamic partition pruning needs a broadcastable scan with
@@ -462,6 +484,34 @@ object IoQueries {
                CAST(sum(CASE WHEN doc_id % 4 = 0 THEN length(text) ELSE n_chars END) AS BIGINT)
                  AS sum_chars_filled
         FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // h7: MERGE-ON-READ DELETES — the third lakehouse mutation
+    // discipline under the oracle (r32/r36 rewrite touched partitions
+    // copy-on-write, r60 snapshots whole versions; h7 deletes WITHOUT
+    // rewriting anything): the corpus as an immutable base file set
+    // plus two appended equality-delete files (short docs, then German
+    // docs — the second overlapping the first, so re-deletes must
+    // collapse), reconciled at read time by one broadcast anti-join.
+    // The oracle is the plain predicate complement over the original
+    // table, so a reader that lost a delete file, double-applied the
+    // overlap, or leaked a deleted row breaks the hash. At 100 TB the
+    // delete of a million keys writes megabytes, and the read-side
+    // anti-join stays broadcast-sized because compactDeletes folds
+    // deletes into the base on a cadence (ScaleSpec pins that fold
+    // preserves this exact view).
+    Q("h7_merge_on_read",
+      (s, d) => {
+        graft.operators.Scale.readMergeOnRead(s, morDocs(s, d), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents WHERE NOT (n_chars < 200 OR lang = 'de')
+        GROUP BY source ORDER BY source""")),
 
     // r60: SNAPSHOT TIME-TRAVEL DIFF — what arrived between version 0
     // and the latest commit of the snapshot table, computed as a

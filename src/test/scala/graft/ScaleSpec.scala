@@ -132,6 +132,38 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(salted == plain)
   }
 
+  test("merge-on-read: append-only deletes reconcile at read; compaction folds them in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mor").toString + "/t"
+    val df = (1L to 100L).map(i => (i, s"row$i")).toDF("id", "v")
+    Scale.writeMorBase(spark, dir, df)
+    // no deletes yet: the reconciled view IS the base
+    assert(Scale.readMergeOnRead(spark, dir, "id").count() == 100)
+    // two delete files, overlapping (ids 1-10, then evens 2-40): the
+    // overlap (2,4,6,8,10) must collapse, not double-apply
+    assert(Scale.appendDeletes(spark, dir, (1L to 10L).toDF("id")) == 0L)
+    assert(Scale.appendDeletes(spark, dir,
+      (1L to 20L).map(_ * 2).toDF("id")) == 1L)
+    val expect = (1L to 100L).filterNot(i => i <= 10 || (i % 2 == 0 && i <= 40)).toSet
+    def ids() = Scale.readMergeOnRead(spark, dir, "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids() == expect, "reconciled view must be base minus the delete union")
+    // base files untouched by the deletes (the whole point)
+    assert(spark.read.parquet(s"$dir/base").count() == 100)
+    // compaction folds deletes into the base and clears the delete dir;
+    // the reconciled view is unchanged and now physically materialized
+    Scale.compactDeletes(spark, dir, "id")
+    assert(ids() == expect, "compaction must preserve the reconciled view")
+    assert(spark.read.parquet(s"$dir/base").count() == expect.size,
+      "deleted rows must be physically gone after compaction")
+    assert(!new java.io.File(s"$dir/_deletes").exists, "delete files must be cleared")
+    // delete-after-compaction starts a fresh numbered sequence
+    assert(Scale.appendDeletes(spark, dir, Seq(99L).toDF("id")) == 0L)
+    assert(ids() == expect - 99L)
+    // deleting an absent key is a read-time no-op (idempotent retries)
+    Scale.appendDeletes(spark, dir, Seq(12345L).toDF("id"))
+    assert(ids() == expect - 99L)
+  }
+
   test("compactParquet rewrites many small files into few, content identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
