@@ -188,6 +188,36 @@ object TextOps {
     }
   }
 
+  /** Candidate probability of the banded-LSH S-curve: a pair with true
+    * Jaccard similarity `s` shares at least one of `bands` band values
+    * with probability 1 − (1 − s^rows)^bands. Driver-side arithmetic —
+    * the model-selection half of the LSH family, no data touched.
+    */
+  def lshCandidateProb(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Choose LSH geometry for a target similarity threshold under a hash
+    * budget: among (bands b, rows r) with b·r ≤ nHashes (b = ⌊n/r⌋ —
+    * fewer bands at the same r is strictly dominated), pick the r whose
+    * S-curve inflection s* = (1/b)^(1/r) lies closest to `threshold`,
+    * breaking ties toward more bands (recall over precision — a missed
+    * dup survives the corpus forever, a false candidate costs one
+    * verify). This is how the shipped geometries were chosen: 4 hashes
+    * at threshold 0.5 → 2 bands × 2 rows, the t3/t20/t37 layout
+    * (TextOpsSpec pins that agreement). Returns (bands, rows, sStar).
+    */
+  def lshPlan(threshold: Double, nHashes: Int): (Int, Int, Double) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    require(nHashes >= 2, s"need >= 2 hashes, got $nHashes")
+    val cands = (1 to nHashes).map { r =>
+      val b = nHashes / r
+      val sStar = math.pow(1.0 / b, 1.0 / r)
+      (b, r, sStar)
+    }
+    cands.minBy { case (b, _, sStar) => (math.abs(sStar - threshold), -b) }
+  }
+
   /** 32-bit SimHash over md5 nibbles: bit j of a token votes +1/-1 by the
     * high bit of hex digit j of its md5; the document bit is the vote
     * sign. Single pass over the token array (array-accumulator aggregate),

@@ -328,6 +328,33 @@ class TextOpsSpec extends SparkSpec {
     assert(got2("aaaa") == Seq("aa", "aa"))
   }
 
+  test("lshPlan: S-curve geometry solver picks the shipped layouts; prob is monotone") {
+    // 4-hash budget at threshold 0.5 must yield the gate geometry
+    // (2 bands x 2 rows): inflections are 0.25 (4x1), 0.707 (2x2),
+    // 1.0 (1x3, 1x4) -> 2x2 is nearest to 0.5
+    val (b4, r4, s4) = TextOps.lshPlan(0.5, 4)
+    assert((b4, r4) == ((2, 2)), s"got ${(b4, r4, s4)}")
+    assert(math.abs(s4 - math.sqrt(0.5)) < 1e-12)
+    // 16 hashes at 0.5: r=3/b=5 (s*=0.585) beats r=2/b=8 (0.354) and
+    // r=4/b=4 (0.707)
+    assert(TextOps.lshPlan(0.5, 16)._1 == 5 && TextOps.lshPlan(0.5, 16)._2 == 3)
+    // a high threshold wants deeper bands (precision), a low one
+    // shallower (recall): r must be non-decreasing in the threshold
+    val rs = Seq(0.2, 0.5, 0.8).map(t => TextOps.lshPlan(t, 16)._2)
+    assert(rs == rs.sorted, s"rows not monotone in threshold: $rs")
+    // the candidate probability is monotone in s for any geometry and
+    // hits its defining endpoints
+    val ps = (0 to 10).map(i => TextOps.lshCandidateProb(i / 10.0, 5, 3))
+    assert(ps == ps.sorted, s"S-curve not monotone: $ps")
+    assert(math.abs(ps.head) < 1e-12 && math.abs(ps.last - 1.0) < 1e-12)
+    // and the solver's s* really is where the curve crosses ~half for
+    // its own geometry (inflection property: P(s*) = 1-(1-1/b)^b,
+    // -> 1-1/e for large b; exact identity checked, not the limit)
+    val (b, r, sStar) = TextOps.lshPlan(0.5, 16)
+    val pAtStar = TextOps.lshCandidateProb(sStar, b, r)
+    assert(math.abs(pAtStar - (1.0 - math.pow(1.0 - 1.0 / b, b))) < 1e-12)
+  }
+
   test("bpe encode composition: trained segment lengths join back to exact per-doc totals") {
     // the t53 shape: train on the distinct-word vocab, then broadcast
     // the per-word final token counts onto the corpus word stream.
