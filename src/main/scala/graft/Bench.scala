@@ -35,7 +35,9 @@ object Bench {
       "s9_stream_stateful_sessions", "s10_stream_attribution",
       "s11_stream_exact_dedup", "s12_stream_cdc_upsert",
       "s13_stream_static_enrich", "s14_stream_dq_gate",
-      "s15_stream_late_data", "s16_stream_outer_attribution")
+      "s15_stream_late_data", "s16_stream_outer_attribution",
+      // s17 additionally runs TWO query lifetimes per replay (restart)
+      "s17_stream_restart_recovery")
   private[graft] def runsFor(name: String): Int = if (singleRunQueries(name)) 2 else 3
 
   /** 1-minute system load average, or -1 when the platform can't say.

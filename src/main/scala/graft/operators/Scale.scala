@@ -797,4 +797,77 @@ object Scale {
       }
     }
   }
+
+  /** Incremental partition-level AGGREGATE maintenance — the
+    * materialized pre-agg (summary table) counterpart of
+    * [[mergeParquet]]'s row-level merge. The summary table at `path`
+    * holds `partCol, keyCols…, cnt, sumCols…` (counts and BIGINT sums —
+    * the self-mergeable aggregates: partials of a partition combine
+    * with delta partials by addition, so maintenance never needs the
+    * raw history). A refresh:
+    *
+    *   1. pre-aggregates the delta (map-side partial + one shuffle on
+    *      the grouping keys — O(delta));
+    *   2. reads ONLY the summary partitions the delta touches
+    *      (partition pruning via the collected touched-value set,
+    *      O(touched partitions) at the driver like mergeParquet);
+    *   3. re-sums base ∪ delta partials and swaps just those leaf
+    *      dirs — untouched partitions keep their files byte-for-byte.
+    *
+    * This is the 100 TB shape for dashboard/gold aggregate refresh: the
+    * reference recomputes gold aggregates from the full silver scan on
+    * every run; here a daily delta costs O(delta + touched partitions)
+    * regardless of table history. Same lock, temp-dir write-then-swap,
+    * and crash-granularity contract as [[mergeParquet]]. AVG and other
+    * algebraic aggregates derive from (sum, cnt) at read time;
+    * non-algebraic ones (exact distinct) need a different structure
+    * (sketches — see the HLL/quantile queries) and are out of scope
+    * here by design.
+    */
+  def refreshAggregate(spark: SparkSession, path: String, delta: DataFrame,
+                       partCol: String, keyCols: Seq[String],
+                       sumCols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.makeQualified(new Path(path))
+    val dims = (partCol +: keyCols).map(col)
+    def partials(df: DataFrame, cntExpr: Column): DataFrame =
+      df.groupBy(dims: _*).agg(
+        cntExpr.cast("long").as("cnt"),
+        sumCols.map(c => sum(col(c)).cast("long").as(c)): _*)
+    val deltaAgg = partials(delta, count(lit(1)))
+    withTableLock(fs, path) {
+      if (!fs.exists(src)) {
+        deltaAgg.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
+          .parquet(src.toString)
+        return
+      }
+      val touched = deltaAgg.select(col(partCol)).distinct().collect().map(_.get(0))
+      require(touched.nonEmpty, "refreshAggregate: delta is empty")
+      val (nullTouched, nonNull) = touched.toIndexedSeq.partition(_ == null)
+      val touchedPred =
+        if (nullTouched.isEmpty) col(partCol).isin(nonNull: _*)
+        else if (nonNull.isEmpty) col(partCol).isNull
+        else col(partCol).isin(nonNull: _*) || col(partCol).isNull
+      val base = spark.read.parquet(path).filter(touchedPred)
+      // re-sum partials: base cnt/sums are already aggregates, so the
+      // combined count is sum(cnt), not count(*)
+      val merged = partials(base.unionByName(deltaAgg), sum(col("cnt")))
+      val tmp = new Path(path + "__agg_tmp")
+      fs.delete(tmp, true)
+      merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
+      val written = fs.listStatus(tmp)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      written.foreach { s =>
+        val to = new Path(src, s.getPath.getName)
+        val bak = new Path(to.toString + "__agg_bak")
+        fs.delete(bak, true)
+        val existed = fs.exists(to)
+        if (existed) renameOrFail(fs, to, bak)
+        renameOrFail(fs, s.getPath, to)
+        if (existed) { fs.delete(bak, true); () }
+      }
+      fs.delete(tmp, true); ()
+    }
+  }
 }

@@ -2478,6 +2478,45 @@ object RelationalQueries {
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07
-          AND l_quantity < 24.0"""))
+          AND l_quantity < 24.0""")),
+
+    // r81: INCREMENTAL AGGREGATE MAINTENANCE — the materialized pre-agg
+    // refresh pattern (Scale.refreshAggregate). A monthly revenue
+    // summary table (partitioned by order month, keyed by priority) is
+    // bootstrapped from history, then a late-month DELTA is folded in:
+    // the refresh pre-aggregates only the delta, reads only the summary
+    // partitions the delta touches, and swaps just those leaf dirs —
+    // untouched months keep their files byte-for-byte (pinned by
+    // ScaleSpec). The gate reads the table AFTER both refreshes; the
+    // oracle is the one-shot GROUP BY over all orders, so any double
+    // count, lost partial, or partition misroute hash-mismatches. This
+    // is the 100 TB dashboard-refresh shape: cost O(delta + touched
+    // partitions), where the reference recomputes gold aggregates from
+    // the full silver scan on every run.
+    Q("r81_incremental_agg_refresh",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderpriority"), cents(col("o_totalprice")).as("cents_v"))
+        // delta = the trailing ~2 months (lexicographic compare is exact
+        // for yyyy-MM); base = everything before
+        val cut = Tables.orders(s, d)
+          .agg(date_format(add_months(max(col("o_orderdate")), -1), "yyyy-MM").as("c"))
+          .head().getString(0)
+        val table = java.nio.file.Files.createTempDirectory(
+          graft.streaming.StreamExec.scratchParent, "aggsum_").toString + "/t"
+        graft.operators.Scale.refreshAggregate(s, table,
+          o.filter(col("month") < cut), "month", Seq("o_orderpriority"), Seq("cents_v"))
+        graft.operators.Scale.refreshAggregate(s, table,
+          o.filter(col("month") >= cut), "month", Seq("o_orderpriority"), Seq("cents_v"))
+        s.read.parquet(table)
+          .select(col("month"), col("o_orderpriority"), col("cnt"), col("cents_v"))
+          .orderBy("month", "o_orderpriority")
+      },
+      Some(s"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+               count(*) AS cnt,
+               CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS cents_v
+        FROM orders GROUP BY 1, 2 ORDER BY month, o_orderpriority"""))
   )
 }

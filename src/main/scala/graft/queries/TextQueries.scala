@@ -1114,6 +1114,48 @@ object TextQueries {
          AND c.ts_us <= v.ts_us + 3600000000
         ORDER BY v.user_id, imp_id, conv_id NULLS FIRST""")),
 
+    // s17: CHECKPOINT RESTART — the state-RECOVERY path under real
+    // execution. s8 proves windowed aggregation state survives
+    // micro-batch boundaries within ONE query lifetime; s17 proves it
+    // survives the lifetime boundary itself: the replay runs two
+    // sequential StreamingQuery instances against one checkpoint
+    // (StreamExec.replayFileStreamRestart) — query #1 processes the
+    // first two slices and stops, query #2 must RESUME from the
+    // recorded offsets (batch ids continue — asserted) and restore the
+    // state store before processing the rest. Hour windows cut by the
+    // stop/restart boundary only reach the sink through recovered
+    // state; lateness covers the span, so run 1 emits nothing and the
+    // ENTIRE run-1 contribution arrives via the checkpoint. Failure
+    // modes are oracle-visible: lost state → undercounted buckets;
+    // re-read files → doubled counts; both hash-mismatch the one-shot
+    // GROUP BY. This is the production rollout/crash path on a real
+    // cluster — correctness rests on the checkpoint contract, not on
+    // any single query lifetime.
+    Q("s17_stream_restart_recovery",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        val hourUs = 3600L * 1000000
+        val mm = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val latenessUs = (hi - lo) + hourUs
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"), lit(hi + latenessUs + 2 * hourUs).as("ts_us"),
+          lit(-1L).as("user_id"), lit("__wm").as("event_type"),
+          lit(0.0).as("value"))
+        graft.streaming.StreamExec.replayFileStreamRestart(
+          ev, "ts_us", sentinel, slices = 4, splitAt = 2) {
+          st => graft.streaming.EventStreams.windowedCounts(
+            st, "1 hour", s"$latenessUs microseconds")
+        }.filter(col("event_type") =!= "__wm")
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+
     // t18: sequence packing — assign documents to fixed-budget (512-token)
     // training sequences by cumulative token count, sharded: packs are
     // contiguous WITHIN a 1000-doc shard (the last pack of each shard may

@@ -265,6 +265,98 @@ object StreamExec {
     spark.read.parquet(out)
   }
 
+  /** CHECKPOINT-RESTART replay — the state-RECOVERY surface. Same
+    * slicing/sentinel/mtime rules as [[replayFileStream]], but the
+    * replay is driven by TWO sequential `StreamingQuery` lifetimes
+    * sharing one checkpoint and one sink:
+    *
+    *   1. only the first `splitAt` slice files exist; query #1 runs
+    *      them to completion (`Trigger.AvailableNow`) and STOPS — its
+    *      aggregation state (partial windows/sessions straddling the
+    *      split) and its watermark are now only in the checkpoint;
+    *   2. the remaining slices plus the sentinel are written and query
+    *      #2 starts AGAINST THE SAME CHECKPOINT — it must resume from
+    *      the recorded offsets (batch ids continue; already-processed
+    *      files are not re-read) and restore the state store, or the
+    *      straddling windows emit as duplicate partials / doubled
+    *      counts and the DuckDB oracle compare fails.
+    *
+    * Because the caller's `lateness` covers the whole replayed span,
+    * the watermark stays below every real window end until the
+    * sentinel, so ALL emission happens in query #2 — the entire run-1
+    * contribution reaches the sink purely via recovered state. The
+    * resume (not restart-from-scratch) is asserted structurally: query
+    * #2's batch ids must start strictly after query #1's last.
+    *
+    * 100 TB shape: this is the production failure/redeploy path — on a
+    * real cluster every long-running streaming job is stopped and
+    * restarted (rollouts, preemptions, crashes) and correctness rests
+    * exactly on this checkpoint contract, not on any single query
+    * lifetime.
+    */
+  def replayFileStreamRestart(input: DataFrame, tsCol: String, sentinel: DataFrame,
+                              slices: Int, splitAt: Int, statePartitions: Int = 8)
+                             (transform: DataFrame => DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    require(slices >= 3, s"replayFileStreamRestart: need >= 3 slices, got $slices")
+    require(splitAt >= 1 && splitAt < slices,
+      s"replayFileStreamRestart: splitAt must cut the replay in two, got $splitAt/$slices")
+    val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayrs_")
+    val src = root.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val mm = input.agg(min(col(tsCol)).cast("long").as("lo"),
+      max(col(tsCol)).cast("long").as("hi")).head()
+    require(!mm.isNullAt(0), "replayFileStreamRestart: empty input")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (hi - lo) / slices + 1)
+    def writeSlice(i: Int): Unit = addSourceFile(root, src,
+      input.filter(expr(s"(cast(`$tsCol` as bigint) - ${lo}L) div ${span}L") === i),
+      f"slice$i%04d", i)
+
+    val out = root.resolve("out").toString
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val savedShuffle = spark.conf.get(shuffleKey)
+    def startRun(): org.apache.spark.sql.streaming.StreamingQuery =
+      try {
+        spark.conf.set(shuffleKey, statePartitions.toString)
+        spark.readStream
+          .schema(input.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src.toString)
+          .transform(transform)
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", root.resolve("ck").toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set(shuffleKey, savedShuffle)
+
+    (0 until splitAt).foreach(writeSlice)
+    val q1 = startRun()
+    q1.awaitTermination()
+    val q1Data = q1.recentProgress.count(_.numInputRows > 0)
+    val q1LastBatch = q1.recentProgress.map(_.batchId).foldLeft(-1L)(math.max)
+    require(q1Data >= splitAt,
+      s"replayFileStreamRestart: run 1 expected >= $splitAt data micro-batches, saw $q1Data")
+
+    (splitAt until slices).foreach(writeSlice)
+    addSourceFile(root, src, sentinel, "zsentinel", slices)
+    val q2 = startRun()
+    q2.awaitTermination()
+    streamRanSinceTeardown = true
+    val q2Data = q2.recentProgress.count(_.numInputRows > 0)
+    val q2FirstBatch = q2.recentProgress.map(_.batchId).foldLeft(Long.MaxValue)(math.min)
+    require(q2Data >= slices - splitAt + 1,
+      s"replayFileStreamRestart: run 2 expected >= ${slices - splitAt + 1} data " +
+        s"micro-batches, saw $q2Data")
+    require(q2FirstBatch > q1LastBatch,
+      s"replayFileStreamRestart: run 2 did not resume from the checkpoint " +
+        s"(first batch $q2FirstBatch vs run-1 last $q1LastBatch)")
+    spark.read.parquet(out)
+  }
+
   /** TWO-SOURCE replay — the stream-STREAM surface: both inputs become
     * independent time-sliced file sources (each micro-batch pulls one
     * file from each, so the sides advance together through event time)

@@ -675,4 +675,36 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(Scale.listSnapshots(spark, t) == (0L until committed.size).toSeq)
   }
+
+  test("refreshAggregate: delta refresh equals one-shot aggregate; untouched partitions stay in place") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_aggref").toString + "/t"
+    val batch1 = (1 to 300).map(i => (s"m${i % 3}", s"p${i % 2}", i.toLong))
+      .toDF("month", "prio", "v")
+    Scale.refreshAggregate(spark, base, batch1, "month", Seq("prio"), Seq("v"))
+    def files(m: String) = new java.io.File(s"$base/month=$m").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val m1 = files("m1"); val m2 = files("m2")
+    // delta touches only m0 plus a brand-new month m9
+    val delta = Seq(("m0", "p0", 1000L), ("m0", "p1", 50L), ("m9", "p0", 7L))
+      .toDF("month", "prio", "v")
+    Scale.refreshAggregate(spark, base, delta, "month", Seq("prio"), Seq("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got = canon(spark.read.parquet(base).select(
+      col("month"), col("prio"), col("cnt"), col("v")))
+    val expected = canon(batch1.unionByName(delta).groupBy("month", "prio")
+      .agg(count(lit(1)).cast("long").as("cnt"), sum("v").cast("long").as("v"))
+      .select("month", "prio", "cnt", "v"))
+    assert(got == expected, s"incremental refresh diverged from one-shot:\n $got\n $expected")
+    // incremental proof: months the delta never touched keep their files
+    assert(files("m1") == m1 && files("m2") == m2,
+      "untouched month partitions were rewritten")
+    assert(new java.io.File(s"$base/month=m9").isDirectory, "new month not created")
+    // empty delta refuses loudly rather than silently no-opping
+    intercept[IllegalArgumentException] {
+      Scale.refreshAggregate(spark, base, delta.limit(0), "month", Seq("prio"), Seq("v"))
+    }
+  }
 }

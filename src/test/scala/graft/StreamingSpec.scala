@@ -495,4 +495,34 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSeq == Seq((1L, 1L, 5L), (2L, 2L, 5L), (3L, 3L, 5L)),
       s"batches arrived merged or out of order: $seen")
   }
+
+  test("replayFileStreamRestart: windows straddling the stop/restart boundary emit exactly once") {
+    // the s17 contract: query #1 processes half the slices and stops;
+    // query #2 resumes from the same checkpoint (asserted inside the
+    // harness via batch-id continuation) and must restore the partial
+    // window state — lost state undercounts, re-read files double-count,
+    // and either diverges from the batch twin below
+    val n = 40
+    val ev = (0 until n).map(i =>
+        (i.toLong, (1000L + i * 450) * us, (i % 3).toLong, "click", 1.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val hourUs = 3600L * us
+    val lo = 1000L * us
+    val hi = (1000L + (n - 1) * 450) * us
+    val latenessUs = (hi - lo) + hourUs
+    val sentinel = Seq((-1L, hi + latenessUs + 2 * hourUs, -1L, "__wm", 0.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val got = graft.streaming.StreamExec.replayFileStreamRestart(
+        ev, "ts_us", sentinel, slices = 4, splitAt = 2) { st =>
+      EventStreams.windowedCounts(st, "1 hour", s"$latenessUs microseconds")
+    }.filter(col("event_type") =!= "__wm")
+      .select("bucket", "event_type", "cnt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expected = ev
+      .groupBy((col("ts_us") - (col("ts_us") % (hourUs))).as("b"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select((col("b") / 1000000L).cast("long").as("bucket"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected, s"restart replay diverged:\n got=$got\n exp=$expected")
+  }
 }
