@@ -158,6 +158,66 @@ object IoQueries {
         out
       })
 
+  /** h8's PARTITION-SPEC EVOLUTION layout: one logical table whose two
+    * generations carry DIFFERENT partition specs — the legacy batch
+    * (doc_id % 3 == 0) laid out `lang=` only, the current batch
+    * `lang=/source=` (the Iceberg partition-evolution shape: a spec
+    * change never rewrites old data; each file keeps the spec it was
+    * written under). Plain parquet directory discovery requires one
+    * consistent depth per root, so the two generations live under
+    * sibling roots and the TABLE is their union view — exactly what a
+    * manifest/catalog layer resolves a spec-evolved table to. Returns
+    * (legacyRoot, currentRoot). Memoized per (dir, table fingerprint)
+    * like [[partitionedDocs]].
+    */
+  private val specEvolvedCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def specEvolvedDocs(s: SparkSession, d: String): (String, String) =
+    specEvolvedCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val root = java.nio.file.Files
+          .createTempDirectory(scratchParent, "specevo_").toString
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "n_chars", "lang", "source")
+        docs.filter(col("doc_id") % 3 === 0)
+          .write.mode("overwrite").partitionBy("lang").parquet(s"$root/gen1")
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .write.mode("overwrite").partitionBy("lang", "source").parquet(s"$root/gen2")
+        (s"$root/gen1", s"$root/gen2")
+      })
+
+  /** h9's DYNAMIC PARTITION OVERWRITE layout: yesterday's snapshot
+    * (missing the doc_id % 7 == 0 rows that hadn't arrived yet) is laid
+    * out hive-partitioned by lang; today's batch — the FULL corrected
+    * content of the two partitions that changed (lang en/de) — lands
+    * with `partitionOverwriteMode=dynamic`, Spark's INSERT OVERWRITE
+    * discipline: only the partitions PRESENT in the incoming frame are
+    * replaced; every other partition's files are untouched bytes (the
+    * static mode would drop them — at 100 TB the difference is
+    * rewriting two partitions vs rewriting the table). The spec pins
+    * the untouched-files contract by mtime+size; memoized per
+    * (dir, table fingerprint) like [[partitionedDocs]].
+    */
+  private val dynOverwriteCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def dynOverwrittenDocs(s: SparkSession, d: String): String =
+    dynOverwriteCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val root = java.nio.file.Files
+          .createTempDirectory(scratchParent, "dynover_").toString
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "n_chars", "lang", "source")
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .write.mode("overwrite").partitionBy("lang").parquet(root)
+        docs.filter(col("lang").isin("en", "de"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("lang").parquet(root)
+        root
+      })
+
   /** h4's dimension table: (lang, tier), written to parquet once per
     * table fingerprint so the fact join's build side is a real file
     * source — dynamic partition pruning needs a broadcastable scan with
@@ -512,6 +572,67 @@ object IoQueries {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM documents WHERE NOT (n_chars < 200 OR lang = 'de')
         GROUP BY source ORDER BY source""")),
+
+    // h8: PARTITION-SPEC EVOLUTION READ — the fourth lakehouse layout
+    // discipline: when a table's partitioning is changed (coarse
+    // `lang=` → finer `lang=/source=`), old data is NEVER rewritten;
+    // each generation keeps the spec it was written under and the
+    // table is the catalog's union view over both. The query runs the
+    // production read: a (lang, source) predicate over the union —
+    // planning-time partition pruning applies PER GENERATION, to
+    // whatever that generation's spec can express (gen1 prunes lang
+    // dirs and row-filters source inside them; gen2 prunes both
+    // levels — pinned structurally by CatalogIoSpec via inputFiles).
+    // The oracle is the plain predicate over the original table, so a
+    // union that misaligned the differing column orders (partition
+    // cols trail file cols, differently per spec), dropped a
+    // generation, or double-read one breaks the hash. At 100 TB spec
+    // evolution is why yesterday's petabyte never gets rewritten when
+    // today's query pattern wants finer pruning.
+    Q("h8_partition_spec_evolution",
+      (s, d) => {
+        val (gen1, gen2) = specEvolvedDocs(s, d)
+        s.read.parquet(gen1).unionByName(s.read.parquet(gen2))
+          .filter(col("lang") === "en" && col("source") =!= "src0")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents
+        WHERE lang = 'en' AND source <> 'src0'
+        GROUP BY source ORDER BY source""")),
+
+    // h9: DYNAMIC PARTITION OVERWRITE READ — the refresh discipline on
+    // top of h1's hive layout: the table is yesterday's snapshot except
+    // for the two lang partitions today's batch replaced wholesale
+    // (dynamic mode: only partitions PRESENT in the batch are swapped;
+    // the rest keep their original files — pinned byte-for-byte by
+    // CatalogIoSpec). The aggregate sees the merged state, so a mode
+    // mixup is loud in the hash: static overwrite drops es/fr/zh
+    // entirely (rows vanish), append instead of overwrite double-counts
+    // en/de's carried-over rows. The oracle states the expected merged
+    // state directly: full current content for the replaced partitions,
+    // the stale snapshot for the rest. At 100 TB this is the daily
+    // refresh that rewrites 2 partitions instead of the table.
+    Q("h9_dynamic_partition_overwrite",
+      (s, d) => {
+        val root = dynOverwrittenDocs(s, d)
+        s.read.parquet(root)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents
+        WHERE lang IN ('en', 'de') OR doc_id % 7 <> 0
+        GROUP BY lang ORDER BY lang""")),
 
     // r60: SNAPSHOT TIME-TRAVEL DIFF — what arrived between version 0
     // and the latest commit of the snapshot table, computed as a

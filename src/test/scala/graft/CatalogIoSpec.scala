@@ -75,4 +75,76 @@ class CatalogIoSpec extends SparkSpec {
     sink.write(spark.read.parquet(s"$sf001/region.parquet"), "sch.regions")
     assert(spark.read.parquet(s"$dir/sch/regions").count() == 5)
   }
+
+  test("h9 layout: dynamic overwrite swaps ONLY the batch's partitions; others byte-untouched") {
+    // replay the builder's two writes by hand so the untouched-files
+    // contract is observable between them
+    val root = java.nio.file.Files.createTempDirectory("dynover_spec_").toString
+    val docs = graft.queries.Tables.documents(spark, sf001)
+      .select("doc_id", "n_chars", "lang", "source")
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .write.mode("overwrite").partitionBy("lang").parquet(root)
+    def listing(lang: String): Map[String, (Long, Long)] =
+      Option(new java.io.File(s"$root/lang=$lang").listFiles()).get
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    val frBefore = listing("fr")
+    val zhBefore = listing("zh")
+    assert(frBefore.nonEmpty && zhBefore.nonEmpty)
+    docs.filter(col("lang").isin("en", "de"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(root)
+    // untouched partitions: same files, same bytes, same mtimes
+    assert(listing("fr") == frBefore, "dynamic overwrite rewrote lang=fr")
+    assert(listing("zh") == zhBefore, "dynamic overwrite rewrote lang=zh")
+    // replaced partitions now carry the FULL current content (the
+    // doc_id % 7 == 0 rows the snapshot lacked are present)
+    val en = spark.read.parquet(root).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val enExp = docs.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(en == enExp, s"replaced partition diverged: ${en.size} vs ${enExp.size}")
+    assert(en.exists(_ % 7 == 0), "batch rows missing from replaced partition")
+    // and the rest still hold only the snapshot rows
+    val fr = spark.read.parquet(root).filter(col("lang") === "fr")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(fr.nonEmpty && fr.forall(_ % 7 != 0))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+  }
+
+  test("h8 layout: each generation prunes with its OWN partition spec; union view complete") {
+    val (gen1, gen2) = graft.queries.IoQueries.specEvolvedDocs(spark, sf001)
+    // both specs really exist on disk at their documented depths
+    assert(new java.io.File(gen1).listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("lang=") &&
+        f.listFiles().forall(!_.getName.startsWith("source="))),
+      "gen1 should be lang= only")
+    assert(new java.io.File(gen2).listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("lang=") &&
+        f.listFiles().exists(_.getName.startsWith("source="))),
+      "gen2 should be lang=/source=")
+    val pred = col("lang") === "en" && col("source") === "src1"
+    // input_file_name() over the filtered scan lists the files the
+    // pruned plan actually read (DataFrame.inputFiles is pre-pruning)
+    def readFiles(root: String) = spark.read.parquet(root).filter(pred)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    val f1 = readFiles(gen1)
+    val f2 = readFiles(gen2)
+    // gen1's spec can only prune lang: every read file sits under
+    // lang=en but source dirs don't exist to prune
+    assert(f1.nonEmpty && f1.forall(_.contains("lang=en")), f1.mkString("\n"))
+    // gen2's finer spec prunes BOTH levels
+    assert(f2.nonEmpty && f2.forall(p => p.contains("lang=en") && p.contains("source=src1")),
+      f2.mkString("\n"))
+    // the union view is exactly the original slice (no loss, no dup)
+    val got = spark.read.parquet(gen1).unionByName(spark.read.parquet(gen2))
+      .filter(pred).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val exp = graft.queries.Tables.documents(spark, sf001)
+      .filter(pred).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == exp, s"union view diverged: ${got.size} vs ${exp.size}")
+  }
 }
