@@ -2878,7 +2878,71 @@ object TextQueries {
             sum(length(col("w")).cast("long")).as("n_bytes"))
           .orderBy("doc_id")
       },
-      Some(bpeEncodeSql))
+      Some(bpeEncodeSql)),
+
+    // t54: MULTI-CLASS TRIGRAM LANGUAGE-ID — the real langid discipline
+    // (t10's binary stopword heuristic only says en/unk): per-language
+    // character-trigram profiles are TRAINED on a deterministic 30%
+    // split (doc_id % 10 < 3 — top 50 trigrams per language by
+    // frequency, ties by trigram), held-out docs are classified by
+    // profile-set overlap (argmax hits, ties by language; zero hits →
+    // 'unk'), and the gate output is the full confusion matrix — so a
+    // drifted profile, a lost doc, or a tie broken differently all
+    // break the hash. (On THIS corpus the matrix is honestly
+    // near-uniform: the generator draws every language's text from one
+    // shared word pool, so the labels carry no trigram signal — the
+    // gate pins the trained-profile MECHANISM bit-for-bit, not a
+    // vacuous accuracy claim.) Scale: the trigram explosion is one linear pass
+    // (materialized lower() column, attribute-referencing lambda — the
+    // withShingles rule); the profile COUNTS frame is trigram-vocabulary
+    // -bounded (charset³), independent of corpus row count, and the
+    // top-50 window runs over that reduced frame; the trained profile
+    // (5 langs × 50) broadcasts, so classification filters the raw
+    // trigram stream BEFORE any doc-keyed shuffle — the distinct and
+    // the (doc, lang) rollup see only profile-matched rows. No
+    // corpus-sized shuffle anywhere.
+    Q("t54_trigram_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        val top = TextOps.trigramProfiles(
+          docs.filter(col("doc_id") % 10 < 3), "text", "lang", topN = 50)
+        TextOps.classifyByProfiles(
+            docs.filter(col("doc_id") % 10 >= 3), "doc_id", "text", top)
+          .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        tr AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(range(1, length(lt) - 1),
+                   i -> substr(lt, i, 3))) AS tri
+          FROM d WHERE length(lt) >= 3),
+        prof AS (
+          SELECT lang AS plang, tri, count(*) AS cnt
+          FROM tr WHERE doc_id % 10 < 3 GROUP BY 1, 2),
+        top AS (
+          SELECT plang, tri FROM (
+            SELECT plang, tri, row_number() OVER (PARTITION BY plang
+                     ORDER BY cnt DESC, tri ASC) AS rn FROM prof)
+          WHERE rn <= 50),
+        dt AS (
+          SELECT DISTINCT t.doc_id, p.plang, t.tri
+          FROM tr t JOIN top p ON t.tri = p.tri
+          WHERE t.doc_id % 10 >= 3),
+        hits AS (
+          SELECT doc_id, plang, count(*) AS hits FROM dt GROUP BY 1, 2),
+        pred AS (
+          SELECT doc_id, plang AS p FROM (
+            SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY hits DESC, plang ASC) AS rn FROM hits)
+          WHERE rn = 1)
+        SELECT d.lang AS true_lang, coalesce(p.p, 'unk') AS pred_lang,
+               count(*) AS n_docs
+        FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
+        WHERE d.doc_id % 10 >= 3
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** t49's oracle: the full three-round BPE loop as CTEs. Each round's

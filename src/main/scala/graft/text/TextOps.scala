@@ -777,4 +777,65 @@ object TextOps {
       lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch).cast("long"), mod))
   }
+
+  /** Character trigrams of a pre-materialized text column; fewer than 3
+    * chars yields an empty array. The guard is load-bearing:
+    * `sequence(1, n)` runs DESCENDING for n < 1 and would fabricate
+    * junk shingles for short strings. Pass a materialized COLUMN (the
+    * [[wordNgrams]] rule) — the lambda references it per element.
+    */
+  def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-language character-trigram profiles: the top `topN` trigrams of
+    * `lower(textCol)` per `langCol` value by frequency (ties by trigram
+    * asc — a total order, so the profile is deterministic). Returns
+    * (plang, tri). Scale: the trigram explosion is one linear pass; the
+    * counts frame it reduces to is trigram-VOCABULARY-bounded (charset³
+    * per language), independent of corpus row count, so the top-N
+    * window runs over a frame that stays small at any corpus scale.
+    */
+  def trigramProfiles(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                      langCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
+    val tris = docs
+      .select(col(langCol).as("plang"), lower(col(textCol)).as("__lt"))
+      .select(col("plang"), explode(charTrigrams(col("__lt"))).as("tri"))
+    val counts = tris.groupBy("plang", "tri").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("plang").orderBy(col("__c").desc, col("tri").asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topN).select("plang", "tri")
+  }
+
+  /** Classify each row of `docs` by trigram-profile SET overlap: the
+    * predicted language is the profile sharing the most distinct
+    * trigrams with `lower(textCol)` (ties by language asc; zero overlap
+    * — including sub-3-char texts — predicts 'unk'). Appends
+    * `pred_lang`; all input columns pass through. Scale: the profile
+    * frame (nLangs × topN) BROADCASTS, so the raw trigram stream is
+    * filtered to profile matches BEFORE any keyed shuffle — the
+    * distinct and the (id, lang) rollup see only matched rows, and the
+    * argmax window partitions by the unique id. No corpus-sized
+    * shuffle.
+    */
+  def classifyByProfiles(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, profiles: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tris = docs
+      .select(col(idCol).as("__id"), lower(col(textCol)).as("__lt"))
+      .select(col("__id"), explode(charTrigrams(col("__lt"))).as("tri"))
+    val hits = tris.join(broadcast(profiles), "tri")
+      .select("__id", "plang", "tri").distinct()
+      .groupBy("__id", "plang").agg(count(lit(1)).as("__h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__h").desc, col("plang").asc)
+    val pred = hits.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select(col("__id"), col("plang").as("__p"))
+    docs.join(pred.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("pred_lang", coalesce(col("__p"), lit("unk")))
+      .drop("__p")
+  }
 }

@@ -480,4 +480,52 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(whole == merged, "sum-merge of partial sketches != whole-corpus sketch")
   }
+
+  test("charTrigrams: sliding windows, lowercase passthrough, short-string guard") {
+    val t = Seq("abcd").toDF("text")
+      .select(TextOps.charTrigrams(col("text"))).head().getSeq[String](0)
+    assert(t == Seq("abc", "bcd"))
+    // exactly 3 chars -> one trigram; under 3 -> empty, never junk from
+    // a descending sequence()
+    assert(Seq("abc").toDF("text").select(TextOps.charTrigrams(col("text")))
+      .head().getSeq[String](0) == Seq("abc"))
+    assert(Seq("ab").toDF("text").select(TextOps.charTrigrams(col("text")))
+      .head().getSeq[String](0).isEmpty)
+    assert(Seq("").toDF("text").select(TextOps.charTrigrams(col("text")))
+      .head().getSeq[String](0).isEmpty)
+  }
+
+  test("trigram langid: separable corpus classifies perfectly; ties + unk are deterministic") {
+    // two genuinely separable "languages": disjoint character inventories
+    val train = Seq(
+      (1L, "aaa bbb aab aba", "aa"),
+      (2L, "abab baba abba", "aa"),
+      (3L, "zzz yyy zzy yzz", "zz"),
+      (4L, "zyzy yzyz zyyz", "zz")).toDF("doc_id", "text", "lang")
+    // topN = 50 covers each language's full (small) trigram inventory —
+    // at topN = 10 the count-1 ties resolve lexicographically and
+    // space-led trigrams crowd out the letter-only ones the tie case uses
+    val prof = TextOps.trigramProfiles(train, "text", "lang", topN = 50)
+    val got = prof.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.forall { case (l, tri) =>
+      if (l == "aa") tri.forall(c => c == 'a' || c == 'b' || c == ' ')
+      else tri.forall(c => c == 'z' || c == 'y' || c == ' ') },
+      s"profiles mixed inventories: ${got.mkString(", ")}")
+    val test = Seq(
+      (10L, "abba baab abab"),  // clearly aa
+      (11L, "zyyz yzzy zyzy"),  // clearly zz
+      (12L, "qq"),              // sub-3-char -> zero trigrams -> unk
+      (13L, "qqq www eee"))     // trigrams but zero profile overlap -> unk
+      .toDF("doc_id", "text")
+    val pred = TextOps.classifyByProfiles(test, "doc_id", "text", prof)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(10L -> "aa", 11L -> "zz", 12L -> "unk", 13L -> "unk"), pred.toString)
+    // an exact overlap tie resolves to the lexicographically smaller
+    // lang: 'q' appears in no profile, so the only hits are one trigram
+    // per language ("aaa" and "zzz") — 1 vs 1
+    val tied = Seq((20L, "aaaqzzz")).toDF("doc_id", "text")
+    val tp = TextOps.classifyByProfiles(tied, "doc_id", "text", prof).head()
+    assert(tp.getAs[String]("pred_lang") == "aa")
+  }
 }
