@@ -2357,8 +2357,78 @@ object VectorQueries {
     Q("v25_ivfpq_rerank",
       (s, d) => ivfPqRerank(s, d, nProbe = 3, shortlist = 20, topK = 5),
       Some(ivfPqOracle(nCentroids = 8, nProbe = 3, m = 8, subDims = 8,
-        k = 64, topK = 5, permille = 200, rerank = 20)))
+        k = 64, topK = 5, permille = 200, rerank = 20))),
+
+    // v26: k-MEANS‖ SCALABLE INITIALIZATION (Bahmani et al., VLDB'12) —
+    // the missing first act of every quantizer fit in this file: v4/v18/
+    // v22 seed by md5 order (uniform), which is replayable but
+    // cost-blind; kmeans++ is cost-aware but needs k SEQUENTIAL passes.
+    // k-means‖ is the distributed answer: O(rounds) passes, each
+    // admitting points independently with probability ∝ ell·cost/φ —
+    // here with the RNG replaced by a 16-bit content hash against an
+    // exact integer φ, so the whole trajectory (seed, every per-round
+    // admission, final per-candidate weights) replays bit-for-bit in
+    // DuckDB. The output is the weighted candidate set itself: size
+    // ≈ 1 + ell·rounds regardless of corpus size, which is the point —
+    // the final reduction to k centers is a driver-local weighted
+    // clustering of ~a dozen rows. Scale: per round ONE aggregate (φ,
+    // integer micro-units — never an order-dependent double sum) + one
+    // filter with O(ell) expected survivors; nothing corpus-sized ever
+    // moves or collects.
+    Q("v26_kmeanspar_init",
+      (s, d) => VectorOps.kmeansParallelInit(
+        Tables.embeddings(s, d), rounds = 3, ell = 4),
+      Some(kmeansParSql(rounds = 3, ell = 4, permille = 200)))
   )
+
+  /** v26's oracle: the full k-means‖ trajectory as CTEs — the md5-min
+    * seed, then per round the exact micro-unit cost frame (min dist2 to
+    * the current candidate set via a correlated min), its integer total
+    * φ, and the hash-thresholded admission, mirroring
+    * [[VectorOps.kmeansParallelInit]] operation for operation; finally
+    * each sample point's nearest-candidate vote (ties to the lowest
+    * cand_id — assignCell's first-min rule over the id-sorted set).
+    */
+  private def kmeansParSql(rounds: Int, ell: Int, permille: Int): String = {
+    def roundCte(r: Int): String = {
+      val prev = s"c${r - 1}"
+      s"""
+        cost$r AS (
+          SELECT vec_id, xd,
+                 CAST(floor(min(d2) * 1000000.0 + 0.5) AS BIGINT) AS ce
+          FROM (SELECT s.vec_id, s.xd, ${dDist2("s.xd", "c.xd")} AS d2
+                FROM smp s CROSS JOIN $prev c)
+          GROUP BY vec_id, xd),
+        phi$r AS (SELECT sum(ce) AS phi FROM cost$r),
+        sel$r AS (
+          SELECT vec_id, xd FROM cost$r
+          WHERE ('0x' || substr(md5('kpp$r|' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+                  * (SELECT phi FROM phi$r)
+                < ${ell}::BIGINT * 65536 * ce),
+        c$r AS (SELECT cand_id, rnd, xd FROM $prev
+                UNION ALL SELECT vec_id, $r, xd FROM sel$r)"""
+    }
+    s"""
+        WITH smp AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+          FROM embeddings
+          WHERE ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < $permille * 65536),
+        c0 AS (
+          SELECT vec_id AS cand_id, 0 AS rnd, xd FROM smp
+          ORDER BY md5('kppseed' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),${(1 to rounds).map(roundCte).mkString(",")},
+        asn AS (
+          SELECT vec_id, cand_id FROM (
+            SELECT s.vec_id, c.cand_id,
+                   row_number() OVER (PARTITION BY s.vec_id
+                     ORDER BY ${dDist2("s.xd", "c.xd")} ASC, c.cand_id ASC) AS rn
+            FROM smp s CROSS JOIN c$rounds c)
+          WHERE rn = 1),
+        w AS (SELECT cand_id, count(*) AS weight FROM asn GROUP BY cand_id)
+        SELECT c.cand_id, CAST(c.rnd AS BIGINT) AS round_added,
+               CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+        FROM c$rounds c LEFT JOIN w ON w.cand_id = c.cand_id
+        ORDER BY c.cand_id"""
+  }
 
   /** The v24 IVFADC search, probe count and k exposed so
     * QualityMetricsSpec can publish the probes/agreement curve and v25

@@ -656,4 +656,82 @@ object VectorOps {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b")
   }
+
+  /** k-means‖ oversampling initialization (Bahmani et al., "Scalable
+    * K-Means++", VLDB 2012) with the paper's RNG replaced by a portable
+    * content hash, so the whole trajectory is bit-replayable in any
+    * engine (the [[kmeansFit]] seeding discipline):
+    *
+    *  - SEED: the sample row with the smallest (md5("kppseed"‖id), id).
+    *  - Each of `rounds` passes computes every sample point's COST (min
+    *    dist2 to the current candidate set, floored to micro-unit
+    *    BIGINT), totals it (φ, exact integer — never an order-dependent
+    *    double sum), and admits point x iff
+    *    `h16(x, round) · φ  <  ell · 65536 · cost(x)` — i.e.
+    *    independently with probability ≈ min(1, ell·cost(x)/φ), the
+    *    paper's oversampling law. Existing candidates have cost 0 and
+    *    can never re-select.
+    *  - WEIGHTS: each sample point votes for its nearest candidate
+    *    (ties to the lowest cand_id); the weighted candidate set (size
+    *    ≈ 1 + ell·rounds, independent of corpus size) is what a final
+    *    driver-side weighted clustering reduces to k — the whole point
+    *    of k-means‖: O(rounds) distributed passes instead of k
+    *    sequential kmeans++ draws.
+    *
+    * Per round: one aggregate (φ) + one filter whose survivors are
+    * O(ell) — collected, never corpus-sized. Returns
+    * (cand_id, round_added, weight) ordered by cand_id.
+    */
+  def kmeansParallelInit(corpus: DataFrame, rounds: Int, ell: Int,
+                         cId: String = "vec_id", cVec: String = "embedding",
+                         samplePermille: Int = 200): DataFrame = {
+    require(rounds >= 1 && ell >= 1)
+    val spark = corpus.sparkSession
+    val sample = corpus
+      .filter(graft.text.TextOps.deterministicSample(col(cId), samplePermille, "ivf"))
+      .select(col(cId).as("__id"), asDouble(col(cVec)).as("__xd"))
+      .cache()
+    try {
+      val seedRow = sample
+        .withColumn("__h", md5(concat(lit("kppseed"), col("__id").cast("string"))))
+        .orderBy(col("__h"), col("__id")).limit(1)
+        .select("__id", "__xd").collect().head
+      // (cand_id, round_added, vector); kept sorted by cand_id so
+      // assignCell's first-min tie rule IS the lowest-cand_id rule
+      var cands = Vector(
+        (seedRow.getLong(0), 0, seedRow.getSeq[Double](1)))
+      for (r <- 1 to rounds) {
+        val ctrs = cands.map(_._3)
+        val costE6 = floor(
+          array_min(cellDists(col("__xd"), ctrs)) * lit(1000000.0) + lit(0.5))
+          .cast("long")
+        val withCost = sample.withColumn("__ce", costE6)
+        val phi = withCost.agg(sum(col("__ce"))).head().getLong(0)
+        require(phi < Long.MaxValue / 65536,
+          s"kmeansParallelInit: phi=$phi would overflow the 16-bit hash " +
+            "threshold product — lower samplePermille or rescale the vectors")
+        if (phi > 0L) {
+          val h16 = conv(substring(
+            md5(concat(lit(s"kpp$r|"), col("__id").cast("string"))), 1, 4),
+            16, 10).cast("long")
+          val picked = withCost
+            .filter(h16 * lit(phi) < lit(ell.toLong * 65536L) * col("__ce"))
+            .select("__id", "__xd").collect()
+          cands = (cands ++ picked.map(row =>
+            (row.getLong(0), r, row.getSeq[Double](1)))).sortBy(_._1)
+        }
+      }
+      val weights = sample
+        .select(assignCell(col("__xd"), cands.map(_._3)).as("__c"))
+        .groupBy("__c").agg(count(lit(1)).as("w"))
+      import spark.implicits._
+      val meta = cands.zipWithIndex
+        .map { case ((id, r, _), i) => (i, id, r.toLong) }
+        .toDF("__c", "cand_id", "round_added")
+      meta.join(weights, Seq("__c"), "left")
+        .select(col("cand_id"), col("round_added"),
+          coalesce(col("w"), lit(0L)).as("weight"))
+        .orderBy("cand_id")
+    } finally { sample.unpersist(); () }
+  }
 }

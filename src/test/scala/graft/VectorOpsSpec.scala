@@ -200,4 +200,31 @@ class VectorOpsSpec extends SparkSpec {
       VectorOps.nearDupPairs(df, "label", "vec_id", "embedding", 0.99, maxBlockSize = 1)
     }
   }
+
+  test("kmeansParallelInit: weights partition the sample; rounds bounded; seed unique") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val out = VectorOps.kmeansParallelInit(emb, rounds = 3, ell = 4).collect()
+    val ids = out.map(_.getLong(0))
+    assert(ids.toSeq == ids.sorted.toSeq && ids.distinct.length == ids.length,
+      "candidates must be unique and id-ordered")
+    assert(out.count(_.getLong(1) == 0L) == 1, "exactly one round-0 seed")
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 3))
+    // every sample point votes for exactly one candidate
+    val sampleN = emb.filter(graft.text.TextOps.deterministicSample(
+      col("vec_id"), 200, "ivf")).count()
+    assert(out.map(_.getLong(2)).sum == sampleN,
+      "weights must partition the sample")
+  }
+
+  test("kmeansParallelInit: a zero-cost corpus admits nothing beyond the seed") {
+    // every vector identical -> after the seed, min-dist2 is 0 for all
+    // points, phi = 0, and the admission predicate (h * 0 < ell * 65536 * 0)
+    // can never fire — the candidate set stays the singleton seed with
+    // the full sample weight
+    val same = (0L until 40L).map(i => (i, Seq.fill(8)(0.25f))).toDF("vec_id", "embedding")
+    val out = VectorOps.kmeansParallelInit(same, rounds = 3, ell = 8,
+      samplePermille = 1000).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 0L)
+    assert(out.head.getLong(2) == 40L)
+  }
 }
