@@ -187,6 +187,41 @@ object IoQueries {
         (s"$root/gen1", s"$root/gen2")
       })
 
+  /** b1's BINARY SHARD layout: one opaque .bin file per source — the
+    * shape image/audio/video corpora actually arrive in (a directory of
+    * blobs, no schema). Each shard is the UTF-8 bytes of that source's
+    * sampled docs' text joined by \n in doc_id order (array_sort over
+    * (doc_id, text) structs — a deterministic byte stream any engine
+    * can re-derive). The per-source blobs are bounded (5% doc sample /
+    * nSources) so the driver-side file write stays small; a real corpus
+    * would land these shards straight from the object store. Memoized
+    * per (dir, table fingerprint) like [[partitionedDocs]].
+    */
+  private val binShardCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def binaryShards(s: SparkSession, d: String): String =
+    binShardCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val root = java.nio.file.Files
+          .createTempDirectory(scratchParent, "binshards_").toString
+        // md5-law sample, NOT doc_id % N — source IS doc_id % nSources
+        // in this corpus, so a modulus sample would collapse to one shard
+        Tables.documents(s, d)
+          .filter(graft.text.TextOps.deterministicSample(col("doc_id"), 50, "bin"))
+          .groupBy("source")
+          .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("a"))
+          .select(col("source"),
+            array_join(transform(col("a"), x => x.getField("text")), "\n").as("blob"))
+          .collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, s"${r.getString(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        root
+      })
+
   /** h9's DYNAMIC PARTITION OVERWRITE layout: yesterday's snapshot
     * (missing the doc_id % 7 == 0 rows that hadn't arrived yet) is laid
     * out hive-partitioned by lang; today's batch — the FULL corrected
@@ -605,6 +640,35 @@ object IoQueries {
         FROM documents
         WHERE lang = 'en' AND source <> 'src0'
         GROUP BY source ORDER BY source""")),
+
+    // b1: BINARY-FILE SOURCE — Spark's `binaryFile` format is how a
+    // multimodal corpus enters the engine: a directory of opaque blobs
+    // becomes (path, modificationTime, length, content) rows, one task
+    // per file, content untouched bytes. The gate reads the shard dir
+    // back and emits per-shard (source, byte length, md5-of-content);
+    // the oracle RE-DERIVES the exact byte stream from the documents
+    // table (string_agg in doc_id order, octet_length, md5), so a
+    // dropped shard, an encoding mangle, or a reordered concatenation
+    // all break the digest. Scale: binaryFile parallelizes per file
+    // with pushed path filters (pathGlobFilter/recursiveFileLookup);
+    // content never deserializes — this is m1–m8's ingest seam done as
+    // a real source instead of a parquet stand-in.
+    Q("b1_binary_ingest",
+      (s, d) => {
+        val root = binaryShards(s, d)
+        s.read.format("binaryFile").load(root)
+          .select(regexp_extract(col("path"), "([^/]+)\\.bin$", 1).as("source"),
+            col("length").as("n_bytes"), md5(col("content")).as("digest"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, CAST(octet_length(encode(blob)) AS BIGINT) AS n_bytes,
+               md5(blob) AS digest
+        FROM (SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS blob
+              FROM documents
+              WHERE ('0x' || substr(md5('bin' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < 50 * 65536
+              GROUP BY source)
+        ORDER BY source""")),
 
     // h9: DYNAMIC PARTITION OVERWRITE READ — the refresh discipline on
     // top of h1's hive layout: the table is yesterday's snapshot except

@@ -76,6 +76,25 @@ class CatalogIoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/sch/regions").count() == 5)
   }
 
+  test("binaryFile source: exact bytes, metadata columns, pathGlobFilter pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("binsrc_").toString
+    val payload = Array[Byte](0, 1, 2, -1, 127, -128, 10, 13) // not valid UTF-8 text
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), payload)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.dat"), "xyz".getBytes)
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir).collect()
+    assert(rows.length == 1, "glob filter should prune b.dat")
+    val r = rows.head
+    assert(r.getAs[String]("path").endsWith("a.bin"))
+    assert(r.getAs[Long]("length") == payload.length)
+    assert(r.getAs[Array[Byte]]("content").toSeq == payload.toSeq,
+      "content must be the exact untouched bytes")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("h9 layout: dynamic overwrite swaps ONLY the batch's partitions; others byte-untouched") {
     // replay the builder's two writes by hand so the untouched-files
     // contract is observable between them
