@@ -37,7 +37,7 @@ object Bench {
       "s13_stream_static_enrich", "s14_stream_dq_gate",
       "s15_stream_late_data", "s16_stream_outer_attribution",
       // s17 additionally runs TWO query lifetimes per replay (restart)
-      "s17_stream_restart_recovery")
+      "s17_stream_restart_recovery", "s18_stream_sliding_counts")
   private[graft] def runsFor(name: String): Int = if (singleRunQueries(name)) 2 else 3
 
   /** 1-minute system load average, or -1 when the platform can't say.
@@ -338,6 +338,14 @@ object Bench {
       line(s""""diag":${diagJson(results, diagFields)},""" +
         s""""keys":"short","qunit":"ds","queries":${
           queriesJson(mins, v => math.round(v * 10).toString, shortKey)},""")
+    def kvBody: String = mins.toSeq.sortBy(_._1)
+      .map { case (k, v) => shortKey(k) + ":" + math.round(v * 10) }
+      .mkString(",")
+    // kv packing saves ~2 chars/query over the ds object — more than a
+    // trimmed diag block costs — so diag+kv outranks ds-without-diag
+    def kvDiagTier(diagFields: Int): String = if (!shortOk) never else
+      line(s""""diag":${diagJson(results, diagFields)},""" +
+        s""""keys":"short","qunit":"ds","qfmt":"kv","queries":${Jsons.str(kvBody)},""")
     val tiers: Seq[() => String] = Seq(
       () => line(s""""diag":${diagJson(results)},"queries":${queriesJson(mins, jsonNum2)},"""),
       () => line(s""""diag":${diagJson(results)},"queries":${queriesJson(mins, jsonNum1)},"""),
@@ -358,6 +366,8 @@ object Bench {
       // the final line because bench_out.json always carries both.
       () => dsTier(5),
       () => dsTier(3),
+      () => kvDiagTier(5),
+      () => kvDiagTier(3),
       () => if (shortOk)
         line(s""""keys":"short","qunit":"ds","queries":${
           queriesJson(mins, v => math.round(v * 10).toString, shortKey)},""")
@@ -367,12 +377,9 @@ object Bench {
       // quote/colon overhead of a JSON object (~2 chars/query — the
       // margin the 192-query gate outgrew), carrying per-query detail
       // to ~240 queries before the totals-only fallback.
-      () => if (shortOk) {
-        val body = mins.toSeq.sortBy(_._1)
-          .map { case (k, v) => shortKey(k) + ":" + math.round(v * 10) }
-          .mkString(",")
-        line(s""""keys":"short","qunit":"ds","qfmt":"kv","queries":${Jsons.str(body)},""")
-      } else never,
+      () => if (shortOk)
+        line(s""""keys":"short","qunit":"ds","qfmt":"kv","queries":${Jsons.str(kvBody)},""")
+      else never,
       () => line(s""""diag":${diagJson(results)},"detail":"bench_out.json","""))
     tiers.iterator.map(_.apply()).find(_.length <= FinalLineBudget)
       .getOrElse(line("")) // unreachable: the summary tier is O(1) size

@@ -740,6 +740,44 @@ object TextQueries {
                event_type, count(*) AS cnt
         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
 
+    // s18: SLIDING-WINDOW counts under real execution — s8 proves
+    // tumbling windows; sliding windows add the one thing tumbling
+    // can't: each event belongs to window/slide OVERLAPPING windows
+    // (2 at 1h/30m), so the streaming aggregate's multi-window
+    // expansion, doubled open-state population, and per-window
+    // watermark-gated emission all run for real across the 4
+    // micro-batch boundaries. The oracle states the overlap law
+    // directly: every event contributes to exactly the two 30-min-grid
+    // starts covering it. At 100 TB sliding windows are the trending/
+    // rate surface (s6's batch twin) — state is (window, type)-keyed
+    // and expires with the watermark, never O(stream).
+    Q("s18_stream_sliding_counts",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        val hourUs = 3600L * 1000000
+        val mm = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val latenessUs = (hi - lo) + hourUs
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"), lit(hi + latenessUs + 2 * hourUs).as("ts_us"),
+          lit(-1L).as("user_id"), lit("__wm").as("event_type"),
+          lit(0.0).as("value"))
+        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 4) {
+          st => graft.streaming.EventStreams.slidingCounts(
+            st, "1 hour", "30 minutes", s"$latenessUs microseconds")
+        }.filter(col("event_type") =!= "__wm")
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        c AS (SELECT us - us % 1800000000 AS w1, event_type FROM ev),
+        x AS (SELECT unnest([w1, w1 - 1800000000]) AS bus, event_type FROM c)
+        SELECT CAST(bus // 1000000 AS BIGINT) AS bucket, event_type,
+               count(*) AS cnt
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // s9: the CUSTOM-STATE streaming form under real execution — s7
     // proves the engine-managed session_window path; s9 drives the
     // flatMapGroupsWithState state machine (EventStreams.sessionize:

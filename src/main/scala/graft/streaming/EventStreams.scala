@@ -42,6 +42,23 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_timestamp(col("w.start")).as("bucket"), col("event_type"), col("cnt"))
 
+  /** Sliding (overlapping) windowed counts: every event is assigned to
+    * window_/slide windows (e.g. 2 for 1h/30m), so unlike
+    * [[windowedCounts]] the expansion itself — Spark's multi-window
+    * explode inside the streaming aggregate — is under test, and each
+    * open window's partial state spans MORE micro-batches than a
+    * tumbling bucket would. State is still keyed (window, type) and
+    * watermark-expired.
+    */
+  def slidingCounts(events: DataFrame, window_ : String, slide: String,
+                    lateness: String): DataFrame =
+    events
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_ts", lateness)
+      .groupBy(window(col("ts_ts"), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("bucket"), col("event_type"), col("cnt"))
+
   /** Stateful gap sessionization via flatMapGroupsWithState: a session
     * closes when no event arrives within `gapUs` of its end. In
     * streaming, closure is driven by event-time timeout against the

@@ -35,6 +35,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((0L, "click", 1L), (0L, "buy", 1L), (3600L, "click", 2L)))
   }
 
+  test("slidingCounts: every event lands in exactly window/slide overlapping buckets") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // ts 100 s -> windows starting -1800 and 0; ts 1900 s -> 0 and 1800
+    mem.addData(ev(1, 100, 1), ev(2, 1900, 1), ev(3, 1900, 2, "buy"))
+    val q = EventStreams.slidingCounts(mem.toDF(), "1 hour", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sc_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sc_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (-1800L, "click", 1L), (0L, "click", 2L), (1800L, "click", 1L),
+      (0L, "buy", 1L), (1800L, "buy", 1L)), got.toString)
+    // the overlap law: total assignments = 2x events
+    assert(got.toSeq.map(_._3).sum == 6L)
+  }
+
   test("streaming sessionize closes sessions after the gap via event-time timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
