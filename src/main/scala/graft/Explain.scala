@@ -64,7 +64,8 @@ object Explain {
     "g3_label_propagation", "h5_bucketed_join", "v25_ivfpq_rerank",
     "t53_bpe_encode", "h6_schema_evolution", "h7_merge_on_read",
     "h8_partition_spec_evolution", "h9_dynamic_partition_overwrite",
-    "t54_trigram_langid", "v26_kmeanspar_init", "b1_binary_ingest")
+    "t54_trigram_langid", "v26_kmeanspar_init", "b1_binary_ingest",
+    "d6_dq_volume_anomaly", "r82_pivot_daily", "r83_unpivot_daily")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is

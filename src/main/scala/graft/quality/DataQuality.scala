@@ -360,4 +360,34 @@ object DataQuality {
       })
     }
   }
+
+  /** Volume anomaly detection on a per-key metric SERIES (the Deequ
+    * anomaly-check discipline the static d1–d5 rules can't express):
+    * each (key, day) count is compared against its own trailing
+    * `histDays` OBSERVED days — 'low' when cnt falls below lowBp basis
+    * points of the trailing mean, 'high' above highBp, 'warmup' until
+    * `minHist` days of history exist. The band test is pure integer
+    * cross-multiplication (cnt·n·10000 vs sum·bp) — no division, no
+    * doubles, replayable in any engine. A day with ZERO rows for a key
+    * is absent from the series (compose with a gap-fill like r49 when
+    * silence itself must alarm). Scale: the daily frame is
+    * output-sized (keys × days, reduced by a partial-agg shuffle); the
+    * window partitions by key with a bounded ROWS frame — nothing
+    * corpus-sized moves.
+    */
+  def volumeAnomalies(daily: DataFrame, keyCol: String, dayCol: String,
+                      cntCol: String, histDays: Int = 7, minHist: Int = 3,
+                      lowBp: Long = 5000L, highBp: Long = 20000L): DataFrame = {
+    require(histDays >= 1 && minHist >= 1 && lowBp >= 0 && highBp >= lowBp)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(dayCol).rowsBetween(-histDays, -1)
+    daily
+      .withColumn("hist_n", count(col(cntCol)).over(w))
+      .withColumn("hist_sum", coalesce(sum(col(cntCol)).over(w), lit(0L)))
+      .withColumn("status",
+        when(col("hist_n") < minHist, "warmup")
+          .when(col(cntCol) * col("hist_n") * 10000L < col("hist_sum") * lowBp, "low")
+          .when(col(cntCol) * col("hist_n") * 10000L > col("hist_sum") * highBp, "high")
+          .otherwise("ok"))
+  }
 }

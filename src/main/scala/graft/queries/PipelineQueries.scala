@@ -622,6 +622,46 @@ object PipelineQueries {
           UNION ALL
           SELECT 'ReferentialIntegrity "l_suppkey" "nation.n_nationkey"',
                  n = 0, CAST(n AS BIGINT) FROM v4)
-        ORDER BY rule"""))
+        ORDER BY rule""")),
+
+    // d6: VOLUME ANOMALY DETECTION — the time-series half of the DQ
+    // surface (Deequ's anomaly checks): d1–d5 judge a snapshot against
+    // static rules; d6 judges each day's per-type event volume against
+    // that type's OWN trailing-7-observed-day history, flagging 'low'
+    // under 50% of the trailing mean and 'high' above 200% (pure
+    // integer cross-multiplication — the detector replays exactly in
+    // any engine), with a 3-day warmup. This is the check that catches
+    // an upstream outage or a double-ingest the snapshot rules can't
+    // see. Scale: one partial-agg shuffle to the (type, day) frame —
+    // output-sized — then a per-type window with a bounded ROWS frame.
+    Q("d6_dq_volume_anomaly",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts_ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.quality.DataQuality
+          .volumeAnomalies(daily, "event_type", "day", "cnt")
+          .select("event_type", "day", "cnt", "hist_n", "hist_sum", "status")
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        wd AS (
+          SELECT event_type, day, cnt,
+                 count(cnt) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS hist_n,
+                 coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS hist_sum
+          FROM daily)
+        SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+               CAST(hist_n AS BIGINT) AS hist_n,
+               CAST(hist_sum AS BIGINT) AS hist_sum,
+               CASE WHEN hist_n < 3 THEN 'warmup'
+                    WHEN cnt * hist_n * 10000 < hist_sum * 5000 THEN 'low'
+                    WHEN cnt * hist_n * 10000 > hist_sum * 20000 THEN 'high'
+                    ELSE 'ok' END AS status
+        FROM wd ORDER BY event_type, day"""))
   )
 }

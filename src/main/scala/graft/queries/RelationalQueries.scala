@@ -2517,6 +2517,75 @@ object RelationalQueries {
         SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
                count(*) AS cnt,
                CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS cents_v
-        FROM orders GROUP BY 1, 2 ORDER BY month, o_orderpriority"""))
+        FROM orders GROUP BY 1, 2 ORDER BY month, o_orderpriority""")),
+
+    // r82: PIVOT — long-to-wide reshaping, the reporting surface every
+    // BI consumer of the gold layer asks for (days down, event types
+    // across). The VALUES ARE ENUMERATED (`pivot(col, Seq(...))`), which
+    // is the 100 TB contract: without them Spark runs a whole extra
+    // distinct-scan job just to discover the column set, and the output
+    // schema becomes data-dependent (a new type silently widens every
+    // downstream consumer). Enumerated, the pivot compiles two-phase
+    // (fingerprinted: 3 exchanges): the DATA-sized shuffle happens once
+    // — a partial agg down to the (day, type) frame — and the second
+    // exchange reshapes that already-output-sized frame with
+    // PivotFirst; the third is the final sort. The oracle's CASE form
+    // proves the wide result cell-for-cell.
+    Q("r82_pivot_daily",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(s, d)
+          .select(to_date(col("ts_ts")).as("day"),
+            col("event_type"))
+          .groupBy("day")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L, types)
+          .orderBy("day")
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events GROUP BY 1 ORDER BY day""")),
+
+    // r83: UNPIVOT (melt) — the inverse reshape: r82's wide frame back
+    // to (day, event_type, cnt) long form via Dataset.unpivot, the
+    // Spark-native melt (a Generate/Expand node — ZERO shuffles; the
+    // only exchanges are r82's upstream aggregate and the final sort).
+    // Round-tripping through BOTH reshapes under one oracle pins that
+    // neither direction drops, duplicates, or mislabels a cell — the
+    // oracle is just the long-form GROUP BY the round trip must land
+    // back on. Zero-count cells (a type silent that day) survive the
+    // trip as explicit zeros, so the long form is gap-free — unlike a
+    // naive re-aggregation of the raw events.
+    Q("r83_unpivot_daily",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = Tables.events(s, d)
+          .select(to_date(col("ts_ts")).as("day"),
+            col("event_type"))
+          .groupBy("day").pivot("event_type", types)
+          .agg(count(lit(1))).na.fill(0L, types)
+        wide.unpivot(Array(col("day")), types.map(col).toArray,
+            "event_type", "cnt")
+          .orderBy("day", "event_type")
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        grid AS (
+          SELECT m.day, t.event_type
+          FROM (SELECT DISTINCT day FROM base) m
+          CROSS JOIN (SELECT unnest(['click','error','purchase','signup','view']) AS event_type) t)
+        SELECT g.day, g.event_type, CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+        FROM grid g LEFT JOIN base b
+          ON g.day = b.day AND g.event_type = b.event_type
+        ORDER BY g.day, g.event_type"""))
   )
 }
