@@ -1112,6 +1112,52 @@ object VectorQueries {
         SELECT l3.id, l3.lbl AS community, community_size
         FROM l3 JOIN sizes USING (lbl) ORDER BY l3.id""")),
 
+    // g4: k-CORE PEELING — the graph-density filter (g1 ranks, g2
+    // counts closure, g3 clusters; g4 prunes): iteratively drop nodes
+    // of degree < 3 and every edge touching them — the classic
+    // dense-subgraph extraction that strips kNN-graph fringe before
+    // community detection. THREE fixed peeling rounds (the replayable
+    // prefix of the to-fixed-point loop, the same discipline as g3's
+    // 3 label rounds and v4's 2 Lloyd rounds); each round is one
+    // partial-agg degree count plus two endpoint semi-joins, and the
+    // edge frame only ever SHRINKS — at 100 TB every round is cheaper
+    // than the last, the opposite of an explosion. Output: surviving
+    // nodes with their in-core degree, so a node dropped one round too
+    // early or an edge kept with a dead endpoint both break the hash.
+    Q("g4_kcore",
+      (s, d) => {
+        val e = mutualKnnEdges(s, d, 5) // memoized, lineage already cut
+        var edges = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+        for (_ <- 1 to 3) {
+          val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3).select("src")
+          edges = edges
+            .join(keep, Seq("src"))
+            .join(keep.withColumnRenamed("src", "dst"), Seq("dst"))
+            .select("src", "dst")
+        }
+        edges.groupBy("src").agg(count(lit(1)).as("core_degree"))
+          .select(col("src").as("id"), col("core_degree"))
+          .orderBy("id")
+      },
+      Some(s"""$mutualKnnCtes,
+        e0 AS (
+          SELECT id_a AS src, id_b AS dst FROM mutual
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM mutual),
+        k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
+        e1 AS (SELECT e.src, e.dst FROM e0 e
+               JOIN k1 a ON a.src = e.src JOIN k1 b ON b.src = e.dst),
+        k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3),
+        e2 AS (SELECT e.src, e.dst FROM e1 e
+               JOIN k2 a ON a.src = e.src JOIN k2 b ON b.src = e.dst),
+        k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 3),
+        e3 AS (SELECT e.src, e.dst FROM e2 e
+               JOIN k3 a ON a.src = e.src JOIN k3 b ON b.src = e.dst)
+        SELECT src AS id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM e3 GROUP BY src ORDER BY id""")),
+
     // v6: LABEL-FREE embedding near-dup — v2 blocks on a label column,
     // but a real 100 TB corpus has no labels: here the blocking key is
     // the deterministic IVF quantizer's cell (the same memoized fit as
