@@ -2586,6 +2586,61 @@ object RelationalQueries {
         SELECT g.day, g.event_type, CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
         FROM grid g LEFT JOIN base b
           ON g.day = b.day AND g.event_type = b.event_type
-        ORDER BY g.day, g.event_type"""))
+        ORDER BY g.day, g.event_type""")),
+
+    // r84: ROLLING 7-DAY DISTINCT USERS — the query exact distinct
+    // cannot survive at scale (a naive rolling countDistinct re-scans
+    // every event 7×), solved the production way: ONE corpus pass
+    // builds a DataSketches HLL sketch PER DAY (hll_sketch_agg), and
+    // the rolling union is a window over the ~30-row daily frame
+    // (hll_union_agg, RANGE -6..0 on the day index — calendar-correct
+    // even with gap days) — sketches merge, exact sets don't. The gate
+    // carries the exact rolling count (computed via a broadcast
+    // day-grid range join, affordable at gate scale, impossible at
+    // 100 TB) plus the r21 contract: the sketch estimate must land
+    // within 10% of exact on BOTH engines (lgK=12 HLL is ~2%). Scale:
+    // the corpus-sized work is one partial-agg shuffle to (day,
+    // sketch); everything after runs on the days-sized frame.
+    Q("r84_rolling_distinct_users",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(to_date(col("ts_ts")).as("day"), col("user_id"))
+        val daily = ev.groupBy("day")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .withColumn("day_i", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("day_i").rangeBetween(-6, 0)
+        val est = daily
+          .withColumn("est", hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+          .select("day", "est")
+        val grid = daily.select(col("day").as("gday"))
+        val exact = ev.join(broadcast(grid),
+            col("day").between(date_sub(col("gday"), 6), col("gday")))
+          .groupBy("gday")
+          .agg(countDistinct(col("user_id")).as("n_users_7d"))
+        exact.join(est, col("gday") === col("day"))
+          .select(col("gday").as("day"), col("n_users_7d"),
+            (abs(col("est") - col("n_users_7d")) * lit(10L)
+              <= col("n_users_7d")).as("approx_ok"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        days AS (SELECT DISTINCT day FROM ev),
+        exact AS (
+          SELECT g.day, count(DISTINCT e.user_id) AS n_users_7d
+          FROM days g JOIN ev e
+            ON e.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+          GROUP BY g.day),
+        approx AS (
+          SELECT day, approx_count_distinct(user_id) OVER (
+                   ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                   AND CURRENT ROW) AS est
+          FROM (SELECT DISTINCT day, user_id FROM ev)),
+        ap AS (SELECT day, max(est) AS est FROM approx GROUP BY day)
+        SELECT x.day, CAST(x.n_users_7d AS BIGINT) AS n_users_7d,
+               abs(a.est - x.n_users_7d) * 10 <= x.n_users_7d AS approx_ok
+        FROM exact x JOIN ap a ON a.day = x.day
+        ORDER BY x.day"""))
   )
 }

@@ -827,9 +827,10 @@ object TextOps {
     val tris = docs
       .select(col(idCol).as("__id"), lower(col(textCol)).as("__lt"))
       .select(col("__id"), explode(charTrigrams(col("__lt"))).as("tri"))
+    // countDistinct, not distinct().count(): the dedup rides the same
+    // (id, lang)-keyed exchange as the rollup — one shuffle, not two
     val hits = tris.join(broadcast(profiles), "tri")
-      .select("__id", "plang", "tri").distinct()
-      .groupBy("__id", "plang").agg(count(lit(1)).as("__h"))
+      .groupBy("__id", "plang").agg(countDistinct(col("tri")).as("__h"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__id").orderBy(col("__h").desc, col("plang").asc)
     val pred = hits.withColumn("__rn", row_number().over(w))
