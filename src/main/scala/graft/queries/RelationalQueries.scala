@@ -2641,6 +2641,90 @@ object RelationalQueries {
         SELECT x.day, CAST(x.n_users_7d AS BIGINT) AS n_users_7d,
                abs(a.est - x.n_users_7d) * 10 <= x.n_users_7d AS approx_ok
         FROM exact x JOIN ap a ON a.day = x.day
-        ORDER BY x.day"""))
+        ORDER BY x.day""")),
+
+    // r85: the RANK-FUNCTION FAMILY (rank, dense_rank, percent_rank,
+    // cume_dist) in one gate entry — partitioned BY CUSTOMER, the
+    // scale-correct key choice: millions of small frames instead of
+    // r51's few-big-percentile shape (a window keyed by a 5-value
+    // column is a skew bomb at 100 TB; keyed by customer it's
+    // embarrassingly parallel). Metrics are for each customer's
+    // HIGHEST-priced order among their 2+ orders: rank/dense_rank over
+    // (cents desc, orderkey asc) — a total order, so ties are
+    // deterministic — and percent_rank/cume_dist floored to basis
+    // points (exact rationals in IEEE doubles; same operands, same
+    // floor on both engines). One shuffle keyed by custkey; everything
+    // else rides it.
+    Q("r85_rank_family",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, d).select(col("o_custkey"),
+          col("o_orderkey"), cents(col("o_totalprice")).as("cents_v"))
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("cents_v").desc, col("o_orderkey").asc)
+        val wAll = Window.partitionBy("o_custkey")
+        o.withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("prank_bp", floor(percent_rank().over(w) * 10000).cast("long"))
+          .withColumn("cume_bp", floor(cume_dist().over(w) * 10000).cast("long"))
+          .withColumn("n_orders", count(lit(1)).over(wAll))
+          .filter(col("rnk") === 1 && col("n_orders") >= 2)
+          .select(col("o_custkey"), col("n_orders"),
+            col("o_orderkey").as("top_order"), col("cents_v").as("top_cents"),
+            col("drnk").cast("long").as("drnk"), col("prank_bp"), col("cume_bp"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(${sqlCents("o_totalprice")} AS BIGINT) AS cents_v,
+                 rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+                 CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS prank_bp,
+                 CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cume_bp,
+                 count(*) OVER (PARTITION BY o_custkey) AS n_orders
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY ${sqlCents("o_totalprice")} DESC, o_orderkey ASC))
+        SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+               o_orderkey AS top_order, cents_v AS top_cents,
+               CAST(drnk AS BIGINT) AS drnk, prank_bp, cume_bp
+        FROM r WHERE rnk = 1 AND n_orders >= 2
+        ORDER BY o_custkey""")),
+
+    // r86: JSON COLUMN ROUND TRIP — the semi-structured F-surface
+    // (to_json / from_json / get_json_object) under one oracle: each
+    // order serializes to a JSON string, parses back with an EXPLICIT
+    // schema (no schema-inference job — the 100 TB rule), and BOTH
+    // extraction paths (the struct field and the JSONPath string) must
+    // agree row-by-row: n_path_mismatch is part of the hashed output
+    // and the oracle pins it to zero. The aggregate re-derives the
+    // priority rollup from the parsed fields, so any escaping or
+    // numeric-width loss in the round trip breaks the sum. All three
+    // JSON expressions are row-local (codegen'd, no shuffle beyond the
+    // final rollup).
+    Q("r86_json_roundtrip",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), cents(col("o_totalprice")).as("cents_v"))
+        val js = o.select(to_json(struct(col("o_orderkey"),
+          col("o_orderpriority"), col("cents_v"))).as("j"))
+        val sch = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderpriority STRING, cents_v BIGINT")
+        val parsed = js.select(from_json(col("j"), sch).as("p"), col("j"))
+        parsed.select(
+            col("p.o_orderkey").as("k"), col("p.o_orderpriority").as("prio"),
+            col("p.cents_v").as("cents_v"),
+            (get_json_object(col("j"), "$.o_orderpriority") =!= col("p.o_orderpriority"))
+              .cast("long").as("mism"))
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"), sum(col("cents_v")).as("sum_cents"),
+            sum(col("mism")).as("n_path_mismatch"))
+          .orderBy("prio")
+      },
+      Some(s"""
+        SELECT o_orderpriority AS prio, count(*) AS n,
+               CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS sum_cents,
+               CAST(0 AS BIGINT) AS n_path_mismatch
+        FROM orders GROUP BY 1 ORDER BY prio"""))
   )
 }

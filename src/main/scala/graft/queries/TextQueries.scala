@@ -2980,7 +2980,64 @@ object TextQueries {
                count(*) AS n_docs
         FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
         WHERE d.doc_id % 10 >= 3
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // t55: HASHED-NGRAM DOMAIN-AFFINITY RESAMPLING (the DSIR shape,
+    // Xie et al. 2023, with the log-ratio importance weight replaced by
+    // an integer affinity share so the whole law replays in any
+    // engine): token occurrences hash into 1024 buckets; the TARGET
+    // domain (source src0, the stand-in for "high-quality reference
+    // corpus") and the rest each contribute per-bucket occurrence
+    // counts in ONE conditional-sum pass; every non-target doc then
+    // scores affinity_bp = 10000·Σtc[b] / Σ(tc[b]+sc[b]) over its own
+    // token stream, and the resample keeps the top 100 by (affinity
+    // desc, doc_id) — the deterministic skeleton of importance-weighted
+    // domain selection. Scale: the bucket-counts frame is B-bounded
+    // (1024 rows, broadcast); both corpus passes are linear explodes
+    // with partial-agg reduction; the top-k is a TakeOrdered, never a
+    // global sort.
+    Q("t55_domain_affinity",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+          .withColumn("b", pmod(conv(substring(md5(concat(lit("aff"),
+            col("tok"))), 1, 8), 16, 10).cast("long"), lit(1024L)))
+        val counts = toks.groupBy("b").agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tc"),
+          sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("sc"))
+        val scored = toks.filter(col("source") =!= "src0")
+          .join(broadcast(counts), "b")
+          .groupBy("doc_id")
+          .agg(sum(col("tc")).as("t_mass"), sum(col("tc") + col("sc")).as("all_mass"))
+          .filter(col("all_mass") > 0)
+          .withColumn("affinity_bp", expr("(t_mass * 10000) div all_mass"))
+        scored.orderBy(col("affinity_bp").desc, col("doc_id").asc).limit(100)
+          .select("doc_id", "affinity_bp", "t_mass", "all_mass")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+            x -> x != '')) AS tok
+          FROM documents),
+        hb AS (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5('aff' || tok), 1, 8))::BIGINT % 1024 AS b
+          FROM toks),
+        counts AS (
+          SELECT b, sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc,
+                 sum(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS sc
+          FROM hb GROUP BY b),
+        scored AS (
+          SELECT h.doc_id, CAST(sum(c.tc) AS BIGINT) AS t_mass,
+                 CAST(sum(c.tc + c.sc) AS BIGINT) AS all_mass
+          FROM hb h JOIN counts c ON h.b = c.b
+          WHERE h.source != 'src0'
+          GROUP BY h.doc_id HAVING sum(c.tc + c.sc) > 0)
+        SELECT doc_id, CAST(t_mass * 10000 // all_mass AS BIGINT) AS affinity_bp,
+               t_mass, all_mass
+        FROM scored
+        ORDER BY affinity_bp DESC, doc_id ASC LIMIT 100"""))
   )
 
   /** t49's oracle: the full three-round BPE loop as CTEs. Each round's
