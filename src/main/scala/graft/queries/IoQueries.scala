@@ -407,6 +407,31 @@ object IoQueries {
   val all: Seq[Q] = Seq(
     Q("j1_jsonl_roundtrip", (s, d) => roundTrip(s, d, "json"), Some(oracleAgg)),
     Q("o1_orc_roundtrip", (s, d) => roundTrip(s, d, "orc"), Some(oracleAgg)),
+
+    // c2: COMPRESSION-CODEC ROUND TRIP — zstd parquet write + read
+    // under the shared lossless-aggregate oracle. Codec choice is a
+    // first-order 100 TB lever (storage cost and scan throughput both
+    // move ~2× between snappy and zstd), and the thing that must hold
+    // when you pull it is exactly what the oracle checks: bytes in,
+    // identical values out. The reader needs no codec hint — parquet
+    // footers self-describe — so a mixed-codec table (old snappy files,
+    // new zstd) reads through the same scan, which is how a codec
+    // migration actually rolls out: new files only, never a rewrite.
+    Q("c2_zstd_roundtrip",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "zstd_").toString
+        Tables.documents(s, d).write.mode("overwrite")
+          .option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(length(col("text")).cast("long")).as("sum_text_len"))
+          .orderBy("source")
+      },
+      Some(oracleAgg)),
     Q("c1_csv_roundtrip", (s, d) => roundTrip(s, d, "csv"), Some(oracleAgg)),
     Q("h1_partitioned_prune",
       (s, d) => s.read.parquet(partitionedDocs(s, d))

@@ -2725,6 +2725,39 @@ object RelationalQueries {
         SELECT o_orderpriority AS prio, count(*) AS n,
                CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS sum_cents,
                CAST(0 AS BIGINT) AS n_path_mismatch
-        FROM orders GROUP BY 1 ORDER BY prio"""))
+        FROM orders GROUP BY 1 ORDER BY prio""")),
+
+    // r87: the DATE/INTERVAL function family (date_trunc, last_day,
+    // add_months, quarter, datediff) in one calendar-audited rollup —
+    // month boundaries, month lengths (leap-aware), quarter labels and
+    // the next-refresh date per order month. Every derived value is a
+    // pure calendar function of the month key, so the oracle catches
+    // any engine disagreement on calendar arithmetic (the classic
+    // silent-corruption source in date-partitioned pipelines). All
+    // expressions are row-local; the only shuffle is the month rollup.
+    Q("r87_date_functions",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+          .groupBy("month_start")
+          .agg(count(lit(1)).as("n_orders"))
+          .withColumn("month_end", last_day(col("month_start")))
+          .withColumn("days_in_month",
+            (datediff(col("month_end"), col("month_start")) + 1).cast("long"))
+          .withColumn("qtr", quarter(col("month_start")).cast("long"))
+          .withColumn("next_refresh", add_months(col("month_start"), 1))
+          .select("month_start", "n_orders", "month_end", "days_in_month",
+            "qtr", "next_refresh")
+          .orderBy("month_start")
+      },
+      Some("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               count(*) AS n_orders,
+               last_day(CAST(date_trunc('month', o_orderdate) AS DATE)) AS month_end,
+               CAST(last_day(CAST(date_trunc('month', o_orderdate) AS DATE))
+                 - CAST(date_trunc('month', o_orderdate) AS DATE) + 1 AS BIGINT) AS days_in_month,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS DATE) AS next_refresh
+        FROM orders GROUP BY 1, 3, 4, 5, 6 ORDER BY month_start"""))
   )
 }

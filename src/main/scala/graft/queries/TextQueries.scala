@@ -778,6 +778,68 @@ object TextQueries {
                count(*) AS cnt
         FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // s19: DEDUP-STATE EXPIRY (dropDuplicatesWithinWatermark) — s11
+    // proves suppression; s19 proves the state is ALLOWED TO DIE, which
+    // is what makes streaming dedup feasible on an infinite stream
+    // (s11's plain dropDuplicates state grows forever). Three-batch
+    // replay: batch A carries every event TWICE (in-batch dup →
+    // emitted once); batch B is a lone watermark-advancer 4 h ahead;
+    // batch C re-delivers every A key at fresh timestamps — by then
+    // the 1 h TTL has evicted A's fingerprints, so C re-emits IN FULL.
+    // TWO advancer batches are load-bearing: batch N's state cleanup
+    // runs with the watermark computed through batch N-1, so after ONE
+    // advancer the tail of A (events within TTL of the corpus max) is
+    // still in state and would suppress part of C — measured, not
+    // theorized; the second advancer lets eviction run with the
+    // post-advance watermark before C arrives. The oracle states the
+    // exact expected sink (A once + both advancers + all of C), so
+    // both a leak (C suppressed = state never expired) and a bug (A
+    // emitted twice = in-batch dedup broken) break the hash. Scale:
+    // state is keys-within-TTL-sized — bounded by arrival rate ×
+    // delay, not by stream history.
+    Q("s19_stream_dedup_ttl",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        val hourUs = 3600L * 1000000
+        val hi = ev.agg(max("ts_us")).head().getLong(0)
+        val a = ev.union(ev)
+        val b = s.range(1).select(
+          lit(-2L).as("event_id"), lit(hi + 4 * hourUs).as("ts_us"),
+          lit(-2L).as("user_id"), lit("__adv").as("event_type"),
+          lit(0.0).as("value"))
+        val b2 = s.range(1).select(
+          lit(-3L).as("event_id"), lit(hi + 4 * hourUs + 1000000L).as("ts_us"),
+          lit(-3L).as("user_id"), lit("__adv").as("event_type"),
+          lit(0.0).as("value"))
+        val c = ev.withColumn("ts_us", lit(hi + 5 * hourUs))
+        graft.streaming.StreamExec.replayFileSequence(Seq(a, b, b2, c)) { st =>
+          st.withColumn("ts_ts", timestamp_micros(col("ts_us")))
+            .withWatermark("ts_ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+            .select("event_id", "ts_us")
+        }.groupBy("event_id")
+          .agg(count(lit(1)).as("n_emissions"),
+            min(col("ts_us")).as("first_ts"), max(col("ts_us")).as("last_ts"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        hi AS (SELECT max(ts_us) AS h FROM ev),
+        sink AS (
+          SELECT event_id, ts_us FROM ev
+          UNION ALL
+          SELECT -2, h + 14400000000 FROM hi
+          UNION ALL
+          SELECT -3, h + 14401000000 FROM hi
+          UNION ALL
+          SELECT event_id, (SELECT h FROM hi) + 18000000000 FROM ev)
+        SELECT event_id, count(*) AS n_emissions,
+               CAST(min(ts_us) AS BIGINT) AS first_ts,
+               CAST(max(ts_us) AS BIGINT) AS last_ts
+        FROM sink GROUP BY event_id ORDER BY event_id""")),
+
     // s9: the CUSTOM-STATE streaming form under real execution — s7
     // proves the engine-managed session_window path; s9 drives the
     // flatMapGroupsWithState state machine (EventStreams.sessionize:
