@@ -214,9 +214,38 @@ class QualityMetricsSpec extends SparkSpec {
     assert(r21MaxRelErr <= 0.05, s"r21 rel err $r21MaxRelErr") // rsd 0.02
     assert(r35MaxRelErr <= 0.01, s"r35 rel err $r35MaxRelErr")
 
+    // v26: does cost-aware k-means‖ seeding actually beat the uniform
+    // md5-ordered seeding the other fits use? Total assignment cost
+    // (integer micro-units, min-dist2 over the 8 centers) on the same
+    // ‰ sample, k-means‖ top-8-by-weight candidates vs the first 8
+    // uniform seeds — the ratio documents the init-quality win the
+    // oversampling pass buys before any Lloyd round runs.
+    val embAll = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val kppSample = embAll
+      .filter(graft.text.TextOps.deterministicSample(col("vec_id"), 200, "ivf"))
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("xd"))
+      .cache()
+    def costOf(centers: Seq[Seq[Double]]): Long = kppSample
+      .select(floor(array_min(graft.vector.VectorOps.cellDists(col("xd"), centers))
+        * lit(1000000.0) + lit(0.5)).cast("long").as("c"))
+      .agg(sum("c")).head().getLong(0)
+    val kppTop = graft.vector.VectorOps.kmeansParallelInit(embAll, rounds = 3, ell = 4)
+      .orderBy(col("weight").desc, col("cand_id").asc).limit(8)
+      .select("cand_id").collect().map(_.getLong(0))
+    val kppCenters = kppSample.filter(col("vec_id").isin(kppTop: _*))
+      .orderBy("vec_id").select("xd").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val uniCenters = kppSample
+      .withColumn("__h", md5(concat(lit("ivfseed"), col("vec_id").cast("string"))))
+      .orderBy(col("__h"), col("vec_id")).limit(8)
+      .select("xd").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val v26Ratio = costOf(kppCenters).toDouble / costOf(uniCenters)
+    kppSample.unpersist()
+    assert(v26Ratio <= 1.2, s"k-means‖ init cost ratio vs uniform: $v26Ratio")
+
     val json =
       f"""{
          |  "sf": "$sf01",
+         |  "v26_kmeanspar_init": {"init_cost_ratio_vs_uniform": $v26Ratio%.4f, "ceiling": 1.2},
          |  "v3_lsh_topk":        {"recall_at_5_vs_v1": $v3Recall%.4f, "floor": 0.2},
          |  "v4_ivf_topk":        {"recall_at_5_vs_v1": $v4Recall%.4f, "floor": 0.3},
          |  "v6_ivf_neardup":     {"pair_recall_vs_exhaustive": $v6Recall%.4f, "floor": 0.5},
