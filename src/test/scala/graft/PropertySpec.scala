@@ -384,4 +384,60 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("charTrigrams == naive sliding reference on random strings (incl. unicode, spaces)") {
+    val ch = Gen.oneOf(('a' to 'e') ++ Seq(' ', 'é', '中', '"', '\\'))
+    val gen = Gen.listOfN(40, Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, ch).map(_.mkString)))
+    forAll(gen) { strings =>
+      val got = strings.toDF("text")
+        .select(graft.text.TextOps.charTrigrams(col("text")))
+        .collect().map(_.getSeq[String](0).toList).toList
+      val expected = strings.map { s =>
+        if (s.length < 3) Nil else (0 to s.length - 3).map(i => s.substring(i, i + 3)).toList
+      }
+      assert(got == expected)
+    }
+  }
+
+  test("volumeAnomalies: status partition is total, warmup exactly under minHist, bands exclusive") {
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("a", "b"), Gen.choose(1, 28), Gen.choose(1L, 1000L)))
+    forAll(gen) { raw =>
+      val daily = raw.map { case (k, d, c) => (k, d, c) }.distinctBy(t => (t._1, t._2))
+        .toDF("k", "day", "cnt")
+      val out = graft.quality.DataQuality
+        .volumeAnomalies(daily, "k", "day", "cnt", histDays = 7, minHist = 3)
+        .collect()
+      assert(out.length == daily.count())
+      out.foreach { r =>
+        val (cnt, hn, hs, st) = (r.getAs[Long]("cnt"), r.getAs[Long]("hist_n"),
+          r.getAs[Long]("hist_sum"), r.getAs[String]("status"))
+        assert(Set("warmup", "low", "high", "ok")(st))
+        if (hn < 3) assert(st == "warmup")
+        else {
+          val lo = cnt * hn * 10000L < hs * 5000L
+          val hi = cnt * hn * 10000L > hs * 20000L
+          assert(!(lo && hi))
+          assert(st == (if (lo) "low" else if (hi) "high" else "ok"))
+        }
+      }
+    }
+  }
+
+  test("kmeansParallelInit candidate ids always come from the sample; weights non-negative") {
+    val gen = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 5000L), Gen.listOfN(4, Gen.choose(-5, 5))))
+    forAll(gen, minSuccessful = 3) { raw =>
+      val rows = raw.distinctBy(_._1).map { case (id, v) => (id, v.map(_.toFloat)) }
+      val df = rows.toDF("vec_id", "embedding")
+      val sampleIds = df.filter(graft.text.TextOps.deterministicSample(
+        col("vec_id"), 1000, "ivf")).select("vec_id").collect().map(_.getLong(0)).toSet
+      if (sampleIds.nonEmpty) {
+        val out = graft.vector.VectorOps
+          .kmeansParallelInit(df, rounds = 2, ell = 3, samplePermille = 1000).collect()
+        assert(out.forall(r => sampleIds(r.getLong(0))), "candidate not from sample")
+        assert(out.forall(_.getLong(2) >= 0L))
+        assert(out.map(_.getLong(2)).sum == sampleIds.size)
+      }
+    }
+  }
 }
