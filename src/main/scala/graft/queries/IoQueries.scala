@@ -695,6 +695,41 @@ object IoQueries {
               GROUP BY source)
         ORDER BY source""")),
 
+    // m9: BLOB RECORD-IZATION — the step after b1 in a real multimodal
+    // ingest: the opaque shard bytes become RECORDS (decode UTF-8,
+    // split on the record separator, posexplode keeps arrival order)
+    // and each record gets a content fingerprint — the handoff from
+    // binary ingest to the dedup pipeline (t1's fingerprint law on
+    // records that never touched a parquet writer). The oracle
+    // re-derives records straight from the documents table (the
+    // separator is injective here: the corpus has zero embedded
+    // newlines, asserted cheaply by n_records == the sampled doc
+    // count), so a lost record, a split-eaten empty line, or an
+    // encoding mangle all break counts or fingerprints. Scale: one
+    // task per blob, decode+split row-local; records flow into the
+    // same partial-agg shuffle any parquet scan would feed.
+    Q("m9_blob_recordize",
+      (s, d) => {
+        val root = binaryShards(s, d)
+        s.read.format("binaryFile").load(root)
+          .select(regexp_extract(col("path"), "([^/]+)\\.bin$", 1).as("source"),
+            posexplode(split(decode(col("content"), "UTF-8"), "\n"))
+              .as(Seq("rec_idx", "rec")))
+          .withColumn("fp", md5(col("rec")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_records"),
+            sum(length(col("rec")).cast("long")).as("sum_chars"),
+            countDistinct(col("fp")).as("n_distinct"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n_records,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        FROM documents
+        WHERE ('0x' || substr(md5('bin' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < 50 * 65536
+        GROUP BY source ORDER BY source""")),
+
     // h9: DYNAMIC PARTITION OVERWRITE READ — the refresh discipline on
     // top of h1's hive layout: the table is yesterday's snapshot except
     // for the two lang partitions today's batch replaced wholesale

@@ -2424,7 +2424,26 @@ object VectorQueries {
     Q("v26_kmeanspar_init",
       (s, d) => VectorOps.kmeansParallelInit(
         Tables.embeddings(s, d), rounds = 3, ell = 4),
-      Some(kmeansParSql(rounds = 3, ell = 4, permille = 200)))
+      Some(kmeansParSql(rounds = 3, ell = 4, permille = 200))),
+
+    // v27: k-MEANS‖ REDUCTION — the second act v26 promises: the
+    // weighted candidate set (a dozen rows) reduces to k final centers
+    // by DRIVER-LOCAL weighted Lloyd — which is the entire argument
+    // for k-means‖: after O(rounds) distributed passes the cluster-
+    // scale problem fits on one machine — then ONE distributed pass
+    // assigns the sample and reports center populations. Everything is
+    // exact integer (e6 coords, remainder-subtracted weighted means,
+    // empty centers carried), so the oracle replays init + local
+    // reduction + assignment bit-for-bit; a tie broken differently, a
+    // weight lost, or a center drifting by one micro-unit all break
+    // the hash. Scale: the local loop is O(k · candidates · dims) on
+    // the driver; the corpus never re-shuffles.
+    Q("v27_kmeanspar_reduce",
+      (s, d) => VectorOps.kmeansParallelReduce(
+        Tables.embeddings(s, d), k = 4, initRounds = 3, ell = 4,
+        lloydRounds = 2),
+      Some(kmeansParReduceSql(k = 4, initRounds = 3, ell = 4,
+        lloydRounds = 2, permille = 200)))
   )
 
   /** v26's oracle: the full k-means‖ trajectory as CTEs — the md5-min
@@ -2435,7 +2454,12 @@ object VectorQueries {
     * each sample point's nearest-candidate vote (ties to the lowest
     * cand_id — assignCell's first-min rule over the id-sorted set).
     */
-  private def kmeansParSql(rounds: Int, ell: Int, permille: Int): String = {
+  /** The k-means‖ init trajectory (seed, per-round integer-φ hash
+    * admission, final nearest-candidate weights) as a WITH-body prefix
+    * ending in `c{rounds}` (candidates) and `w` (weights) — shared by
+    * the v26 init gate and v27's reduction suffix.
+    */
+  private def kppOracleCtes(rounds: Int, ell: Int, permille: Int): String = {
     def roundCte(r: Int): String = {
       val prev = s"c${r - 1}"
       s"""
@@ -2454,8 +2478,7 @@ object VectorQueries {
         c$r AS (SELECT cand_id, rnd, xd FROM $prev
                 UNION ALL SELECT vec_id, $r, xd FROM sel$r)"""
     }
-    s"""
-        WITH smp AS (
+    s"""smp AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
           FROM embeddings
           WHERE ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT * 1000 < $permille * 65536),
@@ -2469,11 +2492,80 @@ object VectorQueries {
                      ORDER BY ${dDist2("s.xd", "c.xd")} ASC, c.cand_id ASC) AS rn
             FROM smp s CROSS JOIN c$rounds c)
           WHERE rn = 1),
-        w AS (SELECT cand_id, count(*) AS weight FROM asn GROUP BY cand_id)
+        w AS (SELECT cand_id, count(*) AS weight FROM asn GROUP BY cand_id)"""
+  }
+
+  private def kmeansParSql(rounds: Int, ell: Int, permille: Int): String =
+    s"""
+        WITH ${kppOracleCtes(rounds, ell, permille)}
         SELECT c.cand_id, CAST(c.rnd AS BIGINT) AS round_added,
                CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
         FROM c$rounds c LEFT JOIN w ON w.cand_id = c.cand_id
         ORDER BY c.cand_id"""
+
+  /** v27's oracle: init prefix, then the driver-local weighted Lloyd
+    * replayed as CTEs over the candidate frame — k seeds by (weight
+    * desc, cand_id), per round nearest-center assignment on the
+    * e6-ROUNDED candidate coords (exactly what the Scala loop uses),
+    * exact-integer weighted centroid update via the remainder-
+    * subtracted division, empty centers carried — then the one
+    * distributed assignment pass of the full sample against the final
+    * centers.
+    */
+  private def kmeansParReduceSql(k: Int, initRounds: Int, ell: Int,
+                                 lloydRounds: Int, permille: Int): String = {
+    def lloyd(r: Int): String = {
+      val prev = s"k${r - 1}"
+      s"""
+        kd$r AS (SELECT ctr, list_transform(ce6, v -> CAST(v AS DOUBLE) / 1000000.0) AS cd
+                 FROM $prev),
+        ka$r AS (
+          SELECT cand_id, wt, ce6, ctr FROM (
+            SELECT cw.cand_id, cw.wt, cw.ce6, kd.ctr,
+                   row_number() OVER (PARTITION BY cw.cand_id
+                     ORDER BY ${dDist2("cw.cde", "kd.cd")} ASC, kd.ctr ASC) AS rn
+            FROM cw CROSS JOIN kd$r kd)
+          WHERE rn = 1),
+        ks$r AS (
+          SELECT ctr, i.i AS idx,
+                 CAST(sum(wt * ce6[i.i + 1]) AS BIGINT) AS sm,
+                 CAST(sum(wt) AS BIGINT) AS n
+          FROM ka$r CROSS JOIN (SELECT unnest(range(64)) AS i) i
+          GROUP BY ctr, i.i),
+        ku$r AS (SELECT ctr, list((sm - sm % n) // n ORDER BY idx) AS ce6
+                 FROM ks$r WHERE n > 0 GROUP BY ctr),
+        k$r AS (
+          SELECT p.ctr, p.seed_id, coalesce(u.ce6, p.ce6) AS ce6
+          FROM $prev p LEFT JOIN ku$r u ON u.ctr = p.ctr)"""
+    }
+    s"""
+        WITH ${kppOracleCtes(initRounds, ell, permille)},
+        cw AS (
+          SELECT c.cand_id,
+                 list_transform(c.xd, v -> CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS ce6,
+                 list_transform(c.xd, v -> floor(v * 1000000.0 + 0.5) / 1000000.0) AS cde,
+                 coalesce(w.weight, 0) AS wt
+          FROM c$initRounds c LEFT JOIN w ON w.cand_id = c.cand_id),
+        k0 AS (
+          SELECT rn - 1 AS ctr, cand_id AS seed_id, ce6
+          FROM (SELECT *, row_number() OVER (ORDER BY wt DESC, cand_id ASC) AS rn
+                FROM cw)
+          WHERE rn <= $k),${(1 to lloydRounds).map(lloyd).mkString(",")},
+        kfd AS (SELECT ctr, seed_id,
+                       list_transform(ce6, v -> CAST(v AS DOUBLE) / 1000000.0) AS cd
+                FROM k$lloydRounds),
+        fasn AS (
+          SELECT vec_id, ctr FROM (
+            SELECT s.vec_id, f.ctr,
+                   row_number() OVER (PARTITION BY s.vec_id
+                     ORDER BY ${dDist2("s.xd", "f.cd")} ASC, f.ctr ASC) AS rn
+            FROM smp s CROSS JOIN kfd f)
+          WHERE rn = 1),
+        fc AS (SELECT ctr, count(*) AS n FROM fasn GROUP BY ctr)
+        SELECT CAST(f.ctr AS BIGINT) AS center, f.seed_id AS seed_cand_id,
+               CAST(coalesce(fc.n, 0) AS BIGINT) AS n_assigned
+        FROM kfd f LEFT JOIN fc ON fc.ctr = f.ctr
+        ORDER BY center"""
   }
 
   /** The v24 IVFADC search, probe count and k exposed so

@@ -685,45 +685,11 @@ object VectorOps {
   def kmeansParallelInit(corpus: DataFrame, rounds: Int, ell: Int,
                          cId: String = "vec_id", cVec: String = "embedding",
                          samplePermille: Int = 200): DataFrame = {
-    require(rounds >= 1 && ell >= 1)
     val spark = corpus.sparkSession
-    val sample = corpus
-      .filter(graft.text.TextOps.deterministicSample(col(cId), samplePermille, "ivf"))
-      .select(col(cId).as("__id"), asDouble(col(cVec)).as("__xd"))
-      .cache()
+    val sample = kppSample(corpus, cId, cVec, samplePermille)
     try {
-      val seedRow = sample
-        .withColumn("__h", md5(concat(lit("kppseed"), col("__id").cast("string"))))
-        .orderBy(col("__h"), col("__id")).limit(1)
-        .select("__id", "__xd").collect().head
-      // (cand_id, round_added, vector); kept sorted by cand_id so
-      // assignCell's first-min tie rule IS the lowest-cand_id rule
-      var cands = Vector(
-        (seedRow.getLong(0), 0, seedRow.getSeq[Double](1)))
-      for (r <- 1 to rounds) {
-        val ctrs = cands.map(_._3)
-        val costE6 = floor(
-          array_min(cellDists(col("__xd"), ctrs)) * lit(1000000.0) + lit(0.5))
-          .cast("long")
-        val withCost = sample.withColumn("__ce", costE6)
-        val phi = withCost.agg(sum(col("__ce"))).head().getLong(0)
-        require(phi < Long.MaxValue / 65536,
-          s"kmeansParallelInit: phi=$phi would overflow the 16-bit hash " +
-            "threshold product — lower samplePermille or rescale the vectors")
-        if (phi > 0L) {
-          val h16 = conv(substring(
-            md5(concat(lit(s"kpp$r|"), col("__id").cast("string"))), 1, 4),
-            16, 10).cast("long")
-          val picked = withCost
-            .filter(h16 * lit(phi) < lit(ell.toLong * 65536L) * col("__ce"))
-            .select("__id", "__xd").collect()
-          cands = (cands ++ picked.map(row =>
-            (row.getLong(0), r, row.getSeq[Double](1)))).sortBy(_._1)
-        }
-      }
-      val weights = sample
-        .select(assignCell(col("__xd"), cands.map(_._3)).as("__c"))
-        .groupBy("__c").agg(count(lit(1)).as("w"))
+      val cands = kppCandidates(sample, rounds, ell)
+      val weights = kppWeights(sample, cands)
       import spark.implicits._
       val meta = cands.zipWithIndex
         .map { case ((id, r, _), i) => (i, id, r.toLong) }
@@ -732,6 +698,133 @@ object VectorOps {
         .select(col("cand_id"), col("round_added"),
           coalesce(col("w"), lit(0L)).as("weight"))
         .orderBy("cand_id")
+    } finally { sample.unpersist(); () }
+  }
+
+  private def kppSample(corpus: DataFrame, cId: String, cVec: String,
+                        samplePermille: Int): DataFrame =
+    corpus
+      .filter(graft.text.TextOps.deterministicSample(col(cId), samplePermille, "ivf"))
+      .select(col(cId).as("__id"), asDouble(col(cVec)).as("__xd"))
+      .cache()
+
+  /** The oversampling loop shared by [[kmeansParallelInit]] and
+    * [[kmeansParallelReduce]]: returns (cand_id, round_added, vector)
+    * sorted by cand_id, so assignCell's first-min tie rule IS the
+    * lowest-cand_id rule.
+    */
+  private def kppCandidates(sample: DataFrame, rounds: Int, ell: Int)
+      : Vector[(Long, Int, Seq[Double])] = {
+    require(rounds >= 1 && ell >= 1)
+    val seedRow = sample
+      .withColumn("__h", md5(concat(lit("kppseed"), col("__id").cast("string"))))
+      .orderBy(col("__h"), col("__id")).limit(1)
+      .select("__id", "__xd").collect().head
+    var cands = Vector(
+      (seedRow.getLong(0), 0, seedRow.getSeq[Double](1)))
+    for (r <- 1 to rounds) {
+      val ctrs = cands.map(_._3)
+      val costE6 = floor(
+        array_min(cellDists(col("__xd"), ctrs)) * lit(1000000.0) + lit(0.5))
+        .cast("long")
+      val withCost = sample.withColumn("__ce", costE6)
+      val phi = withCost.agg(sum(col("__ce"))).head().getLong(0)
+      require(phi < Long.MaxValue / 65536,
+        s"kmeansParallelInit: phi=$phi would overflow the 16-bit hash " +
+          "threshold product — lower samplePermille or rescale the vectors")
+      if (phi > 0L) {
+        val h16 = conv(substring(
+          md5(concat(lit(s"kpp$r|"), col("__id").cast("string"))), 1, 4),
+          16, 10).cast("long")
+        val picked = withCost
+          .filter(h16 * lit(phi) < lit(ell.toLong * 65536L) * col("__ce"))
+          .select("__id", "__xd").collect()
+        cands = (cands ++ picked.map(row =>
+          (row.getLong(0), r, row.getSeq[Double](1)))).sortBy(_._1)
+      }
+    }
+    cands
+  }
+
+  private def kppWeights(sample: DataFrame,
+                         cands: Vector[(Long, Int, Seq[Double])]): DataFrame =
+    sample
+      .select(assignCell(col("__xd"), cands.map(_._3)).as("__c"))
+      .groupBy("__c").agg(count(lit(1)).as("w"))
+
+  /** The second act of k-means‖: reduce the weighted candidate set to k
+    * final centers by DRIVER-LOCAL weighted Lloyd (the whole point of
+    * the oversampling pass — the cluster-scale problem shrinks to
+    * ~1+ell·rounds weighted points, so the reduction is a local loop
+    * over a dozen rows, not a distributed job), then ONE distributed
+    * assignment pass reports each final center's population. Exact
+    * integer arithmetic end-to-end: candidate coordinates floor to
+    * micro-unit BIGINT, weighted sums divide by the remainder-
+    * subtracted trick (floor == trunc cross-engine), empty centers
+    * keep their previous coordinates — so the DuckDB oracle replays
+    * init, reduction, and assignment bit-for-bit. Ties: candidates
+    * assign to the lowest center INDEX (assignCell first-min over the
+    * weight-desc-ordered center list). Returns
+    * (center, seed_cand_id, n_assigned) ordered by center.
+    */
+  def kmeansParallelReduce(corpus: DataFrame, k: Int, initRounds: Int,
+                           ell: Int, lloydRounds: Int,
+                           cId: String = "vec_id", cVec: String = "embedding",
+                           samplePermille: Int = 200): DataFrame = {
+    require(k >= 1 && lloydRounds >= 0)
+    val spark = corpus.sparkSession
+    val sample = kppSample(corpus, cId, cVec, samplePermille)
+    try {
+      val cands = kppCandidates(sample, initRounds, ell)
+      val wByIdx: Map[Int, Long] = kppWeights(sample, cands)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // weighted candidate rows: (cand_id, weight, e6 coords)
+      val rows = cands.zipWithIndex.map { case ((id, _, xd), i) =>
+        (id, wByIdx.getOrElse(i, 0L),
+          xd.map(v => math.floor(v * 1e6 + 0.5).toLong).toArray)
+      }
+      require(rows.size >= k,
+        s"kmeansParallelReduce: only ${rows.size} candidates for k=$k — raise ell/rounds")
+      val init = rows.sortBy { case (id, w, _) => (-w, id) }.take(k)
+      val seedIds = init.map(_._1)
+      val cE6: Array[Array[Long]] = init.map(_._3.clone()).toArray
+      for (_ <- 1 to lloydRounds) {
+        val ctrD = cE6.map(_.toSeq.map(_ / 1e6))
+        // assign each weighted candidate to its nearest current center
+        // (fixed-order double dist2 on the e6-rounded coords — the same
+        // values the oracle computes), ties to the lowest index
+        val assign = rows.map { case (_, w, xe6) =>
+          val xd = xe6.map(_ / 1e6)
+          val best = ctrD.indices.minBy { j =>
+            val c = ctrD(j)
+            var s = 0.0; var t = 0
+            while (t < xd.length) { val dd = xd(t) - c(t); s += dd * dd; t += 1 }
+            (s, j)
+          }
+          (best, w, xe6)
+        }
+        (0 until k).foreach { j =>
+          val mine = assign.filter(_._1 == j)
+          val n = mine.map(_._2).sum
+          if (n > 0L) {
+            cE6(j).indices.foreach { t =>
+              val sm = mine.map(a => a._2 * a._3(t)).sum
+              cE6(j)(t) = (sm - sm % n) / n
+            }
+          } // empty centers keep previous coords
+        }
+      }
+      val finalD: Seq[Seq[Double]] = cE6.map(_.toSeq.map(_ / 1e6)).toSeq
+      val counts = sample
+        .select(assignCell(col("__xd"), finalD).as("__c"))
+        .groupBy("__c").agg(count(lit(1)).as("n"))
+      import spark.implicits._
+      val meta = seedIds.zipWithIndex.map { case (id, j) => (j, j.toLong, id) }
+        .toDF("__c", "center", "seed_cand_id")
+      meta.join(counts, Seq("__c"), "left")
+        .select(col("center"), col("seed_cand_id"),
+          coalesce(col("n"), lit(0L)).as("n_assigned"))
+        .orderBy("center")
     } finally { sample.unpersist(); () }
   }
 }
