@@ -124,7 +124,8 @@ object Explain {
           org.apache.spark.sql.execution.FormattedMode)
         sb.append(s"\n## $name\n\n```\n$plan```\n")
         if (!cacheDependentPlans(name))
-          fps += (name -> graft.plans.PlanFingerprint.ofExplain(plan))
+          fps += (name -> graft.plans.PlanFingerprint.ofQuery(spark,
+            () => fn(spark, sfDir)))
       }
     }
     Files.createDirectories(Paths.get(out).getParent)

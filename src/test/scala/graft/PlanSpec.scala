@@ -365,15 +365,23 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val sfDir = "/root/testdata/sf0.01"
     val diffs = graft.Explain.headline
       .filterNot(graft.Explain.cacheDependentPlans).flatMap { name =>
-      val fp = graft.plans.PlanFingerprint.of(qs(name)(spark, sfDir))
+      val fp = graft.plans.PlanFingerprint.ofQuery(spark,
+        () => qs(name)(spark, sfDir))
       val c = committed.get(name)
       if (c == null) Some(s"$name: not in artifact (new query? regenerate)")
       else {
         val exp = (c.get("shuffles").asInt(), c.get("broadcasts").asInt(),
           c.get("reused").asInt())
         val got = (fp.shuffles, fp.broadcasts, fp.reused)
+        // codegen evidence is gated too: an operator dropping out of a
+        // whole-stage span (codegen_ops shrinking) is a silent perf
+        // regression exactly like an added exchange
+        val cgExp = Option(c.get("codegen_ops")).map(_.asInt()).getOrElse(-1)
         if (exp != got)
           Some(s"$name: committed (shuffles,broadcasts,reused)=$exp, current $got")
+        else if (cgExp >= 0 && fp.codegenOps < cgExp)
+          Some(s"$name: codegen_ops shrank from $cgExp to ${fp.codegenOps} " +
+            "(an operator left whole-stage codegen)")
         else None
       }
     }
