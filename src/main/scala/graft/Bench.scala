@@ -38,7 +38,7 @@ object Bench {
       "s15_stream_late_data", "s16_stream_outer_attribution",
       // s17 additionally runs TWO query lifetimes per replay (restart)
       "s17_stream_restart_recovery", "s18_stream_sliding_counts",
-      "s19_stream_dedup_ttl")
+      "s19_stream_dedup_ttl", "s20_stream_update_mode")
   private[graft] def runsFor(name: String): Int = if (singleRunQueries(name)) 2 else 3
 
   /** 1-minute system load average, or -1 when the platform can't say.

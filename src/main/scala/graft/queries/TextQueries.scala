@@ -840,6 +840,55 @@ object TextQueries {
                CAST(max(ts_us) AS BIGINT) AS last_ts
         FROM sink GROUP BY event_id ORDER BY event_id""")),
 
+    // s20: UPDATE OUTPUT MODE — the dashboard-refresh semantics every
+    // other streaming gate entry (append mode) can't show: a window's
+    // count re-emits in EVERY micro-batch where it changed, and the
+    // consumer keeps last-writer-wins. BOTH halves are under oracle:
+    // the final counts (max-batch row per key == the one-shot GROUP
+    // BY) and the EMISSION TRAIL itself — n_updates per key must equal
+    // the number of replay slices containing at least one event of
+    // that window, because update mode emits exactly-when-changed and
+    // the slice rule ((ts-lo) div span) is stated in the oracle
+    // verbatim. A key emitted spuriously (no change), a missed
+    // re-emission, or a stale final value all break the hash. Scale:
+    // state is (window × type)-keyed; the sink write is per-batch
+    // changed-keys-sized.
+    Q("s20_stream_update_mode",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        val upd = graft.streaming.StreamExec.replayUpdateMode(ev, "ts_us", 4) {
+          st => st.withColumn("ts_ts", timestamp_micros(col("ts_us")))
+            .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(unix_timestamp(col("w.start")).as("bucket"),
+              col("event_type"), col("cnt"))
+        }
+        val wLast = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket", "event_type").orderBy(col("__batch").desc)
+        upd.withColumn("rn", row_number().over(wLast))
+          .withColumn("n_updates",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("bucket", "event_type")))
+          .filter(col("rn") === 1)
+          .select(col("bucket"), col("event_type"), col("cnt"),
+            col("n_updates"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        mm AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+        sl AS (
+          SELECT us, event_type,
+                 (us - (SELECT lo FROM mm))
+                   // greatest(1, ((SELECT hi FROM mm) - (SELECT lo FROM mm)) // 4 + 1) AS slice
+          FROM ev)
+        SELECT CAST((us - us % 3600000000) // 1000000 AS BIGINT) AS bucket,
+               event_type, count(*) AS cnt,
+               CAST(count(DISTINCT slice) AS BIGINT) AS n_updates
+        FROM sl GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // s9: the CUSTOM-STATE streaming form under real execution — s7
     // proves the engine-managed session_window path; s9 drives the
     // flatMapGroupsWithState state machine (EventStreams.sessionize:

@@ -219,6 +219,54 @@ object StreamExec {
         s"$dataBatches - the run was not incremental")
   }
 
+  /** Run a STATEFUL transform in UPDATE output mode and capture every
+    * micro-batch's emission with its batch id — the dashboard-refresh
+    * semantics append mode can't show: a key re-emits in EVERY batch
+    * where its aggregate changed, and the last write per key is the
+    * final state. No watermark sentinel (update emits without
+    * watermark gating) and no watermark needed on the transform for a
+    * bounded replay. Returns the raw captured updates
+    * (transform columns + `__batch`); callers reduce last-writer-wins
+    * themselves so the per-batch emission trail stays checkable.
+    */
+  def replayUpdateMode(input: DataFrame, tsCol: String, slices: Int,
+                       statePartitions: Int = 8)
+                      (transform: DataFrame => DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    require(slices >= 2, s"replayUpdateMode: need >= 2 slices, got $slices")
+    val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayupd_")
+    val src = root.resolve("src")
+    writeSlices(input, tsCol, None, slices, root, src)
+    val out = root.resolve("out").toString
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val savedShuffle = spark.conf.get(shuffleKey)
+    val q = try {
+      spark.conf.set(shuffleKey, statePartitions.toString)
+      spark.readStream
+        .schema(input.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .transform(transform)
+        .writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            df.withColumn("__batch", lit(id))
+              .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(shuffleKey, savedShuffle)
+    q.awaitTermination()
+    streamRanSinceTeardown = true
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= slices,
+      s"replayUpdateMode: expected >= $slices data micro-batches, saw " +
+        s"$dataBatches - the run was not incremental")
+    spark.read.parquet(out)
+  }
+
   def replayFileStream(input: DataFrame, tsCol: String, sentinel: DataFrame,
                        slices: Int, statePartitions: Int = 8)
                       (transform: DataFrame => DataFrame): DataFrame = {
