@@ -624,6 +624,77 @@ object PipelineQueries {
                  n = 0, CAST(n AS BIGINT) FROM v4)
         ORDER BY rule""")),
 
+    // d7: DQ METRICS REPOSITORY — the Deequ MetricsRepository pattern
+    // that makes d1-style audits longitudinal: yesterday's metric frame
+    // (the corpus before today's arrivals — doc_id % 3 != 0) COMMITS as
+    // snapshot v0, today's full-corpus frame as v1, and the gate reads
+    // both versions BACK FROM THE COMMITTED TABLE and reports per-rule
+    // deltas plus the regression verdict (passed yesterday, failing
+    // today). Storing metrics, not data, is the point: the repository
+    // is rules-sized, a re-audit never re-scans history, and the same
+    // snapshot protocol as r60/t48/v23 gives time-travel over quality
+    // itself. The oracle recomputes both evaluations directly, so a
+    // snapshot that dropped/duplicated/crossed a metric row breaks the
+    // hash.
+    Q("d7_dq_metrics_repository",
+      (s, d) => {
+        import s.implicits._
+        val ruleset = """Rules = [ RowCount > 100,
+          IsComplete "doc_id", IsUnique "doc_id", IsUnique "text" ]"""
+        def metrics(df: org.apache.spark.sql.DataFrame) =
+          graft.quality.DataQuality.evaluate(df, ruleset)
+            .results.map(r => (r.rule, r.passed, r.observed))
+            .toDF("rule", "passed", "observed")
+        val docs = Tables.documents(s, d)
+        val table = java.nio.file.Files.createTempDirectory(
+          graft.streaming.StreamExec.scratchParent, "dqrepo_").toString + "/t"
+        graft.operators.Scale.writeSnapshot(s, table,
+          metrics(docs.filter(col("doc_id") % 3 =!= 0)))
+        graft.operators.Scale.writeSnapshot(s, table, metrics(docs))
+        val v0 = graft.operators.Scale.readSnapshot(s, table, Some(0L))
+          .select(col("rule"), col("passed").as("passed_v0"),
+            col("observed").as("observed_v0"))
+        val v1 = graft.operators.Scale.readSnapshot(s, table, Some(1L))
+          .select(col("rule"), col("passed").as("passed_v1"),
+            col("observed").as("observed_v1"))
+        v0.join(v1, "rule")
+          .withColumn("delta", col("observed_v1") - col("observed_v0"))
+          .withColumn("regressed", col("passed_v0") && !col("passed_v1"))
+          .orderBy("rule")
+      },
+      Some("""
+        WITH y AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        v0 AS (
+          SELECT 'RowCount > 100' AS rule, count(*) > 100 AS passed,
+                 CAST(count(*) AS BIGINT) AS observed FROM y
+          UNION ALL
+          SELECT 'IsComplete "doc_id"', count(doc_id) = count(*),
+                 count(*) - count(doc_id) FROM y
+          UNION ALL
+          SELECT 'IsUnique "doc_id"', count(DISTINCT doc_id) = count(doc_id),
+                 count(DISTINCT doc_id) FROM y
+          UNION ALL
+          SELECT 'IsUnique "text"', count(DISTINCT text) = count(text),
+                 count(DISTINCT text) FROM y),
+        v1 AS (
+          SELECT 'RowCount > 100' AS rule, count(*) > 100 AS passed,
+                 CAST(count(*) AS BIGINT) AS observed FROM documents
+          UNION ALL
+          SELECT 'IsComplete "doc_id"', count(doc_id) = count(*),
+                 count(*) - count(doc_id) FROM documents
+          UNION ALL
+          SELECT 'IsUnique "doc_id"', count(DISTINCT doc_id) = count(doc_id),
+                 count(DISTINCT doc_id) FROM documents
+          UNION ALL
+          SELECT 'IsUnique "text"', count(DISTINCT text) = count(text),
+                 count(DISTINCT text) FROM documents)
+        SELECT v0.rule, v0.passed AS passed_v0, v0.observed AS observed_v0,
+               v1.passed AS passed_v1, v1.observed AS observed_v1,
+               v1.observed - v0.observed AS delta,
+               v0.passed AND NOT v1.passed AS regressed
+        FROM v0 JOIN v1 ON v0.rule = v1.rule
+        ORDER BY v0.rule""")),
+
     // d6: VOLUME ANOMALY DETECTION — the time-series half of the DQ
     // surface (Deequ's anomaly checks): d1–d5 judge a snapshot against
     // static rules; d6 judges each day's per-type event volume against
