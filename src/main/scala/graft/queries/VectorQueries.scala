@@ -1269,6 +1269,89 @@ object VectorQueries {
           FROM scored)
         SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
+    // v28: INT4 SCALAR QUANTIZATION — the missing rung of the SQ
+    // ladder (v9 8-bit ≈ exact, v10 1-bit = sign-only): 16 levels per
+    // dim, NIBBLE-PACKED two codes per byte so the stored index is
+    // literally 32 ints per 64-dim vector — and the pack→unpack round
+    // trip is IN the scored lineage (codes → packed → unpacked →
+    // cosine), so a nibble-order bug or a truncated high nibble breaks
+    // the ranking hash, not just a comment. Same per-dim min/max
+    // affine grid as v9, same broadcast-queries/one-corpus-scan search
+    // shape. At 100 TB this is the 8× index-size lever vs raw floats —
+    // the agreement-vs-v1 row in QUALITY.json prices what it costs.
+    Q("v28_sq4_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val st = emb.select(posexplode(col("embedding")).as(Seq("idx", "v")))
+          .groupBy("idx")
+          .agg(min(col("v").cast("double")).as("lo"),
+            max(col("v").cast("double")).as("hi"))
+          .orderBy("idx").collect()
+        val loC = typedLit(st.map(_.getDouble(1)).toIndexedSeq)
+        val hiC = typedLit(st.map(_.getDouble(2)).toIndexedSeq)
+        val codes = transform(sequence(lit(0), lit(63)), i => {
+          val x = element_at(col("embedding"), i + 1).cast("double")
+          val l = element_at(loC, i + 1)
+          val h = element_at(hiC, i + 1)
+          when(h === l, lit(0.0))
+            .otherwise(floor((x - l) / (h - l) * lit(15.0) + lit(0.5)))
+        })
+        val packed = transform(sequence(lit(0), lit(31)), j =>
+          element_at(col("__cs"), j * 2 + 1) * lit(16.0) +
+            element_at(col("__cs"), j * 2 + 2))
+        val unpacked = transform(sequence(lit(0), lit(63)), i => {
+          val p = element_at(col("__pk"), floor(i / 2).cast("int") + 1)
+          val c = when(pmod(i, lit(2)) === 0, floor(p / lit(16.0)))
+            .otherwise(pmod(p, lit(16.0)))
+          val l = element_at(loC, i + 1)
+          val h = element_at(hiC, i + 1)
+          when(h === l, l).otherwise(l + c * (h - l) / lit(15.0))
+        })
+        val corp = emb
+          .withColumn("__cs", codes)
+          .withColumn("__pk", packed)
+          .select(col("vec_id"), unpacked.as("dq"))
+        val qs = corp.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("dq").as("qv"))
+        VectorOps.bruteForceTopK(qs, corp, 5, qVec = "qv", cVec = "dq")
+          .select(col("qid"), col("rnk").cast("long").as("rnk"),
+            col("vec_id").as("nid"))
+      },
+      Some(s"""
+        WITH st AS (
+          SELECT i.i AS idx,
+                 min(CAST(embedding[i.i + 1] AS DOUBLE)) AS lo,
+                 max(CAST(embedding[i.i + 1] AS DOUBLE)) AS hi
+          FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) i
+          GROUP BY i.i),
+        lh AS (SELECT list(lo ORDER BY idx) AS lo, list(hi ORDER BY idx) AS hi FROM st),
+        codes AS (
+          SELECT vec_id, list_transform(range(64), i ->
+            CASE WHEN lh.hi[i + 1] = lh.lo[i + 1] THEN 0
+                 ELSE CAST(floor((CAST(embedding[i + 1] AS DOUBLE) - lh.lo[i + 1])
+                      / (lh.hi[i + 1] - lh.lo[i + 1]) * 15.0 + 0.5) AS BIGINT) END) AS cs
+          FROM embeddings CROSS JOIN lh),
+        packed AS (
+          SELECT vec_id, list_transform(range(32), j -> cs[2 * j + 1] * 16 + cs[2 * j + 2]) AS pk
+          FROM codes),
+        dqv AS (
+          SELECT vec_id, list_transform(range(64), i ->
+            CASE WHEN lh.hi[i + 1] = lh.lo[i + 1] THEN lh.lo[i + 1]
+                 ELSE lh.lo[i + 1]
+                      + (CASE WHEN i % 2 = 0 THEN pk[i // 2 + 1] // 16
+                              ELSE pk[i // 2 + 1] % 16 END)
+                      * (lh.hi[i + 1] - lh.lo[i + 1]) / 15.0 END) AS dd
+          FROM packed CROSS JOIN lh),
+        nrm AS (SELECT vec_id, dd, sqrt(${dDot("dd", "dd")}) AS nn FROM dqv),
+        q AS (SELECT vec_id AS qid, dd AS qd, nn AS qn FROM nrm WHERE vec_id < 10),
+        scored AS (
+          SELECT q.qid, c.vec_id AS nid, ${dDot("q.qd", "c.dd")} / (q.qn * c.nn) AS cos
+          FROM q CROSS JOIN nrm c WHERE c.vec_id != q.qid),
+        ranked AS (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     // v7: v1's cosine top-k reached PURELY through spark.sql — the
     // vector twin of t20/t21's SQL-registry proof: graft_cosine is the
     // same native DotProductD kernel behind the Column↔Expression

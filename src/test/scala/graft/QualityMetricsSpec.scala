@@ -37,6 +37,10 @@ class QualityMetricsSpec extends SparkSpec {
     // metric gap (the corpus is unnormalized), so its floor sits between
     // v10's binarized extreme and v9's near-exact agreement
     val v11Agree = (exactTopk intersect topkSet("v11_pq_topk")).size.toDouble / exactTopk.size
+    // v28 is 4-bit affine SQ with nibble packing — 16 levels sit
+    // between v9's 256 (≈ exact) and v10's 2 (sign-only); its floor
+    // prices the 8×-smaller index
+    val v28Agree = (exactTopk intersect topkSet("v28_sq4_topk")).size.toDouble / exactTopk.size
     // v22 is PQ-ADC at v11's exact geometry (8×8d×64) but with
     // codebooks trained to CONVERGENCE (movement-floor k-means) instead
     // of one fixed Lloyd round — the trained-codebook recall row round
@@ -211,6 +215,8 @@ class QualityMetricsSpec extends SparkSpec {
     // or candidate generation is broken, not just lossy
     assert(v13Curve.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 - 1e-9 },
       s"v13 probe/recall curve not monotone: $v13Curve")
+    assert(v28Agree >= 0.3 && v28Agree <= v9Agree + 1e-9,
+      s"v28 int4 agreement $v28Agree must sit under v9's 8-bit $v9Agree")
     assert(r21MaxRelErr <= 0.05, s"r21 rel err $r21MaxRelErr") // rsd 0.02
     assert(r35MaxRelErr <= 0.01, s"r35 rel err $r35MaxRelErr")
 
@@ -255,6 +261,7 @@ class QualityMetricsSpec extends SparkSpec {
          |                         "probe_recall_curve": {${v15Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}}},
          |  "v9_sq8_topk":        {"topk_agreement_vs_v1": $v9Agree%.4f, "floor": 0.8},
          |  "v10_bitpack_topk":   {"topk_agreement_vs_v1": $v10Agree%.4f, "floor": 0.1},
+         |  "v28_sq4_topk":       {"topk_agreement_vs_v1": $v28Agree%.4f, "floor": 0.3},
          |  "v11_pq_topk":        {"topk_agreement_vs_v1": $v11Agree%.4f, "floor": 0.1},
          |  "v22_pq_trained":     {"topk_agreement_vs_v1": $v22Agree%.4f, "floor": 0.1},
          |  "v24_ivfpq_topk":     {"topk_agreement_vs_v1": $v24Agree%.4f, "floor": 0.05,
