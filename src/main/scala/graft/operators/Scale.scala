@@ -529,6 +529,30 @@ object Scale {
       keep.length, zones.length)
   }
 
+  /** String twin of [[readZonePruned]]: zones and bounds compare
+    * LEXICOGRAPHICALLY (parquet's BINARY min/max stats semantics —
+    * what dictionary-range skipping on a category/tenant/date-string
+    * column actually does). Same conservative contract: a file is
+    * skipped only when its whole [min, max] range misses [lo, hi]; the
+    * residual predicate re-applies exactly.
+    */
+  def readZonePrunedStr(spark: SparkSession, path: String, manifest: DataFrame,
+                        valueCol: String, lo: String, hi: String)
+      : (DataFrame, Int, Int) = {
+    val zones = manifest.select(col("file"), col("min_v").cast("string"),
+      col("max_v").cast("string")).collect()
+    val keep = zones.collect {
+      case r if !r.isNullAt(1) && !r.isNullAt(2)
+        && r.getString(2) >= lo && r.getString(1) <= hi => r.getString(0)
+    }
+    val base =
+      if (keep.isEmpty)
+        spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (base.filter(col(valueCol) >= lo && col(valueCol) <= hi),
+      keep.length, zones.length)
+  }
+
   /** 2-D box-pruned read over a Z-ORDERED layout — the multi-dimension
     * companion of [[readZonePruned]]: the manifest carries per-file
     * min/max of BOTH clustered columns (`file, min_a, max_a, min_b,

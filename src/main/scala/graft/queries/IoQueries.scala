@@ -373,6 +373,32 @@ object IoQueries {
         (out, zones)
       })
 
+  /** h10's STRING-clustered layout: documents range-partitioned and
+    * sorted by `source`, with a per-file lexicographic (min, max)
+    * manifest — the string twin of [[zonedDocs]]. Built once per table
+    * fingerprint.
+    */
+  private val zonedStrCopies = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(String, String, String)])]()
+
+  private[graft] def zonedDocsStr(s: SparkSession, d: String)
+      : (String, Array[(String, String, String)]) =
+    zonedStrCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "zoned_src_").toString
+        Tables.documents(s, d)
+          .repartitionByRange(8, col("source"))
+          .sortWithinPartitions("source")
+          .write.mode("overwrite").parquet(out)
+        val zones = graft.operators.Scale.zoneMap(s, out, "source")
+          .select(col("file"), col("min_v").cast("string"),
+            col("max_v").cast("string"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        (out, zones)
+      })
+
   /** Z-ORDERED layout of documents on (n_chars, doc_id) for h3: the
     * real [[graft.operators.Scale.zOrderBy]] Morton rewrite into 8
     * files, with a per-file manifest carrying min/max of BOTH
@@ -477,6 +503,35 @@ object IoQueries {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM documents WHERE n_chars BETWEEN 450 AND 10000
         GROUP BY lang ORDER BY lang""")),
+
+    // h10: STRING ZONE MAPS — h2's skipping on a STRING column, which
+    // is what parquet BINARY min/max stats actually give you on the
+    // category/tenant/date-string columns real tables cluster by.
+    // Bounds compare lexicographically — and the gate range is chosen
+    // to make the classic string-ordering trap part of the oracle:
+    // BETWEEN 'src2' AND 'src4' excludes src10..src19 (they sort below
+    // 'src2'), so an engine that compared numerically would keep the
+    // wrong files AND the wrong rows. Layout clusters source into 8
+    // files; CatalogIoSpec asserts files are actually skipped.
+    Q("h10_string_zonemap",
+      (s, d) => {
+        val (path, zones) = zonedDocsStr(s, d)
+        val manifest = {
+          import s.implicits._
+          zones.toSeq.toDF("file", "min_v", "max_v")
+        }
+        val (pruned, _, _) = graft.operators.Scale
+          .readZonePrunedStr(s, path, manifest, "source", "src2", "src4")
+        pruned.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents WHERE source >= 'src2' AND source <= 'src4'
+        GROUP BY source ORDER BY source""")),
 
     // h3: MULTI-DIMENSION (Z-ORDER) DATA SKIPPING — h2 prunes files by
     // ONE clustered column; h3 is the Delta/Iceberg liquid-layout move

@@ -76,6 +76,19 @@ class CatalogIoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/sch/regions").count() == 5)
   }
 
+  test("h10: string zone map skips files for the gate range, lexicographic semantics") {
+    val (path, zones) = graft.queries.IoQueries.zonedDocsStr(spark, sf001)
+    import spark.implicits._
+    val manifest = zones.toSeq.toDF("file", "min_v", "max_v")
+    val (pruned, read, total) = graft.operators.Scale
+      .readZonePrunedStr(spark, path, manifest, "source", "src2", "src4")
+    assert(total >= 2 && read < total,
+      s"h10 gate range must skip files: read $read of $total")
+    val srcs = pruned.select("source").distinct().collect().map(_.getString(0)).toSet
+    // the string-ordering trap: src10..src19 sort BELOW 'src2' and are out
+    assert(srcs == Set("src2", "src3", "src4"), srcs.toString)
+  }
+
   test("binaryFile source: exact bytes, metadata columns, pathGlobFilter pruning") {
     val dir = java.nio.file.Files.createTempDirectory("binsrc_").toString
     val payload = Array[Byte](0, 1, 2, -1, 127, -128, 10, 13) // not valid UTF-8 text
