@@ -274,6 +274,12 @@ object Bench {
     * rank in the sorted execution order, so the driver artifact alone
     * places an anomaly on the run's timeline next to the canary bends.
     */
+  /** The N heaviest error-free queries ALWAYS carry diag vectors —
+    * spread-flagged queries ride along on top instead of consuming the
+    * budget (round 14 lost t25, the 3rd-heaviest query, from the
+    * archived artifact because four flagged queries filled a shared
+    * cap). The line-budget tiers absorb the marginally longer block.
+    */
   private[graft] val DiagCap = 6
   private def ds(v: Double): Long = math.round(v * 10)
 
@@ -296,7 +302,7 @@ object Bench {
     val heavy = ordered.collect {
       case (k, r) if r.error.isEmpty && r.best >= 1.0 => k -> r.best }
       .sortBy(-_._2).map(_._1)
-    val picked = (flagged ++ heavy).distinct.take(DiagCap)
+    val picked = (heavy.take(DiagCap) ++ flagged).distinct
     val shortOk = results.keys.map(shortKey).toSet.size == results.size
     picked.sortBy(orderIdx).map { k =>
       val r = results(k)

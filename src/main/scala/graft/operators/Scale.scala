@@ -539,11 +539,21 @@ object Scale {
   def readZonePrunedStr(spark: SparkSession, path: String, manifest: DataFrame,
                         valueCol: String, lo: String, hi: String)
       : (DataFrame, Int, Int) = {
+    // Pruning decisions must use the SAME total order as the manifest
+    // min/max aggregation and the residual Spark filter — UTF-8 binary
+    // (UTF8String compares bytes). JVM String >= is UTF-16 code-unit
+    // order, which disagrees for supplementary code points vs
+    // U+E000–U+FFFF, so comparing on getBytes(UTF_8) keeps the
+    // "skip only when the whole zone misses" contract conservative.
+    def u8le(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0
     val zones = manifest.select(col("file"), col("min_v").cast("string"),
       col("max_v").cast("string")).collect()
     val keep = zones.collect {
       case r if !r.isNullAt(1) && !r.isNullAt(2)
-        && r.getString(2) >= lo && r.getString(1) <= hi => r.getString(0)
+        && u8le(lo, r.getString(2)) && u8le(r.getString(1), hi) => r.getString(0)
     }
     val base =
       if (keep.isEmpty)
@@ -628,6 +638,71 @@ object Scale {
     }
   }
 
+  /** Read a pointer file FULLY (InputStream.read may legally return
+    * fewer bytes than available — a truncated "12"→"1" parse would
+    * silently serve a stale snapshot and let the next writer overwrite
+    * a committed dir), with a bounded retry on ChecksumException: the
+    * local ChecksumFileSystem/LocalFs moves a renamed file and its
+    * .crc sidecar in TWO steps, so a lock-free reader racing the
+    * atomic pointer swap can transiently pair new bytes with the old
+    * checksum. HDFS/object stores swap a single object, so the retry
+    * is a no-op there; here it resolves within one sidecar rename.
+    */
+  private def readPointerFully(fs: org.apache.hadoop.fs.FileSystem,
+                               ptr: org.apache.hadoop.fs.Path): String = {
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(ptr)
+        val body = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](64)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toString("UTF-8").trim
+        } finally in.close()
+        return body
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt > 100) throw new IllegalStateException(
+            s"pointer $ptr failed checksum after $attempt reads — corrupt, not a race", e)
+          Thread.sleep(5)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Resolve a pointer a lock-free reader needs on a COMMITTED table,
+    * retrying the short no-pointer window that the local FS's
+    * OVERWRITE rename leaves (AbstractFileSystem's default for
+    * checksummed FS is delete-then-rename; HDFS renames atomically and
+    * object stores PUT the pointer, so the retry never fires there).
+    * `committedEvidence` distinguishes the race from a genuinely empty
+    * table: committed data dirs next to a missing pointer mean a
+    * writer is mid-swap (retry) — or, after the retry budget, corrupt
+    * metadata (loud error, per vacuumSnapshots's discipline).
+    */
+  private def pointerOrRetry[T](path: String, kind: String,
+                                read: () => Option[T],
+                                committedEvidence: () => Boolean): T = {
+    var attempt = 0
+    while (true) {
+      read() match {
+        case Some(p) => return p
+        case None =>
+          if (!committedEvidence()) throw new IllegalStateException(
+            s"no committed $kind table at $path")
+          attempt += 1
+          if (attempt > 100) throw new IllegalStateException(
+            s"$kind pointer missing at $path despite committed dirs — " +
+              "corrupt table metadata, not a rename race")
+          Thread.sleep(5)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The committed version, or None for an empty table. */
   def latestSnapshot(spark: SparkSession, path: String): Option[Long] = {
     import org.apache.hadoop.fs.Path
@@ -635,18 +710,7 @@ object Scale {
     val ptr = new Path(path, "_latest")
     if (!fs.exists(ptr)) None
     else {
-      val in = fs.open(ptr)
-      // read FULLY: InputStream.read may legally return fewer bytes than
-      // available (short first read on HDFS/object stores), and a
-      // truncated "12"→"1" parse would silently serve a stale snapshot
-      // and let the next writer overwrite a committed dir
-      val body = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](64)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toString("UTF-8").trim
-      } finally in.close()
+      val body = readPointerFully(fs, ptr)
       if (body.isEmpty) throw new IllegalStateException(
         s"snapshot pointer $ptr is empty — table metadata is corrupt")
       Some(body.toLong)
@@ -659,8 +723,14 @@ object Scale {
     */
   def readSnapshot(spark: SparkSession, path: String,
                    version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(latestSnapshot(spark, path)).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $path"))
+    import org.apache.hadoop.fs.Path
+    val v = version.getOrElse {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      pointerOrRetry(path, "snapshot",
+        () => latestSnapshot(spark, path),
+        () => fs.exists(new Path(path)) && fs.listStatus(new Path(path)).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("v=")))
+    }
     spark.read.parquet(s"$path/v=$v")
   }
 
@@ -721,37 +791,114 @@ object Scale {
   // completing the story: mergeParquet rewrites touched partitions in
   // place (copy-on-write, cheap reads / expensive deletes),
   // writeSnapshot rewrites whole versions (time travel), and
-  // merge-on-read makes a delete O(deleted keys): an immutable `base/`
-  // file set plus append-only `_deletes/d=<n>/` EQUALITY-DELETE files
-  // (deleted key values, the Iceberg-v2 shape), reconciled at READ
-  // time by an anti-join. At 100 TB a delete of a million keys from a
-  // billion-row table writes megabytes instead of rewriting terabytes;
-  // the read-side tax is one broadcast anti-join, bounded because
-  // [[compactDeletes]] periodically folds the accumulated deletes back
-  // into the base (the Iceberg `rewrite_data_files` cadence) — the
-  // delete set between compactions stays broadcast-sized BY CONTRACT.
+  // merge-on-read makes a delete O(deleted keys): immutable
+  // `base_v=<n>/` file sets plus append-only `_deletes/d=<k>/`
+  // EQUALITY-DELETE files (deleted key values, the Iceberg-v2 shape),
+  // reconciled at READ time by an anti-join. At 100 TB a delete of a
+  // million keys from a billion-row table writes megabytes instead of
+  // rewriting terabytes; the read-side tax is one broadcast anti-join,
+  // bounded because [[compactDeletes]] periodically folds the
+  // accumulated deletes into a NEW base version (the Iceberg
+  // `rewrite_data_files` cadence) — the delete set between compactions
+  // stays broadcast-sized BY CONTRACT.
+  //
+  // CONCURRENCY: the `_mor` pointer file holds "<baseVersion>
+  // <deleteHwm>" — base_v=<n> already folds every delete with d < hwm,
+  // so readers apply only d >= hwm. The pointer moves by atomic
+  // FileContext rename (writeSnapshot's discipline) and every
+  // committed dir is immutable until [[vacuumMor]], so a LOCK-FREE
+  // reader that resolved the pointer sees a committed, consistent view
+  // even across a concurrent compaction: delete numbering is global
+  // and monotone, so old-base + (its hwm onward, as listed) equals the
+  // logical table at list time. Delete dirs appear atomically
+  // (write-to-tmp + dir rename), and their single key column is
+  // normalized to the name `key` at write time so a later read can
+  // never silently drop a delete file over a column-name mismatch.
+  // The two documented exceptions to lock-free reading:
+  // [[writeMorBase]] is a table REPLACE (a reader pinned across one
+  // may mix generations), and [[vacuumMor]] invalidates pinned old
+  // versions loudly (file-not-found — Delta's contract).
   // ---------------------------------------------------------------
 
-  /** Initialize (or replace) the immutable base file set of a
-    * merge-on-read table. Clears any delete files: the new base is by
-    * definition fully reconciled.
+  /** Parse the `_mor` pointer: (baseVersion, deleteHwm). Full-read
+    * discipline as [[latestSnapshot]] (short reads would serve a stale
+    * or corrupt pointer).
+    */
+  def morPointer(spark: SparkSession, path: String): Option[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(path, "_mor")
+    if (!fs.exists(ptr)) None
+    else {
+      val body = readPointerFully(fs, ptr)
+      body.split("\\s+") match {
+        case Array(v, h) => Some((v.toLong, h.toLong))
+        case _ => throw new IllegalStateException(
+          s"merge-on-read pointer $ptr is corrupt: '$body'")
+      }
+    }
+  }
+
+  private def writeMorPointer(spark: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              path: String, v: Long, hwm: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(path, "_mor.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"$v $hwm".getBytes("UTF-8")); out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(path, "_mor"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Next delete-file number: global and monotone across base
+    * generations (never resets), which is what makes the hwm fence in
+    * the pointer sufficient for readers.
+    */
+  private def nextDeleteNum(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val dels = new Path(path, "_deletes")
+    if (!fs.exists(dels)) 0L
+    else fs.listStatus(dels).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("d=") => n.stripPrefix("d=").toLong }
+      .foldLeft(-1L)(math.max) + 1
+  }
+
+  /** Initialize (or REPLACE) the base of a merge-on-read table as a new
+    * immutable `base_v=<n>` generation; the pointer's hwm jumps past
+    * every existing delete file, superseding them (the new base is by
+    * definition fully reconciled). Replace is NOT covered by the
+    * lock-free-reader guarantee: a reader pinned across it may combine
+    * the old base with deletes aimed at the new generation — the same
+    * caveat as any TRUNCATE+reload.
     */
   def writeMorBase(spark: SparkSession, path: String, df: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
     withTableLock(fs, path) {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$path/base")
-      fs.delete(new Path(path, "_deletes"), true); ()
+      val next = morPointer(spark, path).map(_._1 + 1).getOrElse(0L)
+      // Overwrite: a dir at `next` is a crashed writer's leftovers (the
+      // pointer never moved past it) — same rationale as writeSnapshot.
+      df.write.mode(SaveMode.Overwrite).parquet(s"$path/base_v=$next")
+      writeMorPointer(spark, fs, path, next, nextDeleteNum(fs, path))
     }
   }
 
   /** Append one equality-delete file: `keys` (a single-column frame of
-    * deleted key values) lands as `_deletes/d=<n>/` without touching a
-    * byte of the base. Monotone file numbering under the maintenance
-    * lock; deleting an already-deleted or absent key is a no-op at
-    * read time (anti-join semantics), so retries are idempotent.
-    * Returns the delete-file number.
+    * deleted key values) lands as `_deletes/d=<k>/` without touching a
+    * byte of any base. The column is NORMALIZED to the name `key` at
+    * write time (so no later read can silently ignore a delete file
+    * over a name mismatch) and its type must match any delete file
+    * already present (checked against one existing footer — a
+    * type-mismatched append would otherwise null out and resurrect its
+    * keys). The dir appears ATOMICALLY via write-to-tmp + rename, so a
+    * lock-free reader never scans a half-written delete file. Monotone
+    * global numbering under the maintenance lock; deleting an
+    * already-deleted or absent key is a no-op at read time (anti-join
+    * semantics), so retries are idempotent. Returns the file number.
     */
   def appendDeletes(spark: SparkSession, path: String, keys: DataFrame): Long = {
     import org.apache.hadoop.fs.Path
@@ -759,28 +906,44 @@ object Scale {
       s"equality-delete frame must be single-column, got ${keys.columns.mkString(",")}")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     withTableLock(fs, path) {
-      val dels = new Path(path, "_deletes")
-      val next =
-        if (!fs.exists(dels)) 0L
-        else fs.listStatus(dels).toSeq.map(_.getPath.getName)
-          .collect { case n if n.startsWith("d=") => n.stripPrefix("d=").toLong }
-          .foldLeft(-1L)(math.max) + 1
-      keys.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/_deletes/d=$next")
+      require(morPointer(spark, path).nonEmpty,
+        s"no committed merge-on-read base at $path — writeMorBase first")
+      val next = nextDeleteNum(fs, path)
+      if (next > 0) {
+        val prevType = spark.read.parquet(s"$path/_deletes/d=${next - 1}")
+          .schema.head.dataType
+        require(keys.schema.head.dataType == prevType,
+          s"equality-delete key type ${keys.schema.head.dataType} does not " +
+            s"match the table's existing delete files ($prevType)")
+      }
+      val tmp = new Path(path, "_deletes/.d_tmp")
+      fs.delete(tmp, true)
+      keys.toDF("key").write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      renameOrFail(fs, tmp, new Path(s"$path/_deletes/d=$next"))
       next
     }
   }
 
-  /** The reconciled view: base minus every key in any delete file. The
-    * delete union is DISTINCT'd (re-deletes collapse) and broadcast —
-    * the base scan stays shuffle-free, each task hash-probing the
-    * delete set as it reads, which is exactly how engine-native
-    * deletion vectors behave. `keyCol` must be the column the delete
-    * files were written from.
+  /** The reconciled view: the pointer's base generation minus every key
+    * in the delete files at-or-above the pointer's hwm. LOCK-FREE and
+    * consistent (see the section comment): base and delete dirs are
+    * immutable once committed, the pointer resolves atomically, and
+    * delete numbering is global — so this view equals the logical table
+    * at list time even if a compaction commits mid-read. The delete
+    * union is DISTINCT'd (re-deletes collapse) and broadcast — the base
+    * scan stays shuffle-free, each task hash-probing the delete set as
+    * it reads, exactly how engine-native deletion vectors behave.
+    * `keyCol` names the base column the deletes apply to; its type must
+    * match the delete files' (loud error, never a silent null-out).
     */
   def readMergeOnRead(spark: SparkSession, path: String, keyCol: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = spark.read.parquet(s"$path/base")
+    val (v, hwm) = pointerOrRetry(path, "merge-on-read",
+      () => morPointer(spark, path),
+      () => fs.exists(new Path(path)) && fs.listStatus(new Path(path)).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("base_v=")))
+    val base = spark.read.parquet(s"$path/base_v=$v")
     val dels = new Path(path, "_deletes")
     // explicit dir list, not a `d=*` glob: the glob path trips Spark's
     // streaming-sink metadata probe into logging a spurious
@@ -788,37 +951,68 @@ object Scale {
     val delDirs =
       if (!fs.exists(dels)) Seq.empty
       else fs.listStatus(dels).toSeq
-        .filter(_.getPath.getName.startsWith("d="))
-        .map(_.getPath.toString)
+        .map(_.getPath)
+        .collect { case p if p.getName.startsWith("d=")
+          && p.getName.stripPrefix("d=").toLong >= hwm => p.toString }
     if (delDirs.isEmpty) base
     else {
-      val keys = spark.read.parquet(delDirs: _*).toDF(keyCol).distinct()
-      base.join(org.apache.spark.sql.functions.broadcast(keys), Seq(keyCol), "left_anti")
+      val keys = spark.read.parquet(delDirs: _*)
+      require(keys.schema.head.dataType == base.schema(keyCol).dataType,
+        s"delete key type ${keys.schema.head.dataType} does not match base " +
+          s"column $keyCol: ${base.schema(keyCol).dataType}")
+      base.join(org.apache.spark.sql.functions.broadcast(
+        keys.toDF(keyCol).distinct()), Seq(keyCol), "left_anti")
     }
   }
 
-  /** Fold the accumulated deletes into the base (the periodic rewrite
-    * that keeps the read-side delete set broadcast-sized): rewrite
-    * `base/` as the reconciled view through a temp dir + rename swap
-    * (never read-and-overwrite the same path — the lazy scan would
-    * read its own half-deleted input), then drop the delete files.
-    * Readers resolve the old or the new base dir, never a mix.
+  /** Fold the accumulated deletes into a NEW base generation (the
+    * periodic rewrite that keeps the read-side delete set
+    * broadcast-sized): write `base_v=<n+1>` as the reconciled view,
+    * then atomically advance the pointer past the folded delete files.
+    * Nothing is deleted here — superseded dirs stay until [[vacuumMor]]
+    * — so in-flight lock-free readers keep their consistent view.
     */
   def compactDeletes(spark: SparkSession, path: String, keyCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     withTableLock(fs, path) {
-      val dels = new Path(path, "_deletes")
-      if (fs.exists(dels) && fs.listStatus(dels).nonEmpty) {
-        val tmp = new Path(path, "__base_tmp")
-        fs.delete(tmp, true)
+      val (v, hwm) = morPointer(spark, path).getOrElse(throw new IllegalStateException(
+        s"no committed merge-on-read base at $path"))
+      val maxD = nextDeleteNum(fs, path) - 1
+      if (maxD >= hwm) {
         readMergeOnRead(spark, path, keyCol)
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val live = new Path(path, "base")
-        fs.delete(live, true)
-        renameOrFail(fs, tmp, live)
-        fs.delete(dels, true); ()
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/base_v=${v + 1}")
+        writeMorPointer(spark, fs, path, v + 1, maxD + 1)
       }
+    }
+  }
+
+  /** Drop superseded base generations (every `base_v=` dir except the
+    * pointer's, including crashed writers' above-pointer leftovers) and
+    * folded delete files (d < hwm). Readers pinned to a vacuumed
+    * generation fail loudly on file-not-found — Delta's contract, same
+    * as [[vacuumSnapshots]]. Returns (base versions, delete numbers)
+    * dropped.
+    */
+  def vacuumMor(spark: SparkSession, path: String): (Seq[Long], Seq[Long]) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withTableLock(fs, path) {
+      val (v, hwm) = morPointer(spark, path).getOrElse(throw new IllegalStateException(
+        s"no committed merge-on-read base at $path"))
+      val baseVictims = fs.listStatus(new Path(path)).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("base_v=") => n.stripPrefix("base_v=").toLong }
+        .filter(_ != v).sorted
+      baseVictims.foreach(b => fs.delete(new Path(s"$path/base_v=$b"), true))
+      val dels = new Path(path, "_deletes")
+      val delVictims =
+        if (!fs.exists(dels)) Nil
+        else fs.listStatus(dels).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("d=") => n.stripPrefix("d=").toLong }
+          .filter(_ < hwm).sorted
+      delVictims.foreach(k => fs.delete(new Path(s"$path/_deletes/d=$k"), true))
+      (baseVictims, delVictims)
     }
   }
 

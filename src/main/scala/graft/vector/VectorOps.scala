@@ -729,9 +729,11 @@ object VectorOps {
         .cast("long")
       val withCost = sample.withColumn("__ce", costE6)
       val phi = withCost.agg(sum(col("__ce"))).head().getLong(0)
-      require(phi < Long.MaxValue / 65536,
+      // Both sides of the selection inequality must stay in Long range:
+      // LHS h16*phi (h16 <= 65535) AND RHS ell*65536*__ce (__ce <= phi).
+      require(phi < Long.MaxValue / (65536L * ell),
         s"kmeansParallelInit: phi=$phi would overflow the 16-bit hash " +
-          "threshold product — lower samplePermille or rescale the vectors")
+          s"threshold product at ell=$ell — lower samplePermille or rescale the vectors")
       if (phi > 0L) {
         val h16 = conv(substring(
           md5(concat(lit(s"kpp$r|"), col("__id").cast("string"))), 1, 4),

@@ -270,7 +270,12 @@ class BenchSpec extends AnyFunSuite {
     // diag: most-expensive queries as [order, wall, cpu, gc, load1x10];
     // fakeResults' 17.65 s outlier must be present with its evidence
     val diag = node.get("diag")
-    assert(diag != null && diag.size() > 0 && diag.size() <= Bench.DiagCap)
+    // flagged queries ride ON TOP of the DiagCap heavy budget (round-15
+    // fix: the heaviest queries must never fall out because flags
+    // crowded them), so the block can exceed DiagCap by the flag count
+    val flaggedCount = Bench.flaggedQueries(withEvidence).size
+    assert(diag != null && diag.size() > 0 &&
+      diag.size() <= Bench.DiagCap + flaggedCount)
     val heavyName = fakeResults.maxBy(_._2.best)._1
     val entry = diag.get(Bench.shortKey(heavyName))
     assert(entry != null, s"heaviest query $heavyName missing from diag")
@@ -283,6 +288,30 @@ class BenchSpec extends AnyFunSuite {
     // run-order index points into the sorted execution order
     val sortedNames = withEvidence.keys.toSeq.sorted
     assert(sortedNames(entry.get(0).asInt()) == heavyName)
+  }
+
+  test("heaviest queries stay in diag even when many queries are spread-flagged (round-14 t25 loss)") {
+    // round 14: 4 flagged queries + p1/s16 filled a shared 6-slot cap
+    // and t25 — the 3rd-heaviest — fell out of the archived artifact.
+    // Flags must ride on top of the heavy budget, not consume it.
+    val base = SparkEntry.queries.keys.zipWithIndex.map { case (name, i) =>
+      name -> QueryResult(Seq(0.1 + (i % 7) * 0.01), 0.5)
+    }.toMap
+    val heavyNames = base.keys.toSeq.sorted.take(Bench.DiagCap)
+    val flaggedNames = base.keys.toSeq.sorted.slice(20, 28)
+    val shaped = base ++
+      heavyNames.zipWithIndex.map { case (n, i) =>
+        n -> QueryResult(Seq(9.0 - i, 9.0 - i), 0.5) } ++
+      flaggedNames.map { n =>
+        // 3 runs: warmup-excluded steady spread 10/2 > SpreadThreshold
+        n -> QueryResult(Seq(2.0, 2.0, 10.0), 0.5) }
+    val flagged = Bench.flaggedQueries(shaped)
+    assert(flagged.size >= 6, s"shape must actually flag, got $flagged")
+    val diag = mapper.readTree(Bench.diagJson(shaped))
+    heavyNames.foreach { n =>
+      assert(diag.get(Bench.shortKey(n)) != null,
+        s"heavy query $n missing from diag despite ${flagged.size} flags")
+    }
   }
 
   test("diag degrades before per-query detail under budget pressure") {

@@ -148,20 +148,82 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids() == expect, "reconciled view must be base minus the delete union")
     // base files untouched by the deletes (the whole point)
-    assert(spark.read.parquet(s"$dir/base").count() == 100)
-    // compaction folds deletes into the base and clears the delete dir;
-    // the reconciled view is unchanged and now physically materialized
+    assert(spark.read.parquet(s"$dir/base_v=0").count() == 100)
+    // compaction folds deletes into a NEW base generation; the pointer
+    // advances, the reconciled view is unchanged and now materialized,
+    // and the superseded dirs survive until vacuum (pinned readers)
     Scale.compactDeletes(spark, dir, "id")
+    assert(Scale.morPointer(spark, dir).contains((1L, 2L)))
     assert(ids() == expect, "compaction must preserve the reconciled view")
-    assert(spark.read.parquet(s"$dir/base").count() == expect.size,
-      "deleted rows must be physically gone after compaction")
-    assert(!new java.io.File(s"$dir/_deletes").exists, "delete files must be cleared")
-    // delete-after-compaction starts a fresh numbered sequence
-    assert(Scale.appendDeletes(spark, dir, Seq(99L).toDF("id")) == 0L)
+    assert(spark.read.parquet(s"$dir/base_v=1").count() == expect.size,
+      "deleted rows must be physically gone in the compacted generation")
+    assert(new java.io.File(s"$dir/base_v=0").exists,
+      "superseded base must survive until vacuum")
+    // delete numbering is GLOBAL (never resets) — that's what makes the
+    // pointer's hwm fence sufficient for lock-free readers
+    assert(Scale.appendDeletes(spark, dir, Seq(99L).toDF("id")) == 2L)
     assert(ids() == expect - 99L)
     // deleting an absent key is a read-time no-op (idempotent retries)
     Scale.appendDeletes(spark, dir, Seq(12345L).toDF("id"))
     assert(ids() == expect - 99L)
+    // a type-mismatched delete append fails LOUDLY, not as silent nulls
+    intercept[IllegalArgumentException] {
+      Scale.appendDeletes(spark, dir, Seq("oops").toDF("id"))
+    }
+    // vacuum drops the superseded generation and folded delete files
+    val (bGone, dGone) = Scale.vacuumMor(spark, dir)
+    assert(bGone == Seq(0L) && dGone == Seq(0L, 1L))
+    assert(!new java.io.File(s"$dir/base_v=0").exists)
+    assert(ids() == expect - 99L, "vacuum must not change the live view")
+  }
+
+  test("merge-on-read: lock-free readers always see a committed, consistent view under a concurrent writer") {
+    // The protocol's concurrency claim, exercised for real: one writer
+    // thread runs a deterministic op sequence (append / append / compact
+    // / append / compact / append) while reader threads hammer
+    // readMergeOnRead with NO lock. Ops serialize under the table lock,
+    // so the table passes through a known chain of logical states
+    // S0..Sn; every read must equal EXACTLY one of them — a torn view
+    // (half a delete file, a mixed base generation, a vanished base) is
+    // an automatic failure, as is any FileNotFoundException. Seeded
+    // deterministic op data so the expected-state chain is precomputed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mor_conc").toString + "/t"
+    val all = (1L to 400L)
+    Scale.writeMorBase(spark, dir, all.map(i => (i, s"r$i")).toDF("id", "v"))
+    val batches: Seq[Seq[Long]] = Seq(
+      (1L to 40L), (30L to 90L), (80L to 160L), (150L to 260L)).map(_.toSeq)
+    // expected logical states: cumulative delete prefixes (compaction
+    // never changes the logical view, so only appends add states)
+    val states: Seq[Set[Long]] = batches.scanLeft(Set.empty[Long])(_ ++ _)
+      .map(dels => all.toSet -- dels)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (1 to 3).map { _ =>
+      new Thread(() => {
+        try {
+          while (!stop.get()) {
+            val seen = Scale.readMergeOnRead(spark, dir, "id")
+              .select("id").collect().map(_.getLong(0)).toSet
+            if (!states.contains(seen))
+              failures.add(s"torn view: ${seen.size} rows, not any committed state " +
+                s"(sizes ${states.map(_.size)})")
+          }
+        } catch { case e: Throwable => failures.add(s"reader threw: $e") }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      for ((b, i) <- batches.zipWithIndex) {
+        Scale.appendDeletes(spark, dir, b.toDF("id"))
+        if (i % 2 == 1) Scale.compactDeletes(spark, dir, "id")
+      }
+      // let readers observe the final state a little longer
+      Thread.sleep(300)
+    } finally { stop.set(true); readers.foreach(_.join(30000)) }
+    assert(failures.isEmpty, s"concurrent-read violations: ${failures.toArray.take(3).mkString(" | ")}")
+    val finalIds = Scale.readMergeOnRead(spark, dir, "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(finalIds == states.last)
   }
 
   test("compactParquet rewrites many small files into few, content identical") {
