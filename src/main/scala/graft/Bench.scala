@@ -80,6 +80,55 @@ object Bench {
 
   private def heapMb: Long = Runtime.getRuntime.maxMemory() / (1L << 20)
 
+  /** MD5 throughput of THIS machine, MB/s, over many SMALL inputs
+    * (96 bytes — the size of a 13-gram span or an LSH shingle), the
+    * exact hot loop of the span-hash/near-dedup family (t25, p1's
+    * near_dedup, t2/t3 minhash). Round 14 left that family 3–6× slower
+    * on the driver than on a same-commit builder run with cpu≈wall and
+    * gc≈0 — i.e. the same work retired slower — and heap was
+    * EXONERATED by experiment (t25: 1.29 s at 8 GiB vs 1.35 s at
+    * 90 GiB on one machine). This canary names the remaining suspect
+    * in-band: if `md5_st` (single-thread) drops ~3× on the driver,
+    * the machine's scalar hash throughput is the resource; if
+    * `md5_st` is flat but `md5_mt` (all-cores) drops, it's core
+    * contention / SMT sharing / memory bandwidth instead. Deterministic
+    * input, fixed iteration count, so the number is comparable across
+    * environments byte-for-byte.
+    */
+  private def md5Mbps(threads: Int): Long = {
+    val iters = 200000
+    val block = new Array[Byte](96)
+    java.util.Arrays.fill(block, 0x5a.toByte)
+    def burn(): Unit = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < iters) { md.update(block); md.digest(); i += 1 }
+    }
+    burn() // JIT warmup outside the timer
+    val t0 = System.nanoTime()
+    val pool = (1 to threads).map(_ => new Thread(() => burn()))
+    pool.foreach(_.start()); pool.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    math.round(threads.toLong * iters * block.length / (secs * 1e6))
+  }
+
+  private[graft] lazy val md5St: Long = md5Mbps(1)
+  private[graft] lazy val md5Mt: Long =
+    md5Mbps(Runtime.getRuntime.availableProcessors())
+
+  /** CPU model string from /proc/cpuinfo (bench_out.json provenance —
+    * a driver-vs-builder hardware delta should be nameable from the
+    * artifacts alone). Empty when unreadable.
+    */
+  private[graft] def cpuModel: String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("model name") => l.split(":", 2)(1).trim
+      }.getOrElse("")
+      finally src.close()
+    } catch { case _: Throwable => "" }
+
   /** All timing evidence for one query: every run's wall-clock plus the
     * ambient load sampled just before its first run. `error` non-empty when
     * any run threw — a failed query's elapsed time is a fast-fail, not
@@ -245,7 +294,11 @@ object Bench {
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":$total,"unit":"sec","load1":${jsonNum(load1)},""" +
       s""""commit":${Jsons.str(gitHead())},"generated_at_ms":${System.currentTimeMillis()},""" +
-      s""""heap_mb":$heapMb,${interferenceJson(results)},${errorsJson(results)},""" +
+      s""""heap_mb":$heapMb,"md5_st":$md5St,"md5_mt":$md5Mt,""" +
+      s""""cpu_model":${Jsons.str(cpuModel)},""" +
+      s""""procs":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""jvm":${Jsons.str(System.getProperty("java.vm.version", ""))},""" +
+      s"""${interferenceJson(results)},${errorsJson(results)},""" +
       s""""queries":${queriesJson(mins, _.toString)},""" +
       s""""runs":$runsJson,"qload1":$qloadJson,"qcpu":$qcpuJson,"qgc":$qgcJson,""" +
       s""""spread":$spreadJson,"canary":$canaryJson,""" +
@@ -325,8 +378,9 @@ object Bench {
       .mkString("[", ",", "]")
     val cpuTotal = results.valuesIterator.map(_.cpuRuns.sum).sum
     val gcTotal = results.valuesIterator.map(_.gcRuns.sum).sum
-    s""""heap_mb":$heapMb,"cpu_sec":${jsonNum1(cpuTotal)},"gc_sec":${
-      jsonNum1(gcTotal)},"canary":$canaryJson"""
+    s""""heap_mb":$heapMb,"md5_st":$md5St,"md5_mt":$md5Mt,""" +
+      s""""cpu_sec":${jsonNum1(cpuTotal)},"gc_sec":${
+        jsonNum1(gcTotal)},"canary":$canaryJson"""
   }
 
   def renderFinal(results: Map[String, QueryResult], sfDir: String,
@@ -464,6 +518,9 @@ object Bench {
     // code. The canary is r2 (single filter+project over lineitem,
     // ~0.1 s steady-state): cheap enough to repeat, big enough to feel
     // CPU theft.
+    // force the machine canaries BEFORE the query loop: they
+    // characterize the environment the queries are about to run in
+    val _ = (md5St, md5Mt)
     val CanaryEvery = 30
     val canaryName = "r2_filter_project"
     val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]

@@ -69,7 +69,8 @@ object Explain {
     "g4_kcore", "r84_rolling_distinct_users", "r85_rank_family",
     "r86_json_roundtrip", "t55_domain_affinity", "r87_date_functions",
     "c2_zstd_roundtrip", "m9_blob_recordize", "v27_kmeanspar_reduce",
-    "d7_dq_metrics_repository", "v28_sq4_topk", "h10_string_zonemap")
+    "d7_dq_metrics_repository", "v28_sq4_topk", "h10_string_zonemap",
+    "t56_quality_classifier", "v29_ivfpq_residual")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is
@@ -77,7 +78,8 @@ object Explain {
   // structural reason: their frames are read back from a streaming SINK,
   // so the batch explain is a parquet scan — the streaming plan shape is
   // pinned by StreamingSpec and the incremental-batch-count require in
-  // StreamExec. s12 (foreachBatch CDC merge) and p1/p2 (checkpointed
+  // StreamExec. s12 (foreachBatch CDC merge), s21 (snapshot-table
+  // read-back after the exactly-once replay) and p1/p2 (checkpointed
   // pipelines) likewise return table/checkpoint read-backs; v23 IS
   // listed because its returned frame is the real index-search plan
   // (the fit/commit side effects run at construction).

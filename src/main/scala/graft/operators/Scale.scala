@@ -621,20 +621,66 @@ object Scale {
       // protocol, which a new commit must replace rather than be
       // permanently blocked by. vacuumSnapshots sweeps such dirs too.
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
-      val tmp = new Path(path, "_latest.tmp")
-      val out = fs.create(tmp, true)
-      out.write(next.toString.getBytes("UTF-8")); out.close()
-      // ATOMIC pointer replace (FileContext rename with OVERWRITE), not
-      // delete-then-rename: the latter leaves a window — and a crash
-      // point — with NO pointer at all, during which readers see "no
-      // committed snapshot" on a committed table and a subsequent writer
-      // would restart at v=0 over live data. With the atomic rename the
-      // pointer always resolves to the old or the new version.
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        tmp.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, new Path(path, "_latest"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      swapLatestPointer(spark, fs, path, next)
       next
+    }
+  }
+
+  /** ATOMIC pointer replace (FileContext rename with OVERWRITE), not
+    * delete-then-rename: the latter leaves a window — and a crash
+    * point — with NO pointer at all, during which readers see "no
+    * committed snapshot" on a committed table and a subsequent writer
+    * would restart at v=0 over live data. With the atomic rename the
+    * pointer always resolves to the old or the new version.
+    */
+  private def swapLatestPointer(spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                path: String, next: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(path, "_latest.tmp")
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8")); out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(path, "_latest"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Idempotent snapshot commit — the EXACTLY-ONCE sink primitive for
+    * streaming: commits `df` as the next version UNLESS the latest
+    * committed version already carries `token`. Structured Streaming's
+    * foreachBatch is at-least-once per batch (a sink that committed and
+    * then crashed before the CHECKPOINT commit gets the same batch
+    * REDELIVERED on restart), but only the LAST batch can replay —
+    * earlier ones are fenced by the checkpoint — so one token of memory
+    * makes the sink exactly-once. The token rides inside the version
+    * dir as `_token` (underscore-prefixed: parquet readers ignore it),
+    * written BEFORE the pointer moves, so a crash between data and
+    * pointer leaves uncommitted garbage, never a committed version
+    * missing its token. Returns Some(version) when committed, None on
+    * the redelivery no-op.
+    */
+  def writeSnapshotIdempotent(spark: SparkSession, path: String, df: DataFrame,
+                              token: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    require(token.nonEmpty, "idempotence token must be non-empty")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(path))
+    withTableLock(fs, path) {
+      val latest = latestSnapshot(spark, path)
+      val already = latest.exists { v =>
+        val tp = new Path(s"$path/v=$v/_token")
+        fs.exists(tp) && readPointerFully(fs, tp) == token
+      }
+      if (already) None
+      else {
+        val next = latest.map(_ + 1).getOrElse(0L)
+        df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
+        val tok = fs.create(new Path(s"$path/v=$next/_token"), true)
+        tok.write(token.getBytes("UTF-8")); tok.close()
+        swapLatestPointer(spark, fs, path, next)
+        Some(next)
+      }
     }
   }
 

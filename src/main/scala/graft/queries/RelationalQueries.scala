@@ -641,6 +641,64 @@ object RelationalQueries {
         SELECT o_orderkey, version, cents, o_orderstatus
         FROM m WHERE rn = 1 AND NOT deleted ORDER BY o_orderkey""")),
 
+    // s21: EXACTLY-ONCE STREAMING INTO THE SNAPSHOT-VERSIONED TABLE —
+    // s12 merges into a plain parquet table; the h-family commits
+    // through the lock+pointer snapshot protocol; this composes them
+    // under REAL execution with a mid-stream restart (s17's protocol):
+    // 5 micro-batches stream into Scale.writeSnapshotIdempotent with a
+    // batchId-keyed token, the query is STOPPED after batch 3 and a
+    // fresh StreamingQuery resumes from the checkpoint (harness
+    // verifies the batchId sequence continues), and EVERY batch is
+    // applied TWICE — the second apply simulates the one redelivery
+    // Structured Streaming's at-least-once foreachBatch contract
+    // allows (sink committed, checkpoint lost) and must no-op on the
+    // token. The gate output proves both exactly-once halves against
+    // the one-shot oracle: n_rows == n_keys per group (no duplicate
+    // rows) and n_versions == 5 (no duplicate version from the 10
+    // applies). Scale: each commit is copy-on-write of the accumulated
+    // table — the snapshot protocol's documented cost, chosen here for
+    // its time-travel/isolation contract; the idempotence guard itself
+    // is O(1) (one token read under the table lock).
+    Q("s21_stream_exactly_once_snapshot",
+      (s, d) => {
+        val rows = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("cents"),
+            (col("o_orderkey") % 5).as("slice"))
+        val table = java.nio.file.Files.createTempDirectory(
+          graft.streaming.StreamExec.scratchParent, "s21_tbl_").toString + "/t"
+        graft.streaming.StreamExec.replayForeachBatchRestart(
+          rows, "slice", slices = 5, splitAt = 3) { (b, id) =>
+          def accumulated = {
+            val prev =
+              if (graft.operators.Scale.latestSnapshot(s, table).isEmpty) b.limit(0)
+              else graft.operators.Scale.readSnapshot(s, table)
+            prev.unionByName(b)
+          }
+          val first = graft.operators.Scale.writeSnapshotIdempotent(
+            s, table, accumulated, s"b$id")
+          require(first.nonEmpty, s"s21: batch $id first apply must commit")
+          val second = graft.operators.Scale.writeSnapshotIdempotent(
+            s, table, accumulated, s"b$id")
+          require(second.isEmpty, s"s21: redelivered batch $id must no-op")
+        }
+        val versions = graft.operators.Scale.latestSnapshot(s, table)
+          .map(_ + 1).getOrElse(0L)
+        graft.operators.Scale.readSnapshot(s, table)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            sum(col("cents")).as("cents_sum"))
+          .withColumn("n_versions", lit(versions))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""
+        SELECT o_orderstatus, count(*) AS n_rows,
+               count(DISTINCT o_orderkey) AS n_keys,
+               CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS cents_sum,
+               CAST(5 AS BIGINT) AS n_versions
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // r33: exact quantiles — both engines interpolate linearly at
     // (n-1)*p over sorted values; inputs are exact ints so the midpoint
     // arithmetic is bit-identical.

@@ -3148,7 +3148,104 @@ object TextQueries {
         SELECT doc_id, CAST(t_mass * 10000 // all_mass AS BIGINT) AS affinity_bp,
                t_mass, all_mass
         FROM scored
-        ORDER BY affinity_bp DESC, doc_id ASC LIMIT 100"""))
+        ORDER BY affinity_bp DESC, doc_id ASC LIMIT 100""")),
+
+    // t56: MODEL-BASED QUALITY FILTER — a TRAINED classifier in the
+    // DCLM/FineWeb slot (every other quality op here — t10/t13/t21/
+    // t26/t50 — is a fixed heuristic): an integer-exact batch
+    // PERCEPTRON over hashed token-bucket features (B=512 + a bias
+    // pseudo-bucket) DISTILLS the t10-style quality heuristic into a
+    // model — the weak-supervision shape of the production pipelines:
+    // label hi-quality iff stopword density clears 80‰ (all-integer:
+    // 1000·hits ≥ 80·tokens; zero-token docs are lo). Trained 3 epochs
+    // on a 30% md5-law split (NOT doc_id%k — this corpus derives
+    // columns from doc_id mods), scored on the holdout; the gate
+    // output is the full confusion matrix PLUS the integer margin mass
+    // per cell, so a drifted weight, a missed epoch, a tie broken
+    // differently (y·m=0 counts misclassified), or a lost holdout doc
+    // all break the hash. The oracle replays training: 3 epochs
+    // unrolled as a CTE chain (w1→m2/d2→w2→m3/d3→w3), exactly the t49
+    // BPE-round discipline — and the learned model genuinely works
+    // (both predicted classes populated; stopword buckets carry the
+    // weight). Scale: per epoch one broadcast join against the
+    // B-bounded weight frame + doc-keyed partial-agg rollups; the
+    // design matrix is localCheckpointed for the epoch loop (the
+    // MLlib cache-the-training-set shape — at 100 TB this is a
+    // DISK_ONLY persist or a staging parquet, same structure); weights
+    // never leave the cluster — the driver holds nothing beyond the
+    // plan.
+    Q("t56_quality_classifier",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val feats = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), pmod(conv(substring(md5(concat(lit("qf"),
+            col("tok"))), 1, 8), 16, 10).cast("long"), lit(512L)).as("b"))
+          .unionByName(docs.select(col("doc_id"), lit(-1L).as("b")))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("x"))
+          .localCheckpoint()
+        val sw = TextOps.enStopwords
+        val labels = docs
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .select(col("doc_id"),
+            when(size(col("t")) > 0 &&
+                lit(1000) * size(filter(col("t"), x => lower(x).isin(sw: _*)))
+                  >= lit(80) * size(col("t")), 1L)
+              .otherwise(-1L).as("y"))
+        def isTrain = TextOps.deterministicSample(col("doc_id"), 300, "qfsplit")
+        val w = TextOps.perceptronTrain(
+          feats, labels.filter(isTrain), "doc_id", epochs = 3)
+        val holdout = labels.filter(!isTrain)
+        TextOps.perceptronScore(
+            feats.join(holdout.select("doc_id"), "doc_id"), w, "doc_id")
+          .join(holdout, "doc_id")
+          .withColumn("pred", when(col("m") > 0, 1L).otherwise(-1L))
+          .groupBy(col("y").as("true_y"), col("pred"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("m")).as("margin_mass"))
+          .orderBy("true_y", "pred")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ('0x' || substr(md5('qf' || tok), 1, 8))::BIGINT % 512 AS b
+          FROM (SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+          UNION ALL SELECT doc_id, -1 AS b FROM documents),
+        feat AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x
+                 FROM toks GROUP BY 1, 2),
+        lab AS (SELECT doc_id,
+                       CAST(CASE WHEN len(tl) > 0 AND
+                         1000 * len(list_filter(tl, x -> lower(x) IN
+                           ('the','a','an','of','and','to','in','is','are','for',
+                            'on','with','as','at','by','it','this','that','was','be')))
+                           >= 80 * len(tl)
+                         THEN 1 ELSE -1 END AS BIGINT) AS y,
+                       ('0x' || substr(md5('qfsplit' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                         * 1000 < 300 * 65536 AS tr
+                FROM (SELECT doc_id, $tokSql AS tl FROM documents)),
+        t AS (SELECT f.doc_id, f.b, f.x, l.y
+              FROM feat f JOIN lab l ON f.doc_id = l.doc_id WHERE l.tr),
+        w1 AS (SELECT b, CAST(sum(y * x) AS BIGINT) AS w FROM t GROUP BY b),
+        m2 AS (SELECT t.doc_id, t.y, CAST(sum(t.x * coalesce(w1.w, 0)) AS BIGINT) AS m
+               FROM t LEFT JOIN w1 ON t.b = w1.b GROUP BY 1, 2),
+        d2 AS (SELECT t.b, CAST(sum(t.y * t.x) AS BIGINT) AS w
+               FROM t JOIN m2 ON t.doc_id = m2.doc_id
+               WHERE m2.y * m2.m <= 0 GROUP BY t.b),
+        w2 AS (SELECT b, CAST(sum(w) AS BIGINT) AS w FROM
+               (SELECT b, w FROM w1 UNION ALL SELECT b, w FROM d2) GROUP BY b),
+        m3 AS (SELECT t.doc_id, t.y, CAST(sum(t.x * coalesce(w2.w, 0)) AS BIGINT) AS m
+               FROM t LEFT JOIN w2 ON t.b = w2.b GROUP BY 1, 2),
+        d3 AS (SELECT t.b, CAST(sum(t.y * t.x) AS BIGINT) AS w
+               FROM t JOIN m3 ON t.doc_id = m3.doc_id
+               WHERE m3.y * m3.m <= 0 GROUP BY t.b),
+        w3 AS (SELECT b, CAST(sum(w) AS BIGINT) AS w FROM
+               (SELECT b, w FROM w2 UNION ALL SELECT b, w FROM d3) GROUP BY b),
+        ho AS (SELECT f.doc_id, f.b, f.x, l.y
+               FROM feat f JOIN lab l ON f.doc_id = l.doc_id WHERE NOT l.tr),
+        sm AS (SELECT h.doc_id, h.y, CAST(sum(h.x * coalesce(w3.w, 0)) AS BIGINT) AS m
+               FROM ho h LEFT JOIN w3 ON h.b = w3.b GROUP BY 1, 2)
+        SELECT y AS true_y,
+               CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+               count(*) AS n_docs, CAST(sum(m) AS BIGINT) AS margin_mass
+        FROM sm GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** t49's oracle: the full three-round BPE loop as CTEs. Each round's

@@ -219,6 +219,68 @@ object StreamExec {
         s"$dataBatches - the run was not incremental")
   }
 
+  /** [[replayForeachBatch]] with a mid-stream STOP + RESTART — the
+    * exactly-once sink surface: run 1 consumes slices 0..splitAt-1 and
+    * terminates; the remaining slices land and run 2 RESUMES from the
+    * same checkpoint (verified: its first batchId strictly follows run
+    * 1's last — a sink keyed on batchId therefore sees each batch id
+    * exactly once across the two processes, which is the contract an
+    * idempotent commit composes with). `onBatch(df, batchId)` gets the
+    * real batch ids so sinks can implement batchId-keyed idempotence.
+    */
+  def replayForeachBatchRestart(input: DataFrame, orderCol: String,
+                                slices: Int, splitAt: Int)
+                               (onBatch: (DataFrame, Long) => Unit): Unit = {
+    val spark = input.sparkSession
+    require(slices >= 3, s"replayForeachBatchRestart: need >= 3 slices, got $slices")
+    require(splitAt >= 1 && splitAt < slices,
+      s"replayForeachBatchRestart: splitAt must cut the replay in two, got $splitAt/$slices")
+    val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayfbr_")
+    val src = root.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val mm = input.agg(min(col(orderCol)).cast("long").as("lo"),
+      max(col(orderCol)).cast("long").as("hi")).head()
+    require(!mm.isNullAt(0), "replayForeachBatchRestart: empty input")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (hi - lo) / slices + 1)
+    def writeSlice(i: Int): Unit = addSourceFile(root, src,
+      input.filter(expr(s"(cast(`$orderCol` as bigint) - ${lo}L) div ${span}L") === i),
+      f"slice$i%04d", i)
+    def startRun(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream
+        .schema(input.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!df.isEmpty) onBatch(df.toDF(), id)
+        }
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+    (0 until splitAt).foreach(writeSlice)
+    val q1 = startRun()
+    q1.awaitTermination()
+    val q1Data = q1.recentProgress.count(_.numInputRows > 0)
+    val q1LastBatch = q1.recentProgress.map(_.batchId).foldLeft(-1L)(math.max)
+    require(q1Data >= splitAt,
+      s"replayForeachBatchRestart: run 1 expected >= $splitAt data micro-batches, saw $q1Data")
+
+    (splitAt until slices).foreach(writeSlice)
+    val q2 = startRun()
+    q2.awaitTermination()
+    streamRanSinceTeardown = true
+    val q2Data = q2.recentProgress.count(_.numInputRows > 0)
+    val q2FirstBatch = q2.recentProgress.map(_.batchId).foldLeft(Long.MaxValue)(math.min)
+    require(q2Data >= slices - splitAt,
+      s"replayForeachBatchRestart: run 2 expected >= ${slices - splitAt} data " +
+        s"micro-batches, saw $q2Data")
+    require(q2FirstBatch > q1LastBatch,
+      s"replayForeachBatchRestart: run 2 did not resume from the checkpoint " +
+        s"(first batch $q2FirstBatch vs run-1 last $q1LastBatch)")
+  }
+
   /** Run a STATEFUL transform in UPDATE output mode and capture every
     * micro-batch's emission with its batch id — the dashboard-refresh
     * semantics append mode can't show: a key re-emits in EVERY batch

@@ -839,4 +839,64 @@ object TextOps {
       .withColumn("pred_lang", coalesce(col("__p"), lit("unk")))
       .drop("__p")
   }
+
+  /** Integer-exact BATCH PERCEPTRON over hashed sparse features — the
+    * trained MODEL-BASED quality/domain filter (the DCLM/FineWeb
+    * fastText-classifier slot; every other quality op here is a fixed
+    * heuristic). All arithmetic is BIGINT, so training replays
+    * bit-for-bit in any engine:
+    *
+    *   w⁰ = 0;  for each epoch:  mᵢ = Σ_b xᵢᵦ·wᵦ,
+    *   M = {i : yᵢ·mᵢ ≤ 0} (ties misclassify — deterministic),
+    *   wᵦ += Σ_{i∈M} yᵢ·xᵢᵦ   (classic batch update, learning rate 1).
+    *
+    * `feats` is the sparse design matrix (idCol, b, x) — one row per
+    * (doc, feature-bucket) with integer count x; encode the BIAS as a
+    * constant pseudo-bucket (e.g. b = -1, x = 1) so every doc has ≥1
+    * row and the intercept trains like any weight. `labels` is
+    * (idCol, y) with y ∈ {+1, −1}. Returns the weight frame (b, w).
+    *
+    * Scale shape: per epoch, one broadcast join of the corpus-sized
+    * feature frame against the B-bounded weight frame, one doc-keyed
+    * margin rollup (map-side partials), one doc-keyed semi-join for the
+    * misclassified set, and one b-keyed delta rollup whose RESULT is
+    * B-bounded — no all-pairs, no driver materialization beyond the
+    * model itself (the per-epoch weight frame is localCheckpointed: B
+    * rows, the "model size" a parameter server would hold). Epoch count
+    * is fixed and small, exactly like the BPE rounds of [[bpeTrain]],
+    * so an oracle unrolls it as a CTE chain.
+    */
+  def perceptronTrain(feats: org.apache.spark.sql.DataFrame,
+                      labels: org.apache.spark.sql.DataFrame,
+                      idCol: String, epochs: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(epochs >= 1)
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val t = feats.join(labels, idCol) // (id, b, x, y) — train rows only
+    var w = Seq.empty[(Long, Long)].toDF("b", "w")
+    for (_ <- 1 to epochs) {
+      val margins = t.join(broadcast(w), Seq("b"), "left")
+        .groupBy(col(idCol), col("y"))
+        .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("m"))
+      val mis = margins.filter(col("y") * col("m") <= 0).select(idCol)
+      val delta = t.join(mis, idCol)
+        .groupBy("b").agg(sum(col("y") * col("x")).as("w"))
+      w = w.unionByName(delta).groupBy("b").agg(sum("w").as("w"))
+        .localCheckpoint()
+    }
+    w
+  }
+
+  /** Apply a [[perceptronTrain]] model: per-doc integer margin
+    * Σ_b xᵢᵦ·wᵦ over the broadcast weight frame. Returns (idCol, m).
+    * Every doc with at least one feature row appears (the bias
+    * pseudo-bucket guarantees that for all docs).
+    */
+  def perceptronScore(feats: org.apache.spark.sql.DataFrame,
+                      weights: org.apache.spark.sql.DataFrame,
+                      idCol: String): org.apache.spark.sql.DataFrame =
+    feats.join(broadcast(weights), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("m"))
 }

@@ -62,6 +62,19 @@ class QualityMetricsSpec extends SparkSpec {
       (exactTopk intersect approx).size.toDouble / exactTopk.size
     }
     val v24Curve = Seq(2, 3, 4).map(p => p -> v24AgreeAtProbes(p))
+    // v29 = v24 with RESIDUAL encoding (classic IVFADC): same coarse
+    // quantizer, same code budget, same probes — the published delta
+    // vs v24 at equal probes is the value of coding x − c(cell)
+    // instead of x. Honest note if flat: on this corpus the coarse
+    // cells may carry little of the variance.
+    val v29Agree = (exactTopk intersect topkSet("v29_ivfpq_residual")).size.toDouble / exactTopk.size
+    def v29AgreeAtProbes(p: Int): Double = {
+      val approx = graft.queries.VectorQueries.ivfPqResidualTopK(spark, sf01, p)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactTopk intersect approx).size.toDouble / exactTopk.size
+    }
+    val v29Curve = Seq(2, 3, 4).map(p => p -> v29AgreeAtProbes(p))
     // v25 = exact re-rank of the 20-deep ADC shortlist: must recover
     // (essentially all of) what ADC mis-ordering cost within the
     // probed cells — the remaining gap to 1.0 is pure candidate
@@ -200,6 +213,11 @@ class QualityMetricsSpec extends SparkSpec {
     assert(v25Agree >= v24Agree - 1e-9,
       s"exact re-rank ($v25Agree) must not lose to raw ADC ($v24Agree)")
     assert(v25Agree >= 0.2, s"v25 re-ranked agreement $v25Agree")
+    assert(v29Agree >= 0.05, s"v29 residual-IVFADC agreement $v29Agree")
+    assert(v29Curve.forall { case (_, r) => r > 0.0 && r <= 1.0 },
+      s"v29 probe/agreement curve out of range: $v29Curve")
+    assert(math.abs(v29Curve.toMap.apply(3) - v29Agree) < 1e-9,
+      s"v29 curve@3 must equal the gate operating point")
     assert(v25Curve.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 - 1e-9 },
       s"v25 depth/agreement curve must be monotone (exact re-rank of a superset): $v25Curve")
     assert(math.abs(v25Curve.toMap.apply(20) - v25Agree) < 1e-9,
@@ -266,6 +284,9 @@ class QualityMetricsSpec extends SparkSpec {
          |  "v22_pq_trained":     {"topk_agreement_vs_v1": $v22Agree%.4f, "floor": 0.1},
          |  "v24_ivfpq_topk":     {"topk_agreement_vs_v1": $v24Agree%.4f, "floor": 0.05,
          |                         "probe_agreement_curve": {${v24Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}}},
+         |  "v29_ivfpq_residual": {"topk_agreement_vs_v1": $v29Agree%.4f, "floor": 0.05,
+         |                         "delta_vs_v24_same_probes": ${f"${v29Agree - v24Agree}%.4f"},
+         |                         "probe_agreement_curve": {${v29Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}}},
          |  "v25_ivfpq_rerank":   {"topk_agreement_vs_v1": $v25Agree%.4f, "floor": 0.2,
          |                         "rerank_depth_curve": {${v25Curve.map { case (sl, r) => f""""$sl": $r%.4f""" }.mkString(", ")}}},
          |  "r21_approx_distinct": {"max_rel_err_vs_r20": $r21MaxRelErr%.4f, "bound": 0.05},

@@ -619,6 +619,30 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(read0 == 0 && empty.count() == 0L)
   }
 
+  test("writeSnapshotIdempotent: a redelivered token no-ops; a new token commits; interleaving with plain commits is safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_idem").toString + "/t"
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Scale.writeSnapshotIdempotent(spark, dir, d1, "b0").contains(0L))
+    // the at-least-once redelivery: same token must NOT create a version
+    assert(Scale.writeSnapshotIdempotent(spark, dir, d1, "b0").isEmpty)
+    assert(Scale.latestSnapshot(spark, dir).contains(0L))
+    // a new token commits the next version
+    val d2 = d1.unionByName(Seq((3L, "c")).toDF("id", "v"))
+    assert(Scale.writeSnapshotIdempotent(spark, dir, d2, "b1").contains(1L))
+    assert(Scale.writeSnapshotIdempotent(spark, dir, d2, "b1").isEmpty)
+    assert(Scale.readSnapshot(spark, dir).count() == 3)
+    // a plain (non-idempotent) commit in between clears the token fence:
+    // the NEXT idempotent token sees no _token on the latest version
+    Scale.writeSnapshot(spark, dir, d1)
+    assert(Scale.writeSnapshotIdempotent(spark, dir, d2, "b1").contains(3L))
+    // the _token sidecar is invisible to parquet readers
+    assert(Scale.readSnapshot(spark, dir).count() == 3)
+    // empty token is a misuse, loudly
+    intercept[IllegalArgumentException] {
+      Scale.writeSnapshotIdempotent(spark, dir, d1, "")
+    }
+  }
+
   test("snapshot table: append-only versions, time travel, vacuum, loud empty read") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("snap").toString + "/tbl"
