@@ -52,6 +52,10 @@ object StreamExec {
     */
   @volatile private var streamRanSinceTeardown = false
 
+  /** Debug/inspection hook: the last completed replay's per-batch
+    * progress JSON (set by [[replayFileStream]]). */
+  @volatile private[graft] var lastProgress: Seq[String] = Seq.empty
+
   /** Stop the state-store maintenance thread and unload every cached
     * provider. No-op unless a streaming query actually ran since the
     * last call, so callers (Bench, after every query) pay nothing on
@@ -96,24 +100,6 @@ object StreamExec {
     * source's oldest-first order is the replay order, and the sentinel
     * must be processed last or every real event goes late.
     */
-  /** Write one replay source file: one part file, renamed into `src`,
-    * mtime pinned strictly ascending in `idx` so the file source's
-    * oldest-first order IS the arrival order.
-    */
-  private def addSourceFile(root: java.nio.file.Path, src: java.nio.file.Path,
-                            df: DataFrame, name: String, idx: Int): Unit = {
-    val baseMtime = (System.currentTimeMillis() / 1000) * 1000 - 3600L * 1000
-    val tmp = root.resolve(s"__${src.getFileName}_$name").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      .getOrElse(sys.error(s"no part file written for slice $name"))
-    val dst = src.resolve(s"$name.parquet").toFile
-    require(part.renameTo(dst), s"rename failed: $part -> $dst")
-    require(dst.setLastModified(baseMtime + idx * 60000L),
-      s"cannot pin mtime for $dst")
-  }
-
   /** Replay EXPLICIT batches in the given ARRIVAL order (one micro-batch
     * each, oldest-mtime-first), run `transform`, and return the parquet
     * sink. Unlike [[replayFileStream]], the batches need not be
@@ -122,16 +108,19 @@ object StreamExec {
     * earlier batches advanced. The caller appends its own
     * watermark-flush sentinel batch when the transform aggregates.
     */
-  def replayFileSequence(batches: Seq[DataFrame], statePartitions: Int = 8)
+  def replayFileSequence(batches: Seq[DataFrame], statePartitions: Int = 4)
                         (transform: DataFrame => DataFrame): DataFrame = {
     val spark = batches.head.sparkSession
     require(batches.size >= 2, s"replayFileSequence: need >= 2 batches, got ${batches.size}")
     val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayseq_")
     val src = root.resolve("src")
-    java.nio.file.Files.createDirectories(src)
-    batches.zipWithIndex.foreach { case (b, i) =>
-      addSourceFile(root, src, b, f"file$i%04d", i)
-    }
+    // all batches share one schema (one file-source reads them), so the
+    // arrival sequence writes in a single partitioned pass
+    val all = batches.zipWithIndex
+      .map { case (b, i) => b.withColumn("__slice", lit(i.toLong)) }
+      .reduce(_ unionByName _)
+    writeSliceFiles(all, root, src,
+      i => if (i < batches.size) Some(f"file$i%04d") else None)
     val out = root.resolve("out").toString
     val shuffleKey = "spark.sql.shuffle.partitions"
     val savedShuffle = spark.conf.get(shuffleKey)
@@ -163,23 +152,56 @@ object StreamExec {
                           sentinelOpt: Option[DataFrame],
                           slices: Int, root: java.nio.file.Path,
                           src: java.nio.file.Path): Unit = {
-    java.nio.file.Files.createDirectories(src)
     val mm = input.agg(min(col(tsCol)).cast("long").as("lo"),
       max(col(tsCol)).cast("long").as("hi")).head()
     require(!mm.isNullAt(0), "replayFileStream: empty input")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(1L, (hi - lo) / slices + 1)
-    def addFile(df: DataFrame, name: String, idx: Int): Unit =
-      addSourceFile(root, src, df, name, idx)
-    (0 until slices).foreach { i =>
-      addFile(input.filter(
-        expr(s"(cast(`$tsCol` as bigint) - ${lo}L) div ${span}L") === i),
-        f"slice$i%04d", i)
-    }
-    // watermark-flush sentinel — append-mode aggregation replays need it;
-    // foreachBatch replays (no watermark, emission is the batch callback
-    // itself) omit it
-    sentinelOpt.foreach(addFile(_, "zsentinel", slices))
+    // ONE pass writes every slice file (hive-partitioned by slice index,
+    // single task so each leaf is one part file) instead of `slices`
+    // full-input filter+write jobs — the N-scan setup was a measured
+    // chunk of the streaming family's bench floor. The sentinel
+    // (watermark flush for append-mode aggregation replays; foreachBatch
+    // replays omit it) rides the same pass as slice index `slices`.
+    val sliced = input.withColumn("__slice",
+      expr(s"(cast(`$tsCol` as bigint) - ${lo}L) div ${span}L"))
+    val all = sentinelOpt.fold(sliced)(sent =>
+      sliced.unionByName(sent.withColumn("__slice", lit(slices.toLong))))
+    writeSliceFiles(all, root, src,
+      i => if (sentinelOpt.isDefined && i == slices) Some("zsentinel")
+           else if (i < slices) Some(f"slice$i%04d") else None)
+  }
+
+  /** Write a `__slice`-stamped frame as one ascending-mtime file per
+    * slice under `src` via a single hive-partitioned job. `nameOf` maps
+    * a slice index to its file name (None = unexpected index, fails).
+    * Empty slices produce no file — same observable behavior as the
+    * old per-slice writes, whose empty files contributed no data
+    * micro-batch and therefore failed the caller's incrementality
+    * require just the same.
+    */
+  private def writeSliceFiles(all: DataFrame, root: java.nio.file.Path,
+                              src: java.nio.file.Path,
+                              nameOf: Int => Option[String]): Unit = {
+    java.nio.file.Files.createDirectories(src)
+    val tmp = root.resolve(s"__${src.getFileName}_all").toString
+    all.coalesce(1).write.mode("overwrite").partitionBy("__slice").parquet(tmp)
+    val baseMtime = (System.currentTimeMillis() / 1000) * 1000 - 3600L * 1000
+    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__slice="))
+      .sortBy(_.getName.stripPrefix("__slice=").toLong)
+      .foreach { dir =>
+        val i = dir.getName.stripPrefix("__slice=").toInt
+        val name = nameOf(i).getOrElse(
+          sys.error(s"unexpected slice index $i in ${dir.getPath}"))
+        val part = Option(dir.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .getOrElse(sys.error(s"no part file written for slice $i"))
+        val dst = src.resolve(s"$name.parquet").toFile
+        require(part.renameTo(dst), s"rename failed: $part -> $dst")
+        require(dst.setLastModified(baseMtime + i * 60000L),
+          s"cannot pin mtime for $dst")
+      }
   }
 
   /** Replay `input` as `slices` files ordered by `orderCol` and hand
@@ -237,15 +259,18 @@ object StreamExec {
       s"replayForeachBatchRestart: splitAt must cut the replay in two, got $splitAt/$slices")
     val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayfbr_")
     val src = root.resolve("src")
-    java.nio.file.Files.createDirectories(src)
     val mm = input.agg(min(col(orderCol)).cast("long").as("lo"),
       max(col(orderCol)).cast("long").as("hi")).head()
     require(!mm.isNullAt(0), "replayForeachBatchRestart: empty input")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(1L, (hi - lo) / slices + 1)
-    def writeSlice(i: Int): Unit = addSourceFile(root, src,
-      input.filter(expr(s"(cast(`$orderCol` as bigint) - ${lo}L) div ${span}L") === i),
-      f"slice$i%04d", i)
+    def writeSlicePhase(range: Range): Unit = {
+      val sliced = input.withColumn("__slice",
+          expr(s"(cast(`$orderCol` as bigint) - ${lo}L) div ${span}L"))
+        .filter(col("__slice").isin(range.map(_.toLong): _*))
+      writeSliceFiles(sliced, root, src,
+        i => if (range.contains(i)) Some(f"slice$i%04d") else None)
+    }
     def startRun(): org.apache.spark.sql.streaming.StreamingQuery =
       spark.readStream
         .schema(input.schema)
@@ -259,7 +284,7 @@ object StreamExec {
         .trigger(Trigger.AvailableNow())
         .start()
 
-    (0 until splitAt).foreach(writeSlice)
+    writeSlicePhase(0 until splitAt)
     val q1 = startRun()
     q1.awaitTermination()
     val q1Data = q1.recentProgress.count(_.numInputRows > 0)
@@ -267,7 +292,7 @@ object StreamExec {
     require(q1Data >= splitAt,
       s"replayForeachBatchRestart: run 1 expected >= $splitAt data micro-batches, saw $q1Data")
 
-    (splitAt until slices).foreach(writeSlice)
+    writeSlicePhase(splitAt until slices)
     val q2 = startRun()
     q2.awaitTermination()
     streamRanSinceTeardown = true
@@ -292,7 +317,7 @@ object StreamExec {
     * themselves so the per-batch emission trail stays checkable.
     */
   def replayUpdateMode(input: DataFrame, tsCol: String, slices: Int,
-                       statePartitions: Int = 8)
+                       statePartitions: Int = 4)
                       (transform: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
     require(slices >= 2, s"replayUpdateMode: need >= 2 slices, got $slices")
@@ -330,7 +355,7 @@ object StreamExec {
   }
 
   def replayFileStream(input: DataFrame, tsCol: String, sentinel: DataFrame,
-                       slices: Int, statePartitions: Int = 8)
+                       slices: Int, statePartitions: Int = 4)
                       (transform: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
     require(slices >= 2, s"replayFileStream: need >= 2 slices to exercise " +
@@ -368,6 +393,7 @@ object StreamExec {
     } finally spark.conf.set(shuffleKey, savedShuffle)
     q.awaitTermination()
     streamRanSinceTeardown = true
+    lastProgress = q.recentProgress.toIndexedSeq.map(_.json)
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= slices,
       s"replayFileStream: expected >= $slices data micro-batches, saw " +
@@ -405,7 +431,7 @@ object StreamExec {
     * lifetime.
     */
   def replayFileStreamRestart(input: DataFrame, tsCol: String, sentinel: DataFrame,
-                              slices: Int, splitAt: Int, statePartitions: Int = 8)
+                              slices: Int, splitAt: Int, statePartitions: Int = 4)
                              (transform: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
     require(slices >= 3, s"replayFileStreamRestart: need >= 3 slices, got $slices")
@@ -413,15 +439,23 @@ object StreamExec {
       s"replayFileStreamRestart: splitAt must cut the replay in two, got $splitAt/$slices")
     val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayrs_")
     val src = root.resolve("src")
-    java.nio.file.Files.createDirectories(src)
     val mm = input.agg(min(col(tsCol)).cast("long").as("lo"),
       max(col(tsCol)).cast("long").as("hi")).head()
     require(!mm.isNullAt(0), "replayFileStreamRestart: empty input")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(1L, (hi - lo) / slices + 1)
-    def writeSlice(i: Int): Unit = addSourceFile(root, src,
-      input.filter(expr(s"(cast(`$tsCol` as bigint) - ${lo}L) div ${span}L") === i),
-      f"slice$i%04d", i)
+    // one partitioned pass per PHASE (before/after the restart), not
+    // one job per slice — see writeSlices
+    def writeSlicePhase(range: Range, withSentinel: Boolean): Unit = {
+      val sliced = input.withColumn("__slice",
+          expr(s"(cast(`$tsCol` as bigint) - ${lo}L) div ${span}L"))
+        .filter(col("__slice").isin(range.map(_.toLong): _*))
+      val all = if (!withSentinel) sliced
+        else sliced.unionByName(sentinel.withColumn("__slice", lit(slices.toLong)))
+      writeSliceFiles(all, root, src,
+        i => if (withSentinel && i == slices) Some("zsentinel")
+             else if (range.contains(i)) Some(f"slice$i%04d") else None)
+    }
 
     val out = root.resolve("out").toString
     val shuffleKey = "spark.sql.shuffle.partitions"
@@ -443,7 +477,7 @@ object StreamExec {
           .start()
       } finally spark.conf.set(shuffleKey, savedShuffle)
 
-    (0 until splitAt).foreach(writeSlice)
+    writeSlicePhase(0 until splitAt, withSentinel = false)
     val q1 = startRun()
     q1.awaitTermination()
     val q1Data = q1.recentProgress.count(_.numInputRows > 0)
@@ -451,8 +485,7 @@ object StreamExec {
     require(q1Data >= splitAt,
       s"replayFileStreamRestart: run 1 expected >= $splitAt data micro-batches, saw $q1Data")
 
-    (splitAt until slices).foreach(writeSlice)
-    addSourceFile(root, src, sentinel, "zsentinel", slices)
+    writeSlicePhase(splitAt until slices, withSentinel = true)
     val q2 = startRun()
     q2.awaitTermination()
     streamRanSinceTeardown = true
@@ -479,7 +512,7 @@ object StreamExec {
     */
   def replayFileStream2(a: DataFrame, b: DataFrame, tsCol: String,
                         sentinelA: DataFrame, sentinelB: DataFrame,
-                        slices: Int, statePartitions: Int = 8)
+                        slices: Int, statePartitions: Int = 4)
                        (transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = a.sparkSession
     require(slices >= 2, s"replayFileStream2: need >= 2 slices, got $slices")
