@@ -103,6 +103,114 @@ object HashAlgos {
     h
   }
 
+  /** Every n-gram span's 60-bit md5-prefix hash of a token array in ONE
+    * call — the decontamination/span-dedup hot loop (t23/t25/t32/t44)
+    * without materializing a single n-gram STRING: for each window of n
+    * tokens the digest is fed the tokens' UTF-8 bytes joined by single
+    * spaces (identical bytes to md5(array_join(slice(toks,i,n), ' '));
+    * null elements are skipped with their separator, array_join's
+    * documented rule), and the first 15 hex digits are returned as an
+    * unsigned 60-bit long — value-equivalent to
+    * `conv(substring(md5(span), 1, 15), 16, 10) :: long`
+    * (byte-equivalence spec-checked in HashExprsSpec). Fewer than n
+    * tokens yields an empty array, matching wordNgrams.
+    */
+  def spanHashes60(arr: ArrayData, n: Int): ArrayData = {
+    val cnt = arr.numElements() - n + 1
+    val out = if (cnt <= 0) Array.empty[Long] else new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val md = digest.get(); md.reset()
+      var first = true
+      var j = 0
+      while (j < n) {
+        val s = arr.getUTF8String(i + j)
+        if (s != null) {
+          if (!first) md.update(' '.toByte)
+          md.update(s.getBytes)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+        ((d(6) & 0xffL) << 4) | ((d(7) >> 4) & 0xfL)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** The whole k-seed MinHash SIGNATURE from the raw TOKEN array in one
+    * call: each n-gram shingle's bytes are assembled ONCE (tokens
+    * joined by single spaces — array_join's byte stream, nulls skipped
+    * with their separator) and digested k times under the k seed
+    * prefixes ("s0".."s{k-1}"), tracking the lexicographic hex minimum
+    * per seed. Value-identical to k independent
+    * `TextOps.minhash(wordNgrams(toks, n), seed)` columns
+    * (HashExprsSpec pins it) but with no interpreted shingle lambda, no
+    * shingle-string materialization, and one token-array scan instead
+    * of k. Fewer than n tokens (no shingles) yields all-null elements,
+    * matching array_min over an empty transform.
+    */
+  def minhashSig(arr: ArrayData, n: Int, k: Int): ArrayData = {
+    val cnt = arr.numElements() - n + 1
+    val mins = new Array[String](k)
+    if (cnt > 0) {
+      val md = digest.get()
+      val prefixes = Array.tabulate(k)(s => s"s$s".getBytes("UTF-8"))
+      var i = 0
+      while (i < cnt) {
+        var len = 0; var m = 0; var j = 0
+        while (j < n) {
+          val s = arr.getUTF8String(i + j)
+          if (s != null) { len += s.numBytes() + (if (m > 0) 1 else 0); m += 1 }
+          j += 1
+        }
+        val buf = new Array[Byte](len)
+        var off = 0; var first = true; j = 0
+        while (j < n) {
+          val s = arr.getUTF8String(i + j)
+          if (s != null) {
+            if (!first) { buf(off) = ' '; off += 1 }
+            val b = s.getBytes
+            System.arraycopy(b, 0, buf, off, b.length); off += b.length
+            first = false
+          }
+          j += 1
+        }
+        var seed = 0
+        while (seed < k) {
+          md.reset()
+          md.update(prefixes(seed))
+          md.update(buf)
+          val h = hex(md.digest())
+          if (mins(seed) == null || h.compareTo(mins(seed)) < 0) mins(seed) = h
+          seed += 1
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(m => if (m == null) null else UTF8String.fromString(m))
+        .asInstanceOf[Array[Any]])
+  }
+
+  /** All character trigrams of a string in one call — CHAR-indexed
+    * (UTF8String.substring), value-identical to
+    * `transform(sequence(1, length(s) - 2), i -> substr(s, i, 3))`
+    * with the under-3-chars empty-array guard folded in.
+    */
+  def charTrigrams(s: UTF8String): ArrayData = {
+    val n = s.numChars()
+    val cnt = if (n < 3) 0 else n - 2
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) { out(i) = s.substring(i, i + 3); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** MinHash component: lexicographic min of md5(prefix‖shingle) hex —
     * exactly TextOps.minhash's semantics. Null for empty/all-null input.
     */
@@ -145,6 +253,36 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class SpanHashes60(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.spanHashes60(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.spanHashes60($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes60 =
+    copy(child = newChild)
+}
+
+case class MinHashSig(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.minhashSig(input.asInstanceOf[ArrayData], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.minhashSig($c, $n, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.charTrigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.charTrigrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharTrigrams =
+    copy(child = newChild)
+}
+
 case class MinHash(child: Expression, seed: Int) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -176,6 +314,17 @@ object native {
   /** Codegen'd Σ (a(i)−b(i))² — the cell-distance kernel. */
   def dist2D(a: Column, b: Column): Column = toCol(L2Dist2D(toExpr(a), toExpr(b)))
   def minhash(shingles: Column, seed: Int): Column = toCol(MinHash(toExpr(shingles), seed))
+  /** Codegen'd n-gram 60-bit span hashes of a token array — see
+    * [[HashAlgos.spanHashes60]].
+    */
+  def spanHashes60(tokens: Column, n: Int): Column =
+    toCol(SpanHashes60(toExpr(tokens), n))
+  /** Codegen'd char-trigram array — see [[HashAlgos.charTrigrams]];
+    * NULL input propagates NULL (wrap in coalesce for the empty-array
+    * convention).
+    */
+  def charTrigrams(text: Column): Column =
+    toCol(CharTrigrams(toExpr(text)))
   /** `true` iff `key` MIGHT be in `bloom` (built over integral values, e.g.
     * `df.stat.bloomFilter`); `false` is definite absence. Integral keys are
     * widened to long to match the filter's `putLong` domain.
@@ -198,6 +347,26 @@ object native {
     toCol(TopK(toExpr(c), k).toAggregateExpression())
   def minhashSignature(shingles: Column, k: Int): Seq[Column] =
     (0 until k).map(s => minhash(shingles, s).as(s"mh$s"))
+  /** The full k-seed signature from raw TOKENS in one codegen call (see
+    * [[HashAlgos.minhashSig]]): one shingle-byte assembly per n-gram, k
+    * digests, no interpreted lambda. Materialize it as a column and
+    * slice bands with [[lshBandsFromSig]] so it computes once per row.
+    */
+  def minhashSigArr(tokens: Column, n: Int, k: Int): Column =
+    toCol(MinHashSig(toExpr(tokens), n, k))
+  /** [[lshBands]] over a MATERIALIZED [[minhashSigArr]] column — same
+    * band values and null propagation (a null component nulls the
+    * band) as the per-seed form.
+    */
+  def lshBandsFromSig(sig: Column, k: Int, rowsPerBand: Int): Seq[Column] = {
+    require(k % rowsPerBand == 0, "k must divide into bands")
+    import org.apache.spark.sql.functions.{concat, element_at, lit}
+    (0 until k / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1))
+      concat(parts.flatMap(p => Seq(p, lit("|"))).dropRight(1): _*).as(s"band$b")
+    }
+  }
   /** yyyyMMdd int → DATE, NULL on any invalid value (see [[YyyymmddToDate]]). */
   def yyyymmddToDate(c: Column): Column = toCol(YyyymmddToDate(toExpr(c.cast("int"))))
   // NULL components (empty shingle set) null the whole band — `concat`

@@ -133,10 +133,15 @@ object TextPipeline {
     * index contract requires them absent.
     */
   def bandRows(in: DataFrame, cfg: Config): DataFrame = {
+    // fused signature: one token scan assembles each shingle's bytes
+    // once and digests all k seeds (no interpreted n-gram lambda, no
+    // shingle strings) — byte-identical bands, HashExprsSpec-pinned
     val shingled = in
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
-      .select(col("doc_id"), TextOps.wordNgrams(col("__t"), 3).as("__sh"))
-    val bands = graft.functions.native.lshBands(col("__sh"), cfg.minhashK, cfg.rowsPerBand)
+      .select(col("doc_id"),
+        graft.functions.native.minhashSigArr(col("__t"), 3, cfg.minhashK).as("__mh"))
+    val bands = graft.functions.native.lshBandsFromSig(
+      col("__mh"), cfg.minhashK, cfg.rowsPerBand)
     shingled.select(col("doc_id") +: bands: _*)
       .select(col("doc_id"),
         explode(map((0 until cfg.minhashK / cfg.rowsPerBand)

@@ -21,6 +21,45 @@ object TextQueries {
   private def withShingles(df: org.apache.spark.sql.DataFrame) =
     df.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .select(col("doc_id"), TextOps.wordNgrams(col("t"), 3).as("sh"))
+
+  // the t6/g5 shared oracle: LSH pairs → transitive closure → per-vertex
+  // component minimum. Two different distributed CC algorithms must both
+  // reproduce this exact frame.
+  private lazy val ccOverLshPairsSql: String = s"""
+        WITH RECURSIVE pairs AS (
+          WITH sig AS (
+            SELECT doc_id,
+                   ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
+                   ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
+            FROM documents),
+          bands AS (
+            SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig
+            UNION ALL
+            SELECT doc_id, 1, band1 FROM sig)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(src, node) AS (
+          SELECT s, s FROM (SELECT DISTINCT s FROM edges) v
+          UNION
+          SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s)
+        SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY src ORDER BY doc_id"""
+
+  // fused LSH banding (doc_id, band0, band1): one token scan builds all
+  // 4 seed minima (native.minhashSigArr — no interpreted shingle
+  // lambda, no shingle strings), bands concat signature slices; values
+  // byte-identical to the per-seed lshBands form (HashExprsSpec).
+  private def fusedBands(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        graft.functions.native.minhashSigArr(col("__t"), 3, 4).as("__mh"))
+      .select(col("doc_id") +:
+        graft.functions.native.lshBandsFromSig(col("__mh"), 4, 2): _*)
   private val shingleSql =
     s"""CASE WHEN len($tokSql) >= 3
         THEN list_transform(range(len($tokSql) - 2),
@@ -181,9 +220,15 @@ object TextQueries {
     // duplicate the expensive alias).
     Q("t2_minhash_signature",
       (s, d) => {
-        val sig = graft.functions.native.minhashSignature(col("sh"), 4)
-        withShingles(Tables.documents(s, d))
-          .select(col("doc_id") +: sig: _*)
+        // fused path: one token scan assembles each shingle's bytes once
+        // and digests all 4 seeds (native.minhashSigArr) — same values
+        // as 4 per-seed minhash columns, HashExprsSpec-pinned
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+          .select(col("doc_id"),
+            graft.functions.native.minhashSigArr(col("__t"), 3, 4).as("__mh"))
+          .select(col("doc_id") +:
+            (0 until 4).map(i => element_at(col("__mh"), i + 1).as(s"mh$i")): _*)
       },
       Some(s"""
         SELECT doc_id,
@@ -196,13 +241,12 @@ object TextQueries {
     Q("t3_lsh_dup_pairs",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val bands = graft.functions.native.lshBands(col("sh"), 4, 2)
-        // <3-token docs have no shingles → NULL bands (concat propagates,
-        // matching the oracle's `NULL || x`); the equijoin's implied
-        // isnotnull(band_val) then drops them BEFORE the shuffle — no
-        // explicit size(sh) filter, which Catalyst would push down and
-        // re-evaluate the whole interpreted shingle chain per row.
-        val banded = withShingles(docs).select(col("doc_id") +: bands: _*)
+        // <3-token docs have no shingles → NULL signature elements →
+        // NULL bands (concat propagates, matching the oracle's
+        // `NULL || x`); the equijoin's implied isnotnull(band_val) then
+        // drops them BEFORE the shuffle. Banding is the FUSED signature
+        // (one token scan, all 4 seeds — native.minhashSigArr).
+        val banded = fusedBands(docs)
         val exploded = banded.select(col("doc_id"),
           explode(map(lit(0), col("band0"), lit(1), col("band1"))).as(Seq("band_idx", "band_val")))
         // alias-only self-join: both sides canonicalize identically, so
@@ -226,30 +270,24 @@ object TextQueries {
     // Oracle: transitive closure via recursive CTE.
     Q("t6_dedup_clusters",
       (s, d) => TextOps.clusterPairs(lshPairsFor(s, d)),
-      Some(s"""
-        WITH RECURSIVE pairs AS (
-          WITH sig AS (
-            SELECT doc_id,
-                   ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
-                   ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
-            FROM documents),
-          bands AS (
-            SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig
-            UNION ALL
-            SELECT doc_id, 1, band1 FROM sig)
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-          WHERE a.doc_id < b.doc_id),
-        edges AS (
-          SELECT id_a AS s, id_b AS t FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-        reach(src, node) AS (
-          SELECT s, s FROM (SELECT DISTINCT s FROM edges) v
-          UNION
-          SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s)
-        SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_rep
-        FROM reach GROUP BY src ORDER BY doc_id""")),
+      Some(ccOverLshPairsSql)),
+
+    // g5: CONNECTED COMPONENTS BY STAR CONTRACTION — the alternating
+    // large-star/small-star algorithm (Kiveris et al., SoCC'14), the
+    // web-scale CC discipline production MapReduce stacks use, run over
+    // the SAME LSH pair graph as t6 and gated against the SAME
+    // transitive-closure oracle — so the two CC implementations
+    // (label-propagation pointer halving vs edge-set contraction) are
+    // pinned against each other through DuckDB. Scale: t6's loop
+    // carries a label frame and needs O(log diameter) rounds of joins
+    // against the full edge set; star contraction rewrites the edge
+    // set ITSELF, which only shrinks, so every round's shuffles are
+    // bounded by a contracting frame — the shape that wins when the
+    // graph dwarfs memory. Termination is an exact edge-set fixed
+    // point, never a round-count guess.
+    Q("g5_cc_star_contraction",
+      (s, d) => TextOps.clusterPairsStar(lshPairsFor(s, d)),
+      Some(ccOverLshPairsSql)),
 
     // t51: CLUSTER REPRESENTATIVE SELECTION — the curation step t6
     // stops short of: near-dup dedup keeps the BEST member of each
@@ -2617,9 +2655,7 @@ object TextQueries {
       (s, d) => {
         val sh = withShingles(Tables.documents(s, d))
           .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
-        val bands = graft.functions.native.lshBands(col("sh"), 4, 2)
-        val banded = withShingles(Tables.documents(s, d))
-          .select(col("doc_id") +: bands: _*)
+        val banded = fusedBands(Tables.documents(s, d))
         val exploded = banded.select(col("doc_id"),
           explode(map(lit(0), col("band0"), lit(1), col("band1"))).as(Seq("band_idx", "band_val")))
         val wOcc = org.apache.spark.sql.expressions.Window
@@ -2784,13 +2820,11 @@ object TextQueries {
     Q("t48_incremental_dedup_index",
       (s, d) => {
         val cap = 1000
-        def bandsOf(docs: org.apache.spark.sql.DataFrame) = {
-          val bands = graft.functions.native.lshBands(col("sh"), 4, 2)
-          withShingles(docs).select(col("doc_id") +: bands: _*)
+        def bandsOf(docs: org.apache.spark.sql.DataFrame) =
+          fusedBands(docs)
             .select(col("doc_id"), explode(map(
               lit(0), col("band0"), lit(1), col("band1"))).as(Seq("band_idx", "band_val")))
             .filter(col("band_val").isNotNull)
-        }
         val all = Tables.documents(s, d)
         val batch1 = all.filter(col("doc_id") % 2 === 0)
         val batch2 = all.filter(col("doc_id") % 2 === 1)

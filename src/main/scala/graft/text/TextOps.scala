@@ -61,10 +61,16 @@ object TextOps {
     */
   def spanHashes(docs: org.apache.spark.sql.DataFrame, textCol: String,
                  idCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    // native one-call path: the interpreted chain (wordNgrams transform
+    // lambda materializing every n-gram STRING, then one builtin md5 —
+    // which allocates a fresh MessageDigest per row — plus substring +
+    // conv) is replaced by graft.functions.SpanHashes60, which feeds
+    // token bytes straight into a thread-local digest inside
+    // whole-stage codegen. Values are identical (HashExprsSpec pins
+    // byte-equivalence), so every oracle stays as-is.
     docs.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), explode(wordNgrams(col("__t"), n)).as("__span"))
       .select(col(idCol),
-        conv(substring(md5(col("__span")), 1, 15), 16, 10).cast("long").as("__h"))
+        explode(graft.functions.native.spanHashes60(col("__t"), n)).as("__h"))
 
   def spanDupStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
                    idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
@@ -447,6 +453,76 @@ object TextOps {
       .select(col("doc_id").cast(idType), col("cluster_rep").cast(idType))
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (large-star /
+    * small-star — Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the OTHER scalable CC discipline next to
+    * [[clusterPairs]]' label propagation: each round rewrites the edge
+    * set itself (every node's neighborhood hooks onto its neighborhood
+    * minimum; large-star moves the strictly-greater neighbors, small-
+    * star the rest plus the node), provably contracting to star graphs
+    * rooted at component minima in O(log² n) rounds. Per round the
+    * work is two neighborhood-min aggregations + key-partitioned joins
+    * — no label frame carried between rounds and no pointer chains, so
+    * edge-set SIZE (which only shrinks) bounds every shuffle; the
+    * shape production MapReduce CC uses at web scale. Output is
+    * byte-identical to [[clusterPairs]] — (doc_id, cluster_rep =
+    * component min) for EVERY vertex of the pair graph — so the same
+    * transitive-closure oracle pins both implementations against each
+    * other. Termination is an EXACT edge-set comparison (count + anti
+    * join), never a checksum; per-round frames are localCheckpointed
+    * so lineage stays O(1).
+    */
+  def clusterPairsStar(pairs: org.apache.spark.sql.DataFrame,
+                       idA: String = "id_a", idB: String = "id_b",
+                       maxIter: Int = 25): org.apache.spark.sql.DataFrame = {
+    // canonical (s > t) undirected edge set
+    var e = pairs
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("s"), least(col("a"), col("b")).as("t"))
+      .distinct().localCheckpoint()
+    def adj(d: org.apache.spark.sql.DataFrame) =
+      d.union(d.select(col("t").as("s"), col("s").as("t")))
+    def neighborhoodMin(a: org.apache.spark.sql.DataFrame) =
+      a.groupBy("s").agg(min("t").as("__mn"))
+        .select(col("s"), least(col("s"), col("__mn")).as("m"))
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      iter += 1
+      // large-star: v ∈ Γ(u), v > u  →  (v, min(Γ⁺(u)));
+      // every emitted edge is (bigger, smaller) since m ≤ u < v
+      val a1 = adj(e)
+      val ls = a1.join(neighborhoodMin(a1), "s")
+        .filter(col("t") > col("s"))
+        .select(col("t").as("s"), col("m").as("t"))
+        .filter(col("s") =!= col("t")).distinct()
+      // small-star: v ∈ Γ(u), v ≤ u  →  (v, m), plus (u, m) itself;
+      // m ≤ every neighbor, so these are (bigger, smaller) too
+      val a2 = adj(ls)
+      val m2 = neighborhoodMin(a2)
+      val next = a2.filter(col("t") <= col("s")).join(m2, "s")
+        .select(col("t").as("s"), col("m").as("t"))
+        .unionByName(m2.select(col("s"), col("m").as("t")))
+        .filter(col("s") =!= col("t")).distinct()
+        .localCheckpoint()
+      stable = next.count() == e.count() &&
+        next.join(e, Seq("s", "t"), "left_anti").isEmpty
+      e = next
+    }
+    require(stable, s"clusterPairsStar did not converge in $maxIter rounds — " +
+      "raise maxIter (rounds grow ~log² of the largest component)")
+    // converged edges are (vertex, component-min) stars; roots self-map
+    val verts = pairs
+      .select(col(idA).cast("long").as("doc_id"))
+      .unionByName(pairs.select(col(idB).cast("long").as("doc_id")))
+      .distinct()
+    verts.join(e.select(col("s").as("doc_id"), col("t").as("__rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__rep"), col("doc_id")).as("cluster_rep"))
+  }
+
   def clusterPairs(pairs: org.apache.spark.sql.DataFrame, idA: String = "id_a",
                    idB: String = "id_b", maxIter: Int = 20,
                    localMaxEdges: Long = LocalClusterMaxEdges): org.apache.spark.sql.DataFrame = {
@@ -785,10 +861,13 @@ object TextOps {
     * [[wordNgrams]] rule) — the lambda references it per element.
     */
   def charTrigrams(text: Column): Column =
-    when(length(text) >= 3,
-      transform(sequence(lit(1), length(text) - 2),
-        i => text.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    // native one-call path (codegen'd char-indexed substring loop) —
+    // value-identical to the interpreted
+    // `when(len>=3, transform(sequence(1, len-2), i -> substr(text,i,3)))
+    //  .otherwise(array())` chain this replaced (HashExprsSpec pins it);
+    // coalesce keeps the NULL-text → empty-array convention
+    coalesce(graft.functions.native.charTrigrams(text),
+      array().cast("array<string>"))
 
   /** Per-language character-trigram profiles: the top `topN` trigrams of
     * `lower(textCol)` per `langCol` value by frequency (ties by trigram

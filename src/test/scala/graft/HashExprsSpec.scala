@@ -36,6 +36,85 @@ class HashExprsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("native spanHashes60 == builtin conv(substring(md5(ngram)))::long on real documents") {
+    // the exact chain spanHashes used before the native rewrite — the
+    // DuckDB oracles still compute THIS, so equivalence here is what
+    // keeps every span-family oracle valid
+    val toks = TextOps.tokens(col("text"))
+    for (n <- Seq(3, 13)) {
+      val builtin = docs.select(posexplode(
+          TextOps.wordNgrams(toks, n)).as(Seq("i", "span")))
+        .select(col("i"),
+          conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long").as("b"))
+      val nat = docs.select(posexplode(
+          native.spanHashes60(toks, n)).as(Seq("i", "n")))
+      assert(builtin.count() == nat.count(), s"n=$n span counts differ")
+      val joined = builtin.groupBy("b").count().as("x")
+        .join(nat.groupBy("n").count().as("y"), col("b") === col("n"), "full_outer")
+        .filter(col("b").isNull || col("n").isNull || col("x.count") =!= col("y.count"))
+      assert(joined.count() == 0, s"n=$n hash multisets differ")
+    }
+    // sub-n token arrays yield an empty array (wordNgrams' rule)
+    import spark.implicits._
+    val short = Seq("one two").toDF("text")
+      .select(native.spanHashes60(TextOps.tokens(col("text")), 3).as("h"))
+    assert(short.head().getSeq[Long](0).isEmpty)
+    // null elements skip with their separator, array_join's rule
+    val withNull = Seq(1).toDF("x").select(
+      native.spanHashes60(
+        array(lit("a"), lit(null).cast("string"), lit("b")), 3).as("h"),
+      conv(substring(md5(array_join(
+        array(lit("a"), lit(null).cast("string"), lit("b")), " ")), 1, 15),
+        16, 10).cast("long").as("b"))
+    val r = withNull.head()
+    assert(r.getSeq[Long](0) == Seq(r.getLong(1)))
+  }
+
+  test("fused minhashSigArr == per-seed minhash; fused bands == per-seed lshBands") {
+    val toks = TextOps.tokens(col("text"))
+    val sig = docs.select(toks.as("t"))
+      .select(native.minhashSigArr(col("t"), 3, 4).as("mh"),
+        TextOps.wordNgrams(col("t"), 3).as("sh"))
+    for (seed <- 0 until 4) {
+      val diff = sig.select(element_at(col("mh"), seed + 1).as("f"),
+          native.minhash(col("sh"), seed).as("p"))
+        .filter(!(col("f") <=> col("p")))
+      assert(diff.count() == 0, s"fused signature diverges at seed $seed")
+    }
+    // band concat over the fused signature == per-seed lshBands,
+    // including NULL propagation for sub-3-token docs
+    val bandDiff = sig.select(
+        native.lshBandsFromSig(col("mh"), 4, 2).zipWithIndex.map {
+          case (c, i) => c.as(s"f$i") }: _*)
+      .collect().map(_.toSeq)
+    val perSeed = sig.select(
+        native.lshBands(col("sh"), 4, 2).zipWithIndex.map {
+          case (c, i) => c.as(s"p$i") }: _*)
+      .collect().map(_.toSeq)
+    assert(bandDiff.toSeq == perSeed.toSeq, "fused bands diverge from per-seed bands")
+  }
+
+  test("native charTrigrams == builtin transform(sequence)/substr chain") {
+    val builtin = when(length(lower(col("text"))) >= 3,
+      transform(sequence(lit(1), length(lower(col("text"))) - 2),
+        i => lower(col("text")).substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val diff = docs.select(builtin.as("b"),
+        TextOps.charTrigrams(lower(col("text"))).as("n"))
+      .filter(!(col("b") <=> col("n")))
+    assert(diff.count() == 0)
+    // short and NULL inputs both yield the empty array
+    import spark.implicits._
+    val edge = Seq(("ab"), (null: String)).toDF("t")
+      .select(TextOps.charTrigrams(col("t")).as("n"))
+      .collect().map(_.getSeq[String](0))
+    assert(edge.forall(_.isEmpty))
+    // multi-byte code points are CHAR-indexed, not byte-indexed
+    val uni = Seq("aßc∂e").toDF("t")
+      .select(TextOps.charTrigrams(col("t")).as("n")).head().getSeq[String](0)
+    assert(uni == Seq("aßc", "ßc∂", "c∂e"))
+  }
+
   test("native simhash32 == builtin simhash32 when the token array has NULL elements") {
     // builtin: md5(NULL) propagates NULL into when(...).otherwise(-1), so a
     // NULL token votes -1 on all 32 bits; the native expr must match.

@@ -153,6 +153,27 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 1L, 9L -> 1L))
   }
 
+  test("clusterPairsStar == clusterPairs on chains, cliques, duplicates, and seeded random graphs") {
+    // two genuinely different distributed CC algorithms (label
+    // propagation with path halving vs large-star/small-star edge
+    // contraction) must emit the identical (vertex, component-min)
+    // frame on any input — including the 41-chain that stresses round
+    // counts and a duplicate-both-ways edge
+    def both(pairs: org.apache.spark.sql.DataFrame): Unit = {
+      val a = TextOps.clusterPairs(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val b = TextOps.clusterPairsStar(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(a == b, s"CC algorithms disagree: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
+    }
+    both(((0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L),
+        (200L, 201L), (201L, 200L), (300L, 301L))).toDF("id_a", "id_b"))
+    val rng = new scala.util.Random(7)
+    both((1 to 150).map(_ => (rng.nextInt(70).toLong, rng.nextInt(70).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b"))
+  }
+
   test("clusterPairs: path-halving converges a 64-chain in O(log) rounds") {
     // A 64-node path graph has diameter 63: pure 1-hop min-label
     // propagation needs ~63 rounds and would NOT converge within
