@@ -334,6 +334,12 @@ object native {
     bloom.writeTo(bos)
     toCol(BloomMightContainLong(toExpr(key.cast("long")), bos.toByteArray))
   }
+  /** Distributed Bloom BUILD aggregate over a long key — serialized
+    * filter bytes per group (see [[BloomBuild]]).
+    */
+  def bloomBuild(key: Column, expectedItems: Long, fpp: Double): Column =
+    toCol(BloomBuild(toExpr(key.cast("long")), expectedItems, fpp)
+      .toAggregateExpression())
   /** Codegen'd sign-mask pack: bit j of the result ⇔ vec[start+j] > 0
     * (null/out-of-range element ⇒ 0; NULL array ⇒ NULL). One JVM loop
     * per row vs 32 chained `when(element_at…)`s.

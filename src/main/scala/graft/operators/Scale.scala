@@ -503,6 +503,51 @@ object Scale {
       .agg(min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"),
         count(lit(1)).as("n_rows"))
 
+  /** Per-file BLOOM manifest — the point-lookup complement of
+    * [[zoneMap]]'s min/max: one scan groups by `_metadata.file_path`
+    * and folds `keyCol` into a fixed-geometry Bloom filter per file
+    * (the Delta/Iceberg bloom-index shape). Zone maps prune RANGES on
+    * clustered columns; blooms prune EXACT keys on columns the layout
+    * did NOT cluster — where every file's min/max spans the whole
+    * domain and min/max skipping is useless. Returns
+    * (file, bloom bytes, n_rows); file-count-sized like every manifest
+    * here.
+    */
+  def bloomManifest(spark: SparkSession, path: String, keyCol: String,
+                    expectedPerFile: Long, fpp: Double): DataFrame =
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file"), col(keyCol))
+      .groupBy("file")
+      .agg(graft.functions.native.bloomBuild(col(keyCol), expectedPerFile, fpp)
+          .as("bloom"),
+        count(lit(1)).as("n_rows"))
+
+  /** Bloom-pruned point-lookup read: keep only files whose bloom says
+    * at least one probe key MIGHT be present (a bloom "no" is proof of
+    * absence, so pruning is conservative-exact; false positives only
+    * cost an extra file read), then re-apply the exact IN-list to the
+    * survivors. The manifest is collected driver-side (file-count
+    * bounded, the [[readZonePruned]] contract) and each file's filter
+    * is probed with every key — keys.length × files bitset probes.
+    * Returns (pruned frame, files read, files total).
+    */
+  def readBloomPruned(spark: SparkSession, path: String, manifest: DataFrame,
+                      keyCol: String, keys: Seq[Long]): (DataFrame, Int, Int) = {
+    require(keys.nonEmpty, "readBloomPruned needs at least one probe key")
+    val entries = manifest.select(col("file"), col("bloom")).collect()
+    val keep = entries.collect {
+      case r if !r.isNullAt(1) && {
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        keys.exists(bf.mightContainLong)
+      } => r.getString(0)
+    }
+    val base =
+      if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (base.filter(col(keyCol).isin(keys: _*)), keep.length, entries.length)
+  }
+
   /** Zone-pruned range read: keep only files whose [min_v, max_v] zone
     * intersects [lo, hi] (collected from the manifest — bounded by file
     * count, the same driver-side-list contract as [[compactParquet]]),

@@ -399,6 +399,36 @@ object IoQueries {
         (out, zones)
       })
 
+  /** h11's BLOOM-INDEXED layout: documents clustered by SOURCE into 8
+    * files (so doc_id SCATTERS — source ≡ doc_id % 20, every file's
+    * doc_id min/max spans nearly the whole domain and min/max skipping
+    * is provably useless), with a per-file Bloom manifest over doc_id
+    * built in ONE grouped-aggregate scan
+    * ([[graft.operators.Scale.bloomManifest]]). Returns (path,
+    * manifest rows (file, bloom bytes)). Memoized per table
+    * fingerprint like [[zonedDocs]].
+    */
+  private val bloomCopies = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(String, Array[Byte])])]()
+
+  private[graft] def bloomDocs(s: SparkSession, d: String)
+      : (String, Array[(String, Array[Byte])]) =
+    bloomCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "bloomed_").toString
+        Tables.documents(s, d)
+          .repartitionByRange(8, col("source"))
+          .sortWithinPartitions("source")
+          .write.mode("overwrite").parquet(out)
+        val manifest = graft.operators.Scale
+          .bloomManifest(s, out, "doc_id", expectedPerFile = 4096, fpp = 0.01)
+          .select(col("file"), col("bloom"))
+          .collect()
+          .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+        (out, manifest)
+      })
+
   /** Z-ORDERED layout of documents on (n_chars, doc_id) for h3: the
     * real [[graft.operators.Scale.zOrderBy]] Morton rewrite into 8
     * files, with a per-file manifest carrying min/max of BOTH
@@ -532,6 +562,48 @@ object IoQueries {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM documents WHERE source >= 'src2' AND source <= 'src4'
         GROUP BY source ORDER BY source""")),
+
+    // h11: BLOOM-FILTER FILE SKIPPING — the point-lookup complement
+    // that completes the data-skipping ladder (h2 min/max ranges, h3
+    // z-order boxes, h10 string ranges): the layout clusters SOURCE,
+    // so each file's doc_id min/max spans nearly the whole domain —
+    // provably un-prunable by zone maps (the query requires it) — yet
+    // a 5-key point lookup must NOT scan the table. The per-file Bloom
+    // manifest (built in ONE grouped-aggregate scan — the Delta bloom
+    // index shape) answers "definitely absent" per file; a bloom "no"
+    // is proof, so pruning is conservative-exact and false positives
+    // only cost an extra file read. The query requires real skipping
+    // (≤ 6 of 8 files at fpp=1%) in-band, then hashes the looked-up
+    // rows against the plain IN-list oracle. At 100 TB this is the
+    // difference between a point lookup touching a handful of files
+    // and a full scan on every id fetch.
+    Q("h11_bloom_skipping",
+      (s, d) => {
+        val (path, entries) = bloomDocs(s, d)
+        val manifest = {
+          import s.implicits._
+          entries.toSeq.toDF("file", "bloom")
+        }
+        val keys = Seq(3L, 77L, 191L, 302L, 441L)
+        // the layout's zone maps must be USELESS for this probe — pin
+        // the premise, not just the conclusion
+        val zones = graft.operators.Scale.zoneMap(s, path, "doc_id")
+          .select(col("min_v").cast("long"), col("max_v").cast("long")).collect()
+        val zonePrunable = zones.count(z =>
+          keys.forall(k => k < z.getLong(0) || k > z.getLong(1)))
+        require(zonePrunable == 0,
+          s"h11 premise broken: min/max would already skip $zonePrunable files")
+        val (pruned, read, total) = graft.operators.Scale
+          .readBloomPruned(s, path, manifest, "doc_id", keys)
+        require(total == 8 && read <= 6,
+          s"h11: bloom index must actually skip files (read $read of $total)")
+        pruned.select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, source, lang, n_chars
+        FROM documents WHERE doc_id IN (3, 77, 191, 302, 441)
+        ORDER BY doc_id""")),
 
     // h3: MULTI-DIMENSION (Z-ORDER) DATA SKIPPING — h2 prunes files by
     // ONE clustered column; h3 is the Delta/Iceberg liquid-layout move

@@ -686,6 +686,59 @@ object VectorQueries {
         WHERE rnk <= $topK ORDER BY qid, rnk"""
   }
 
+  /** v30 oracle: the exact relevance shortlist, the candidate-pair sim
+    * frame, and the 5-round greedy MMR trajectory unrolled as CTEs —
+    * round r computes each remaining candidate's max-sim against the
+    * selected set sel_{r-1} and argmaxes 0.7·rel − 0.3·maxsim (ties by
+    * nid), exactly the Spark loop. Cosines via list_cosine_similarity
+    * (bit-matches rawDot/(n·n) — v1/v2's proven pairing).
+    */
+  private def mmrOracle(shortlist: Int, k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""
+        m$r AS (
+          SELECT s.qid, s.na AS nid, max(s.sim) AS ms
+          FROM sims s JOIN sel${r - 1} t ON s.qid = t.qid AND s.nb = t.nid
+          GROUP BY 1, 2),
+        p$r AS (
+          SELECT qid, nid, $r AS rnk FROM (
+            SELECT c.qid, c.nid,
+                   row_number() OVER (PARTITION BY c.qid
+                     ORDER BY 0.7 * c.rel - 0.3 * m.ms DESC, c.nid ASC) AS rn
+            FROM cand c JOIN m$r m ON c.qid = m.qid AND c.nid = m.nid
+            WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} t
+                              WHERE t.qid = c.qid AND t.nid = c.nid))
+          WHERE rn = 1),
+        sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r)"""
+    }.mkString(",")
+    s"""
+        WITH q AS (
+          SELECT vec_id AS qid, ${castD.format("embedding")} AS qd
+          FROM embeddings WHERE vec_id < 10),
+        corp AS (SELECT vec_id, ${castD.format("embedding")} AS cd FROM embeddings),
+        scoredR AS (
+          SELECT q.qid, e.vec_id AS nid,
+                 list_cosine_similarity(q.qd, e.cd) AS rel, e.cd
+          FROM q CROSS JOIN corp e WHERE e.vec_id != q.qid),
+        cand AS MATERIALIZED (
+          SELECT qid, nid, rel, cd FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY rel DESC, nid ASC) AS rn
+            FROM scoredR)
+          WHERE rn <= $shortlist),
+        sims AS MATERIALIZED (
+          SELECT a.qid, a.nid AS na, b.nid AS nb,
+                 list_cosine_similarity(a.cd, b.cd) AS sim
+          FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid != b.nid),
+        sel1 AS (
+          SELECT qid, nid, 1 AS rnk FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                     ORDER BY rel DESC, nid ASC) AS rn
+            FROM cand)
+          WHERE rn = 1),$rounds
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid FROM sel$k ORDER BY qid, rnk"""
+  }
+
   /** v11 oracle: replays the per-subspace deterministic fits (shared
     * sample + seed rows), the corpus encoding, and the asymmetric-
     * distance ranking in SQL — the PQ analogue of [[ivfOracle]].
@@ -2645,6 +2698,74 @@ object VectorQueries {
       (s, d) => ivfPqResidualTopK(s, d, nProbe = 3),
       Some(ivfPqResidualOracle(nCentroids = 8, nProbe = 3, m = 8,
         subDims = 8, k = 64, topK = 5, permille = 200))),
+
+    // v30: MMR DIVERSIFIED RE-RANKING (maximal marginal relevance,
+    // Carbonell & Goldstein '98) — the retrieval op RAG serving stacks
+    // run between ANN and the prompt: a pure top-k returns five
+    // near-duplicates of the same passage; MMR greedily picks
+    // argmax λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s), trading relevance
+    // against redundancy with what's already selected. Exact top-20
+    // relevance shortlist (v1's machinery, vectors carried), pairwise
+    // candidate sims computed once (20×20 per query — shortlist²,
+    // never corpus²), then 5 greedy rounds, each one max-sim aggregate
+    // + one window argmax over ≤20 rows per query, ties by nid. The
+    // oracle unrolls the identical greedy trajectory as 5 CTE rounds —
+    // a tie broken differently or a stale max-sim re-ranks everything
+    // downstream, so the full (qid, rnk, nid) sequence is pinned.
+    // Scale: candidate and sim frames are (queries × shortlist)-sized
+    // and localCheckpointed; the corpus is touched once, by the
+    // shortlist scan.
+    Q("v30_mmr_rerank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = preparedEmbeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("__cd").as("__qd"),
+            col("__cn").as("__qn"))
+        val scored = broadcast(queries).crossJoin(emb)
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            (graft.functions.native.dotD(col("__qd"), col("__cd"))
+              / (col("__qn") * col("__cn"))).as("rel"),
+            col("__cd").as("cd"), col("__cn").as("cn"))
+        val wRel = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid").asc)
+        val cand = scored.withColumn("rn", row_number().over(wRel))
+          .filter(col("rn") <= 20).drop("rn")
+          .localCheckpoint()
+        val sims = cand.select(col("qid"), col("nid").as("na"),
+            col("cd").as("ca"), col("cn").as("nna"))
+          .join(cand.select(col("qid"), col("nid").as("nb"),
+            col("cd").as("cb"), col("cn").as("nnb")), "qid")
+          .filter(col("na") =!= col("nb"))
+          .select(col("qid"), col("na"), col("nb"),
+            (graft.functions.native.dotD(col("ca"), col("cb"))
+              / (col("nna") * col("nnb"))).as("sim"))
+          .localCheckpoint()
+        var selected = cand.withColumn("rn", row_number().over(wRel))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("nid"), lit(1L).as("rnk"))
+        for (r <- 2 to 5) {
+          val ms = sims
+            .join(selected.select(col("qid"), col("nid").as("nb")), Seq("qid", "nb"))
+            .groupBy(col("qid"), col("na").as("nid"))
+            .agg(max(col("sim")).as("ms"))
+          val wMmr = Window.partitionBy("qid").orderBy(
+            (lit(0.7) * col("rel") - lit(0.3) * col("ms")).desc, col("nid").asc)
+          val pick = cand
+            .join(selected.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+            .join(ms, Seq("qid", "nid"))
+            .withColumn("rn", row_number().over(wMmr))
+            .filter(col("rn") === 1)
+            .select(col("qid"), col("nid"), lit(r.toLong).as("rnk"))
+          // checkpoint the (queries × r)-row frame: without it round r
+          // re-derives every earlier round inside its own plan and the
+          // final union re-runs each pick — O(k²) planning/stage work
+          // on tiny data (measured 5.4 s → ~2 s)
+          selected = selected.unionByName(pick).localCheckpoint()
+        }
+        selected.orderBy("qid", "rnk")
+      },
+      Some(mmrOracle(shortlist = 20, k = 5))),
 
     // v26: k-MEANS‖ SCALABLE INITIALIZATION (Bahmani et al., VLDB'12) —
     // the missing first act of every quantizer fit in this file: v4/v18/

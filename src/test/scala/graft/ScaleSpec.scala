@@ -226,6 +226,31 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(finalIds == states.last)
   }
 
+  test("bloomManifest + readBloomPruned: point lookups read only plausible files, results exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/t"
+    // ids scattered across files by an unrelated clustering column, so
+    // per-file id min/max spans everything (the layout zone maps can't
+    // prune) — the bloom-index use case
+    val df = (0L until 4000L).map(i => (i, (i % 8).toString)).toDF("id", "grp")
+    df.repartitionByRange(4, col("grp")).write.parquet(dir)
+    val manifest = Scale.bloomManifest(spark, dir, "id",
+      expectedPerFile = 2048, fpp = 0.01)
+    assert(manifest.count() == 4)
+    // present keys: exact rows back, strictly fewer files than total
+    val keys = Seq(8L, 16L, 1024L)
+    val (pruned, read, total) = Scale.readBloomPruned(spark, dir, manifest, "id", keys)
+    assert(total == 4 && read < total, s"expected skipping, read $read/$total")
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq == keys.sorted)
+    // absent keys: result is EXACTLY empty regardless of false positives
+    val (none, readAbsent, _) =
+      Scale.readBloomPruned(spark, dir, manifest, "id", Seq(999999L, 888888L))
+    assert(none.count() == 0)
+    assert(readAbsent <= total)
+    intercept[IllegalArgumentException] {
+      Scale.readBloomPruned(spark, dir, manifest, "id", Seq.empty)
+    }
+  }
+
   test("compactParquet rewrites many small files into few, content identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
