@@ -530,11 +530,33 @@ object Scale {
     * bounded, the [[readZonePruned]] contract) and each file's filter
     * is probed with every key — keys.length × files bitset probes.
     * Returns (pruned frame, files read, files total).
+    *
+    * FRESHNESS CONTRACT (same as [[readZonePruned]]): the manifest must
+    * describe the table's CURRENT files. A rewrite/compaction that
+    * reuses paths would otherwise let a stale manifest silently skip
+    * files that now contain probe keys, so this read validates the
+    * manifest's file set against the live listing and fails loudly on
+    * any drift — rebuild the manifest ([[bloomManifest]]) after any
+    * layout change.
     */
   def readBloomPruned(spark: SparkSession, path: String, manifest: DataFrame,
                       keyCol: String, keys: Seq[Long]): (DataFrame, Int, Int) = {
     require(keys.nonEmpty, "readBloomPruned needs at least one probe key")
     val entries = manifest.select(col("file"), col("bloom")).collect()
+    val live = {
+      import org.apache.hadoop.fs.Path
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath.toUri.getPath).toSet
+    }
+    val listed = entries.map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    require(listed == live,
+      s"stale bloom manifest for $path: manifest lists ${listed.size} files, " +
+        s"live table has ${live.size} — rebuild the manifest after " +
+        "rewrite/compaction (paths may be reused with different contents)")
     val keep = entries.collect {
       case r if !r.isNullAt(1) && {
         val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -787,7 +809,10 @@ object Scale {
           attempt += 1
           if (attempt > 100) throw new IllegalStateException(
             s"$kind pointer missing at $path despite committed dirs — " +
-              "corrupt table metadata, not a rename race")
+              "corrupt table metadata, not a rename race (or a first-ever " +
+              "writer crashed before publishing its pointer: its leftover " +
+              "data dirs are indistinguishable from a committed table's; " +
+              "re-running that writer overwrites them and repairs this)")
           Thread.sleep(5)
       }
     }

@@ -417,12 +417,16 @@ object IoQueries {
       s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
         val out = java.nio.file.Files
           .createTempDirectory(scratchParent, "bloomed_").toString
-        Tables.documents(s, d)
-          .repartitionByRange(8, col("source"))
+        val docs = Tables.documents(s, d)
+        docs.repartitionByRange(8, col("source"))
           .sortWithinPartitions("source")
           .write.mode("overwrite").parquet(out)
+        // Size each file's filter from the ACTUAL per-file row count so
+        // fpp holds at any sf (a fixed 4096 would overload at larger
+        // scale factors and erode the gate's skipping margin).
+        val perFile = math.max(1024L, docs.count() / 8 + 1)
         val manifest = graft.operators.Scale
-          .bloomManifest(s, out, "doc_id", expectedPerFile = 4096, fpp = 0.01)
+          .bloomManifest(s, out, "doc_id", expectedPerFile = perFile, fpp = 0.01)
           .select(col("file"), col("bloom"))
           .collect()
           .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))

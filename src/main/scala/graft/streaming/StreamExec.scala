@@ -187,8 +187,13 @@ object StreamExec {
     val tmp = root.resolve(s"__${src.getFileName}_all").toString
     all.coalesce(1).write.mode("overwrite").partitionBy("__slice").parquet(tmp)
     val baseMtime = (System.currentTimeMillis() / 1000) * 1000 - 3600L * 1000
+    // Rows with a NULL slice value land in __slice=__HIVE_DEFAULT_PARTITION__;
+    // the old per-slice `=== i` filters dropped them silently, so skip that
+    // dir here to keep the same observable behavior (and avoid toLong blowing
+    // up on the sentinel dir name).
     Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("__slice="))
+      .filter(f => f.isDirectory && f.getName.startsWith("__slice=") &&
+        f.getName.stripPrefix("__slice=").forall(_.isDigit))
       .sortBy(_.getName.stripPrefix("__slice=").toLong)
       .foreach { dir =>
         val i = dir.getName.stripPrefix("__slice=").toInt

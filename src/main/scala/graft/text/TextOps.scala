@@ -963,6 +963,16 @@ object TextOps {
         .groupBy("b").agg(sum(col("y") * col("x")).as("w"))
       w = w.unionByName(delta).groupBy("b").agg(sum("w").as("w"))
         .localCheckpoint()
+      // Overflow guard (the kmeansParallelInit phi-check discipline):
+      // the margin Σ_b x·w wraps silently once max|w| × per-doc feature
+      // mass nears Long range. 2^40 leaves 2^23 ≈ 8.4M of Σ|x| headroom
+      // per doc — far beyond any real corpus row; a violating corpus
+      // must fail loudly, not diverge quietly from the oracle.
+      val maxRow = w.agg(max(abs(col("w")))).head
+      val maxAbsW = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      require(maxAbsW < (1L << 40),
+        s"perceptronTrain weight overflow risk: max|w|=$maxAbsW ≥ 2^40 — " +
+          "margins could wrap; rescale features or reduce epochs")
     }
     w
   }
