@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+
+/** ONE self-pruning read path over the [[Scale]] table protocols — the
+  * round-16 unification: until now zone maps (`readZonePruned`), z-order
+  * boxes (`readBoxPruned`), Bloom manifests (`readBloomPruned`), MoR
+  * deletes (`readMergeOnRead`) and snapshot resolution (`readSnapshot`)
+  * were separate opt-in library calls, so a reader who forgot the right
+  * entry point silently paid a full scan. `GraftTable.read(spark, path)`
+  * resolves the committed generation from the table's pointer, applies
+  * equality deletes, and — through [[GraftFileIndex]] — prunes files from
+  * whatever predicates Catalyst pushes down, AT SCAN PLANNING, with no
+  * explicit prune call. The skipping that used to depend on the caller
+  * remembering it is now behavior of the scan itself (the Delta/Iceberg
+  * reading contract).
+  *
+  * Layouts understood, auto-detected from the table's metadata:
+  *  - snapshot tables (`v=N` dirs + `_latest` pointer, [[Scale.writeSnapshot]])
+  *  - merge-on-read tables (`base_v=N` + `_mor` pointer + `_deletes/d=K`,
+  *    [[Scale.writeMorBase]]/[[Scale.appendDeletes]])
+  *  - plain parquet dirs (no pointer)
+  *
+  * Index manifests live INSIDE the table at `_index/<generation>/…`, keyed
+  * by the immutable generation dir they describe, so a new base/snapshot
+  * simply has no index until [[buildIndex]] runs again — stale-manifest
+  * wrong-pruning is structurally impossible, and reads additionally
+  * validate the manifest's file set against the live listing (the
+  * [[Scale.readBloomPruned]] freshness discipline) in case a caller
+  * rewrote files in place.
+  */
+object GraftTable {
+
+  /** Resolved generation: the immutable data dir, its tag (index subdir
+    * name), and for MoR tables the (base version, delete hwm). */
+  private case class Gen(dataDir: String, tag: String,
+                         mor: Option[(Long, Long)])
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def resolve(spark: SparkSession, path: String): Gen = {
+    val fs = fsFor(spark, path)
+    def dirs(prefix: String): Boolean =
+      fs.exists(new Path(path)) && fs.listStatus(new Path(path)).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith(prefix))
+    if (fs.exists(new Path(path, "_mor")) || dirs("base_v=")) {
+      val (v, hwm) = Scale.pointerOrRetry(path, "merge-on-read",
+        () => Scale.morPointer(spark, path), () => dirs("base_v="))
+      Gen(s"$path/base_v=$v", s"base_v=$v", Some((v, hwm)))
+    } else if (fs.exists(new Path(path, "_latest")) || dirs("v=")) {
+      val v = Scale.pointerOrRetry(path, "snapshot",
+        () => Scale.latestSnapshot(spark, path), () => dirs("v="))
+      Gen(s"$path/v=$v", s"v=$v", None)
+    } else Gen(path, "plain", None)
+  }
+
+  private def dataFiles(spark: SparkSession, dir: String): Seq[FileStatus] =
+    fsFor(spark, dir).listStatus(new Path(dir)).toSeq.filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+
+  /** Build (or rebuild) the table's skipping index for its CURRENT
+    * committed generation: one grouped-aggregate scan per manifest —
+    * min/max zones for `zoneCols` (long or string typed from the data
+    * schema), per-file Bloom filters over `bloomCols` (integral only),
+    * sized from the actual rows-per-file so fpp holds at any scale.
+    * Multi-column z-order layouts need no special manifest: a zone entry
+    * per dimension IS the per-file bounding box, and conjunctive
+    * predicates prune on each axis independently (readBoxPruned's
+    * semantics, compositionally).
+    *
+    * `morKey` names the base column equality deletes apply to
+    * (merge-on-read tables only); it is recorded in `_graft_key` so the
+    * READ needs zero arguments.
+    */
+  def buildIndex(spark: SparkSession, path: String,
+                 zoneCols: Seq[String] = Nil,
+                 bloomCols: Seq[String] = Nil,
+                 morKey: Option[String] = None,
+                 fpp: Double = 0.01): Unit = {
+    val g = resolve(spark, path)
+    val fs = fsFor(spark, path)
+    val schema = spark.read.parquet(g.dataDir).schema
+    val idxDir = s"$path/_index/${g.tag}"
+    zoneCols.foreach { c =>
+      val kind = schema(c).dataType match {
+        case StringType => "str"
+        case ByteType | ShortType | IntegerType | LongType => "long"
+        case other => sys.error(s"buildIndex: unsupported zone type $other for $c")
+      }
+      Scale.zoneMap(spark, g.dataDir, c)
+        .select(col("file"),
+          (if (kind == "long") col("min_v").cast("long") else col("min_v").cast("string")).as("min_v"),
+          (if (kind == "long") col("max_v").cast("long") else col("max_v").cast("string")).as("max_v"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$idxDir/zone_${kind}_$c")
+    }
+    if (bloomCols.nonEmpty) {
+      // count(*) resolves from parquet footers — no data scan
+      val files = dataFiles(spark, g.dataDir)
+      val perFile = math.max(1024L,
+        spark.read.parquet(g.dataDir).count() / math.max(files.size, 1) + 1)
+      bloomCols.foreach { c =>
+        require(Seq[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(schema(c).dataType),
+          s"buildIndex: bloom manifests need an integral column, got $c")
+        Scale.bloomManifest(spark, g.dataDir, c, perFile, fpp)
+          .select(col("file"), col("bloom"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$idxDir/bloom_$c")
+      }
+    }
+    morKey.foreach { k =>
+      val tmp = new Path(path, "_graft_key.tmp")
+      val out = fs.create(tmp, true)
+      out.write(k.getBytes("UTF-8")); out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, new Path(path, "_graft_key"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** The unified read. Plans as a plain V1 parquet relation whose file
+    * LISTING is [[GraftFileIndex]]: filters the caller stacks on top are
+    * pushed down by Catalyst and prune files before the scan starts
+    * (range/equality → zone manifests, equality/IN → Bloom manifests).
+    * MoR deletes ride as a broadcast anti-join ABOVE the pruned scan —
+    * Catalyst pushes left-side predicates through a left-anti join, so
+    * skipping still fires underneath it.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val g = resolve(spark, path)
+    val files = dataFiles(spark, g.dataDir)
+    require(files.nonEmpty, s"no parquet data files under ${g.dataDir}")
+    val schema = spark.read.parquet(g.dataDir).schema
+    val (lz, sz, bl) = loadManifests(spark, s"$path/_index/${g.tag}", files)
+    val idx = new GraftFileIndex(new Path(g.dataDir), files, lz, sz, bl)
+    val base = org.apache.spark.sql.graft.bridge.dataFrameFor(spark, idx, schema)
+    g.mor match {
+      case Some((_, hwm)) =>
+        val fs = fsFor(spark, path)
+        val dels = new Path(path, "_deletes")
+        val delDirs =
+          if (!fs.exists(dels)) Seq.empty
+          else fs.listStatus(dels).toSeq.map(_.getPath)
+            .collect { case p if p.getName.startsWith("d=") &&
+              p.getName.stripPrefix("d=").toLong >= hwm => p.toString }
+        if (delDirs.isEmpty) base
+        else {
+          val keyPath = new Path(path, "_graft_key")
+          require(fs.exists(keyPath),
+            s"merge-on-read table $path has deletes but no _graft_key — " +
+              "run GraftTable.buildIndex(..., morKey = Some(<col>)) once, " +
+              "or read via Scale.readMergeOnRead(path, keyCol)")
+          val in = fs.open(keyPath)
+          val keyCol = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                       finally in.close()
+          val keys = spark.read.parquet(delDirs: _*)
+          require(keys.schema.head.dataType == schema(keyCol).dataType,
+            s"delete key type ${keys.schema.head.dataType} does not match " +
+              s"base column $keyCol: ${schema(keyCol).dataType}")
+          base.join(broadcast(keys.toDF(keyCol).distinct()), Seq(keyCol), "left_anti")
+        }
+      case None => base
+    }
+  }
+
+  /** (files read, files total) for a frame rooted at [[read]] — executes
+    * the frame's real plan and reads the scan's own `numFiles` metric, so
+    * the number proves the PUSHED-DOWN pruning, not a side computation.
+    */
+  def scanFiles(df: DataFrame): (Long, Long) =
+    org.apache.spark.sql.graft.bridge.scanFileCounts(df,
+      _.isInstanceOf[GraftFileIndex])
+
+  /** Load every manifest present under `idxDir` (none → no pruning, the
+    * conservative default). Each manifest's file set must match the live
+    * data listing — a mismatch means files were rewritten in place under
+    * an index built for different contents, which must fail loudly, never
+    * skip wrongly.
+    */
+  private def loadManifests(spark: SparkSession, idxDir: String,
+                            files: Seq[FileStatus])
+      : (Map[String, Map[String, (Long, Long)]],
+         Map[String, Map[String, (Array[Byte], Array[Byte])]],
+         Map[String, Map[String, Array[Byte]]]) = {
+    val fs = fsFor(spark, idxDir)
+    if (!fs.exists(new Path(idxDir))) return (Map.empty, Map.empty, Map.empty)
+    val live = files.map(_.getPath.toUri.getPath).toSet
+    def fileKey(s: String): String = new java.net.URI(s).getPath
+    def validate(name: String, listed: Set[String]): Unit =
+      require(listed == live,
+        s"stale index manifest $name: lists ${listed.size} files, live " +
+          s"generation has ${live.size} — rebuild with GraftTable.buildIndex")
+    var lz = Map.empty[String, Map[String, (Long, Long)]]
+    var sz = Map.empty[String, Map[String, (Array[Byte], Array[Byte])]]
+    var bl = Map.empty[String, Map[String, Array[Byte]]]
+    fs.listStatus(new Path(idxDir)).filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("zone_long_")) {
+        val c = name.stripPrefix("zone_long_")
+        val m = spark.read.parquet(st.getPath.toString).collect()
+          .map(r => fileKey(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+        validate(name, m.keySet); lz += c -> m
+      } else if (name.startsWith("zone_str_")) {
+        val c = name.stripPrefix("zone_str_")
+        val m = spark.read.parquet(st.getPath.toString).collect()
+          .map(r => fileKey(r.getString(0)) ->
+            (r.getString(1).getBytes("UTF-8"), r.getString(2).getBytes("UTF-8"))).toMap
+        validate(name, m.keySet); sz += c -> m
+      } else if (name.startsWith("bloom_")) {
+        val c = name.stripPrefix("bloom_")
+        val m = spark.read.parquet(st.getPath.toString).collect()
+          .map(r => fileKey(r.getString(0)) -> r.getAs[Array[Byte]](1)).toMap
+        validate(name, m.keySet); bl += c -> m
+      }
+    }
+    (lz, sz, bl)
+  }
+}

@@ -796,7 +796,7 @@ object Scale {
     * writer is mid-swap (retry) — or, after the retry budget, corrupt
     * metadata (loud error, per vacuumSnapshots's discipline).
     */
-  private def pointerOrRetry[T](path: String, kind: String,
+  private[operators] def pointerOrRetry[T](path: String, kind: String,
                                 read: () => Option[T],
                                 committedEvidence: () => Boolean): T = {
     var attempt = 0

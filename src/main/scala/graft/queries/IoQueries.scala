@@ -155,6 +155,36 @@ object IoQueries {
           docs.filter(col("n_chars") < 200).select("doc_id"))
         graft.operators.Scale.appendDeletes(s, out,
           docs.filter(col("lang") === "de").select("doc_id"))
+        // record the delete key so the unified zero-argument read (h7)
+        // can reconcile without being told the column
+        graft.operators.GraftTable.buildIndex(s, out, morKey = Some("doc_id"))
+        out
+      })
+
+  /** h12's UNIFIED table: every protocol the round-16 [[graft.operators.GraftTable]]
+    * read path resolves WITHOUT the caller asking — a merge-on-read base
+    * clustered by n_chars into 8 files, an equality-delete file
+    * (doc_id % 97 = 0), and a persisted skipping index (n_chars zones +
+    * doc_id blooms + the delete key). Memoized per table fingerprint
+    * like [[morDocs]].
+    */
+  private val unifiedCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def unifiedDocs(s: SparkSession, d: String): String =
+    unifiedCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "unified_").toString
+        val docs = Tables.documents(s, d)
+        graft.operators.Scale.writeMorBase(s, out, docs
+          .repartitionByRange(8, col("n_chars"))
+          .sortWithinPartitions("n_chars"))
+        graft.operators.Scale.appendDeletes(s, out,
+          docs.filter(col("doc_id") % 97 === 0).select("doc_id"))
+        graft.operators.GraftTable.buildIndex(s, out,
+          zoneCols = Seq("n_chars"), bloomCols = Seq("doc_id"),
+          morKey = Some("doc_id"))
         out
       })
 
@@ -370,6 +400,9 @@ object IoQueries {
           .select(col("file"), col("min_v").cast("long"), col("max_v").cast("long"))
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        // persist the same stats as a GraftTable index so the UNIFIED
+        // read path (h2) prunes from pushed-down predicates alone
+        graft.operators.GraftTable.buildIndex(s, out, zoneCols = Seq("n_chars"))
         (out, zones)
       })
 
@@ -396,6 +429,7 @@ object IoQueries {
             col("max_v").cast("string"))
           .collect()
           .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        graft.operators.GraftTable.buildIndex(s, out, zoneCols = Seq("source"))
         (out, zones)
       })
 
@@ -421,12 +455,12 @@ object IoQueries {
         docs.repartitionByRange(8, col("source"))
           .sortWithinPartitions("source")
           .write.mode("overwrite").parquet(out)
-        // Size each file's filter from the ACTUAL per-file row count so
-        // fpp holds at any sf (a fixed 4096 would overload at larger
-        // scale factors and erode the gate's skipping margin).
-        val perFile = math.max(1024L, docs.count() / 8 + 1)
-        val manifest = graft.operators.Scale
-          .bloomManifest(s, out, "doc_id", expectedPerFile = perFile, fpp = 0.01)
+        // ONE grouped-aggregate manifest build, persisted as the table's
+        // GraftTable index (filters sized from actual rows-per-file so
+        // fpp holds at any sf); the memoized entries are read back from
+        // the same index — no second manifest scan.
+        graft.operators.GraftTable.buildIndex(s, out, bloomCols = Seq("doc_id"))
+        val manifest = s.read.parquet(s"$out/_index/plain/bloom_doc_id")
           .select(col("file"), col("bloom"))
           .collect()
           .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
@@ -461,6 +495,10 @@ object IoQueries {
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
             r.getLong(3), r.getLong(4)))
+        // one zone entry per dimension IS the per-file bounding box —
+        // conjunctive pushed-down predicates prune each axis independently
+        graft.operators.GraftTable.buildIndex(s, out,
+          zoneCols = Seq("n_chars", "doc_id"))
         (out, zones)
       })
 
@@ -520,13 +558,16 @@ object IoQueries {
     // itself is asserted, not assumed.
     Q("h2_zonemap_skipping",
       (s, d) => {
-        val (path, zones) = zonedDocs(s, d)
-        val manifest = {
-          import s.implicits._
-          zones.toSeq.toDF("file", "min_v", "max_v")
-        }
-        val (pruned, _, _) = graft.operators.Scale
-          .readZonePruned(s, path, manifest, "n_chars", 450L, 10000L)
+        // round-16 unification: the read is a PLAIN filter over
+        // GraftTable.read — file skipping happens inside the scan's own
+        // listing from the pushed-down range, no explicit prune call
+        // (readZonePruned remains the library form; ScaleSpec covers it)
+        val (path, _) = zonedDocs(s, d)
+        val pruned = graft.operators.GraftTable.read(s, path)
+          .filter(col("n_chars").between(450L, 10000L))
+        val (read, total) = graft.operators.GraftTable.scanFiles(pruned)
+        require(read < total,
+          s"h2: pushed-down zone pruning must skip files (read $read of $total)")
         pruned.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -549,13 +590,12 @@ object IoQueries {
     // files; CatalogIoSpec asserts files are actually skipped.
     Q("h10_string_zonemap",
       (s, d) => {
-        val (path, zones) = zonedDocsStr(s, d)
-        val manifest = {
-          import s.implicits._
-          zones.toSeq.toDF("file", "min_v", "max_v")
-        }
-        val (pruned, _, _) = graft.operators.Scale
-          .readZonePrunedStr(s, path, manifest, "source", "src2", "src4")
+        val (path, _) = zonedDocsStr(s, d)
+        val pruned = graft.operators.GraftTable.read(s, path)
+          .filter(col("source") >= "src2" && col("source") <= "src4")
+        val (read, total) = graft.operators.GraftTable.scanFiles(pruned)
+        require(read < total,
+          s"h10: pushed-down string-zone pruning must skip files (read $read of $total)")
         pruned.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -597,8 +637,12 @@ object IoQueries {
           keys.forall(k => k < z.getLong(0) || k > z.getLong(1)))
         require(zonePrunable == 0,
           s"h11 premise broken: min/max would already skip $zonePrunable files")
-        val (pruned, read, total) = graft.operators.Scale
-          .readBloomPruned(s, path, manifest, "doc_id", keys)
+        // unified read: the IN-list is pushed down and probed against the
+        // table's persisted Bloom index inside the scan's file listing
+        val _ = manifest // memoized entries kept for spec-side probes
+        val pruned = graft.operators.GraftTable.read(s, path)
+          .filter(col("doc_id").isin(keys: _*))
+        val (read, total) = graft.operators.GraftTable.scanFiles(pruned)
         require(total == 8 && read <= 6,
           s"h11: bloom index must actually skip files (read $read of $total)")
         pruned.select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
@@ -608,6 +652,42 @@ object IoQueries {
         SELECT doc_id, source, lang, n_chars
         FROM documents WHERE doc_id IN (3, 77, 191, 302, 441)
         ORDER BY doc_id""")),
+
+    // h12: THE UNIFIED SELF-PRUNING TABLE READ — the round-16 engine
+    // step past the h2/h3/h10/h11 ladder: those queries each CALL a
+    // pruning function; h12's read site is nothing but
+    // `GraftTable.read(path).filter(...)`. The scan itself resolves the
+    // merge-on-read pointer, fences deletes at the hwm, reconciles them
+    // through a broadcast anti-join, and — inside its own file listing —
+    // prunes files from the predicates Catalyst pushed down against the
+    // table's persisted zone index (the Delta/Iceberg reading contract:
+    // skipping as table behavior, not caller discipline — the property
+    // that actually survives an org at 100 TB). The in-band require
+    // reads the scan's own numFiles metric, so the proof is the plan's,
+    // not a side computation; the oracle is the plain
+    // predicate-plus-delete complement over the original table, so a
+    // read that skipped a file WRONGLY (or lost/double-applied a
+    // delete) breaks the hash, not just the require.
+    Q("h12_unified_table_read",
+      (s, d) => {
+        val path = unifiedDocs(s, d)
+        val df = graft.operators.GraftTable.read(s, path)
+          .filter(col("n_chars").between(450L, 10000L))
+        val (read, total) = graft.operators.GraftTable.scanFiles(df)
+        require(read < total,
+          s"h12: unified read must prune files from pushed-down " +
+            s"predicates alone (read $read of $total)")
+        df.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents
+        WHERE n_chars BETWEEN 450 AND 10000 AND doc_id % 97 <> 0
+        GROUP BY lang ORDER BY lang""")),
 
     // h3: MULTI-DIMENSION (Z-ORDER) DATA SKIPPING — h2 prunes files by
     // ONE clustered column; h3 is the Delta/Iceberg liquid-layout move
@@ -622,13 +702,18 @@ object IoQueries {
     // the 3-D non-leading-dimension case) on controlled layouts.
     Q("h3_zorder_skipping",
       (s, d) => {
-        val (path, zones) = zorderedDocs(s, d)
-        val manifest = {
-          import s.implicits._
-          zones.toSeq.toDF("file", "min_a", "max_a", "min_b", "max_b")
-        }
-        val (pruned, _, _) = graft.operators.Scale.readBoxPruned(
-          s, path, manifest, "n_chars", 150L, 400L, "doc_id", 100L, 2600L)
+        val (path, _) = zorderedDocs(s, d)
+        // two pushed-down ranges prune each z-order axis independently —
+        // the per-file bounding-box intersection of readBoxPruned, now as
+        // scan behavior
+        val pruned = graft.operators.GraftTable.read(s, path)
+          .filter(col("n_chars").between(150L, 400L) &&
+            col("doc_id").between(100L, 2600L))
+        // no in-band skip require: at small sf the doc_id domain sits
+        // entirely inside the probe box, so every file legitimately
+        // intersects (the old readBoxPruned read 8/8 there too); the
+        // skipping itself is pinned on controlled layouts by ScaleSpec
+        // and GraftTableSpec, and correctness never depends on pruning
         pruned.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -752,7 +837,9 @@ object IoQueries {
     // preserves this exact view).
     Q("h7_merge_on_read",
       (s, d) => {
-        graft.operators.Scale.readMergeOnRead(s, morDocs(s, d), "doc_id")
+        // unified zero-argument read: pointer + hwm-fenced deletes
+        // resolved from table metadata (_graft_key names the key column)
+        graft.operators.GraftTable.read(s, morDocs(s, d))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))

@@ -37,6 +37,71 @@ object bridge {
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)
 
+  /** A DataFrame over a CUSTOM [[org.apache.spark.sql.execution.datasources.FileIndex]]
+    * — the extension seam Delta/Iceberg use for file-level data skipping:
+    * the index's `listFiles(partitionFilters, dataFilters)` sees the
+    * pushed-down predicates at scan planning and decides which files the
+    * scan reads. Construction goes through the V1 parquet relation so the
+    * scan keeps vectorized reads, parquet predicate pushdown, and
+    * whole-stage codegen; only the file LISTING is ours. `Dataset.ofRows`
+    * and the classic session are `private[sql]`, hence this shim.
+    */
+  def dataFrameFor(spark: org.apache.spark.sql.SparkSession,
+                   index: org.apache.spark.sql.execution.datasources.FileIndex,
+                   dataSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options = Map.empty)(cs)
+    org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+  }
+
+  /** Post-execution (files read, files total) off the plan's OWN
+    * accounting: forces the frame's final physical plan to run, then sums
+    * the `numFiles` metric of every parquet scan under it (descending
+    * into the AQE-finalized plan — both metric and plan access are
+    * `private[sql]`-adjacent, hence here). `total` comes from each scan's
+    * FileIndex listing with NO filters. The honest observable for
+    * "did the pushed-down predicate actually skip files".
+    */
+  def scanFileCounts(df: org.apache.spark.sql.DataFrame,
+                     indexFilter: org.apache.spark.sql.execution.datasources.FileIndex => Boolean
+                       = _ => true): (Long, Long) = {
+    val qe = df.queryExecution
+    qe.toRdd.count() // execute the real plan so scan metrics populate
+    // explicit recursion: AdaptiveSparkPlanExec, QueryStageExec, and
+    // ReusedExchangeExec are LEAF nodes hiding real subplans — a plain
+    // TreeNode collect would miss every scan under an AQE stage
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val self = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scansOf(r.child)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(scansOf)
+    }
+    val scans = scansOf(qe.executedPlan)
+      .filter(s => indexFilter(s.relation.location))
+      .distinct // a reused exchange must not double-count its scan
+    val read = scans.map(_.metrics("numFiles").value).sum
+    val total = scans.map(_.relation.location.listFiles(Nil, Nil)
+      .map(_.files.length.toLong).sum).sum
+    (read, total)
+  }
+
   /** The session's lifetime-unique UUID when the concrete classic session
     * exposes one (`private[sql]` in the API, hence this shim), else an
     * identity-hash fallback. Cache keys use it so entries from two

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GraftTable, Scale}
+
+/** The unified self-pruning read path: pointer resolution + MoR deletes
+  * + manifest-driven file skipping from PUSHED-DOWN predicates, with no
+  * explicit prune call at the read site.
+  */
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  // 4k rows, v clustered across 8 files by repartitionByRange
+  private def clusteredDf = spark.range(4000)
+    .select(col("id").as("k"), (col("id") % 4000).as("v"),
+      concat(lit("cat"),
+        lpad((col("id") / 500).cast("long").cast("string"), 2, "0")).as("s"))
+    .repartitionByRange(8, col("v"))
+    .sortWithinPartitions("v")
+
+  test("snapshot table: plain filtered read prunes files via pushed-down range") {
+    val path = tmp("gt_snap")
+    Scale.writeSnapshot(spark, path, clusteredDf)
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("v"))
+    val df = GraftTable.read(spark, path).filter(col("v") >= 100 && col("v") <= 400)
+    val (read, total) = GraftTable.scanFiles(df)
+    assert(total == 8, s"expected 8 files, saw $total")
+    assert(read <= 2, s"zone pruning must skip files: read $read of $total")
+    val got = df.select("k").as[Long].collect().sorted
+    assert(got.toSeq == (100L to 400L).toSeq)
+  }
+
+  test("snapshot table: read resolves the LATEST version") {
+    val path = tmp("gt_vers")
+    Scale.writeSnapshot(spark, path, Seq((1L, 10L)).toDF("k", "v"))
+    Scale.writeSnapshot(spark, path, Seq((2L, 20L), (3L, 30L)).toDF("k", "v"))
+    val got = GraftTable.read(spark, path).select("k").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("string zone pruning compares unsigned UTF-8, conservatively") {
+    val path = tmp("gt_str")
+    Scale.writeSnapshot(spark, path, clusteredDf
+      .repartitionByRange(8, col("s")).sortWithinPartitions("s"))
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("s"))
+    val df = GraftTable.read(spark, path).filter(col("s") === "cat03")
+    val (read, total) = GraftTable.scanFiles(df)
+    assert(total >= 7 && read <= 2, s"string zone must prune: $read of $total")
+    assert(df.count() == 500)
+  }
+
+  test("bloom manifest prunes IN-list lookups on a scattered key") {
+    val path = tmp("gt_bloom")
+    // cluster by v but probe k — k scatters, zones on k are useless
+    Scale.writeSnapshot(spark, path, spark.range(4000)
+      .select((col("id") * 2654435761L % 4000).as("k"), col("id").as("v"))
+      .repartitionByRange(8, col("v")))
+    GraftTable.buildIndex(spark, path, bloomCols = Seq("k"))
+    val probe = GraftTable.read(spark, path)
+      .filter(col("k").isin(2L, 1338L, 3002L))
+    val (read, total) = GraftTable.scanFiles(probe)
+    assert(total == 8 && read <= 6, s"bloom must skip files: read $read of $total")
+    val expected = spark.read.parquet(s"$path/v=0")
+      .filter(col("k").isin(2L, 1338L, 3002L)).count()
+    assert(probe.count() == expected)
+  }
+
+  test("merge-on-read: deletes applied AND pruning fires beneath the anti-join") {
+    val path = tmp("gt_mor")
+    Scale.writeMorBase(spark, path, clusteredDf)
+    Scale.appendDeletes(spark, path, Seq(150L, 200L, 9999L).toDF("k"))
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("v"), morKey = Some("k"))
+    val df = GraftTable.read(spark, path).filter(col("v").between(100, 400))
+    val (read, total) = GraftTable.scanFiles(df)
+    assert(total == 8 && read <= 2,
+      s"zone pruning must push through the left-anti join: read $read of $total")
+    val got = df.select("k").as[Long].collect().sorted
+    assert(got.toSeq == ((100L to 400L).toSet -- Set(150L, 200L)).toSeq.sorted)
+  }
+
+  test("no index: full scan, correct rows (pruning is pure optimization)") {
+    val path = tmp("gt_noidx")
+    Scale.writeSnapshot(spark, path, clusteredDf)
+    val df = GraftTable.read(spark, path).filter(col("v") < 50)
+    val (read, total) = GraftTable.scanFiles(df)
+    assert(read == total)
+    assert(df.count() == 50)
+  }
+
+  test("stale manifest (files rewritten in place) fails loudly") {
+    val path = tmp("gt_stale")
+    Scale.writeSnapshot(spark, path, clusteredDf)
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("v"))
+    // rewrite the generation dir in place with DIFFERENT file layout
+    clusteredDf.coalesce(2).write.mode("overwrite").parquet(s"$path/v=0")
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.read(spark, path).filter(col("v") < 50).count()
+    }
+    assert(e.getMessage.contains("stale index manifest"))
+  }
+
+  test("unsupported predicate shapes keep all files (conservative)") {
+    val path = tmp("gt_cons")
+    Scale.writeSnapshot(spark, path, clusteredDf)
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("v"))
+    // v % 2 is opaque to the interpreter — must read everything, return exact
+    val df = GraftTable.read(spark, path).filter(pmod(col("v"), lit(797)) === 3)
+    val (read, total) = GraftTable.scanFiles(df)
+    assert(read == total)
+    assert(df.count() == clusteredDf.filter(pmod(col("v"), lit(797)) === 3).count())
+  }
+
+  test("disjunction prunes to the union of branch survivors") {
+    val path = tmp("gt_or")
+    Scale.writeSnapshot(spark, path, clusteredDf)
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("v"))
+    val df = GraftTable.read(spark, path)
+      .filter(col("v") === 10 || col("v") === 3900)
+    val (read, total) = GraftTable.scanFiles(df)
+    assert(total == 8 && read <= 3, s"OR pruning: read $read of $total")
+    assert(df.count() == 2)
+  }
+}

@@ -399,4 +399,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(total >= 2 && read < total,
       s"h2 gate range must skip files: read $read of $total")
   }
+
+  test("h12: a PLAIN filtered GraftTable read prunes files with no explicit prune call") {
+    import org.apache.spark.sql.functions.col
+    val path = graft.queries.IoQueries.unifiedDocs(spark, sf001)
+    val df = graft.operators.GraftTable.read(spark, path)
+      .filter(col("n_chars").between(450L, 10000L))
+    // the read site is filter-only: skipping must come from the scan's
+    // own listing consulting the persisted index against the pushed-down
+    // predicate — the files-read number is the scan's numFiles metric
+    val (read, total) = graft.operators.GraftTable.scanFiles(df)
+    assert(total >= 2 && read < total,
+      s"h12 unified read must skip files: read $read of $total")
+    // and the plan is a plain parquet scan rooted at our FileIndex with
+    // the predicate pushed to it (PushedFilters reaches the format too)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftFileIndex"), plan)
+    assert(plan.contains("GreaterThanOrEqual(n_chars,450)"), plan)
+  }
 }
