@@ -188,6 +188,40 @@ object IoQueries {
         out
       })
 
+  /** r88's CHANGE-DATA-FEED table: three commits of a documents-derived
+    * table through [[graft.operators.Scale.writeSnapshotCdf]] —
+    * v0 = the doc_id%3=0 slice; v1 adds inserts (doc_id%3=1, lang≠'de')
+    * and updates (+7 n_chars on v0's src5 rows); v2 deletes v0's German
+    * rows (except the updated src5 ones) and inserts the remaining
+    * doc_id%3=1 German rows. NO key is touched in two commits, so the
+    * union of the recorded feeds equals the point diff v0→v2 — which is
+    * exactly what the oracle computes from scratch. Memoized per table
+    * fingerprint like [[morDocs]].
+    */
+  private val cdfCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def cdfDocs(s: SparkSession, d: String): String =
+    cdfCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "cdf_").toString + "/tbl"
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "source", "lang", "n_chars")
+        val v0 = docs.filter(col("doc_id") % 3 === 0)
+        graft.operators.Scale.writeSnapshotCdf(s, out, v0, "doc_id")
+        val v1 = v0.withColumn("n_chars",
+            when(col("source") === "src5", col("n_chars") + 7)
+              .otherwise(col("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 3 === 1 && col("lang") =!= "de"))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v1, "doc_id")
+        val v2 = v1.filter(!(col("doc_id") % 3 === 0 && col("lang") === "de" &&
+            col("source") =!= "src5"))
+          .unionByName(docs.filter(col("doc_id") % 3 === 1 && col("lang") === "de"))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v2, "doc_id")
+        out
+      })
+
   /** h8's PARTITION-SPEC EVOLUTION layout: one logical table whose two
     * generations carry DIFFERENT partition specs — the legacy batch
     * (doc_id % 3 == 0) laid out `lang=` only, the current batch
@@ -998,5 +1032,53 @@ object IoQueries {
       },
       Some("""
         SELECT doc_id, lang, n_chars FROM documents
-        WHERE n_chars <= 100 ORDER BY doc_id""")))
+        WHERE n_chars <= 100 ORDER BY doc_id""")),
+
+    // r88: CHANGE-FEED READ — the CDC-CONSUMER half of the lakehouse
+    // contract that r60 only approximates: r60 DERIVES "what's new" by
+    // diffing two full snapshot reads (O(table) however small the
+    // delta); r88 reads the row-level changes the COMMIT recorded
+    // ([[graft.operators.Scale.writeSnapshotCdf]] — the Delta CDF
+    // shape), touching only `_cdf/v=…` files, O(changed rows), across
+    // two commits. The oracle is the from-scratch FULL-TABLE DIFF of
+    // the v0 and v2 contents (reconstructed by predicate over the
+    // source table), so the recorded feed must equal the point diff
+    // exactly — a feed that lost a change, attributed an update as
+    // insert+delete, or leaked an unchanged row breaks the hash. The
+    // gate's change sets touch no key twice, which is precisely the
+    // condition under which feed-union ≡ point-diff.
+    Q("r88_change_feed_read",
+      (s, d) => {
+        val p = cdfDocs(s, d)
+        graft.operators.Scale.readChangesBetween(s, p, 0L, 2L)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            col("_change_type").as("change_type"))
+          .orderBy("doc_id", "change_type")
+      },
+      Some("""
+        WITH v0 AS MATERIALIZED (
+          SELECT doc_id, source, lang, n_chars FROM documents
+          WHERE doc_id % 3 = 0),
+        v2 AS MATERIALIZED (
+          SELECT doc_id, source, lang,
+                 CASE WHEN doc_id % 3 = 0 AND source = 'src5'
+                      THEN n_chars + 7 ELSE n_chars END AS n_chars
+          FROM documents
+          WHERE (doc_id % 3 = 0 AND NOT (lang = 'de' AND source <> 'src5'))
+             OR doc_id % 3 = 1),
+        chg AS (
+          SELECT v0.doc_id FROM v0 JOIN v2 USING (doc_id)
+          WHERE v0.n_chars <> v2.n_chars OR v0.source <> v2.source
+             OR v0.lang <> v2.lang)
+        SELECT * FROM (
+          SELECT v2.*, 'insert' AS change_type FROM v2
+          WHERE doc_id NOT IN (SELECT doc_id FROM v0)
+          UNION ALL
+          SELECT v0.*, 'delete' FROM v0
+          WHERE doc_id NOT IN (SELECT doc_id FROM v2)
+          UNION ALL
+          SELECT v0.*, 'update_preimage' FROM v0 JOIN chg USING (doc_id)
+          UNION ALL
+          SELECT v2.*, 'update_postimage' FROM v2 JOIN chg USING (doc_id))
+        ORDER BY doc_id, change_type""")))
 }

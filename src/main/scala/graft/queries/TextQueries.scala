@@ -1425,6 +1425,39 @@ object TextQueries {
         FROM sp JOIN idx USING (h)
         GROUP BY sp.doc_id ORDER BY sp.doc_id""")),
 
+    // t57: EXACT MAXIMAL DUPLICATED INTERVALS — t23 reports the dup
+    // FRACTION, t52 cuts fixed spans; t57 produces the (doc, start,
+    // end) intervals a surgical exact-substring dedup removes: adjacent
+    // duplicated 8-token span starts chained into maximal runs via
+    // `pos − row_number()` (constant exactly on consecutive positions —
+    // the t49 greedy-run trick, here per doc). One shuffle keyed by
+    // span hash + one per-doc window: linear end-to-end; the oracle
+    // replays the identical run-grouping as a window-chained CTE, so a
+    // chain that split a run, merged across a gap, or mis-anchored the
+    // +n−1 end offset breaks the hash.
+    Q("t57_dup_intervals",
+      (s, d) => TextOps.dupIntervals(Tables.documents(s, d), "text", "doc_id", 8)
+        .orderBy("doc_id", "start_tok"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        sp AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 8
+                   THEN list_transform(range(len(toks) - 7),
+                          i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 15))::BIGINT)
+                   ELSE [] END) AS h,
+                 unnest(CASE WHEN len(toks) >= 8
+                   THEN range(len(toks) - 7) ELSE [] END) AS pos
+          FROM t),
+        idx AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        dup AS (SELECT sp.doc_id, sp.pos FROM sp JOIN idx USING (h)),
+        runs AS (SELECT doc_id, pos,
+                        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM dup)
+        SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+               count(*) AS n_spans
+        FROM runs GROUP BY doc_id, grp ORDER BY doc_id, start_tok""")),
+
     // t52: BOILERPLATE STRIPPING — the transform t23's measurement stops
     // short of (C4's "discard repeated lines across documents", CCNet's
     // paragraph-hash dedup): spans shared by >= 2 docs are cut out and

@@ -1342,6 +1342,112 @@ object VectorQueries {
         SELECT src AS id, CAST(count(*) AS BIGINT) AS core_degree
         FROM e3 GROUP BY src ORDER BY id""")),
 
+    // g6: WEIGHTED SINGLE-SOURCE SHORTEST PATHS — the distance algorithm
+    // the graph family lacked (g1 centrality, g2 triangles, g3 labels,
+    // g4 cores, g5/t6 components): frontier-relaxation Bellman-Ford over
+    // the mutual k-NN graph with integer edge weights
+    // (w = 1 + (id_a + id_b) % 7 — deterministic, symmetric,
+    // engine-portable), source = the graph's min node id. Per round,
+    // ONLY the frontier (nodes whose distance improved last round) joins
+    // the edge set and a min-rollup merges candidates into the distance
+    // frame — per-round cost is bounded by the ACTIVE frontier × degree,
+    // the property that makes iterative SSSP viable when the graph
+    // dwarfs memory; each round localCheckpoints (g5's lineage
+    // discipline). TRAJECTORY-PINNED like g5: after round r the distance
+    // frame is exactly min-over-≤r-edge-paths, and the oracle unrolls
+    // the same four rounds as a CTE chain — the output is each round's
+    // (improved count, reached count, distance-sum signature), so a
+    // relaxation that fired twice, missed a frontier node, or merged a
+    // stale distance breaks the hash at the round it happened.
+    Q("g6_weighted_sssp",
+      (s, d) => {
+        import s.implicits._
+        val e = mutualKnnEdges(s, d, 5) // memoized, lineage already cut
+        val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"),
+            (lit(1L) + pmod(col("id_a") + col("id_b"), lit(7L))).as("w"))
+          .union(e.select(col("id_b"), col("id_a"),
+            lit(1L) + pmod(col("id_a") + col("id_b"), lit(7L))))
+        val src0 = e.agg(min(col("id_a"))).head.getLong(0) // 1-row collect
+        var dist = Seq((src0, 0L)).toDF("id", "dist")
+        var frontier = dist
+        var out: org.apache.spark.sql.DataFrame = null
+        for (r <- 1 to 4) {
+          val cand = frontier.join(sym, col("id") === col("src"))
+            .select(col("dst"), (col("dist") + col("w")).as("nd"))
+            .groupBy("dst").agg(min(col("nd")).as("nd"))
+            .select(col("dst").as("id"), col("nd"))
+          val merged = dist.join(cand, Seq("id"), "full_outer")
+            .select(col("id"),
+              when(col("dist").isNull ||
+                  (col("nd").isNotNull && col("nd") < col("dist")),
+                col("nd")).otherwise(col("dist")).as("dist"),
+              (col("dist").isNull ||
+                (col("nd").isNotNull && col("nd") < col("dist"))).as("imp"))
+            .localCheckpoint()
+          frontier = merged.filter(col("imp")).select("id", "dist")
+          dist = merged.select("id", "dist")
+          val stat = merged.agg(
+            sum(when(col("imp"), 1L).otherwise(0L)).as("n_improved"),
+            count(lit(1)).as("n_reached"),
+            sum(col("dist")).as("sum_dist"))
+            .select(lit(r.toLong).as("round"), col("n_improved"),
+              col("n_reached"), col("sum_dist"))
+          out = if (out == null) stat else out.unionByName(stat)
+        }
+        out.orderBy("round")
+      },
+      Some(s"""$mutualKnnCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst, 1 + (id_a + id_b) % 7 AS w FROM mutual
+          UNION ALL
+          SELECT id_b, id_a, 1 + (id_a + id_b) % 7 FROM mutual),
+        d0 AS (SELECT min(id_a) AS id, CAST(0 AS BIGINT) AS dist FROM mutual),
+        c1 AS (SELECT e.dst AS id, min(f.dist + e.w) AS nd
+               FROM d0 f JOIN edges e ON f.id = e.src GROUP BY e.dst),
+        m1 AS (SELECT coalesce(d.id, c.id) AS id,
+                      CASE WHEN d.dist IS NULL OR (c.nd IS NOT NULL AND c.nd < d.dist)
+                           THEN c.nd ELSE d.dist END AS dist,
+                      (d.dist IS NULL OR (c.nd IS NOT NULL AND c.nd < d.dist)) AS imp
+               FROM d0 d FULL OUTER JOIN c1 c ON d.id = c.id),
+        c2 AS (SELECT e.dst AS id, min(f.dist + e.w) AS nd
+               FROM (SELECT id, dist FROM m1 WHERE imp) f
+               JOIN edges e ON f.id = e.src GROUP BY e.dst),
+        m2 AS (SELECT coalesce(d.id, c.id) AS id,
+                      CASE WHEN d.dist IS NULL OR (c.nd IS NOT NULL AND c.nd < d.dist)
+                           THEN c.nd ELSE d.dist END AS dist,
+                      (d.dist IS NULL OR (c.nd IS NOT NULL AND c.nd < d.dist)) AS imp
+               FROM (SELECT id, dist FROM m1) d FULL OUTER JOIN c2 c ON d.id = c.id),
+        c3 AS (SELECT e.dst AS id, min(f.dist + e.w) AS nd
+               FROM (SELECT id, dist FROM m2 WHERE imp) f
+               JOIN edges e ON f.id = e.src GROUP BY e.dst),
+        m3 AS (SELECT coalesce(d.id, c.id) AS id,
+                      CASE WHEN d.dist IS NULL OR (c.nd IS NOT NULL AND c.nd < d.dist)
+                           THEN c.nd ELSE d.dist END AS dist,
+                      (d.dist IS NULL OR (c.nd IS NOT NULL AND c.nd < d.dist)) AS imp
+               FROM (SELECT id, dist FROM m2) d FULL OUTER JOIN c3 c ON d.id = c.id),
+        c4 AS (SELECT e.dst AS id, min(f.dist + e.w) AS nd
+               FROM (SELECT id, dist FROM m3 WHERE imp) f
+               JOIN edges e ON f.id = e.src GROUP BY e.dst),
+        m4 AS (SELECT coalesce(d.id, c.id) AS id,
+                      CASE WHEN d.dist IS NULL OR (c.nd IS NOT NULL AND c.nd < d.dist)
+                           THEN c.nd ELSE d.dist END AS dist,
+                      (d.dist IS NULL OR (c.nd IS NOT NULL AND c.nd < d.dist)) AS imp
+               FROM (SELECT id, dist FROM m3) d FULL OUTER JOIN c4 c ON d.id = c.id)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS round,
+                 CAST(sum(CASE WHEN imp THEN 1 ELSE 0 END) AS BIGINT) AS n_improved,
+                 count(*) AS n_reached, CAST(sum(dist) AS BIGINT) AS sum_dist FROM m1
+          UNION ALL
+          SELECT 2, CAST(sum(CASE WHEN imp THEN 1 ELSE 0 END) AS BIGINT),
+                 count(*), CAST(sum(dist) AS BIGINT) FROM m2
+          UNION ALL
+          SELECT 3, CAST(sum(CASE WHEN imp THEN 1 ELSE 0 END) AS BIGINT),
+                 count(*), CAST(sum(dist) AS BIGINT) FROM m3
+          UNION ALL
+          SELECT 4, CAST(sum(CASE WHEN imp THEN 1 ELSE 0 END) AS BIGINT),
+                 count(*), CAST(sum(dist) AS BIGINT) FROM m4)
+        ORDER BY round""")),
+
     // v6: LABEL-FREE embedding near-dup — v2 blocks on a label column,
     // but a real 100 TB corpus has no labels: here the blocking key is
     // the deterministic IVF quantizer's cell (the same memoized fit as

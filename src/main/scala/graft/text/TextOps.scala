@@ -142,6 +142,48 @@ object TextOps {
         md5(array_join(kept, " ")).as("clean_fp"))
   }
 
+  /** MAXIMAL duplicated-substring intervals (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" exact-substring shape):
+    * [[spanDupStats]] counts duplicated fixed-length spans; this op
+    * CHAINS adjacent duplicated span starts into maximal (doc, start,
+    * end) token intervals — what a surgical dedup actually cuts. A span
+    * (n tokens from position p) is duplicated when its hash occurs in
+    * ≥ 2 DISTINCT docs; consecutive duplicated positions p, p+1, …
+    * belong to one interval, grouped by the classic run trick: within a
+    * doc, `p − row_number()` is constant exactly on a run of consecutive
+    * positions.
+    *
+    * Scale shape: one span explosion, ONE shuffle keyed by span hash
+    * (the distinct-doc index and the verdict join-back co-partition on
+    * it), then ONE per-doc window + same-keyed rollup — linear in total
+    * spans end-to-end, no pairwise step, no per-doc state beyond the
+    * window's sorted partition.
+    *
+    * @return (idCol, start_tok, end_tok, n_spans): inclusive token
+    *         coordinates (end = last duplicated span start + n − 1)
+    */
+  def dupIntervals(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val spans = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        posexplode(graft.functions.native.spanHashes60(col("__t"), n))
+          .as(Seq("pos", "__h")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("__h"))
+    val dupH = spans.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2).select("__h")
+    val dup = spans.join(dupH, "__h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    dup.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(n - 1).cast("long")).as("end_tok"),
+        count(lit(1)).as("n_spans"))
+      .select(col(idCol), col("start_tok"), col("end_tok"), col("n_spans"))
+  }
+
   /** Benchmark decontamination (the GPT-3 rule: a training document is
     * contaminated if it shares any ≥n-token span with the evaluation
     * set): emits each contaminated training doc with how many DISTINCT
