@@ -309,20 +309,40 @@ object Relational {
   }
 
   /** Scalable surrogate key: same contract (dense 1..N following the sort
-    * order) without the global single-partition sort. Range-partition +
-    * local sort, then `zipWithIndex` (one counting job + one narrow map —
-    * the standard pattern; no lingering cache). Survives fact-scale inputs
-    * where `surrogateKey` would serialize on one task.
+    * order) without the global single-partition sort — the
+    * [[prefixSumScalable]]/[[ntileScalable]] value-bucket geometry:
+    * rows range-bucket on `rankKey` (a long column monotone ASCENDING in
+    * the desired total order; pass a negated key for descending),
+    * row_number locally per bucket under the full tie-broken `order`,
+    * and per-bucket counts — `buckets` rows, model-sized — broadcast
+    * back as exclusive prefix offsets. Entirely DataFrame-native: rows
+    * never leave Tungsten (the previous `rdd.zipWithIndex` round-trip
+    * deserialized every row and broke columnar scans downstream), and
+    * value-derived buckets are deterministic even when upstream row
+    * order is not (a partitioner-sampling split could drift between the
+    * count job and the data job). Equal rankKey values always share a
+    * bucket, so `order`'s tie-break never straddles a boundary.
     */
-  def surrogateKeyScalable(df: DataFrame, keyCol: String, order: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-    val withKey = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        keyCol, org.apache.spark.sql.types.LongType, nullable = false))
-    spark.createDataFrame(withKey, schema)
+  def surrogateKeyScalable(df: DataFrame, keyCol: String, rankKey: Column,
+                           order: Seq[Column], buckets: Int = 64): DataFrame = {
+    val in = df.withColumn("__skk", rankKey.cast("long"))
+    val mm = in.agg(min(col("__skk")).as("lo"), max(col("__skk")).as("hi")).head()
+    if (mm.isNullAt(0)) // empty input: keep the schema, no rows
+      return df.withColumn(keyCol, lit(0L)).where(lit(false))
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    require(hi - lo >= 0,
+      s"surrogateKeyScalable: rankKey range [$lo, $hi] exceeds Long.MaxValue; " +
+        "pre-bucket wide hash keys before keying")
+    val span = math.max(1L, (hi - lo) / buckets + 1)
+    val bucketed = in.withColumn("__b", expr(s"(__skk - ${lo}L) div ${span}L"))
+    val wLocal = Window.partitionBy("__b").orderBy(order: _*)
+    val local = bucketed.withColumn("__rn", row_number().over(wLocal).cast("long"))
+    val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__bc"))
+      .withColumn("__off", coalesce(sum(col("__bc")).over(wOff), lit(0L)))
+      .select("__b", "__off")
+    local.join(broadcast(offsets), "__b")
+      .withColumn(keyCol, col("__off") + col("__rn"))
+      .drop("__skk", "__b", "__rn", "__off")
   }
 }

@@ -286,7 +286,8 @@ class QualityMetricsSpec extends SparkSpec {
          |                         "probe_agreement_curve": {${v24Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}}},
          |  "v29_ivfpq_residual": {"topk_agreement_vs_v1": $v29Agree%.4f, "floor": 0.05,
          |                         "delta_vs_v24_same_probes": ${f"${v29Agree - v24Agree}%.4f"},
-         |                         "probe_agreement_curve": {${v29Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}}},
+         |                         "probe_agreement_curve": {${v29Curve.map { case (p, r) => f""""$p": $r%.4f""" }.mkString(", ")}},
+         |                         "coarse_book_sweep": "docs/V29_SWEEP_r16.json — documented negative: 8/32/64-cell sweep at fixed code budget; residuals never separate (corpus is near-isotropic, absorption is cell-mean overfit), rotation ruled out by the leading-axis share"},
          |  "v25_ivfpq_rerank":   {"topk_agreement_vs_v1": $v25Agree%.4f, "floor": 0.2,
          |                         "rerank_depth_curve": {${v25Curve.map { case (sl, r) => f""""$sl": $r%.4f""" }.mkString(", ")}}},
          |  "r21_approx_distinct": {"max_rel_err_vs_r20": $r21MaxRelErr%.4f, "bound": 0.05},

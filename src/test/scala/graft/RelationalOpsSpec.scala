@@ -49,7 +49,7 @@ class RelationalOpsSpec extends SparkSpec {
     val df = (1 to 500).map(i => (i * 7919) % 1000).toDF("v")
     val a = Relational.surrogateKey(df, "sk", Seq(col("v").asc, col("v").asc))
     val b = Relational.surrogateKeyScalable(
-      df.repartition(8), "sk", Seq(col("v").asc))
+      df.repartition(8), "sk", col("v"), Seq(col("v").asc))
     // same multiset of (v, sk) pairs requires identical dense ranks per
     // duplicate-free slice; compare the sorted v sequence keyed by sk
     val av = a.orderBy("sk").select("v").as[Int].collect().toSeq
