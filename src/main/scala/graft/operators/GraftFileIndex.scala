@@ -77,7 +77,33 @@ private[graft] final class GraftFileIndex(
     case GreaterThanOrEqual(Literal(v, _), a: Attribute) => rangeMight(file, a.name, v, "<=")
     case LessThan(Literal(v, _), a: Attribute)           => rangeMight(file, a.name, v, ">")
     case LessThanOrEqual(Literal(v, _), a: Attribute)    => rangeMight(file, a.name, v, ">=")
+    // prefix predicates (LIKE 'p%' / startsWith) prune string zones as
+    // the interval [p, succ(p)): every s with prefix p satisfies
+    // p <= s < succ(p) in unsigned byte order
+    case StartsWith(a: Attribute, Literal(v, _)) =>
+      asBytes(v) match {
+        case Some(p) => strZones.get(a.name).forall(_.get(file).forall {
+          case (lo, hi) =>
+            cmp(hi, p) >= 0 && byteSuccessor(p).forall(s => cmp(lo, s) < 0)
+        })
+        case None => true
+      }
     case _ => true
+  }
+
+  /** Shortest byte string strictly greater than every string with prefix
+    * `p`: increment the last byte < 0xFF and truncate after it; None when
+    * all bytes are 0xFF (no finite upper bound — callers skip the upper
+    * check, staying conservative). */
+  private def byteSuccessor(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val s = java.util.Arrays.copyOfRange(p, 0, i + 1)
+      s(i) = (s(i) + 1).toByte
+      Some(s)
+    }
   }
 
   /** Equality/IN probe: every manifest that covers the column must say

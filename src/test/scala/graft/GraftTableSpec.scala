@@ -113,6 +113,21 @@ class GraftTableSpec extends SparkSpec {
     assert(df.count() == clusteredDf.filter(pmod(col("v"), lit(797)) === 3).count())
   }
 
+  test("prefix predicate (startsWith) prunes string zones as [p, succ(p))") {
+    val path = tmp("gt_prefix")
+    Scale.writeSnapshot(spark, path, clusteredDf
+      .repartitionByRange(8, col("s")).sortWithinPartitions("s"))
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("s"))
+    val df = GraftTable.read(spark, path).filter(col("s").startsWith("cat03"))
+    val (read, total) = GraftTable.scanFiles(df)
+    assert(read < total, s"prefix pruning must skip files: $read of $total")
+    assert(df.count() == 500)
+    // LIKE 'p%' simplifies to StartsWith and prunes the same way
+    val one = GraftTable.read(spark, path).filter(col("s").like("cat05%"))
+    val (r1, t1) = GraftTable.scanFiles(one)
+    assert(r1 < t1 && one.count() == 500)
+  }
+
   test("disjunction prunes to the union of branch survivors") {
     val path = tmp("gt_or")
     Scale.writeSnapshot(spark, path, clusteredDf)
