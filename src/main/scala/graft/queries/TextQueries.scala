@@ -1458,6 +1458,94 @@ object TextQueries {
                count(*) AS n_spans
         FROM runs GROUP BY doc_id, grp ORDER BY doc_id, start_tok""")),
 
+    // t58: PII REDACTION — the transform every training corpus runs
+    // before anything ships: emails/URLs/dotted-quad IPs replaced by
+    // typed placeholders with a per-doc removal ledger
+    // (TextOps.scrubPii — map-only, no shuffle, codegen regex builtins;
+    // the pattern set and application ORDER are one shared constant so
+    // Spark and the oracle redact identically). The corpus has no PII,
+    // so the gate injects a deterministic block per doc (skipped for
+    // doc_id%3=0, double email for %5=0 — absence, presence, and
+    // multiplicity all covered); both the counts and the md5 of the
+    // REDACTED text are hashed, so a pattern that over- or under-matched
+    // by one character breaks the gate.
+    Q("t58_pii_scrub",
+      (s, d) => {
+        val injected = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 =!= 0, concat(
+              lit(" reach user"), col("doc_id").cast("string"), lit("@example.com"),
+              when(col("doc_id") % 5 === 0,
+                concat(lit(" cc admin"), col("doc_id").cast("string"),
+                  lit("@corp.example.org"))).otherwise(lit("")),
+              lit(" via https://site"), col("doc_id").cast("string"),
+              lit(".example/a?b=1"),
+              lit(" from 10.2."), (col("doc_id") % 256).cast("string"),
+              lit("."), (col("doc_id") % 100).cast("string")))
+              .otherwise(lit(""))).as("text"))
+        TextOps.scrubPii(injected, "text", "doc_id")
+          .select(col("doc_id"), col("n_emails"), col("n_urls"), col("n_ips"),
+            md5(col("clean")).as("clean_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH inj AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 <> 0 THEN
+              ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+              CASE WHEN doc_id % 5 = 0
+                   THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org'
+                   ELSE '' END ||
+              ' via https://site' || CAST(doc_id AS VARCHAR) || '.example/a?b=1' ||
+              ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '${TextOps.PiiPatterns(0)._2}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '${TextOps.PiiPatterns(1)._2}')) AS BIGINT) AS n_urls,
+          CAST(len(regexp_extract_all(t, '${TextOps.PiiPatterns(2)._2}')) AS BIGINT) AS n_ips,
+          md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '${TextOps.PiiPatterns(0)._2}', '<EMAIL>', 'g'),
+            '${TextOps.PiiPatterns(1)._2}', '<URL>', 'g'),
+            '${TextOps.PiiPatterns(2)._2}', '<IP>', 'g')) AS clean_fp
+        FROM inj ORDER BY doc_id""")),
+
+    // t59: CORPUS-LM CONTINUATION SCORE — the KenLM-style perplexity
+    // filter in integer-exact form (TextOps.lmContinuation): per
+    // trigram position, floor(1e6·c3(w1w2w3)/c2(w1w2)) with counts over
+    // the whole corpus, rolled up per doc. A float log-prob would never
+    // hash-match across engines (summation order); the integer
+    // micro-unit continuation mass ranks documents the same way and is
+    // bit-portable. Two n-gram count shuffles + two count-frame joins +
+    // one doc rollup — linear, the trained-statistic filter family of
+    // t54/t56.
+    Q("t59_lm_continuation",
+      (s, d) => TextOps.lmContinuation(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        tri AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(len(toks) - 2),
+                          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                   ELSE [] END) AS g
+          FROM t),
+        bi AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(len(toks) - 1),
+                          i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+                   ELSE [] END) AS g
+          FROM t),
+        c3 AS (SELECT g, count(*) AS c3 FROM tri GROUP BY g),
+        c2 AS (SELECT g, count(*) AS c2 FROM bi GROUP BY g)
+        SELECT tri.doc_id, count(*) AS n_trigrams,
+               CAST(sum((c3.c3 * 1000000) // c2.c2) AS BIGINT) AS sum_cont_e6
+        FROM tri JOIN c3 USING (g)
+        JOIN c2 ON c2.g = array_to_string(list_slice(string_split(tri.g, ' '), 1, 2), ' ')
+        GROUP BY tri.doc_id ORDER BY tri.doc_id""")),
+
     // t52: BOILERPLATE STRIPPING — the transform t23's measurement stops
     // short of (C4's "discard repeated lines across documents", CCNet's
     // paragraph-hash dedup): spans shared by >= 2 docs are cut out and

@@ -2765,6 +2765,23 @@ object VectorQueries {
       Some(ivfPqOracle(nCentroids = 8, nProbe = 3, m = 8, subDims = 8,
         k = 64, topK = 5, permille = 200))),
 
+    // v31: ADC LOOKUP-TABLE SCORING — v24's scan kernel the way FAISS
+    // actually runs it: instead of re-multiplying the query slice
+    // against the decoded codebook entry for EVERY candidate (O(dims)
+    // mults/pair), each query precomputes its (m × k) table of
+    // subspace-dot-products ONCE — queries × 8 × 64 doubles, broadcast
+    // with the probes — and scoring a candidate collapses to m=8 array
+    // lookups + adds, an 8× FLOP cut on the per-pair hot path. The
+    // lookups read the SAME native-kernel dots v24 computes (identical
+    // inputs, identical IEEE ops, mi-ascending sum), so v31 shares
+    // v24's oracle verbatim: the twin pins that the optimization is a
+    // pure plan change, bit-for-bit — the r33↔r35 exact/fast twin
+    // pattern applied to the ANN scan kernel. At 100 TB the LUT is what
+    // makes code-scan throughput memory-bound instead of FLOP-bound.
+    Q("v31_ivfpq_adc_lut", (s, d) => ivfPqTopKLut(s, d, nProbe = 3),
+      Some(ivfPqOracle(nCentroids = 8, nProbe = 3, m = 8, subDims = 8,
+        k = 64, topK = 5, permille = 200))),
+
     // v25: IVFADC + EXACT RE-RANK — the production completion of v24,
     // motivated by a measurement: QUALITY.json's v24 probe/agreement
     // curve is NON-monotone (0.22/0.30/0.28 at 2/3/4 probes) because
@@ -3086,6 +3103,61 @@ object VectorQueries {
           .filter(col("rnk") <= topK)
           .select(col("qid"), col("rnk").cast("long").as("rnk"),
             col("vec_id").as("nid"))
+  }
+
+  /** v31: [[ivfPqTopK]]'s ranking through per-query ADC LOOKUP TABLES —
+    * each probe row carries `lut_mi` = the 64 dot products of the
+    * query's mi-th slice against that subspace's whole codebook
+    * (computed once per query via the same native [[graft.functions]]
+    * dot kernel v24 uses per pair), and the per-candidate score is
+    * Σ_mi lut_mi[code_mi] — m array reads instead of m subspace dots.
+    * Values are bit-identical to v24's (same inputs, same kernel, same
+    * mi-ascending addition), so the two queries share one oracle.
+    */
+  private[graft] def ivfPqTopKLut(s: org.apache.spark.sql.SparkSession,
+                                  d: String, nProbe: Int,
+                                  topK: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (m, subDims, kCodes) = (8, 8, 64)
+    val cents = ivfCentroidsFor(s, d, nCentroids = 8, iters = 2)
+    val cbs = pqConvergedCodebooksFor(s, d, m, subDims, kCodes)
+    val emb = preparedEmbeddings(s, d)
+    def sel(mi: Int) = element_at(
+      array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        cbs(mi).map(c => typedLit(c))): _*), col(s"code_$mi") + 1)
+    val codes = (0 until m).map(mi => VectorOps.assignCell(
+      slice(col("__cd"), mi * subDims + 1, subDims), cbs(mi).toSeq).as(s"code_$mi"))
+    val cn = sqrt((0 until m).map(mi =>
+      graft.functions.native.dotD(sel(mi), sel(mi))).reduce(_ + _))
+    val postings = emb.select((col("vec_id") +:
+        VectorOps.assignCell(col("__cd"), cents.toSeq).as("cell") +: codes): _*)
+      .withColumn("cn", cn)
+    // per-query LUTs: lut_mi[j] = dot(q_slice_mi, codebook_mi[j]) — the
+    // (m × k)-per-query precompute, riding the broadcast probe frame
+    val luts = (0 until m).map { mi =>
+      transform(typedLit(cbs(mi).map(_.toSeq).toSeq),
+        c => graft.functions.native.dotD(
+          slice(col("qd"), mi * subDims + 1, subDims), c)).as(s"lut_$mi")
+    }
+    val wp = Window.partitionBy("qid").orderBy(col("dist").asc, col("cell").asc)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("__cd").as("qd"),
+        col("__cn").as("qn"),
+        posexplode(VectorOps.cellDists(col("__cd"), cents.toSeq))
+          .as(Seq("cell", "dist")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select((col("qid") +: col("qn") +: col("cell") +: luts): _*)
+    val adcLut = (0 until m).map(mi =>
+      element_at(col(s"lut_$mi"), col(s"code_$mi") + 1)).reduce(_ + _)
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(probes).join(postings, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", adcLut / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").as("nid"))
   }
 
   /** v29: RESIDUAL-encoded IVF-PQ — v24 with the classic IVFADC fix:

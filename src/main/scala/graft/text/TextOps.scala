@@ -142,6 +142,45 @@ object TextOps {
         md5(array_join(kept, " ")).as("clean_fp"))
   }
 
+  /** Corpus-statistics language-model score (the KenLM-filter shape in
+    * integer-exact form): for every trigram position (w₁w₂w₃) the
+    * continuation probability estimate c₃(w₁w₂w₃)/c₂(w₁w₂) — counts over
+    * the WHOLE corpus — quantized to micro-units by integer division, and
+    * rolled up per document as (n_trigrams, Σ cont_e6). High-sum docs
+    * read like the corpus; low-sum docs are the gibberish/boilerplate an
+    * LM-perplexity filter would drop. Integer arithmetic end-to-end
+    * (floor(1e6·c₃/c₂) = (c₃·1e6) div c₂ on BIGINTs), so the score is
+    * bit-identical across engines — the portable stand-in for a float
+    * log-prob whose summation order would never hash-match.
+    *
+    * Scale shape: two token-scan explosions (bigram + trigram) each
+    * folded by ONE count shuffle keyed by the n-gram, then the trigram
+    * occurrences join their two count frames on the same keys and reduce
+    * per doc — linear in corpus tokens, no pairwise step, counts frames
+    * vocabulary²/³-bounded with map-side partial aggregation.
+    */
+  def lmContinuation(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     idCol: String): org.apache.spark.sql.DataFrame = {
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val tri = toked
+      .select(col(idCol), posexplode(wordNgrams(col("__t"), 3)).as(Seq("__p", "__g")))
+    val bi = toked
+      .select(col(idCol), explode(wordNgrams(col("__t"), 2)).as("__g"))
+    val c3 = tri.groupBy("__g").agg(count(lit(1)).as("__c3"))
+    val c2 = bi.groupBy("__g").agg(count(lit(1)).as("__c2"))
+    // a trigram's context bigram = its first two tokens = the prefix up
+    // to the second space boundary of the space-joined n-gram
+    val ctx = expr("substring_index(__g, ' ', 2)")
+    tri.join(c3, "__g")
+      .withColumn("__ctx", ctx)
+      .join(c2.withColumnRenamed("__g", "__ctx"), "__ctx")
+      .select(col(idCol),
+        expr("(__c3 * 1000000L) div __c2").as("__cont"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("__cont")).as("sum_cont_e6"))
+  }
+
   /** MAXIMAL duplicated-substring intervals (the Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" exact-substring shape):
     * [[spanDupStats]] counts duplicated fixed-length spans; this op
@@ -182,6 +221,44 @@ object TextOps {
         (max(col("pos")) + lit(n - 1).cast("long")).as("end_tok"),
         count(lit(1)).as("n_spans"))
       .select(col(idCol), col("start_tok"), col("end_tok"), col("n_spans"))
+  }
+
+  /** PII patterns shared by [[scrubPii]] and its oracle — written in the
+    * regex subset Java's engine and DuckDB's RE2 match identically
+    * (character classes, bounded/unbounded greedy quantifiers; no
+    * backrefs, no lookaround, no \b): (name, pattern, replacement),
+    * applied IN ORDER. Order matters and is part of the contract —
+    * emails first (URLs contain no '@', so neither pass can corrupt the
+    * other), then URLs, then dotted quads.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** PII redaction — the corpus-curation transform every
+    * training-data pipeline runs before anything else ships: emails,
+    * URLs and dotted-quad IPs replaced by typed placeholder tokens,
+    * with a per-document removal LEDGER (how many of each category) so
+    * downstream filters can threshold on PII density. Purely row-local
+    * (one projection, no shuffle, no UDF — `regexp_extract_all` for the
+    * counts and chained `regexp_replace` for the rewrite, all codegen
+    * builtins); at 100 TB this is a map-only pass that rides whatever
+    * scan already runs.
+    *
+    * @return (idCol, n_emails, n_urls, n_ips, clean) — counts measured
+    *         on the ORIGINAL text, `clean` the redacted text
+    */
+  def scrubPii(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               idCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long").as(s"n_${name}s")
+    }
+    val clean = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    docs.select((col(idCol) +: counts :+ clean.as("clean")): _*)
   }
 
   /** Benchmark decontamination (the GPT-3 rule: a training document is

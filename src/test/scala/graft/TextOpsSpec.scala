@@ -549,4 +549,37 @@ class TextOpsSpec extends SparkSpec {
     val tp = TextOps.classifyByProfiles(tied, "doc_id", "text", prof).head()
     assert(tp.getAs[String]("pred_lang") == "aa")
   }
+
+  test("scrubPii: counts, redaction, order, and the no-PII identity") {
+    val docs = Seq(
+      (1L, "mail a@b.io and c.d+x@e-f.org now"),
+      (2L, "see https://x.y/z?a=1 and http://q.r then 10.0.0.1 ends"),
+      (3L, "clean text with no matches at all"),
+      (4L, "a@b.co http://a@b.co 1.2.3.4"))
+      .toDF("doc_id", "text")
+    val out = TextOps.scrubPii(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 0 && out(0).getLong(3) == 0)
+    assert(out(0).getString(4) == "mail <EMAIL> and <EMAIL> now")
+    assert(out(1).getLong(2) == 2 && out(1).getLong(3) == 1)
+    assert(out(1).getString(4) == "see <URL> and <URL> then <IP> ends")
+    // no PII -> zero counts and the text passes through untouched
+    assert(out(2).toSeq.drop(1) == Seq(0L, 0L, 0L, "clean text with no matches at all"))
+    // order contract: emails redact FIRST, so the email inside the URL
+    // is consumed by the email pass (counts measure the original text)
+    assert(out(3).getLong(1) == 2) // a@b.co and the http://a@b.co one
+    assert(out(3).getString(4).contains("<IP>"))
+  }
+
+  test("lmContinuation: hand-checked trigram continuation mass") {
+    // corpus: "a b c" x2 and "a b d" -> c2("a b")=3, c3("a b c")=2,
+    // c3("a b d")=1; doc scores: floor(1e6*2/3)=666666 for the two
+    // "a b c" docs, 333333 for "a b d"
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lmContinuation(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 666666L), (2L, 1L, 666666L), (3L, 1L, 333333L)), got.toString)
+  }
 }
