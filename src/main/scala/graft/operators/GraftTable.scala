@@ -42,20 +42,29 @@ object GraftTable {
   private def fsFor(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def resolve(spark: SparkSession, path: String): Gen = {
+  private def resolve(spark: SparkSession, path: String,
+                      version: Option[Long] = None): Gen = {
     val fs = fsFor(spark, path)
     def dirs(prefix: String): Boolean =
       fs.exists(new Path(path)) && fs.listStatus(new Path(path)).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith(prefix))
     if (fs.exists(new Path(path, "_mor")) || dirs("base_v=")) {
+      require(version.isEmpty,
+        "time travel pins snapshot versions; merge-on-read tables have no " +
+          "version history (base generations supersede, they don't coexist)")
       val (v, hwm) = Scale.pointerOrRetry(path, "merge-on-read",
         () => Scale.morPointer(spark, path), () => dirs("base_v="))
       Gen(s"$path/base_v=$v", s"base_v=$v", Some((v, hwm)))
     } else if (fs.exists(new Path(path, "_latest")) || dirs("v=")) {
-      val v = Scale.pointerOrRetry(path, "snapshot",
-        () => Scale.latestSnapshot(spark, path), () => dirs("v="))
+      val v = version.getOrElse(Scale.pointerOrRetry(path, "snapshot",
+        () => Scale.latestSnapshot(spark, path), () => dirs("v=")))
+      version.foreach(p => require(fs.exists(new Path(s"$path/v=$p")),
+        s"pinned version $p does not exist at $path"))
       Gen(s"$path/v=$v", s"v=$v", None)
-    } else Gen(path, "plain", None)
+    } else {
+      require(version.isEmpty, s"no versioned table at $path to time-travel")
+      Gen(path, "plain", None)
+    }
   }
 
   private def dataFiles(spark: SparkSession, dir: String): Seq[FileStatus] =
@@ -129,13 +138,17 @@ object GraftTable {
   /** The unified read. Plans as a plain V1 parquet relation whose file
     * LISTING is [[GraftFileIndex]]: filters the caller stacks on top are
     * pushed down by Catalyst and prune files before the scan starts
-    * (range/equality → zone manifests, equality/IN → Bloom manifests).
-    * MoR deletes ride as a broadcast anti-join ABOVE the pruned scan —
-    * Catalyst pushes left-side predicates through a left-anti join, so
-    * skipping still fires underneath it.
+    * (range/equality → zone manifests, equality/IN → Bloom manifests,
+    * prefix → string zones). MoR deletes ride as a broadcast anti-join
+    * ABOVE the pruned scan — Catalyst pushes left-side predicates
+    * through a left-anti join, so skipping still fires underneath it.
+    * `version` pins a snapshot table to an immutable historical dir
+    * (time travel); each version's own `_index/v=N` manifests prune its
+    * reads, so skipping time-travels too.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val g = resolve(spark, path)
+  def read(spark: SparkSession, path: String,
+           version: Option[Long] = None): DataFrame = {
+    val g = resolve(spark, path, version)
     val files = dataFiles(spark, g.dataDir)
     require(files.nonEmpty, s"no parquet data files under ${g.dataDir}")
     val schema = spark.read.parquet(g.dataDir).schema

@@ -33,12 +33,18 @@ class GraftTableSpec extends SparkSpec {
     assert(got.toSeq == (100L to 400L).toSeq)
   }
 
-  test("snapshot table: read resolves the LATEST version") {
+  test("snapshot table: read resolves the LATEST version; time travel pins v0") {
     val path = tmp("gt_vers")
     Scale.writeSnapshot(spark, path, Seq((1L, 10L)).toDF("k", "v"))
     Scale.writeSnapshot(spark, path, Seq((2L, 20L), (3L, 30L)).toDF("k", "v"))
     val got = GraftTable.read(spark, path).select("k").as[Long].collect().sorted
     assert(got.toSeq == Seq(2L, 3L))
+    val v0 = GraftTable.read(spark, path, Some(0L)).select("k").as[Long].collect()
+    assert(v0.toSeq == Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.read(spark, path, Some(9L))
+    }
+    assert(e.getMessage.contains("does not exist"))
   }
 
   test("string zone pruning compares unsigned UTF-8, conservatively") {
