@@ -1080,5 +1080,50 @@ object IoQueries {
           SELECT v0.*, 'update_preimage' FROM v0 JOIN chg USING (doc_id)
           UNION ALL
           SELECT v2.*, 'update_postimage' FROM v2 JOIN chg USING (doc_id))
-        ORDER BY doc_id, change_type""")))
+        ORDER BY doc_id, change_type""")),
+
+    // r89: INCREMENTAL AGGREGATE MAINTENANCE FROM THE CHANGE FEED — the
+    // consumer end-use r88's read exists for, and the CDF twin of r81
+    // (which refreshes from delta PARTITIONS): a per-lang pre-aggregate
+    // materialized at v0 is rolled forward to v2 by folding ONLY the
+    // recorded changes — inserts/update-postimages count +1, deletes/
+    // update-preimages count −1, n_chars signed the same way — then
+    // merged with the base by one group-keyed outer join. Nothing ever
+    // rescans a version: the maintenance cost is O(changed rows) +
+    // O(groups), which is the entire point of a change feed at 100 TB
+    // (r60's derive-by-diff pays O(table) for the same answer). The
+    // oracle aggregates the reconstructed v2 contents from scratch, so
+    // a sign error, a missed change type, or a double-applied update
+    // breaks the hash; groups whose count reaches zero must VANISH
+    // (filter n > 0), exactly like a deleted partition.
+    Q("r89_cdf_incremental_agg",
+      (s, d) => {
+        val p = cdfDocs(s, d)
+        val base = graft.operators.Scale.readSnapshot(s, p, Some(0L))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        val deltas = graft.operators.Scale.readChangesBetween(s, p, 0L, 2L)
+          .select(col("lang"), col("n_chars"),
+            when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+              .otherwise(lit(-1L)).as("sign"))
+          .groupBy("lang")
+          .agg(sum(col("sign")).as("dn"),
+            sum(col("sign") * col("n_chars")).as("dchars"))
+        base.join(deltas, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+            (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dchars"), lit(0L))).as("sum_chars"))
+          .filter(col("n_docs") > 0)
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (
+          SELECT doc_id, source, lang,
+                 CASE WHEN doc_id % 3 = 0 AND source = 'src5'
+                      THEN n_chars + 7 ELSE n_chars END AS n_chars
+          FROM documents
+          WHERE (doc_id % 3 = 0 AND NOT (lang = 'de' AND source <> 'src5'))
+             OR doc_id % 3 = 1)
+        GROUP BY lang ORDER BY lang""")))
 }
