@@ -402,6 +402,8 @@ object Bench {
     def kvBody: String = mins.toSeq.sortBy(_._1)
       .map { case (k, v) => shortKey(k) + ":" + math.round(v * 10) }
       .mkString(",")
+    def valsBody: String = mins.toSeq.sortBy(_._1)
+      .map { case (_, v) => math.round(v * 10) }.mkString(",")
     // kv packing saves ~2 chars/query over the ds object — more than a
     // trimmed diag block costs — so diag+kv outranks ds-without-diag
     def kvDiagTier(diagFields: Int): String = if (!shortOk) never else
@@ -441,6 +443,15 @@ object Bench {
       () => if (shortOk)
         line(s""""keys":"short","qunit":"ds","qfmt":"kv","queries":${Jsons.str(kvBody)},""")
       else never,
+      // tier 9 — VALUES-ONLY deciseconds ("qfmt":"vals": one packed
+      // string of ds values in lexicographic full-name order, count in
+      // "qcount"): drops the keys entirely (~4 chars/query — the margin
+      // the 250-query gate outgrew), carrying per-query detail to ~450
+      // queries. Names reconstruct from any same-commit artifact's
+      // sorted key set (oracle_sql.json, bench_out.json); full
+      // key→value detail is always in bench_out.json.
+      () => line(s""""qunit":"ds","qfmt":"vals","qorder":"name","qcount":${
+        mins.size},"queries":${Jsons.str(valsBody)},"""),
       () => line(s""""diag":${diagJson(results)},"detail":"bench_out.json","""))
     tiers.iterator.map(_.apply()).find(_.length <= FinalLineBudget)
       .getOrElse(line("")) // unreachable: the summary tier is O(1) size

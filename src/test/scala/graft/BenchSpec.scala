@@ -27,6 +27,14 @@ class BenchSpec extends AnyFunSuite {
       assert(entries.forall(_.matches("[A-Za-z0-9]+:-?\\d+")),
         s"malformed kv entry in: ${qs.asText().take(120)}")
       entries.length
+    } else if (node.get("qfmt") != null && node.get("qfmt").asText() == "vals") {
+      val entries = qs.asText().split(",")
+      assert(entries.forall(_.matches("-?\\d+")),
+        s"malformed vals entry in: ${qs.asText().take(120)}")
+      assert(node.get("qcount") != null && node.get("qcount").asInt() == entries.length,
+        "vals tier must carry a matching qcount")
+      assert(node.get("qorder") != null && node.get("qorder").asText() == "name")
+      entries.length
     } else qs.size()
   }
 
@@ -101,14 +109,16 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.renderFinal(colliding, "/root/testdata/sf0.1")
     assert(line.length <= Bench.FinalLineBudget)
     val node = mapper.readTree(line)
-    // with shorts disabled and 202 long names, only the summary fits
+    // with shorts disabled and 202 long names the key-free vals tier
+    // carries the detail — but NEVER an ambiguous short-key object
     assert(node.get("keys") == null)
-    assert(node.get("queries") == null || node.get("queries").size() == colliding.size)
+    assert(node.get("queries") == null || queryCount(node) == colliding.size)
   }
 
   test("fallback summary is valid JSON and under budget when queries overflow") {
-    // Enough synthetic queries that even the rounded form cannot fit.
-    val many = quiet((1 to 300).map(i => f"q$i%03d_synthetic_overflow_name"))
+    // Enough synthetic queries that even the key-free vals tier cannot
+    // fit (~450-query capacity at ds widths).
+    val many = quiet((1 to 700).map(i => f"q$i%03d_synthetic_overflow_name"))
     val line = Bench.renderFinal(many, "/root/testdata/sf0.1")
     assert(line.length <= Bench.FinalLineBudget)
     val node = mapper.readTree(line)
