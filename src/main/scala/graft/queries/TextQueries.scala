@@ -1546,6 +1546,55 @@ object TextQueries {
         JOIN c2 ON c2.g = array_to_string(list_slice(string_split(tri.g, ' '), 1, 2), ' ')
         GROUP BY tri.doc_id ORDER BY tri.doc_id""")),
 
+    // t60: SEQUENCE PACKING — the concat-then-chunk layout GPT-style
+    // pretraining feeds on: documents concatenated in doc_id order,
+    // the token stream cut into fixed 256-token training sequences,
+    // and each document mapped to the chunk range it lands in (a doc
+    // strictly inside one chunk, straddling a boundary, or spanning
+    // many chunks — all three arise and all are pure prefix-sum
+    // arithmetic). The running token offset is
+    // [[graft.operators.Relational.prefixSumScalable]] — bucketed
+    // local cumsums + broadcast offsets, NO single-partition global
+    // window — so the layout computes at 100 TB the same way m7's
+    // byte-offset shards do; everything after the cumsum is row-local
+    // integer division. Zero-token docs carry no chunk (NULL range,
+    // the oracle states them explicitly). The oracle recomputes the
+    // offsets with a plain window cumsum, so the scalable geometry is
+    // pinned against the naive definition row-for-row.
+    Q("t60_sequence_packing",
+      (s, d) => {
+        val L = 256L
+        val counted = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        graft.operators.Relational
+          .prefixSumScalable(counted, "doc_id", "n_tok", "cum")
+          .select(col("doc_id"), col("n_tok"),
+            when(col("n_tok") > 0, expr(s"(cum - n_tok) div ${L}L"))
+              .as("first_chunk"),
+            when(col("n_tok") > 0, expr(s"(cum - 1) div ${L}L"))
+              .as("last_chunk"))
+          .withColumn("n_chunks",
+            when(col("n_tok") > 0,
+              col("last_chunk") - col("first_chunk") + 1L))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tok,
+                 sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok > 0 THEN (cum - n_tok) // 256 END AS first_chunk,
+               CASE WHEN n_tok > 0 THEN (cum - 1) // 256 END AS last_chunk,
+               CASE WHEN n_tok > 0
+                    THEN (cum - 1) // 256 - (cum - n_tok) // 256 + 1 END AS n_chunks
+        FROM c ORDER BY doc_id""")),
+
     // t52: BOILERPLATE STRIPPING — the transform t23's measurement stops
     // short of (C4's "discard repeated lines across documents", CCNet's
     // paragraph-hash dedup): spans shared by >= 2 docs are cut out and
