@@ -74,7 +74,7 @@ object Explain {
     "h11_bloom_skipping", "v30_mmr_rerank", "h12_unified_table_read",
     "t57_dup_intervals", "r88_change_feed_read", "g6_weighted_sssp",
     "t58_pii_scrub", "t59_lm_continuation", "v31_ivfpq_adc_lut",
-    "r89_cdf_incremental_agg", "t60_sequence_packing")
+    "r89_cdf_incremental_agg", "t60_sequence_packing", "h13_sql_source_read")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is

@@ -146,14 +146,37 @@ object GraftTable {
     * (time travel); each version's own `_index/v=N` manifests prune its
     * reads, so skipping time-travels too.
     */
-  def read(spark: SparkSession, path: String,
-           version: Option[Long] = None): DataFrame = {
-    val g = resolve(spark, path, version)
+  private def indexAndSchema(spark: SparkSession, path: String, g: Gen)
+      : (GraftFileIndex, org.apache.spark.sql.types.StructType) = {
     val files = dataFiles(spark, g.dataDir)
     require(files.nonEmpty, s"no parquet data files under ${g.dataDir}")
     val schema = spark.read.parquet(g.dataDir).schema
     val (lz, sz, bl) = loadManifests(spark, s"$path/_index/${g.tag}", files)
-    val idx = new GraftFileIndex(new Path(g.dataDir), files, lz, sz, bl)
+    (new GraftFileIndex(new Path(g.dataDir), files, lz, sz, bl), schema)
+  }
+
+  /** The self-pruning scan as a bare V1 relation — what the `USING
+    * graft` SQL data source ([[graft.io.GraftDataSource]]) returns.
+    * Snapshot and plain layouts only: a BaseRelation cannot carry the
+    * delete-reconciliation anti-join a merge-on-read table needs, and
+    * silently skipping deletes would be wrong results, so MoR tables
+    * reject loudly here and read via [[read]].
+    */
+  private[graft] def pruningRelation(spark: SparkSession, path: String,
+                                     version: Option[Long])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val g = resolve(spark, path, version)
+    require(g.mor.isEmpty,
+      s"$path is a merge-on-read table: the SQL source cannot apply its " +
+        "equality deletes — read it via GraftTable.read(spark, path)")
+    val (idx, schema) = indexAndSchema(spark, path, g)
+    org.apache.spark.sql.graft.bridge.relationFor(spark, idx, schema)
+  }
+
+  def read(spark: SparkSession, path: String,
+           version: Option[Long] = None): DataFrame = {
+    val g = resolve(spark, path, version)
+    val (idx, schema) = indexAndSchema(spark, path, g)
     val base = org.apache.spark.sql.graft.bridge.dataFrameFor(spark, idx, schema)
     g.mor match {
       case Some((_, hwm)) =>

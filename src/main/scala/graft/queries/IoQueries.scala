@@ -723,6 +723,38 @@ object IoQueries {
         WHERE n_chars BETWEEN 450 AND 10000 AND doc_id % 97 <> 0
         GROUP BY lang ORDER BY lang""")),
 
+    // h13: THE PURE-SQL SURFACE OF THE UNIFIED READ — h12 proves the
+    // programmatic read path; h13 proves a user who only writes SQL
+    // gets the same self-pruning scan: `CREATE TEMPORARY VIEW … USING
+    // graft` (graft.io.GraftDataSource, registered through Spark's
+    // standard DataSourceRegister service file) and a plain WHERE
+    // clause — no Scala call anywhere in the query text. The relation
+    // behind the view IS the GraftFileIndex parquet relation, so the
+    // SQL predicate prunes files at scan planning; the in-band require
+    // reads the scan's own numFiles metric off the SQL plan. Same
+    // oracle as h2 — the two surfaces must agree byte-for-byte.
+    Q("h13_sql_source_read",
+      (s, d) => {
+        val (path, _) = zonedDocs(s, d)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_docs " +
+          s"USING graft OPTIONS (path '$path')")
+        val df = s.sql("""
+          SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM graft_docs WHERE n_chars BETWEEN 450 AND 10000
+          GROUP BY lang ORDER BY lang""")
+        val (read, total) =
+          org.apache.spark.sql.graft.bridge.scanFileCounts(df)
+        require(read < total,
+          s"h13: the SQL view's predicate must prune files (read $read of $total)")
+        df
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents WHERE n_chars BETWEEN 450 AND 10000
+        GROUP BY lang ORDER BY lang""")),
+
     // h3: MULTI-DIMENSION (Z-ORDER) DATA SKIPPING — h2 prunes files by
     // ONE clustered column; h3 is the Delta/Iceberg liquid-layout move
     // for 2-D predicates: the layout Morton-interleaves (n_chars,

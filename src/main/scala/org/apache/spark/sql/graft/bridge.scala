@@ -51,7 +51,22 @@ object bridge {
                    dataSchema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+    org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        relationFor(spark, index, dataSchema)))
+  }
+
+  /** The bare [[org.apache.spark.sql.sources.BaseRelation]] over a custom
+    * FileIndex — what a V1 `RelationProvider` (the `USING graft` SQL
+    * source) must return; [[dataFrameFor]] wraps the same relation for
+    * programmatic callers.
+    */
+  def relationFor(spark: org.apache.spark.sql.SparkSession,
+                  index: org.apache.spark.sql.execution.datasources.FileIndex,
+                  dataSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       location = index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
       dataSchema = dataSchema,
@@ -59,8 +74,6 @@ object bridge {
       fileFormat =
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       options = Map.empty)(cs)
-    org.apache.spark.sql.classic.Dataset.ofRows(cs,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
   }
 
   /** Post-execution (files read, files total) off the plan's OWN

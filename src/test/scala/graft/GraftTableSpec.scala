@@ -134,6 +134,39 @@ class GraftTableSpec extends SparkSpec {
     assert(r1 < t1 && one.count() == 500)
   }
 
+  test("USING graft SQL source: plain SQL over a view prunes files") {
+    val path = tmp("gt_sql")
+    Scale.writeSnapshot(spark, path, clusteredDf)
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("v"))
+    // programmatic format("graft")
+    val df = spark.read.format("graft").load(path)
+      .filter(col("v").between(100, 400))
+    val (read, total) = GraftTable.scanFiles(df)
+    assert(total == 8 && read <= 2, s"format(graft) must prune: $read of $total")
+    // pure-SQL surface: CREATE VIEW ... USING graft, filter in SQL
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gt_sql_view " +
+      s"USING graft OPTIONS (path '$path')")
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n FROM gt_sql_view WHERE v BETWEEN 100 AND 400")
+    val (r2, t2) = org.apache.spark.sql.graft.bridge.scanFileCounts(viaSql)
+    assert(t2 == 8 && r2 <= 2, s"SQL view must prune: $r2 of $t2")
+    assert(viaSql.head.getLong(0) == 301)
+    // version pin through the source options
+    Scale.writeSnapshot(spark, path, clusteredDf.limit(10))
+    val pinned = spark.read.format("graft")
+      .option("version", "0").load(path)
+    assert(pinned.count() == 4000)
+    // merge-on-read tables must reject loudly, never skip deletes
+    val morPath = tmp("gt_sql_mor")
+    Scale.writeMorBase(spark, morPath, clusteredDf)
+    Scale.appendDeletes(spark, morPath, Seq(1L).toDF("k"))
+    GraftTable.buildIndex(spark, morPath, morKey = Some("k"))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(morPath).count()
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+  }
+
   test("disjunction prunes to the union of branch survivors") {
     val path = tmp("gt_or")
     Scale.writeSnapshot(spark, path, clusteredDf)
