@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.all.foreach(ext.injectFunction)
     // conf-gated (spark.graft.rangeJoin.binWidth); a no-op until set
     ext.injectOptimizerRule(graft.plans.BinnedRangeJoinRule(_))
+    // completes the USING graft SQL surface over merge-on-read tables:
+    // rewrites the source's marker leaf into the full read plan
+    // (pruned scan + broadcast delete anti-join); no-op otherwise
+    ext.injectResolutionRule(graft.plans.MorTableRewrite(_))
   }
 }
 

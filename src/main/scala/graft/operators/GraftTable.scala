@@ -135,6 +135,53 @@ object GraftTable {
     }
   }
 
+  /** The skipping-index SPEC the table's manifests record — (zone
+    * columns, bloom columns) of the most recently indexed generation,
+    * None when the table was never indexed (or its manifests are
+    * empty). Old generations keep their manifests for time travel, so
+    * recency is resolved by generation number, not listing order.
+    */
+  private[graft] def indexSpec(spark: SparkSession, path: String)
+      : Option[(Seq[String], Seq[String])] = {
+    val fs = fsFor(spark, path)
+    val idxRoot = new Path(path, "_index")
+    if (!fs.exists(idxRoot)) return None
+    val tags = fs.listStatus(idxRoot).filter(_.isDirectory).map(_.getPath.getName)
+    def gen(tag: String): Long = tag match {
+      case t if t.startsWith("base_v=") => t.stripPrefix("base_v=").toLong
+      case t if t.startsWith("v=") => t.stripPrefix("v=").toLong
+      case _ => Long.MaxValue // "plain" is the only generation of its table
+    }
+    tags.sortBy(gen).lastOption.flatMap { tag =>
+      val subs = fs.listStatus(new Path(idxRoot, tag))
+        .filter(_.isDirectory).map(_.getPath.getName).toSeq
+      val zones = subs.collect {
+        case s if s.startsWith("zone_long_") => s.stripPrefix("zone_long_")
+        case s if s.startsWith("zone_str_") => s.stripPrefix("zone_str_")
+      }
+      val blooms = subs.collect {
+        case s if s.startsWith("bloom_") => s.stripPrefix("bloom_")
+      }
+      if (zones.isEmpty && blooms.isEmpty) None else Some((zones, blooms))
+    }
+  }
+
+  /** AUTO RE-INDEX — the maintenance hook [[Scale]]'s write paths call
+    * so data skipping is TABLE BEHAVIOR, not caller discipline: after a
+    * compaction, merge, or snapshot commit, the recorded spec (captured
+    * by the caller BEFORE a destructive swap via [[indexSpec]], or
+    * discovered here from the surviving manifests) is rebuilt for the
+    * table's current generation. Never-indexed tables cost nothing.
+    * The rebuild is one grouped-aggregate scan of the new generation —
+    * the writer-pays-O(table) contract every lakehouse maintenance
+    * operation already accepts.
+    */
+  def reindexAuto(spark: SparkSession, path: String,
+                  spec: Option[(Seq[String], Seq[String])] = None): Unit =
+    spec.orElse(indexSpec(spark, path)).foreach { case (zones, blooms) =>
+      buildIndex(spark, path, zoneCols = zones, bloomCols = blooms)
+    }
+
   /** The unified read. Plans as a plain V1 parquet relation whose file
     * LISTING is [[GraftFileIndex]]: filters the caller stacks on top are
     * pushed down by Catalyst and prune files before the scan starts
@@ -157,20 +204,28 @@ object GraftTable {
 
   /** The self-pruning scan as a bare V1 relation — what the `USING
     * graft` SQL data source ([[graft.io.GraftDataSource]]) returns.
-    * Snapshot and plain layouts only: a BaseRelation cannot carry the
-    * delete-reconciliation anti-join a merge-on-read table needs, and
-    * silently skipping deletes would be wrong results, so MoR tables
-    * reject loudly here and read via [[read]].
+    * Snapshot and plain layouts plan directly as the
+    * GraftFileIndex-backed parquet relation. A MERGE-ON-READ table
+    * cannot be a leaf relation (its semantics are a JOIN: base minus
+    * the delete keys), so the source returns a
+    * [[graft.io.MorMarkerRelation]] that the injected analyzer rule
+    * [[graft.plans.MorTableRewrite]] replaces with the full [[read]]
+    * plan during resolution — pointer, deletes, pruning and all. The
+    * marker's schema is the reconciled table's schema (the anti-join
+    * preserves base columns), so the view resolves correctly before the
+    * rewrite fires.
     */
   private[graft] def pruningRelation(spark: SparkSession, path: String,
                                      version: Option[Long])
       : org.apache.spark.sql.sources.BaseRelation = {
     val g = resolve(spark, path, version)
-    require(g.mor.isEmpty,
-      s"$path is a merge-on-read table: the SQL source cannot apply its " +
-        "equality deletes — read it via GraftTable.read(spark, path)")
-    val (idx, schema) = indexAndSchema(spark, path, g)
-    org.apache.spark.sql.graft.bridge.relationFor(spark, idx, schema)
+    if (g.mor.isDefined)
+      new graft.io.MorMarkerRelation(spark, path,
+        spark.read.parquet(g.dataDir).schema)
+    else {
+      val (idx, schema) = indexAndSchema(spark, path, g)
+      org.apache.spark.sql.graft.bridge.relationFor(spark, idx, schema)
+    }
   }
 
   def read(spark: SparkSession, path: String,
@@ -239,22 +294,34 @@ object GraftTable {
     var bl = Map.empty[String, Map[String, Array[Byte]]]
     fs.listStatus(new Path(idxDir)).filter(_.isDirectory).foreach { st =>
       val name = st.getPath.getName
+      // A file whose zone column is entirely NULL persists NULL bounds
+      // in the manifest (Scale.zoneMap's min/max of an all-NULL column).
+      // Validate coverage on ALL listed rows, then drop the null-bounded
+      // entries: an absent entry already means "keep the file" in
+      // GraftFileIndex's forall pruning logic — conservative, never a
+      // crash, never a wrong skip.
       if (name.startsWith("zone_long_")) {
         val c = name.stripPrefix("zone_long_")
-        val m = spark.read.parquet(st.getPath.toString).collect()
+        val rows = spark.read.parquet(st.getPath.toString).collect()
+        validate(name, rows.map(r => fileKey(r.getString(0))).toSet)
+        val m = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
           .map(r => fileKey(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
-        validate(name, m.keySet); lz += c -> m
+        lz += c -> m
       } else if (name.startsWith("zone_str_")) {
         val c = name.stripPrefix("zone_str_")
-        val m = spark.read.parquet(st.getPath.toString).collect()
+        val rows = spark.read.parquet(st.getPath.toString).collect()
+        validate(name, rows.map(r => fileKey(r.getString(0))).toSet)
+        val m = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
           .map(r => fileKey(r.getString(0)) ->
             (r.getString(1).getBytes("UTF-8"), r.getString(2).getBytes("UTF-8"))).toMap
-        validate(name, m.keySet); sz += c -> m
+        sz += c -> m
       } else if (name.startsWith("bloom_")) {
         val c = name.stripPrefix("bloom_")
-        val m = spark.read.parquet(st.getPath.toString).collect()
+        val rows = spark.read.parquet(st.getPath.toString).collect()
+        validate(name, rows.map(r => fileKey(r.getString(0))).toSet)
+        val m = rows.filter(!_.isNullAt(1))
           .map(r => fileKey(r.getString(0)) -> r.getAs[Array[Byte]](1)).toMap
-        validate(name, m.keySet); bl += c -> m
+        bl += c -> m
       }
     }
     (lz, sz, bl)

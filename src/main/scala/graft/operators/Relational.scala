@@ -322,19 +322,32 @@ object Relational {
     * order is not (a partitioner-sampling split could drift between the
     * count job and the data job). Equal rankKey values always share a
     * bucket, so `order`'s tie-break never straddles a boundary.
+    *
+    * NULL contract: rows whose `rankKey` is NULL (or whose long cast
+    * yields NULL) are NOT dropped — they land in a dedicated bucket
+    * that sorts before all value buckets, i.e. NULLS FIRST, matching
+    * Spark's default ASC sort; `order` tie-breaks within it. An
+    * all-NULL rankKey input therefore still keys every row.
     */
   def surrogateKeyScalable(df: DataFrame, keyCol: String, rankKey: Column,
                            order: Seq[Column], buckets: Int = 64): DataFrame = {
     val in = df.withColumn("__skk", rankKey.cast("long"))
-    val mm = in.agg(min(col("__skk")).as("lo"), max(col("__skk")).as("hi")).head()
-    if (mm.isNullAt(0)) // empty input: keep the schema, no rows
+    val mm = in.agg(min(col("__skk")).as("lo"), max(col("__skk")).as("hi"),
+      count(lit(1)).as("n")).head()
+    if (mm.getLong(2) == 0L) // empty input: keep the schema, no rows
       return df.withColumn(keyCol, lit(0L)).where(lit(false))
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // non-empty but all-NULL rankKey: every row goes to the null bucket
+    val (lo, hi) = if (mm.isNullAt(0)) (0L, 0L)
+                   else (mm.getLong(0), mm.getLong(1))
     require(hi - lo >= 0,
       s"surrogateKeyScalable: rankKey range [$lo, $hi] exceeds Long.MaxValue; " +
         "pre-bucket wide hash keys before keying")
     val span = math.max(1L, (hi - lo) / buckets + 1)
-    val bucketed = in.withColumn("__b", expr(s"(__skk - ${lo}L) div ${span}L"))
+    // NULL __skk → bucket -1: sorts first everywhere __b is ordered, so
+    // null-key rows receive the lowest surrogate keys instead of being
+    // silently dropped by the inner join below.
+    val bucketed = in.withColumn("__b",
+      coalesce(expr(s"(__skk - ${lo}L) div ${span}L"), lit(-1L)))
     val wLocal = Window.partitionBy("__b").orderBy(order: _*)
     val local = bucketed.withColumn("__rn", row_number().over(wLocal).cast("long"))
     val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)

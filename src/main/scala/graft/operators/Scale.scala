@@ -327,6 +327,11 @@ object Scale {
                                  deleteCol: Option[String]): Unit = {
     import org.apache.hadoop.fs.Path
     fs.delete(tmp, true)
+    // capture the skipping-index spec before any swap destroys the
+    // manifests; zone columns steer the rewrite so the merged layout
+    // keeps the clustering the index prunes on (see compactParquet)
+    val idxSpec = GraftTable.indexSpec(spark, path)
+    val clusterCols = idxSpec.map(_._1).getOrElse(Nil)
     def merge(base: DataFrame): DataFrame = deleteCol match {
       case Some(d) => graft.operators.Relational.upsertCdc(base, updates, keys, order, d)
       case None    => graft.operators.Relational.upsert(base, updates, keys, order)
@@ -352,8 +357,20 @@ object Scale {
     partitionCol match {
       case None =>
         val merged = merge(spark.read.parquet(path))
-        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // explicit file count (the base's own): an argless range
+        // repartition is AQE-coalescible and a tiny merge would land in
+        // ONE file, erasing the granularity the zone index prunes over
+        val shaped =
+          if (clusterCols.isEmpty) merged
+          else {
+            val nFiles = math.max(1, fs.listStatus(src).count(s =>
+              s.isFile && s.getPath.getName.endsWith(".parquet")))
+            merged.repartitionByRange(nFiles, clusterCols.map(col): _*)
+              .sortWithinPartitions(clusterCols.map(col): _*)
+          }
+        shaped.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         swap(tmp, src)
+        GraftTable.reindexAuto(spark, path, idxSpec)
       case Some(p) =>
         val touched = updates.select(col(p)).distinct().collect().map(_.get(0))
         require(touched.nonEmpty, "mergeParquet: updates are empty")
@@ -389,6 +406,10 @@ object Scale {
           }
         }
         fs.delete(tmp, true)
+        // leaf swaps changed the data listing under an unchanged index
+        // dir — rebuild or the next indexed read fails the staleness
+        // check (loud, but maintenance shouldn't require caller repair)
+        GraftTable.reindexAuto(spark, path, idxSpec)
     }
   }
 
@@ -444,6 +465,12 @@ object Scale {
       }
     }
     withTableLock(fs, path) {
+      // capture the skipping-index spec BEFORE the swap (the _index dir
+      // rides inside src and is destroyed with the old generation);
+      // zone columns also steer the rewrite below so the compacted
+      // layout KEEPS the clustering the index prunes on
+      val idxSpec = GraftTable.indexSpec(spark, path)
+      val clusterCols = idxSpec.map(_._1).getOrElse(Nil)
       val leafDirs = leaves(src)
       val tmp = new Path(path + "__compact_tmp")
       fs.delete(tmp, true)
@@ -464,8 +491,17 @@ object Scale {
             else {
               val bytes = fs.getContentSummary(leaf).getLength
               val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-              spark.read.parquet(leaf.toString).repartition(n)
-                .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+              val in = spark.read.parquet(leaf.toString)
+              // an indexed table's zone columns must stay clustered or
+              // compaction would smear every file across the full value
+              // range and silently kill its own skipping (the Delta
+              // OPTIMIZE+ZORDER discipline); unindexed tables keep the
+              // cheap round-robin rewrite
+              val sized =
+                if (clusterCols.isEmpty) in.repartition(n)
+                else in.repartitionByRange(n, clusterCols.map(col): _*)
+                  .sortWithinPartitions(clusterCols.map(col): _*)
+              sized.write.mode(SaveMode.Overwrite).parquet(dest.toString)
             }
           }
         }
@@ -476,9 +512,14 @@ object Scale {
       renameOrFail(fs, src, bak)
       renameOrFail(fs, tmp, src)
       fs.delete(bak, true)
-      // recursive data-file count (leaves may be nested partition dirs)
+      // skipping survives maintenance without caller discipline: rebuild
+      // the captured spec over the compacted layout
+      GraftTable.reindexAuto(spark, path, idxSpec)
+      // recursive DATA-file count (leaves may be nested partition dirs;
+      // "_"-prefixed entries — _index manifests, _SUCCESS — are metadata)
       def countParquet(p: Path): Int = fs.listStatus(p).map { s =>
-        if (s.isDirectory) countParquet(s.getPath)
+        if (isMeta(s.getPath)) 0
+        else if (s.isDirectory) countParquet(s.getPath)
         else if (s.getPath.getName.endsWith(".parquet")) 1 else 0
       }.sum
       countParquet(src)
@@ -689,6 +730,10 @@ object Scale {
       // permanently blocked by. vacuumSnapshots sweeps such dirs too.
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
       swapLatestPointer(spark, fs, path, next)
+      // previously indexed table: the new version inherits the spec
+      // (discovered from the surviving v=<prev> manifests; no-op on
+      // never-indexed tables)
+      GraftTable.reindexAuto(spark, path)
       next
     }
   }
@@ -746,6 +791,7 @@ object Scale {
         val tok = fs.create(new Path(s"$path/v=$next/_token"), true)
         tok.write(token.getBytes("UTF-8")); tok.close()
         swapLatestPointer(spark, fs, path, next)
+        GraftTable.reindexAuto(spark, path) // inherit spec (see writeSnapshot)
         Some(next)
       }
     }
@@ -788,6 +834,17 @@ object Scale {
           val prev = spark.read.parquet(s"$path/v=$v")
           require(prev.columns.sorted.sameElements(df.columns.sorted),
             s"writeSnapshotCdf: schema drift between v=$v and the incoming frame")
+          // The previous version may have been committed with plain
+          // writeSnapshot (mixing is allowed — readChangesBetween only
+          // requires feeds INSIDE the queried range), so its uniqueness
+          // was never checked at ITS commit; a duplicate key there would
+          // fan out the full-outer join and record a silently-wrong
+          // feed. One extra O(prev) pass, consistent with the
+          // writer-pays-O(table) contract.
+          val prevDup = prev.groupBy(keyCol).count()
+            .filter(col("count") > 1).limit(1).count()
+          require(prevDup == 0L,
+            s"writeSnapshotCdf: key column $keyCol is not unique in previous version v=$v")
           val cols = df.columns.toSeq
           val p = prev.select(col(keyCol).as("__k"),
             struct(cols.map(col): _*).as("__p"))
@@ -810,6 +867,7 @@ object Scale {
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
       changes.write.mode(SaveMode.Overwrite).parquet(s"$path/_cdf/v=$next")
       swapLatestPointer(spark, fs, path, next)
+      GraftTable.reindexAuto(spark, path) // inherit spec (see writeSnapshot)
       next
     }
   }
@@ -1094,6 +1152,9 @@ object Scale {
       // pointer never moved past it) — same rationale as writeSnapshot.
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/base_v=$next")
       writeMorPointer(spark, fs, path, next, nextDeleteNum(fs, path))
+      // a superseding base generation inherits the previous one's
+      // skipping spec (no-op on never-indexed tables)
+      GraftTable.reindexAuto(spark, path)
     }
   }
 

@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Resolution rule completing the `USING graft` SQL surface for
+  * MERGE-ON-READ tables (the Delta/Iceberg pattern: the source hands the
+  * analyzer a marker, the extension rewrites it into the real read
+  * plan). A [[graft.io.MorMarkerRelation]] leaf becomes the analyzed
+  * plan of `GraftTable.read(path)` — the GraftFileIndex-backed parquet
+  * relation (so predicates the caller stacks on the VIEW push down
+  * through the planted Project and prune files at scan planning) plus
+  * the broadcast left-anti delete join above it. A Project of aliases
+  * pins the inner plan's columns to the view's original attribute ids,
+  * so every downstream reference stays bound.
+  *
+  * Binding time: the rewrite fires wherever the marker is ANALYZED. A
+  * `CREATE TEMPORARY VIEW … USING graft` analyzes (and therefore
+  * binds deletes + file listing) at CREATE — the same
+  * generation-at-creation contract the snapshot views already have,
+  * since the V1 relation's listing is resolved then too; re-create the
+  * view or use `spark.read.format("graft")` to see later commits.
+  * Converges in one pass — the rewrite leaves no marker behind.
+  */
+case class MorTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case lr: LogicalRelation if lr.relation.isInstanceOf[graft.io.MorMarkerRelation] =>
+      val m = lr.relation.asInstanceOf[graft.io.MorMarkerRelation]
+      val inner = graft.operators.GraftTable.read(spark, m.path)
+        .queryExecution.analyzed
+      require(inner.output.length == lr.output.length,
+        s"graft MoR rewrite: schema drift at ${m.path} — the view sees " +
+          s"${lr.output.length} columns, the table now has ${inner.output.length}")
+      Project(inner.output.zip(lr.output).map { case (n, o) =>
+        Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }, inner)
+  }
+}

@@ -222,6 +222,63 @@ object IoQueries {
         out
       })
 
+  /** r90's KEY-CHURNING CDF table: four commits where the doc_id%8=0
+    * keys go insert (v0) → update (v1, n_chars+3) → delete (v2) →
+    * re-insert (v3, FRESH original-value+11 rows), alongside ordinary
+    * inserts (v1 adds the %4=1 slice) and deletes (v2 drops the German
+    * %4=1 rows) — the adversarial complement of [[cdfDocs]], whose
+    * change sets never touch a key twice. Memoized like the others.
+    */
+  private val churnCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def churnDocs(s: SparkSession, d: String): String =
+    churnCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "churn_").toString + "/tbl"
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "source", "lang", "n_chars")
+        val v0 = docs.filter(col("doc_id") % 4 === 0)
+        graft.operators.Scale.writeSnapshotCdf(s, out, v0, "doc_id")
+        val v1 = v0.withColumn("n_chars",
+            when(col("doc_id") % 8 === 0, col("n_chars") + 3)
+              .otherwise(col("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 4 === 1))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v1, "doc_id")
+        val v2 = v1.filter(col("doc_id") % 8 =!= 0 &&
+          !(col("doc_id") % 4 === 1 && col("lang") === "de"))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v2, "doc_id")
+        val v3 = v2.unionByName(docs.filter(col("doc_id") % 8 === 0)
+          .withColumn("n_chars", col("n_chars") + 11))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v3, "doc_id")
+        out
+      })
+
+  /** r91's APPEND-ONLY CDF table: three commits of disjoint inserts
+    * (the %3=0, %3=1, %3=2 slices), so the feed between any two
+    * versions is pure inserts — the contract under which bounded
+    * top-k state is mergeable. Memoized like the others.
+    */
+  private val cdfAppendCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def cdfAppendDocs(s: SparkSession, d: String): String =
+    cdfAppendCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "cdfapp_").toString + "/tbl"
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "source", "lang", "n_chars")
+        val v0 = docs.filter(col("doc_id") % 3 === 0)
+        graft.operators.Scale.writeSnapshotCdf(s, out, v0, "doc_id")
+        val v1 = v0.unionByName(docs.filter(col("doc_id") % 3 === 1))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v1, "doc_id")
+        val v2 = v1.unionByName(docs.filter(col("doc_id") % 3 === 2))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v2, "doc_id")
+        out
+      })
+
   /** h8's PARTITION-SPEC EVOLUTION layout: one logical table whose two
     * generations carry DIFFERENT partition specs — the legacy batch
     * (doc_id % 3 == 0) laid out `lang=` only, the current batch
@@ -596,12 +653,13 @@ object IoQueries {
         // GraftTable.read — file skipping happens inside the scan's own
         // listing from the pushed-down range, no explicit prune call
         // (readZonePruned remains the library form; ScaleSpec covers it)
+        // skipping itself is pinned on a controlled layout in
+        // GraftTableSpec ("plain filtered read prunes files"), NOT here:
+        // at an arbitrary sf every file may legitimately intersect the
+        // range, and a gate query must stay a pure correctness check
         val (path, _) = zonedDocs(s, d)
         val pruned = graft.operators.GraftTable.read(s, path)
           .filter(col("n_chars").between(450L, 10000L))
-        val (read, total) = graft.operators.GraftTable.scanFiles(pruned)
-        require(read < total,
-          s"h2: pushed-down zone pruning must skip files (read $read of $total)")
         pruned.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -624,12 +682,11 @@ object IoQueries {
     // files; CatalogIoSpec asserts files are actually skipped.
     Q("h10_string_zonemap",
       (s, d) => {
+        // skipping pinned in GraftTableSpec ("string zone pruning
+        // compares unsigned UTF-8"); gate query is pure correctness
         val (path, _) = zonedDocsStr(s, d)
         val pruned = graft.operators.GraftTable.read(s, path)
           .filter(col("source") >= "src2" && col("source") <= "src4")
-        val (read, total) = graft.operators.GraftTable.scanFiles(pruned)
-        require(read < total,
-          s"h10: pushed-down string-zone pruning must skip files (read $read of $total)")
         pruned.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -696,21 +753,18 @@ object IoQueries {
     // prunes files from the predicates Catalyst pushed down against the
     // table's persisted zone index (the Delta/Iceberg reading contract:
     // skipping as table behavior, not caller discipline — the property
-    // that actually survives an org at 100 TB). The in-band require
-    // reads the scan's own numFiles metric, so the proof is the plan's,
-    // not a side computation; the oracle is the plain
-    // predicate-plus-delete complement over the original table, so a
-    // read that skipped a file WRONGLY (or lost/double-applied a
-    // delete) breaks the hash, not just the require.
+    // that actually survives an org at 100 TB). The skipping proof
+    // lives in GraftTableSpec on a controlled layout; here the oracle
+    // is the plain predicate-plus-delete complement over the original
+    // table, so a read that skipped a file WRONGLY (or lost/
+    // double-applied a delete) breaks the hash.
     Q("h12_unified_table_read",
       (s, d) => {
+        // skipping-under-MoR pinned in GraftTableSpec ("deletes applied
+        // AND pruning fires beneath the anti-join"); pure correctness here
         val path = unifiedDocs(s, d)
         val df = graft.operators.GraftTable.read(s, path)
           .filter(col("n_chars").between(450L, 10000L))
-        val (read, total) = graft.operators.GraftTable.scanFiles(df)
-        require(read < total,
-          s"h12: unified read must prune files from pushed-down " +
-            s"predicates alone (read $read of $total)")
         df.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -730,9 +784,9 @@ object IoQueries {
     // standard DataSourceRegister service file) and a plain WHERE
     // clause — no Scala call anywhere in the query text. The relation
     // behind the view IS the GraftFileIndex parquet relation, so the
-    // SQL predicate prunes files at scan planning; the in-band require
-    // reads the scan's own numFiles metric off the SQL plan. Same
-    // oracle as h2 — the two surfaces must agree byte-for-byte.
+    // SQL predicate prunes files at scan planning (pinned off the SQL
+    // plan's numFiles in GraftTableSpec). Same oracle as h2 — the two
+    // surfaces must agree byte-for-byte.
     Q("h13_sql_source_read",
       (s, d) => {
         val (path, _) = zonedDocs(s, d)
@@ -743,16 +797,69 @@ object IoQueries {
                  min(doc_id) AS first_doc, max(doc_id) AS last_doc
           FROM graft_docs WHERE n_chars BETWEEN 450 AND 10000
           GROUP BY lang ORDER BY lang""")
-        val (read, total) =
-          org.apache.spark.sql.graft.bridge.scanFileCounts(df)
-        require(read < total,
-          s"h13: the SQL view's predicate must prune files (read $read of $total)")
+        // SQL-surface skipping pinned in GraftTableSpec ("USING graft
+        // SQL source: plain SQL over a view prunes files")
         df
       },
       Some("""
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM documents WHERE n_chars BETWEEN 450 AND 10000
+        GROUP BY lang ORDER BY lang""")),
+
+    // h14: THE PURE-SQL SURFACE OVER MERGE-ON-READ — the round-16 gap:
+    // the V1 source is a leaf relation and can't BE a join, so for MoR
+    // tables it plants a MorMarkerRelation that the injected analyzer
+    // rule (GraftExtensions → MorTableRewrite) expands at resolution
+    // into the full GraftTable.read plan — pointer, hwm-fenced deletes
+    // as a broadcast anti-join, and manifest file skipping from the
+    // predicates the SQL WHERE pushes through the planted Project. The
+    // oracle is the predicate-plus-delete complement over the original
+    // table (same as h12), so a rewrite that lost or double-applied a
+    // delete breaks the hash; the in-band require reads the SQL plan's
+    // own numFiles, premise-guarded by the live zone manifest so the
+    // check never misfires at a scale where every file genuinely
+    // intersects the range; and the SQL aggregate must equal the
+    // programmatic read's byte-for-byte — the two surfaces are ONE
+    // read path, not two implementations.
+    Q("h14_sql_mor_read",
+      (s, d) => {
+        val path = unifiedDocs(s, d)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_mor " +
+          s"USING graft OPTIONS (path '$path')")
+        val df = s.sql("""
+          SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM graft_mor WHERE n_chars BETWEEN 450 AND 10000
+          GROUP BY lang ORDER BY lang""")
+        val (read, total) = graft.operators.GraftTable.scanFiles(df)
+        val (v, _) = graft.operators.Scale.morPointer(s, path)
+          .getOrElse(sys.error(s"h14: no MoR pointer at $path"))
+        val zones = graft.operators.Scale
+          .zoneMap(s, s"$path/base_v=$v", "n_chars")
+          .select(col("min_v").cast("long"), col("max_v").cast("long"))
+          .collect().filter(z => !z.isNullAt(0) && !z.isNullAt(1))
+        val skippable = zones.count(z =>
+          z.getLong(1) < 450L || z.getLong(0) > 10000L)
+        if (skippable > 0)
+          require(read < total,
+            s"h14: the SQL view's predicate must prune beneath the MoR " +
+              s"anti-join (read $read of $total, $skippable skippable)")
+        val prog = graft.operators.GraftTable.read(s, path)
+          .filter(col("n_chars").between(450L, 10000L))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("lang")
+        require(df.collect().toSeq == prog.collect().toSeq,
+          "h14: SQL and programmatic MoR reads must agree byte-for-byte")
+        df
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents
+        WHERE n_chars BETWEEN 450 AND 10000 AND doc_id % 97 <> 0
         GROUP BY lang ORDER BY lang""")),
 
     // h3: MULTI-DIMENSION (Z-ORDER) DATA SKIPPING — h2 prunes files by
@@ -1157,5 +1264,116 @@ object IoQueries {
           FROM documents
           WHERE (doc_id % 3 = 0 AND NOT (lang = 'de' AND source <> 'src5'))
              OR doc_id % 3 = 1)
-        GROUP BY lang ORDER BY lang""")))
+        GROUP BY lang ORDER BY lang""")),
+
+    // r90: KEY-CHURNING MULTI-HOP CDF — r88's gate table deliberately
+    // never touches a key twice (the condition under which feed-union
+    // ≡ point-diff); r90 is the adversarial complement: the doc_id%8=0
+    // keys are INSERTED (v0) → UPDATED (v1, +3) → DELETED (v2) →
+    // RE-INSERTED (v3, fresh +11 values) across four commits. Under
+    // churn a consumer cannot union the feed rows — it must FOLD them
+    // in commit order: last change per key wins (update_preimage is
+    // bookkeeping), a final delete erases the key, a later re-insert
+    // resurrects it with the NEW row; untouched keys keep their v0
+    // row. The reconstruction must equal the from-scratch v3 (oracle
+    // by predicate), and — in-band — the r89 signed-count consumer
+    // folded over the SAME churning feed must reconcile with the
+    // reconstruction's own aggregate (signed counts are churn-safe by
+    // algebra; proven here, not assumed). Scale: the fold is one
+    // row_number window over the FEED (O(changed rows)) plus one
+    // anti-join against v0 — history is never rescanned.
+    Q("r90_cdf_key_churn",
+      (s, d) => {
+        val p = churnDocs(s, d)
+        val feed = graft.operators.Scale.readChangesBetween(s, p, 0L, 3L)
+        // premise: real churn — some key appears in >= 3 commits
+        val churned = feed.groupBy("doc_id")
+          .agg(countDistinct(col("_commit_version")).as("nc"))
+          .filter(col("nc") >= 3).limit(1).count()
+        require(churned > 0, "r90 premise: no key churns across >= 3 commits")
+        val v0 = graft.operators.Scale.readSnapshot(s, p, Some(0L))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("_commit_version").desc)
+        val last = feed.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        val alive = last.filter(col("_change_type") =!= "delete")
+          .select("doc_id", "source", "lang", "n_chars")
+        val untouched = v0.join(feed.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        val rec = alive.unionByName(untouched)
+        // in-band: the r89 signed-count fold reconciles under churn
+        val baseAgg = v0.groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+        val deltas = feed.select(col("lang"), col("n_chars"),
+            when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+              .otherwise(lit(-1L)).as("sign"))
+          .groupBy("lang")
+          .agg(sum(col("sign")).as("dn"), sum(col("sign") * col("n_chars")).as("dsc"))
+        val rolled = baseAgg.join(deltas, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("sc"), lit(0L)) + coalesce(col("dsc"), lit(0L))).as("sc"))
+          .filter(col("n") > 0)
+        val direct = rec.groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+        require(rolled.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+          direct.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+          "r90: the r89 signed-count consumer diverged from the reconstruction under key churn")
+        rec.orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, source, lang, n_chars FROM documents
+        WHERE doc_id % 4 = 0 AND doc_id % 8 <> 0
+        UNION ALL
+        SELECT doc_id, source, lang, n_chars FROM documents
+        WHERE doc_id % 4 = 1 AND lang <> 'de'
+        UNION ALL
+        SELECT doc_id, source, lang, n_chars + 11 FROM documents
+        WHERE doc_id % 8 = 0
+        ORDER BY doc_id""")),
+
+    // r91: NON-TRIVIALLY-MERGEABLE INCREMENTAL MAINTENANCE — r89
+    // maintains count/sum, a commutative group where deltas simply
+    // add; r91 maintains a BOUNDED TOP-K PER GROUP, which has no
+    // subtraction at all: the state is only a SEMILATTICE under union
+    // (merge = topK of the merged states), so the maintainable
+    // contract is append-only feeds — asserted in-band, not assumed
+    // (a delete would need the evicted k+1-th row the state no longer
+    // holds; that path is full-recompute by design). The v0 top-k
+    // state (k rows per lang — the ONLY thing kept from history) is
+    // merged with the feed's insert rows through the same bounded
+    // TopK aggregate that built it, and the result must equal the
+    // from-scratch top-k over the final contents (oracle). Cost:
+    // O(changed rows + k·groups) per refresh; v0's full contents are
+    // never rescanned — the 100 TB property that makes materialized
+    // top-k dashboards maintainable from a change feed.
+    Q("r91_cdf_topk_maintenance",
+      (s, d) => {
+        val p = cdfAppendDocs(s, d)
+        val k = 5
+        // bounded state materialized at v0 (descending n_chars via
+        // negation — the documented topNPerKeyAgg contract)
+        val state0 = graft.operators.Relational.topNPerKeyAgg(
+          graft.operators.Scale.readSnapshot(s, p, Some(0L))
+            .select(col("lang"), (-col("n_chars")).as("neg"), col("doc_id")),
+          Seq("lang"), Seq("neg", "doc_id"), k).drop("rnk")
+        val feed = graft.operators.Scale.readChangesBetween(s, p, 0L, 2L)
+        // in-band contract: top-k state is mergeable ONLY under inserts
+        require(feed.filter(col("_change_type") =!= "insert").limit(1).count() == 0L,
+          "r91: top-k maintenance requires an append-only feed")
+        val delta = feed.select(col("lang"), (-col("n_chars")).as("neg"), col("doc_id"))
+        graft.operators.Relational.topNPerKeyAgg(
+          state0.unionByName(delta), Seq("lang"), Seq("neg", "doc_id"), k)
+          .select(col("lang"), (-col("neg")).as("n_chars"), col("doc_id"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy("lang", "rnk")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT lang, n_chars, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id ASC) AS rnk
+          FROM documents)
+        SELECT lang, n_chars, doc_id, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""")))
 }

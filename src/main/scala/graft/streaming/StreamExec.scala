@@ -439,7 +439,10 @@ object StreamExec {
                               slices: Int, splitAt: Int, statePartitions: Int = 4)
                              (transform: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
-    require(slices >= 3, s"replayFileStreamRestart: need >= 3 slices, got $slices")
+    // one slice per query lifetime is the minimum that pins the
+    // contract: run 1 builds state, run 2 must recover it (the restart
+    // boundary IS the slice boundary); the sentinel rides with run 2
+    require(slices >= 2, s"replayFileStreamRestart: need >= 2 slices, got $slices")
     require(splitAt >= 1 && splitAt < slices,
       s"replayFileStreamRestart: splitAt must cut the replay in two, got $splitAt/$slices")
     val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayrs_")

@@ -227,13 +227,18 @@ object TextOps {
     * regex subset Java's engine and DuckDB's RE2 match identically
     * (character classes, bounded/unbounded greedy quantifiers; no
     * backrefs, no lookaround, no \b): (name, pattern, replacement),
-    * applied IN ORDER. Order matters and is part of the contract —
-    * emails first (URLs contain no '@', so neither pass can corrupt the
-    * other), then URLs, then dotted quads.
+    * applied IN ORDER, each pass counting and redacting the text the
+    * previous pass produced. Order matters and is part of the
+    * contract — URLs FIRST, because a URL can legally contain both an
+    * '@' (userinfo: https://user@host.com/x) and a dotted quad
+    * (http://10.0.0.1/); redacting the URL whole means its innards are
+    * never double-counted as a standalone email/IP. Emails next, then
+    * dotted quads (the placeholder tokens contain no '@' or digits, so
+    * later passes can't match inside earlier replacements).
     */
   val PiiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
 
   /** PII redaction — the corpus-curation transform every
@@ -246,19 +251,26 @@ object TextOps {
     * builtins); at 100 TB this is a map-only pass that rides whatever
     * scan already runs.
     *
-    * @return (idCol, n_emails, n_urls, n_ips, clean) — counts measured
-    *         on the ORIGINAL text, `clean` the redacted text
+    * Counting is STAGED, in [[PiiPatterns]] order: each category is
+    * counted on the text the previous pass redacted, so an email or
+    * dotted quad living inside a URL counts (and redacts) as part of
+    * that one URL, never twice.
+    *
+    * @return (idCol, n_emails, n_urls, n_ips, clean) — `clean` the
+    *         fully redacted text
     */
   def scrubPii(docs: org.apache.spark.sql.DataFrame, textCol: String,
                idCol: String): org.apache.spark.sql.DataFrame = {
-    val counts = PiiPatterns.map { case (name, pat, _) =>
-      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
-        .cast("long").as(s"n_${name}s")
-    }
-    val clean = PiiPatterns.foldLeft(col(textCol)) {
-      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
-    }
-    docs.select((col(idCol) +: counts :+ clean.as("clean")): _*)
+    val (counts, clean) = PiiPatterns
+      .foldLeft((Seq.empty[org.apache.spark.sql.Column], col(textCol))) {
+        case ((acc, cur), (name, pat, repl)) =>
+          (acc :+ size(regexp_extract_all(cur, lit(pat), lit(0)))
+             .cast("long").as(s"n_${name}s"),
+           regexp_replace(cur, pat, repl))
+      }
+    docs.select(col(idCol) +: counts :+ clean.as("clean"): _*)
+      .select(col(idCol), col("n_emails"), col("n_urls"), col("n_ips"),
+        col("clean"))
   }
 
   /** Benchmark decontamination (the GPT-3 rule: a training document is

@@ -33,6 +33,24 @@ class GraftTableSpec extends SparkSpec {
     assert(got.toSeq == (100L to 400L).toSeq)
   }
 
+  test("all-NULL zone column in a file: index loads, file kept conservatively") {
+    // one file's zone column is entirely NULL -> its manifest row has
+    // NULL bounds; the read must not crash (regression: getLong NPE)
+    // and must keep that file on every predicate (absent entry = keep)
+    val path = tmp("gt_nullzone")
+    val withNulls = spark.range(2000)
+      .select(col("id").as("k"),
+        when(col("id") < 1000, col("id")).as("v")) // file 0: all NULL v
+      .repartitionByRange(4, col("v").asc_nulls_first)
+    Scale.writeSnapshot(spark, path, withNulls)
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("v"))
+    val df = GraftTable.read(spark, path).filter(col("v") >= 100 && col("v") <= 200)
+    val got = df.select("k").as[Long].collect().sorted
+    assert(got.toSeq == (100L to 200L).toSeq)
+    // and an unfiltered read still returns every row incl. the null file
+    assert(GraftTable.read(spark, path).count() == 2000L)
+  }
+
   test("snapshot table: read resolves the LATEST version; time travel pins v0") {
     val path = tmp("gt_vers")
     Scale.writeSnapshot(spark, path, Seq((1L, 10L)).toDF("k", "v"))
@@ -85,6 +103,46 @@ class GraftTableSpec extends SparkSpec {
       s"zone pruning must push through the left-anti join: read $read of $total")
     val got = df.select("k").as[Long].collect().sorted
     assert(got.toSeq == ((100L to 400L).toSet -- Set(150L, 200L)).toSeq.sorted)
+  }
+
+  test("USING graft over merge-on-read: SQL == programmatic read, pruning beneath anti-join") {
+    val path = tmp("gt_mor_sql")
+    Scale.writeMorBase(spark, path, clusteredDf)
+    Scale.appendDeletes(spark, path, Seq(150L, 200L, 9999L).toDF("k"))
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("v"), morKey = Some("k"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gt_mor_sql_v " +
+      s"USING graft OPTIONS (path '$path')")
+    val viaSql = spark.sql(
+      "SELECT * FROM gt_mor_sql_v WHERE v BETWEEN 100 AND 400")
+    // the rewritten plan's own numFiles proves skipping fired beneath
+    // the planted delete anti-join
+    val (read, total) = org.apache.spark.sql.graft.bridge.scanFileCounts(
+      viaSql, _.isInstanceOf[graft.operators.GraftFileIndex])
+    assert(total == 8 && read <= 2,
+      s"SQL MoR read must prune files: read $read of $total")
+    // byte-for-byte against the programmatic read: same rows, all columns
+    val prog = GraftTable.read(spark, path).filter(col("v").between(100, 400))
+    val a = viaSql.orderBy("k").collect().toSeq
+    val b = prog.orderBy("k").collect().toSeq
+    assert(a == b, s"SQL vs programmatic drift: ${a.take(3)} vs ${b.take(3)}")
+    assert(a.map(_.getLong(0)).toSet == ((100L to 400L).toSet -- Set(150L, 200L)))
+    // generation binding: a temp view freezes its plan at CREATE (same
+    // contract as the snapshot views above — the V1 file listing is
+    // also resolved then), so a later delete commit needs a view
+    // re-create (or a fresh format("graft") read) to become visible
+    Scale.appendDeletes(spark, path, Seq(300L).toDF("k"))
+    val stale = spark.sql("SELECT k FROM gt_mor_sql_v WHERE v BETWEEN 100 AND 400")
+      .as[Long].collect().toSet
+    assert(stale == ((100L to 400L).toSet -- Set(150L, 200L)))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gt_mor_sql_v " +
+      s"USING graft OPTIONS (path '$path')")
+    val fresh = spark.sql("SELECT k FROM gt_mor_sql_v WHERE v BETWEEN 100 AND 400")
+      .as[Long].collect().toSet
+    assert(fresh == ((100L to 400L).toSet -- Set(150L, 200L, 300L)))
+    // the programmatic read always resolves live
+    val live = GraftTable.read(spark, path).filter(col("v").between(100, 400))
+      .select("k").as[Long].collect().toSet
+    assert(live == fresh)
   }
 
   test("no index: full scan, correct rows (pruning is pure optimization)") {
@@ -156,15 +214,57 @@ class GraftTableSpec extends SparkSpec {
     val pinned = spark.read.format("graft")
       .option("version", "0").load(path)
     assert(pinned.count() == 4000)
-    // merge-on-read tables must reject loudly, never skip deletes
+    // merge-on-read through format("graft"): the MorTableRewrite rule
+    // expands the marker — deletes applied, never silently skipped
     val morPath = tmp("gt_sql_mor")
     Scale.writeMorBase(spark, morPath, clusteredDf)
     Scale.appendDeletes(spark, morPath, Seq(1L).toDF("k"))
     GraftTable.buildIndex(spark, morPath, morKey = Some("k"))
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(morPath).count()
-    }
-    assert(e.getMessage.contains("merge-on-read"))
+    val mor = spark.read.format("graft").load(morPath)
+    assert(mor.count() == 3999L)
+    assert(mor.filter(col("k") === 1L).count() == 0L)
+  }
+
+  test("auto re-index: skipping survives compact + merge + commit, no explicit rebuild") {
+    // plain indexed table → compact → merge: both maintenance writes
+    // must leave a FRESH index over a still-clustered layout, so the
+    // h12-style self-pruning read works with zero caller discipline
+    val path = tmp("gt_autoidx")
+    clusteredDf.write.parquet(path)
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("v"))
+    val bytes = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    Scale.compactParquet(spark, path, targetBytes = math.max(1L, bytes / 4))
+    val afterCompact = GraftTable.read(spark, path)
+      .filter(col("v").between(100, 400))
+    val (r1, t1) = GraftTable.scanFiles(afterCompact)
+    assert(t1 >= 3 && r1 < t1,
+      s"compaction must keep clustering AND rebuild the index: read $r1 of $t1")
+    assert(afterCompact.select("k").as[Long].collect().sorted.toSeq ==
+      (100L to 400L).toSeq)
+
+    // merge (upsert winning on s desc: "upd" > "cat…") — same contract
+    val updates = (0L to 50L).map(i => (i, i, "upd")).toDF("k", "v", "s")
+    Scale.mergeParquet(spark, path, updates, Seq("k"), Seq(col("s").desc))
+    val afterMerge = GraftTable.read(spark, path)
+      .filter(col("v").between(0, 50))
+    val (r2, t2) = GraftTable.scanFiles(afterMerge)
+    assert(r2 < t2, s"merge must rebuild the index: read $r2 of $t2")
+    assert(afterMerge.filter(col("s") === "upd").count() == 51L)
+
+    // snapshot table: a NEW commit inherits the previous version's spec
+    val snap = tmp("gt_autoidx_snap")
+    Scale.writeSnapshot(spark, snap, clusteredDf)
+    GraftTable.buildIndex(spark, snap, zoneCols = Seq("v"))
+    Scale.writeSnapshot(spark, snap, clusteredDf) // v=1, auto-indexed
+    val v1 = GraftTable.read(spark, snap).filter(col("v").between(100, 400))
+    val (r3, t3) = GraftTable.scanFiles(v1)
+    assert(t3 == 8 && r3 <= 2,
+      s"new snapshot version must inherit the skipping spec: read $r3 of $t3")
+    // and v=0's own manifests still serve time travel
+    val v0 = GraftTable.read(spark, snap, Some(0L)).filter(col("v") < 50)
+    val (r4, t4) = GraftTable.scanFiles(v0)
+    assert(r4 < t4 && v0.count() == 50)
   }
 
   test("disjunction prunes to the union of branch survivors") {

@@ -58,6 +58,34 @@ class RelationalOpsSpec extends SparkSpec {
     assert(b.select("sk").as[Long].collect().sorted.toSeq == (1L to 500L))
   }
 
+  test("surrogateKeyScalable: NULL rankKeys are keyed NULLS-FIRST, never dropped") {
+    // mixed null / non-null: nulls take the lowest keys, values follow
+    val df = Seq[(java.lang.Integer, String)](
+      (30, "c"), (null, "x"), (10, "a"), (null, "y"), (20, "b"))
+      .toDF("v", "tag")
+    val out = Relational.surrogateKeyScalable(
+      df.repartition(4), "sk", col("v"),
+      Seq(col("v").asc_nulls_first, col("tag").asc))
+    assert(out.count() == 5L) // no silent row loss
+    assert(out.select("sk").as[Long].collect().sorted.toSeq == (1L to 5L))
+    val bySk = out.orderBy("sk").select("tag").as[String].collect().toSeq
+    assert(bySk == Seq("x", "y", "a", "b", "c"), bySk.toString)
+
+    // all-NULL rankKey: still keys every row (regression: the empty-input
+    // early exit used to swallow this case)
+    val allNull = Seq[(java.lang.Integer, String)]((null, "p"), (null, "q"))
+      .toDF("v", "tag")
+    val an = Relational.surrogateKeyScalable(
+      allNull, "sk", col("v"), Seq(col("tag").asc))
+    assert(an.orderBy("sk").select("tag").as[String].collect().toSeq ==
+      Seq("p", "q"))
+
+    // genuinely empty input: schema kept, zero rows
+    val empty = Relational.surrogateKeyScalable(
+      df.where(lit(false)), "sk", col("v"), Seq(col("tag").asc))
+    assert(empty.count() == 0L && empty.columns.contains("sk"))
+  }
+
   test("asofJoin: greatest right time <= left time, ties inclusive, unmatched null") {
     val left = Seq((1, 10L, "a"), (1, 20L, "b"), (1, 5L, "c"), (2, 50L, "d"))
       .toDF("k", "lt", "tag")

@@ -565,10 +565,12 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1).getString(4) == "see <URL> and <URL> then <IP> ends")
     // no PII -> zero counts and the text passes through untouched
     assert(out(2).toSeq.drop(1) == Seq(0L, 0L, 0L, "clean text with no matches at all"))
-    // order contract: emails redact FIRST, so the email inside the URL
-    // is consumed by the email pass (counts measure the original text)
-    assert(out(3).getLong(1) == 2) // a@b.co and the http://a@b.co one
-    assert(out(3).getString(4).contains("<IP>"))
+    // order contract: URLs redact FIRST and counting is staged, so the
+    // email inside http://a@b.co is consumed by the URL pass and only
+    // the standalone a@b.co counts as an email
+    assert(out(3).getLong(1) == 1, out(3).toString) // standalone a@b.co only
+    assert(out(3).getLong(2) == 1 && out(3).getLong(3) == 1)
+    assert(out(3).getString(4) == "<EMAIL> <URL> <IP>")
   }
 
   test("lmContinuation: hand-checked trigram continuation mass") {
