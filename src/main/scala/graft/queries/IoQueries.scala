@@ -1375,5 +1375,71 @@ object IoQueries {
                    ORDER BY n_chars DESC, doc_id ASC) AS rnk
           FROM documents)
         SELECT lang, n_chars, doc_id, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""")),
+
+    // r92: DELETE-TOLERANT TOP-K MAINTENANCE VIA SLACK — r91's honest
+    // limit is append-only feeds (top-k state has no subtraction); the
+    // production answer is SLACK: materialize top-(k+slack) per group,
+    // so up to `slack` state-resident deletions per group still leave
+    // ≥ k stored rows that provably dominate every never-stored row
+    // (they were the k+slack best). The fold over r90's CHURNING feed:
+    // touched keys' rows leave the state, each key's FINAL alive
+    // version re-enters, and the bounded TopK aggregate re-merges. A
+    // group whose state lost MORE than `slack` rows is flagged and
+    // recomputed from the live table — the explicit escape hatch,
+    // never a silent wrong answer (at the sf0.01 gate corpus the en/zh
+    // groups flag and recompute while de/es/fr ride the slack path —
+    // both branches land under ONE full-recompute oracle). Refresh cost:
+    // O(changed rows + (k+slack)·groups) plus a per-FLAGGED-group
+    // rescan — the knob (slack vs rescan frequency) a 100 TB
+    // leaderboard pipeline actually tunes.
+    Q("r92_cdf_topk_slack_maintenance",
+      (s, d) => {
+        val p = churnDocs(s, d)
+        val (k, slack) = (5, 4)
+        def prep(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("lang"), (-col("n_chars")).as("neg"), col("doc_id"))
+        val state0 = graft.operators.Relational.topNPerKeyAgg(
+          prep(graft.operators.Scale.readSnapshot(s, p, Some(0L))),
+          Seq("lang"), Seq("neg", "doc_id"), k + slack).drop("rnk")
+        val feed = graft.operators.Scale.readChangesBetween(s, p, 0L, 3L)
+        val touched = feed.select("doc_id").distinct()
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("_commit_version").desc)
+        val finalAlive = feed.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("__rn", row_number().over(wk)).filter(col("__rn") === 1)
+          .filter(col("_change_type") =!= "delete")
+        val survivors = state0.join(touched, Seq("doc_id"), "left_anti")
+        val flagged = state0.join(touched, Seq("doc_id"), "left_semi")
+          .groupBy("lang").agg(count(lit(1)).as("__d"))
+          .filter(col("__d") > slack).select("lang")
+        val merged = graft.operators.Relational.topNPerKeyAgg(
+          survivors.unionByName(prep(finalAlive)),
+          Seq("lang"), Seq("neg", "doc_id"), k)
+        val okPart = merged.join(flagged, Seq("lang"), "left_anti")
+        val recomputed = graft.operators.Relational.topNPerKeyAgg(
+          prep(graft.operators.Scale.readSnapshot(s, p)
+            .join(flagged, Seq("lang"), "left_semi")),
+          Seq("lang"), Seq("neg", "doc_id"), k)
+        okPart.unionByName(recomputed)
+          .select(col("lang"), (-col("neg")).as("n_chars"), col("doc_id"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy("lang", "rnk")
+      },
+      Some("""
+        WITH v3 AS (
+          SELECT doc_id, lang, n_chars FROM documents
+          WHERE doc_id % 4 = 0 AND doc_id % 8 <> 0
+          UNION ALL
+          SELECT doc_id, lang, n_chars FROM documents
+          WHERE doc_id % 4 = 1 AND lang <> 'de'
+          UNION ALL
+          SELECT doc_id, lang, n_chars + 11 FROM documents WHERE doc_id % 8 = 0),
+        ranked AS (
+          SELECT lang, n_chars, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id ASC) AS rnk
+          FROM v3)
+        SELECT lang, n_chars, doc_id, CAST(rnk AS BIGINT) AS rnk
         FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""")))
 }

@@ -50,6 +50,10 @@ object TextQueries {
         SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_rep
         FROM reach GROUP BY src ORDER BY doc_id"""
 
+  // t61's churning CDF text table, memoized per (dir, table fingerprint)
+  private val cdfTextCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // fused LSH banding (doc_id, band0, band1): one token scan builds all
   // 4 seed minima (native.minhashSigArr — no interpreted shingle
   // lambda, no shingle strings), bands concat signature slices; values
@@ -955,6 +959,61 @@ object TextQueries {
           org.apache.spark.sql.Encoders.product[graft.streaming.EventStreams.Event]
         graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2) {
           st => graft.streaming.EventStreams.sessionize(st.as[graft.streaming.EventStreams.Event], gapUs).toDF()
+        }.filter(col("user_id") >= 0)
+          .select(col("user_id"), col("session_start_us"),
+            col("session_end_us"), col("n_events"))
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        lagd AS (
+          SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev_us
+          FROM ev),
+        flags AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM lagd),
+        sess AS (
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM flags)
+        SELECT user_id,
+               CAST(min(ts_us) AS BIGINT) AS session_start_us,
+               CAST(max(ts_us) AS BIGINT) AS session_end_us,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_idx
+        ORDER BY user_id, session_start_us""")),
+
+    // s22: ARBITRARY STATE VIA transformWithState — Spark 4's modern
+    // stateful API (the flatMapGroupsWithState successor) under real
+    // execution: typed NAMED state registered in init (ValueState),
+    // EXPLICIT per-key timers (registerTimer / handleExpiredTimer —
+    // the delete-then-replace discipline is part of the machine), and
+    // the RocksDB state-store provider the API requires (set for this
+    // query only through the replay harness's conf window — the first
+    // gate row exercising the off-heap store end to end). Semantics
+    // are s9's exact session machine, so the THREE implementations —
+    // engine session_window (s7), the legacy GroupState machine (s9),
+    // and this — are pinned to the SAME SQL oracle: any divergence
+    // among the APIs breaks exactly one row and names the culprit.
+    Q("s22_stream_tws_sessions",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        val gapUs = 1800L * 1000000
+        val hi = ev.agg(max("ts_us")).head().getLong(0)
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"), lit(hi + 3 * gapUs + 1000000L).as("ts_us"),
+          lit(-1L).as("user_id"), lit("__wm").as("event_type"),
+          lit(0.0).as("value"))
+        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2,
+          sessionConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+          st => graft.streaming.EventStreams.sessionizeTws(
+            st.as[graft.streaming.EventStreams.Event](
+              org.apache.spark.sql.Encoders.product[graft.streaming.EventStreams.Event]),
+            gapUs).toDF()
         }.filter(col("user_id") >= 0)
           .select(col("user_id"), col("session_start_us"),
             col("session_end_us"), col("n_events"))
@@ -3085,6 +3144,85 @@ object TextQueries {
           SELECT 'index_v1', count(*),
                  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM idx1)
         ORDER BY part""")),
+
+    // t61: DEDUP INDEX AS A MATERIALIZED VIEW OF A CHANGE FEED — t48
+    // maintains the band index across batch APPENDS; t61 closes the
+    // loop with r90's churn: the corpus lives as a CDF-committed
+    // snapshot table whose doc_id%8=0 slice is inserted → text-updated
+    // → deleted → re-inserted (fresh ' v3' text) across four commits,
+    // plus a permanently-deleted insert class — and the LSH band index
+    // is maintained purely from readChangesBetween: remove every
+    // touched key's band rows, add back bands of each key's FINAL
+    // alive version (last change per key, commit order). The full
+    // corpus text is scanned exactly once (the v0 bootstrap); every
+    // refresh after that is O(changed rows). The gate emits the
+    // maintained index itself and the oracle recomputes the index of
+    // the reconstructed v3 contents from scratch, so a leaked stale
+    // band (the ' upd' text that exists only inside the feed), a
+    // missed delete, or a dropped re-insert all break the hash.
+    Q("t61_cdf_dedup_index_maintenance",
+      (s, d) => {
+        def bandsOf(docs: org.apache.spark.sql.DataFrame) =
+          fusedBands(docs)
+            .select(col("doc_id"), explode(map(
+              lit(0), col("band0"), lit(1), col("band1"))).as(Seq("band_idx", "band_val")))
+            .filter(col("band_val").isNotNull)
+        // memoized per table fingerprint (the IoQueries builder pattern):
+        // 4 CDF commits are writer-pays O(table) each — build once per sf
+        val p = cdfTextCopies.computeIfAbsent(
+          s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+            val docs = Tables.documents(s, d).select("doc_id", "text")
+            val out = java.nio.file.Files.createTempDirectory(
+              PipelineQueries.checkpointParent, "cdfidx_").toString + "/tbl"
+            val v0 = docs.filter(col("doc_id") % 4 === 0)
+            graft.operators.Scale.writeSnapshotCdf(s, out, v0, "doc_id")
+            val v1 = v0.withColumn("text",
+                when(col("doc_id") % 8 === 0, concat(col("text"), lit(" upd")))
+                  .otherwise(col("text")))
+              .unionByName(docs.filter(col("doc_id") % 4 === 1))
+            graft.operators.Scale.writeSnapshotCdf(s, out, v1, "doc_id")
+            val v2 = v1.filter(col("doc_id") % 8 =!= 0 &&
+              !(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+            graft.operators.Scale.writeSnapshotCdf(s, out, v2, "doc_id")
+            val v3 = v2.unionByName(docs.filter(col("doc_id") % 8 === 0)
+              .withColumn("text", concat(col("text"), lit(" v3"))))
+            graft.operators.Scale.writeSnapshotCdf(s, out, v3, "doc_id")
+            out
+          })
+        // bootstrap: the ONLY full-corpus band computation
+        val idx0 = bandsOf(graft.operators.Scale.readSnapshot(s, p, Some(0L)))
+        // refresh purely from the feed — O(changed rows)
+        val feed = graft.operators.Scale.readChangesBetween(s, p, 0L, 3L)
+        val touched = feed.select("doc_id").distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("_commit_version").desc)
+        val aliveChanged = feed.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .filter(col("_change_type") =!= "delete")
+          .select("doc_id", "text")
+        idx0.join(touched, Seq("doc_id"), "left_anti")
+          .unionByName(bandsOf(aliveChanged))
+          .orderBy("doc_id", "band_idx")
+      },
+      Some(s"""
+        WITH v3 AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 4 = 0 AND doc_id % 8 <> 0
+          UNION ALL
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 4 = 1 AND doc_id % 3 <> 0
+          UNION ALL
+          SELECT doc_id, text || ' v3' FROM documents WHERE doc_id % 8 = 0),
+        sig AS (
+          SELECT doc_id,
+                 ${minhashSql(0, shingleSql)} || '|' || ${minhashSql(1, shingleSql)} AS band0,
+                 ${minhashSql(2, shingleSql)} || '|' || ${minhashSql(3, shingleSql)} AS band1
+          FROM v3)
+        SELECT doc_id, band_idx, band_val FROM (
+          SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sig
+          UNION ALL SELECT doc_id, 1, band1 FROM sig)
+        WHERE band_val IS NOT NULL
+        ORDER BY doc_id, band_idx""")),
 
     // t50: WITHIN-DOCUMENT REPETITION FILTERS — the Gopher repetition
     // signals (Rae et al.) that t13's surface stats don't cover: a doc

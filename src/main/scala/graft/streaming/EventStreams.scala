@@ -107,6 +107,71 @@ object EventStreams {
       }
   }
 
+  /** The same gap-sessionization state machine through Spark 4's
+    * `transformWithState` — the MODERN arbitrary-state API that
+    * supersedes [[sessionize]]'s flatMapGroupsWithState: typed named
+    * state registered in `init` (ValueState here; ListState/MapState
+    * and per-state TTL are the API's other legs), EXPLICIT timers
+    * (`registerTimer`/`handleExpiredTimer`, several per key if needed)
+    * instead of the single implicit timeout slot, and RocksDB-backed
+    * state stores (the API requires the provider). Semantics are
+    * deliberately identical to [[sessionize]] — same fold, same
+    * deterministic (ts, event_id) in-batch order, same end+gap timer —
+    * so the three implementations (engine session_window, the legacy
+    * GroupState machine, and this) are all pinned to ONE SQL oracle.
+    *
+    * 100 TB shape: state is per-live-key and timer-expired, identical
+    * cost model to flatMapGroupsWithState; RocksDB moves state off-heap
+    * so a wide key space spills to local disk instead of executor heap.
+    */
+  def sessionizeTws(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ExpiredTimerInfo, StatefulProcessor}
+    val gapMs = gapUs / 1000
+    class SessionProcessor extends StatefulProcessor[Long, Event, Session] {
+      @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[SessionState]("session",
+          Encoders.product[SessionState], TTLConfig.NONE)
+      override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                   tv: TimerValues): Iterator[Session] = {
+        val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var cur = if (st.exists()) Some(st.get()) else None
+        sorted.foreach { e =>
+          cur match {
+            case Some(s) if e.ts_us - s.endUs <= gapUs =>
+              cur = Some(SessionState(s.startUs, math.max(s.endUs, e.ts_us), s.n + 1))
+            case Some(s) =>
+              closed += Session(userId, s.startUs, s.endUs, s.n)
+              cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+            case None =>
+              cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          }
+        }
+        cur.foreach { s =>
+          st.update(s)
+          // one pending close-timer per key: replace, never accumulate
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(s.endUs / 1000 + gapMs)
+        }
+        closed.iterator
+      }
+      override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                      info: ExpiredTimerInfo): Iterator[Session] =
+        if (st.exists()) {
+          val s = st.get(); st.clear()
+          Iterator.single(Session(userId, s.startUs, s.endUs, s.n))
+        } else Iterator.empty
+    }
+    events
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_ts", "30 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState[Session](new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Gap sessionization through Spark's NATIVE `session_window` —
     * the declarative alternative to [[sessionize]]'s
     * flatMapGroupsWithState: the engine manages merging/expiring session

@@ -360,7 +360,8 @@ object StreamExec {
   }
 
   def replayFileStream(input: DataFrame, tsCol: String, sentinel: DataFrame,
-                       slices: Int, statePartitions: Int = 4)
+                       slices: Int, statePartitions: Int = 4,
+                       sessionConfs: Map[String, String] = Map.empty)
                       (transform: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
     require(slices >= 2, s"replayFileStream: need >= 2 slices to exercise " +
@@ -378,11 +379,15 @@ object StreamExec {
     // pure fixed overhead — measured ~2 s per replay at gate scale.
     // Restored after start() (the running query keeps its own copy);
     // results are partitioning-independent either way (determinism
-    // gate pins this).
+    // gate pins this). `sessionConfs` rides the same set/restore window
+    // (e.g. the RocksDB state-store provider transformWithState needs).
     val shuffleKey = "spark.sql.shuffle.partitions"
     val savedShuffle = spark.conf.get(shuffleKey)
+    val savedConfs = sessionConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
     val q = try {
       spark.conf.set(shuffleKey, statePartitions.toString)
+      sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
       spark.readStream
         .schema(input.schema)
         .option("maxFilesPerTrigger", 1)
@@ -395,7 +400,13 @@ object StreamExec {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally spark.conf.set(shuffleKey, savedShuffle)
+    } finally {
+      spark.conf.set(shuffleKey, savedShuffle)
+      savedConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
     q.awaitTermination()
     streamRanSinceTeardown = true
     lastProgress = q.recentProgress.toIndexedSeq.map(_.json)

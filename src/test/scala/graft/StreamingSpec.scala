@@ -74,6 +74,38 @@ class StreamingSpec extends SparkSpec {
         s.session_end_us == 200 * us && s.n_events == 2))
   }
 
+  test("transformWithState sessionize: named state + explicit timers close sessions") {
+    implicit val sq = spark.sqlContext
+    // the API requires the RocksDB provider; scope it to this query
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[Event]
+      val q = EventStreams.sessionizeTws(mem.toDS(), gapUs = 1800L * us)
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      // same script as the flatMapGroupsWithState twin: two close events,
+      // then far-future advancers fire the registered close-timer
+      mem.addData(ev(1, 100, 7), ev(2, 200, 7))
+      q.processAllAvailable()
+      mem.addData(ev(3, 100000, 7))
+      q.processAllAvailable()
+      mem.addData(ev(4, 200000, 7))
+      q.processAllAvailable()
+      q.stop()
+      val sessions = spark.table("tws_out").as[EventStreams.Session].collect()
+      assert(sessions.exists(s =>
+        s.user_id == 7 && s.session_start_us == 100 * us &&
+          s.session_end_us == 200 * us && s.n_events == 2),
+        sessions.mkString(", "))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file-source streaming: new parquet files picked up incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
     val batch1 = Seq(ev(1, 100, 1), ev(2, 200, 2)).toDF()
