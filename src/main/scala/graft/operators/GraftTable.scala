@@ -179,7 +179,31 @@ object GraftTable {
   def reindexAuto(spark: SparkSession, path: String,
                   spec: Option[(Seq[String], Seq[String])] = None): Unit =
     spec.orElse(indexSpec(spark, path)).foreach { case (zones, blooms) =>
-      buildIndex(spark, path, zoneCols = zones, bloomCols = blooms)
+      // The commit is already DURABLE when this hook runs (pointer
+      // swapped / dirs renamed), so it must never throw on legitimate
+      // table evolution: a commit that drops or retypes an indexed
+      // column sheds THAT column's manifests for the new generation
+      // (absent manifest = keep-every-file, conservative) instead of
+      // poisoning this and every future commit with a post-swap
+      // exception. Surviving columns keep their skipping. Shed columns:
+      // the spec is rediscovered from the most recently INDEXED
+      // generation, so a column shed while siblings survived leaves the
+      // spec for good (manual buildIndex restores it), while a column
+      // shed in a generation that indexed nothing resurrects on the
+      // next commit that re-admits it.
+      val schema = spark.read.parquet(resolve(spark, path).dataDir).schema
+      val names = schema.fieldNames.toSet
+      def zoneOk(c: String) = names(c) && (schema(c).dataType match {
+        case StringType | ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+      def bloomOk(c: String) = names(c) && (schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+      val (z2, b2) = (zones.filter(zoneOk), blooms.filter(bloomOk))
+      if (z2.nonEmpty || b2.nonEmpty)
+        buildIndex(spark, path, zoneCols = z2, bloomCols = b2)
     }
 
   /** The unified read. Plans as a plain V1 parquet relation whose file

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Scale-path join strategies: what keeps the 100 TB shapes out of
   * single-hot-partition and full-shuffle territory when AQE's automatic
@@ -496,11 +497,28 @@ object Scale {
               // compaction would smear every file across the full value
               // range and silently kill its own skipping (the Delta
               // OPTIMIZE+ZORDER discipline); unindexed tables keep the
-              // cheap round-robin rewrite
+              // cheap round-robin rewrite. Hive partition columns live
+              // in the dir name, not the leaf files — constant within a
+              // leaf, so clustering on them is vacuous: drop them rather
+              // than crash the per-leaf read. Sorted by name so the
+              // layout never depends on manifest-listing order.
+              val present = clusterCols.filter(in.columns.contains).sorted
+              val integral = present.forall { c =>
+                in.schema(c).dataType match {
+                  case ByteType | ShortType | IntegerType | LongType => true
+                  case _ => false
+                }
+              }
               val sized =
-                if (clusterCols.isEmpty) in.repartition(n)
-                else in.repartitionByRange(n, clusterCols.map(col): _*)
-                  .sortWithinPartitions(clusterCols.map(col): _*)
+                if (present.isEmpty) in.repartition(n)
+                else if (present.size >= 2 && integral)
+                  // multi-dim integral spec: re-interleave (zOrderByN's
+                  // bit layout) — lexicographic range partitioning would
+                  // keep only the primary column tight and smear every
+                  // other dimension across its full range
+                  zOrderByN(in, present, n)
+                else in.repartitionByRange(n, present.map(col): _*)
+                  .sortWithinPartitions(present.map(col): _*)
               sized.write.mode(SaveMode.Overwrite).parquet(dest.toString)
             }
           }
@@ -839,12 +857,17 @@ object Scale {
           // requires feeds INSIDE the queried range), so its uniqueness
           // was never checked at ITS commit; a duplicate key there would
           // fan out the full-outer join and record a silently-wrong
-          // feed. One extra O(prev) pass, consistent with the
-          // writer-pays-O(table) contract.
-          val prevDup = prev.groupBy(keyCol).count()
-            .filter(col("count") > 1).limit(1).count()
-          require(prevDup == 0L,
-            s"writeSnapshotCdf: key column $keyCol is not unique in previous version v=$v")
+          // feed. A `_cdf/v=<prev>` dir proves the previous commit went
+          // through THIS writer and was verified then — the common
+          // all-CDF chain pays nothing; only a plain-committed
+          // predecessor costs the one extra O(prev) pass (consistent
+          // with the writer-pays-O(table) contract).
+          if (!fs.exists(new Path(s"$path/_cdf/v=$v"))) {
+            val prevDup = prev.groupBy(keyCol).count()
+              .filter(col("count") > 1).limit(1).count()
+            require(prevDup == 0L,
+              s"writeSnapshotCdf: key column $keyCol is not unique in previous version v=$v")
+          }
           val cols = df.columns.toSeq
           val p = prev.select(col(keyCol).as("__k"),
             struct(cols.map(col): _*).as("__p"))
@@ -1030,7 +1053,17 @@ object Scale {
     withTableLock(fs, path) {
       val committed = listSnapshots(spark, path)
       val victims = committed.dropRight(keepLast)
-      victims.foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
+      // a vacuumed version's skipping manifests go with it (auto
+      // re-index writes `_index/v=<n>` per commit on indexed tables;
+      // leaving them would grow table metadata without bound and keep
+      // indexSpec scanning an ever-longer tag list). `_cdf/v=<n>` feeds
+      // are deliberately RETAINED: incremental consumers replay feeds of
+      // versions whose data dirs are long gone, and feeds are
+      // delta-sized, not table-sized.
+      victims.foreach { v =>
+        fs.delete(new Path(s"$path/v=$v"), true)
+        fs.delete(new Path(s"$path/_index/v=$v"), true)
+      }
       // also sweep uncommitted dirs ABOVE the pointer (a crashed writer's
       // leftovers — no live writer can exist while we hold the lock).
       // A MISSING pointer next to existing snapshot dirs is corrupt
@@ -1045,7 +1078,10 @@ object Scale {
           .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
       latest match {
         case Some(l) =>
-          onDisk.filter(_ > l).foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
+          onDisk.filter(_ > l).foreach { v =>
+            fs.delete(new Path(s"$path/v=$v"), true)
+            fs.delete(new Path(s"$path/_index/v=$v"), true)
+          }
         case None => require(onDisk.isEmpty,
           s"snapshot pointer missing at $path but ${onDisk.size} snapshot " +
             "dirs exist — refusing to vacuum corrupt table metadata")

@@ -31,9 +31,14 @@ case class MorTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val m = lr.relation.asInstanceOf[graft.io.MorMarkerRelation]
       val inner = graft.operators.GraftTable.read(spark, m.path)
         .queryExecution.analyzed
-      require(inner.output.length == lr.output.length,
-        s"graft MoR rewrite: schema drift at ${m.path} — the view sees " +
-          s"${lr.output.length} columns, the table now has ${inner.output.length}")
+      // Count AND names: a same-arity rename/reorder of the base would
+      // otherwise bind view attributes to the wrong table columns
+      // positionally — wrong data with no error.
+      require(inner.output.length == lr.output.length &&
+          inner.output.zip(lr.output).forall { case (n, o) => n.name == o.name },
+        s"graft MoR rewrite: schema drift at ${m.path} — the view binds " +
+          s"[${lr.output.map(_.name).mkString(", ")}], the table now has " +
+          s"[${inner.output.map(_.name).mkString(", ")}]; re-create the view")
       Project(inner.output.zip(lr.output).map { case (n, o) =>
         Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
       }, inner)

@@ -267,6 +267,79 @@ class GraftTableSpec extends SparkSpec {
     assert(r4 < t4 && v0.count() == 50)
   }
 
+  test("MoR rewrite guard: a same-arity base rename/reorder is a loud drift error, never positional binding") {
+    // the rewrite's race guard: a marker resolved against one base
+    // generation, analyzed after a concurrent writer swapped in a
+    // SAME-ARITY renamed/reordered one. Positional zip would silently
+    // serve `v`-data as `k`; the guard must compare NAMES, not count.
+    val path = tmp("gt_mor_rename")
+    Scale.writeMorBase(spark, path, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    graft.operators.GraftTable.buildIndex(spark, path, morKey = Some("k"))
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val staleMarker = new graft.io.MorMarkerRelation(spark, path,
+      Seq((1L, 10L)).toDF("k", "v").schema)
+    val lr = LogicalRelation(staleMarker)
+    val rule = graft.plans.MorTableRewrite(spark)
+    // same generation: rewrite succeeds and leaves no marker behind
+    val ok = rule(lr)
+    assert(ok.collectLeaves().forall {
+      case l: LogicalRelation => !l.relation.isInstanceOf[graft.io.MorMarkerRelation]
+      case _ => true
+    })
+    Scale.writeMorBase(spark, path, Seq((10L, 1L), (20L, 2L)).toDF("v", "k"))
+    val e = intercept[IllegalArgumentException] { rule(lr) }
+    assert(e.getMessage.contains("schema drift"),
+      s"expected a loud schema-drift error, got: ${e.getMessage.take(200)}")
+  }
+
+  test("schema-drift commit on an indexed snapshot table: commit survives, index sheds the lost column") {
+    val path = tmp("gt_drift")
+    Scale.writeSnapshot(spark, path, clusteredDf)
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("v", "k"))
+    // v=1 drops `v` entirely — the commit is durable before reindexAuto
+    // runs, so auto re-index must NOT throw (a post-swap exception would
+    // poison this and every later commit); `k` keeps its skipping
+    Scale.writeSnapshot(spark, path,
+      clusteredDf.drop("v").repartitionByRange(8, col("k")))
+    val byK = GraftTable.read(spark, path).filter(col("k").between(0, 400))
+    val (r1, t1) = GraftTable.scanFiles(byK)
+    assert(t1 == 8 && r1 <= 2,
+      s"surviving column must keep skipping after drift: read $r1 of $t1")
+    assert(byK.count() == 401L)
+    // v=2 retypes `k` to double — no zone-indexable column survives;
+    // the commit must still succeed and the read fall back to keep-all
+    Scale.writeSnapshot(spark, path,
+      clusteredDf.drop("v").withColumn("k", col("k").cast("double")))
+    assert(GraftTable.read(spark, path).count() == 4000L)
+    // v=3 re-admits a long `k`: v=2 indexed NOTHING, so the spec comes
+    // from v=1's manifests (k alone — `v` left the spec when k survived
+    // it at v=1) and k's skipping resurrects with no manual call
+    Scale.writeSnapshot(spark, path,
+      clusteredDf.drop("v").repartitionByRange(8, col("k")))
+    val back = GraftTable.read(spark, path).filter(col("k").between(100, 400))
+    val (r2, t2) = GraftTable.scanFiles(back)
+    assert(t2 == 8 && r2 <= 2,
+      s"re-admitted column must resurrect skipping: read $r2 of $t2")
+  }
+
+  test("vacuumSnapshots sweeps vacuumed versions' _index manifests, keeps survivors'") {
+    val path = tmp("gt_vacidx")
+    Scale.writeSnapshot(spark, path, clusteredDf)
+    GraftTable.buildIndex(spark, path, zoneCols = Seq("v"))
+    Scale.writeSnapshot(spark, path, clusteredDf) // v=1, auto-indexed
+    Scale.writeSnapshot(spark, path, clusteredDf) // v=2, auto-indexed
+    val idx = new java.io.File(s"$path/_index")
+    assert(idx.listFiles().map(_.getName).toSet == Set("v=0", "v=1", "v=2"))
+    val victims = Scale.vacuumSnapshots(spark, path, keepLast = 1)
+    assert(victims == Seq(0L, 1L))
+    // metadata goes with the data: no orphaned manifest trees
+    assert(idx.listFiles().map(_.getName).toSet == Set("v=2"))
+    // the surviving version's skipping is untouched
+    val df = GraftTable.read(spark, path).filter(col("v").between(100, 400))
+    val (read, total) = GraftTable.scanFiles(df)
+    assert(total == 8 && read <= 2, s"read $read of $total")
+  }
+
   test("disjunction prunes to the union of branch survivors") {
     val path = tmp("gt_or")
     Scale.writeSnapshot(spark, path, clusteredDf)

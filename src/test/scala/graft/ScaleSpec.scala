@@ -298,6 +298,83 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"month filter no longer prunes after compaction:\n${filtered.queryExecution.executedPlan.toString.take(1200)}")
   }
 
+  test("compactParquet with a partition-column zone index: no crash, partition cols dropped from clustering") {
+    // buildIndex on a Hive PARTITION column is legal (zoneMap reads the
+    // root with partition discovery), but the per-leaf compact read has
+    // no such column — it lives in the dir name and is constant within a
+    // leaf, so the rewrite must drop it from the cluster spec instead of
+    // throwing UNRESOLVED_COLUMN (regression: round-17 clustered rewrite)
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_pc").toString + "/t"
+    (1 to 3000).map(i => (i.toLong, (i % 3).toLong)).toDF("v", "k")
+      .repartition(4).write.partitionBy("k").parquet(base)
+    graft.operators.GraftTable.buildIndex(spark, base, zoneCols = Seq("k", "v"))
+    val n = Scale.compactParquet(spark, base, targetBytes = 1L << 30)
+    assert(n == 3, s"expected 1 file per partition, got $n")
+    val back = spark.read.parquet(base)
+    assert(back.count() == 3000 &&
+      back.agg(sum("v")).head().getLong(0) == 3000L * 3001 / 2)
+    // partition pruning (the layout's own skipping) still fires
+    val one = back.filter(col("k") === 1)
+    one.collect()
+    val scans = one.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 1)
+  }
+
+  test("compactParquet re-interleaves a multi-column z-order spec; both dimensions keep skipping") {
+    // lexicographic repartitionByRange(a, b) would keep only `a` tight
+    // and smear `b` across its full range — the rewrite must go back
+    // through the Morton interleave for a multi-dim integral spec
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_z").toString + "/t"
+    val n = 64 * 64
+    val df = spark.range(n).select(
+      (col("id") / 64).cast("long").as("a"),
+      (col("id") % 64).cast("long").as("b"))
+    Scale.zOrderByN(df, Seq("a", "b"), numFiles = 16).write.parquet(base)
+    graft.operators.GraftTable.buildIndex(spark, base, zoneCols = Seq("a", "b"))
+    // fragment it (5 small files per z-slice would be realistic; the
+    // simple shape below still forces a full clustered rewrite)
+    Scale.compactParquet(spark, base, targetBytes = 2048L)
+    def pruned(c: String): (Long, Long) = {
+      val d = graft.operators.GraftTable.read(spark, base)
+        .filter(col(c).between(0, 7))
+      assert(d.count() == 8L * 64)
+      graft.operators.GraftTable.scanFiles(d)
+    }
+    val (ra, ta) = pruned("a")
+    val (rb, tb) = pruned("b")
+    assert(ta >= 4 && ra < ta, s"dimension a stopped skipping: $ra of $ta")
+    assert(tb >= 4 && rb < tb,
+      s"dimension b stopped skipping after compaction (lexicographic smear): $rb of $tb")
+  }
+
+  test("writeSnapshotCdf rejects a plain-committed predecessor with duplicate keys, skips the rescan on a CDF one") {
+    val t = java.nio.file.Files.createTempDirectory("graft_cdf_mix").toString + "/t"
+    // v=0 via plain writeSnapshot WITH a duplicate key — legal at its
+    // own commit (plain snapshots have no key contract)
+    Scale.writeSnapshot(spark, t,
+      Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "s"))
+    // the CDF commit must verify the predecessor and refuse: a dup key
+    // there would fan out the full-outer diff into a silently-wrong feed
+    val e = intercept[IllegalArgumentException] {
+      Scale.writeSnapshotCdf(spark, t,
+        Seq((1L, "a"), (2L, "c")).toDF("k", "s"), "k")
+    }
+    assert(e.getMessage.contains("previous version"))
+    // all-CDF chain: predecessors were verified at THEIR commits, the
+    // O(prev) rescan is skipped (contract documented; behavior here just
+    // proves the chain commits and diffs stay exact)
+    val t2 = java.nio.file.Files.createTempDirectory("graft_cdf_chain").toString + "/t"
+    Scale.writeSnapshotCdf(spark, t2, Seq((1L, "a"), (2L, "b")).toDF("k", "s"), "k")
+    Scale.writeSnapshotCdf(spark, t2, Seq((1L, "a2"), (3L, "c")).toDF("k", "s"), "k")
+    val feed = Scale.readChangesBetween(spark, t2, 0L, 1L)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 1L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), s"got $byType")
+  }
+
   test("compactParquet refuses a mixed layout instead of dropping stray files") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact_mix").toString + "/t"
     val df = (1 to 100).map(i => (i, i % 3)).toDF("v", "k")
