@@ -1441,5 +1441,138 @@ object IoQueries {
                    ORDER BY n_chars DESC, doc_id ASC) AS rnk
           FROM v3)
         SELECT lang, n_chars, doc_id, CAST(rnk AS BIGINT) AS rnk
-        FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""")))
+        FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""")),
+
+    // r93: DELETE-SAFE INCREMENTAL DISTINCT-COUNT MAINTENANCE — the
+    // remaining half of the "non-trivially-mergeable state" family:
+    // r91/r92 maintain bounded top-k (a union semilattice, append-only
+    // or slack-tolerant); COUNT DISTINCT has the OPPOSITE problem —
+    // sketches (HLL) union cheaply but cannot subtract, so a churning
+    // feed forces the EXACT refcount formulation: the state is one row
+    // per live (group, value) pair with its multiplicity, and the CDF
+    // fold is pure algebra — insert/update_postimage +1, delete/
+    // update_preimage −1 on the (lang, n_chars) pair, merged with the
+    // v0 refcounts by one group-keyed outer join; a pair whose count
+    // reaches zero leaves the distinct set, a brand-new pair enters it.
+    // Exactness + delete-safety costs state ∝ |distinct pairs| (vs
+    // HLL's O(1) insert-only sketch) — the honest tradeoff a 100 TB
+    // dashboard picks per column; refresh cost is O(changed rows +
+    // touched pairs), history never rescanned. The vanish path is
+    // asserted in-band (some refcount must actually hit zero through
+    // the churning feed), and the oracle recomputes DISTINCT from the
+    // reconstructed final contents from scratch.
+    Q("r93_cdf_distinct_maintenance",
+      (s, d) => {
+        val p = churnDocs(s, d)
+        val base = graft.operators.Scale.readSnapshot(s, p, Some(0L))
+          .groupBy("lang", "n_chars").agg(count(lit(1)).as("rc"))
+        val deltas = graft.operators.Scale.readChangesBetween(s, p, 0L, 3L)
+          .select(col("lang"), col("n_chars"),
+            when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+              .otherwise(lit(-1L)).as("sign"))
+          .groupBy("lang", "n_chars").agg(sum(col("sign")).as("drc"))
+        val merged = base.join(deltas, Seq("lang", "n_chars"), "full_outer")
+          .select(col("lang"), col("n_chars"),
+            (coalesce(col("rc"), lit(0L)) + coalesce(col("drc"), lit(0L))).as("rc"))
+        require(merged.filter(col("rc") === 0).limit(1).count() > 0,
+          "r93 premise: the churning feed must drive some refcount to zero")
+        merged.filter(col("rc") > 0)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_vals"), sum(col("rc")).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH v3 AS (
+          SELECT doc_id, lang, n_chars FROM documents
+          WHERE doc_id % 4 = 0 AND doc_id % 8 <> 0
+          UNION ALL
+          SELECT doc_id, lang, n_chars FROM documents
+          WHERE doc_id % 4 = 1 AND lang <> 'de'
+          UNION ALL
+          SELECT doc_id, lang, n_chars + 11 FROM documents WHERE doc_id % 8 = 0)
+        SELECT lang, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_vals,
+               count(*) AS n_docs
+        FROM v3 GROUP BY lang ORDER BY lang""")),
+
+    // r94: CDF SQUASH — compose a multi-commit feed into the NET change
+    // set, from the feed ALONE (no snapshot is ever read): the feed
+    // itself reveals prior existence (a key whose first event is an
+    // insert was absent at the range start; one whose first event is an
+    // update_preimage/delete was present, and THAT row IS its start-of-
+    // range image) and final state (last non-preimage event). The fold
+    // is two bounded windows over the feed — O(changed rows) — and the
+    // classification is pure algebra: existed+dead → net delete,
+    // existed+alive → net update (suppressed when the row churned back
+    // to its original value), absent+alive → net insert, absent+dead →
+    // TRANSIENT (a key born and killed inside the range) which must
+    // vanish from the squash entirely — asserted in-band, as is the
+    // net-delete path on the 0..2 prefix (where the %8 keys die before
+    // their v3 resurrection). This is what ships a day of micro-commits
+    // downstream as one compact diff; the oracle is the from-scratch
+    // point diff of the reconstructed endpoint contents (r88's shape,
+    // but under churn, where naive feed-union is wrong).
+    Q("r94_cdf_squash",
+      (s, d) => {
+        val p = churnDocs(s, d)
+        val dataCols = Seq("doc_id", "source", "lang", "n_chars")
+        def net(feed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          // first event per key, preimage/delete preferred within the
+          // first commit: insert ⇒ born in-range; else the row is the
+          // key's start-of-range image
+          val wf = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("_commit_version").asc,
+              when(col("_change_type") === "update_postimage", 1).otherwise(0))
+          val first = feed.withColumn("__rn", row_number().over(wf))
+            .filter(col("__rn") === 1)
+            .select(col("doc_id"),
+              (col("_change_type") =!= "insert").as("existed"),
+              struct(dataCols.map(col): _*).as("v0row"))
+          // last materialized event per key: delete ⇒ dead; else alive
+          // with that row as its end-of-range image
+          val wl = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("_commit_version").desc)
+          val last = feed.filter(col("_change_type") =!= "update_preimage")
+            .withColumn("__rn", row_number().over(wl))
+            .filter(col("__rn") === 1)
+            .select(col("doc_id"),
+              (col("_change_type") =!= "delete").as("alive"),
+              struct(dataCols.map(col): _*).as("v1row"))
+          val j = first.join(last, Seq("doc_id"))
+          val ins = j.filter(!col("existed") && col("alive"))
+            .select(col("v1row.*")).withColumn("change_type", lit("insert"))
+          val del = j.filter(col("existed") && !col("alive"))
+            .select(col("v0row.*")).withColumn("change_type", lit("delete"))
+          val upd = j.filter(col("existed") && col("alive") &&
+            col("v0row") =!= col("v1row"))
+          ins.unionByName(del)
+            .unionByName(upd.select(col("v0row.*"))
+              .withColumn("change_type", lit("update_preimage")))
+            .unionByName(upd.select(col("v1row.*"))
+              .withColumn("change_type", lit("update_postimage")))
+        }
+        val feed03 = graft.operators.Scale.readChangesBetween(s, p, 0L, 3L)
+        // premise: transient keys exist in the feed and vanish from the
+        // squash (the de inserts killed one commit later)
+        val squashed = net(feed03)
+        val touched = feed03.select("doc_id").distinct().count()
+        require(squashed.select("doc_id").distinct().count() < touched,
+          "r94 premise: no transient key vanished in the squash")
+        // the net-delete branch is exercised on the 0..2 prefix, where
+        // the churned keys are dead and not yet resurrected
+        require(net(graft.operators.Scale.readChangesBetween(s, p, 0L, 2L))
+            .filter(col("change_type") === "delete").limit(1).count() > 0,
+          "r94 premise: the 0..2 prefix must contain net deletes")
+        squashed.orderBy("doc_id", "change_type")
+      },
+      Some("""
+        SELECT doc_id, source, lang, n_chars, change_type FROM (
+          SELECT doc_id, source, lang, n_chars, 'insert' AS change_type
+          FROM documents WHERE doc_id % 4 = 1 AND lang <> 'de'
+          UNION ALL
+          SELECT doc_id, source, lang, n_chars, 'update_preimage'
+          FROM documents WHERE doc_id % 8 = 0
+          UNION ALL
+          SELECT doc_id, source, lang, n_chars + 11, 'update_postimage'
+          FROM documents WHERE doc_id % 8 = 0)
+        ORDER BY doc_id, change_type""")))
 }
