@@ -74,7 +74,10 @@ object Explain {
     "h11_bloom_skipping", "v30_mmr_rerank", "h12_unified_table_read",
     "t57_dup_intervals", "r88_change_feed_read", "g6_weighted_sssp",
     "t58_pii_scrub", "t59_lm_continuation", "v31_ivfpq_adc_lut",
-    "r89_cdf_incremental_agg", "t60_sequence_packing", "h13_sql_source_read")
+    "r89_cdf_incremental_agg", "t60_sequence_packing", "h13_sql_source_read",
+    "h14_sql_mor_read", "r90_cdf_key_churn", "r91_cdf_topk_maintenance",
+    "r92_cdf_topk_slack_maintenance", "r93_cdf_distinct_maintenance",
+    "r94_cdf_squash", "t61_cdf_dedup_index_maintenance")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is
@@ -113,6 +116,9 @@ object Explain {
     val out = if (args.length > 1) args(1) else "docs/EXPLAINS.md"
     val spark = SparkSession.builder()
       .master("local[4]")
+      // same extension wiring as Verify/Bench — h13/h14 plan through the
+      // graft SQL source and the MoR marker rewrite
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
