@@ -926,6 +926,25 @@ object Scale {
     }.reduce(_.unionByName(_))
   }
 
+  /** The per-key LATEST MATERIALIZED change of a multi-commit feed —
+    * the shared first step of every churn-safe consumer (reconstruction,
+    * top-k/distinct maintenance, index refresh, squash): drop
+    * `update_preimage` bookkeeping rows, keep each key's newest
+    * remaining row by `_commit_version` (one row per key per commit
+    * after the preimage filter, so the ordering is total). The result
+    * carries `_change_type`, so callers decide what a trailing delete
+    * means (drop the key, or emit it as a net delete) — and
+    * `_commit_version`, for consumers that resume from a cursor. One
+    * bounded window over the FEED: O(changed rows), never O(table).
+    */
+  def cdfLatestChanges(feed: DataFrame, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("_commit_version").desc)
+    feed.filter(col("_change_type") =!= "update_preimage")
+      .withColumn("__cdf_rn", row_number().over(w))
+      .filter(col("__cdf_rn") === 1).drop("__cdf_rn")
+  }
+
   /** Read a pointer file FULLY (InputStream.read may legally return
     * fewer bytes than available — a truncated "12"→"1" parse would
     * silently serve a stale snapshot and let the next writer overwrite

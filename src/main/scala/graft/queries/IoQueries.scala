@@ -1292,11 +1292,8 @@ object IoQueries {
           .filter(col("nc") >= 3).limit(1).count()
         require(churned > 0, "r90 premise: no key churns across >= 3 commits")
         val v0 = graft.operators.Scale.readSnapshot(s, p, Some(0L))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("_commit_version").desc)
-        val last = feed.filter(col("_change_type") =!= "update_preimage")
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        val alive = last.filter(col("_change_type") =!= "delete")
+        val alive = graft.operators.Scale.cdfLatestChanges(feed, "doc_id")
+          .filter(col("_change_type") =!= "delete")
           .select("doc_id", "source", "lang", "n_chars")
         val untouched = v0.join(feed.select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")
@@ -1404,10 +1401,7 @@ object IoQueries {
           Seq("lang"), Seq("neg", "doc_id"), k + slack).drop("rnk")
         val feed = graft.operators.Scale.readChangesBetween(s, p, 0L, 3L)
         val touched = feed.select("doc_id").distinct()
-        val wk = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("_commit_version").desc)
-        val finalAlive = feed.filter(col("_change_type") =!= "update_preimage")
-          .withColumn("__rn", row_number().over(wk)).filter(col("__rn") === 1)
+        val finalAlive = graft.operators.Scale.cdfLatestChanges(feed, "doc_id")
           .filter(col("_change_type") =!= "delete")
         val survivors = state0.join(touched, Seq("doc_id"), "left_anti")
         val flagged = state0.join(touched, Seq("doc_id"), "left_semi")
@@ -1529,11 +1523,7 @@ object IoQueries {
               struct(dataCols.map(col): _*).as("v0row"))
           // last materialized event per key: delete ⇒ dead; else alive
           // with that row as its end-of-range image
-          val wl = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-            .orderBy(col("_commit_version").desc)
-          val last = feed.filter(col("_change_type") =!= "update_preimage")
-            .withColumn("__rn", row_number().over(wl))
-            .filter(col("__rn") === 1)
+          val last = graft.operators.Scale.cdfLatestChanges(feed, "doc_id")
             .select(col("doc_id"),
               (col("_change_type") =!= "delete").as("alive"),
               struct(dataCols.map(col): _*).as("v1row"))
@@ -1557,11 +1547,22 @@ object IoQueries {
         val touched = feed03.select("doc_id").distinct().count()
         require(squashed.select("doc_id").distinct().count() < touched,
           "r94 premise: no transient key vanished in the squash")
-        // the net-delete branch is exercised on the 0..2 prefix, where
-        // the churned keys are dead and not yet resurrected
-        require(net(graft.operators.Scale.readChangesBetween(s, p, 0L, 2L))
-            .filter(col("change_type") === "delete").limit(1).count() > 0,
-          "r94 premise: the 0..2 prefix must contain net deletes")
+        // the net-delete branch is CONTENT-verified on the 0..2 prefix,
+        // where the churned keys are dead and not yet resurrected: each
+        // emitted delete must carry the key's START-of-range image (the
+        // v0 row) — for the churned keys that differs from the
+        // deletion-time image (+3), so emitting the wrong side is loud
+        val dels = net(graft.operators.Scale.readChangesBetween(s, p, 0L, 2L))
+          .filter(col("change_type") === "delete")
+          .select(dataCols.map(col): _*)
+        val expected = graft.operators.Scale.readSnapshot(s, p, Some(0L))
+          .join(graft.operators.Scale.readSnapshot(s, p, Some(2L)),
+            Seq("doc_id"), "left_anti")
+          .select(dataCols.map(col): _*)
+        require(dels.limit(1).count() > 0 &&
+            dels.exceptAll(expected).unionByName(expected.exceptAll(dels))
+              .limit(1).count() == 0,
+          "r94 premise: 0..2 net deletes must equal the v0 rows of keys dead at v2")
         squashed.orderBy("doc_id", "change_type")
       },
       Some("""

@@ -3194,10 +3194,7 @@ object TextQueries {
         // refresh purely from the feed — O(changed rows)
         val feed = graft.operators.Scale.readChangesBetween(s, p, 0L, 3L)
         val touched = feed.select("doc_id").distinct()
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("_commit_version").desc)
-        val aliveChanged = feed.filter(col("_change_type") =!= "update_preimage")
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        val aliveChanged = graft.operators.Scale.cdfLatestChanges(feed, "doc_id")
           .filter(col("_change_type") =!= "delete")
           .select("doc_id", "text")
         idx0.join(touched, Seq("doc_id"), "left_anti")
