@@ -1309,6 +1309,7 @@ object Scale {
         readMergeOnRead(spark, path, keyCol)
           .write.mode(SaveMode.Overwrite).parquet(s"$path/base_v=${v + 1}")
         writeMorPointer(spark, fs, path, v + 1, maxD + 1)
+        GraftTable.reindexAuto(spark, path) // inherit spec (see writeSnapshot)
       }
     }
   }
@@ -1330,7 +1331,14 @@ object Scale {
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("base_v=") => n.stripPrefix("base_v=").toLong }
         .filter(_ != v).sorted
-      baseVictims.foreach(b => fs.delete(new Path(s"$path/base_v=$b"), true))
+      // superseded generations take their skipping manifests with them
+      // (auto re-index writes `_index/base_v=<n>` per generation on
+      // indexed tables) — same no-orphaned-metadata rule as
+      // vacuumSnapshots
+      baseVictims.foreach { b =>
+        fs.delete(new Path(s"$path/base_v=$b"), true)
+        fs.delete(new Path(s"$path/_index/base_v=$b"), true)
+      }
       val dels = new Path(path, "_deletes")
       val delVictims =
         if (!fs.exists(dels)) Nil

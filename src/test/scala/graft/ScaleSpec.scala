@@ -151,8 +151,13 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.read.parquet(s"$dir/base_v=0").count() == 100)
     // compaction folds deletes into a NEW base generation; the pointer
     // advances, the reconciled view is unchanged and now materialized,
-    // and the superseded dirs survive until vacuum (pinned readers)
+    // and the superseded dirs survive until vacuum (pinned readers).
+    // Index first: the new generation must inherit the spec, and vacuum
+    // must later sweep the superseded generation's manifests with it
+    graft.operators.GraftTable.buildIndex(spark, dir, zoneCols = Seq("id"))
     Scale.compactDeletes(spark, dir, "id")
+    assert(new java.io.File(s"$dir/_index/base_v=1").isDirectory,
+      "compacted generation must inherit the skipping spec")
     assert(Scale.morPointer(spark, dir).contains((1L, 2L)))
     assert(ids() == expect, "compaction must preserve the reconciled view")
     assert(spark.read.parquet(s"$dir/base_v=1").count() == expect.size,
@@ -174,6 +179,9 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val (bGone, dGone) = Scale.vacuumMor(spark, dir)
     assert(bGone == Seq(0L) && dGone == Seq(0L, 1L))
     assert(!new java.io.File(s"$dir/base_v=0").exists)
+    // metadata goes with the generation: no orphaned manifest trees
+    assert(!new java.io.File(s"$dir/_index/base_v=0").exists)
+    assert(new java.io.File(s"$dir/_index/base_v=1").isDirectory)
     assert(ids() == expect - 99L, "vacuum must not change the live view")
   }
 
