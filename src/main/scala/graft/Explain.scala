@@ -77,7 +77,8 @@ object Explain {
     "r89_cdf_incremental_agg", "t60_sequence_packing", "h13_sql_source_read",
     "h14_sql_mor_read", "r90_cdf_key_churn", "r91_cdf_topk_maintenance",
     "r92_cdf_topk_slack_maintenance", "r93_cdf_distinct_maintenance",
-    "r94_cdf_squash", "t61_cdf_dedup_index_maintenance")
+    "r94_cdf_squash", "r95_cdf_schema_evolution",
+    "t61_cdf_dedup_index_maintenance")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is

@@ -849,9 +849,28 @@ object Scale {
         case None =>
           df.withColumn("_change_type", lit("insert"))
         case Some(v) =>
-          val prev = spark.read.parquet(s"$path/v=$v")
-          require(prev.columns.sorted.sameElements(df.columns.sorted),
-            s"writeSnapshotCdf: schema drift between v=$v and the incoming frame")
+          val prev0 = spark.read.parquet(s"$path/v=$v")
+          // ADDITIVE schema evolution (the Delta-CDF rule): the incoming
+          // frame may introduce new columns — the previous version is
+          // null-padded for them, so a row whose only difference is a
+          // new column becoming non-null records as an update, and the
+          // feed carries the WIDEST schema of its commit. Removing or
+          // retyping a column stays a loud error: a dropped column
+          // would silently erase history from every downstream diff.
+          val removed = prev0.columns.toSet -- df.columns.toSet
+          require(removed.isEmpty,
+            s"writeSnapshotCdf: incoming frame drops column(s) " +
+              s"${removed.toSeq.sorted.mkString(", ")} present in v=$v — " +
+              "only additive schema evolution is supported")
+          prev0.schema.foreach { f =>
+            require(df.schema(f.name).dataType == f.dataType,
+              s"writeSnapshotCdf: column ${f.name} retyped from " +
+                s"${f.dataType} (v=$v) to ${df.schema(f.name).dataType}")
+          }
+          val added = df.columns.filterNot(prev0.columns.contains)
+          val prev = added.foldLeft(prev0) { (d, c) =>
+            d.withColumn(c, lit(null).cast(df.schema(c).dataType))
+          }
           // The previous version may have been committed with plain
           // writeSnapshot (mixing is allowed — readChangesBetween only
           // requires feeds INSIDE the queried range), so its uniqueness
@@ -921,9 +940,11 @@ object Scale {
           "without writeSnapshotCdf; the consumer cannot skip it silently")
       v -> p.toString
     }
+    // feeds widen under additive schema evolution — rows recorded before
+    // a column existed surface with NULL for it (the Delta-CDF read rule)
     dirs.map { case (v, p) =>
       spark.read.parquet(p).withColumn("_commit_version", lit(v))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The per-key LATEST MATERIALIZED change of a multi-commit feed —

@@ -222,6 +222,38 @@ object IoQueries {
         out
       })
 
+  /** r95's SCHEMA-EVOLVING CDF table: v0/v1 commit three columns
+    * (doc_id, lang, n_chars) — v1 updates the English rows (+5) and
+    * inserts the %3=1 slice — then v2 ADDS a `quality` column
+    * (backfilled for the %3=1 rows only, so unchanged rows stay out of
+    * the feed) and deletes the German %3=1 rows. The 0..2 feed span
+    * therefore crosses the evolution point: a 3-column feed unioned
+    * with a 4-column one. Memoized like the others.
+    */
+  private val evolveCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def evolveDocs(s: SparkSession, d: String): String =
+    evolveCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "cdfevo_").toString + "/tbl"
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val v0 = docs.filter(col("doc_id") % 3 === 0)
+        graft.operators.Scale.writeSnapshotCdf(s, out, v0, "doc_id")
+        val v1 = v0.withColumn("n_chars",
+            when(col("lang") === "en", col("n_chars") + 5)
+              .otherwise(col("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 3 === 1))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v1, "doc_id")
+        val v2 = v1.filter(!(col("doc_id") % 3 === 1 && col("lang") === "de"))
+          .withColumn("quality",
+            when(col("doc_id") % 3 === 1, col("n_chars") % 7)
+              .otherwise(lit(null).cast("long")))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v2, "doc_id")
+        out
+      })
+
   /** r90's KEY-CHURNING CDF table: four commits where the doc_id%8=0
     * keys go insert (v0) → update (v1, n_chars+3) → delete (v2) →
     * re-insert (v3, FRESH original-value+11 rows), alongside ordinary
@@ -1575,5 +1607,50 @@ object IoQueries {
           UNION ALL
           SELECT doc_id, source, lang, n_chars + 11, 'update_postimage'
           FROM documents WHERE doc_id % 8 = 0)
-        ORDER BY doc_id, change_type""")))
+        ORDER BY doc_id, change_type""")),
+
+    // r95: ADDITIVE SCHEMA EVOLUTION THROUGH THE CHANGE FEED — the
+    // Delta-CDF rule: a commit may ADD columns (the previous version is
+    // null-padded for the diff, so a row whose only change is a new
+    // column becoming non-null records as an update, and unchanged rows
+    // stay OUT of the feed even across the evolution commit); drops and
+    // retypes stay loud errors. The consumer side is the other half:
+    // readChangesBetween unions feeds of DIFFERENT widths, so rows
+    // recorded before the column existed surface with NULL for it —
+    // asserted in-band on both sides of the evolution point. The r90
+    // reconstruction fold then runs unchanged across the width change,
+    // and the oracle recomputes the final contents (with the partial
+    // backfill) from scratch. At 100 TB this is the only viable ALTER
+    // TABLE: no version is rewritten, no feed is migrated — old feeds
+    // stay byte-identical and WIDEN at read time.
+    Q("r95_cdf_schema_evolution",
+      (s, d) => {
+        val p = evolveDocs(s, d)
+        val feed = graft.operators.Scale.readChangesBetween(s, p, 0L, 2L)
+        // the span crosses the evolution point: pre-evolution feed rows
+        // widen to NULL quality, post-evolution updates carry values
+        require(feed.filter(col("_commit_version") === 1 &&
+            col("quality").isNotNull).limit(1).count() == 0,
+          "r95 premise: pre-evolution feed rows must surface with NULL quality")
+        require(feed.filter(col("_commit_version") === 2 &&
+            col("quality").isNotNull).limit(1).count() > 0,
+          "r95 premise: the evolution commit must record backfilled quality")
+        val v0 = graft.operators.Scale.readSnapshot(s, p, Some(0L))
+          .withColumn("quality", lit(null).cast("long"))
+        val alive = graft.operators.Scale.cdfLatestChanges(feed, "doc_id")
+          .filter(col("_change_type") =!= "delete")
+          .select("doc_id", "lang", "n_chars", "quality")
+        val untouched = v0.join(feed.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        alive.unionByName(untouched).orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN n_chars + 5 ELSE n_chars END AS n_chars,
+               CAST(NULL AS BIGINT) AS quality
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars, n_chars % 7 AS quality
+        FROM documents WHERE doc_id % 3 = 1 AND lang <> 'de'
+        ORDER BY doc_id""")))
 }

@@ -383,6 +383,39 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "update_preimage" -> 1L, "update_postimage" -> 1L), s"got $byType")
   }
 
+  test("writeSnapshotCdf additive schema evolution: adds null-pad the diff, drops/retypes fail loudly") {
+    val t = java.nio.file.Files.createTempDirectory("graft_cdf_evo").toString + "/t"
+    Scale.writeSnapshotCdf(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"), "k")
+    // v1 ADDS column q, non-null for k=1 only: the null-padded preimage
+    // differs for k=1 alone, so the feed records exactly that update —
+    // k=2's (2,"b",null) == (2,"b",null) must NOT fan into the feed
+    // (struct comparison is null-safe per field)
+    Scale.writeSnapshotCdf(spark, t,
+      Seq((1L, "a", Some(5L)), (2L, "b", Option.empty[Long])).toDF("k", "s", "q"), "k")
+    val feed = Scale.readChangesBetween(spark, t, 0L, 1L)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 1L),
+      s"only k=1's null->5 transition may record: $byType")
+    assert(feed.filter(col("_change_type") === "update_preimage")
+      .select("q").head().isNullAt(0), "the preimage predates the column")
+    // the widened read: v0's 2-column feed unions with v1's 3-column one
+    val span = Scale.readChangesBetween(spark, t, -1L, 1L)
+    assert(span.filter(col("_change_type") === "insert")
+      .select("q").collect().forall(_.isNullAt(0)),
+      "pre-evolution feed rows must surface with NULL for the new column")
+    // drops and retypes stay loud
+    val eDrop = intercept[IllegalArgumentException] {
+      Scale.writeSnapshotCdf(spark, t, Seq((1L, "a")).toDF("k", "s"), "k")
+    }
+    assert(eDrop.getMessage.contains("drops column"))
+    val eType = intercept[IllegalArgumentException] {
+      Scale.writeSnapshotCdf(spark, t,
+        Seq((1L, "a", 1.5)).toDF("k", "s", "q"), "k")
+    }
+    assert(eType.getMessage.contains("retyped"))
+  }
+
   test("compactParquet refuses a mixed layout instead of dropping stray files") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact_mix").toString + "/t"
     val df = (1 to 100).map(i => (i, i % 3)).toDF("v", "k")
