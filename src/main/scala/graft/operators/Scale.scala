@@ -260,6 +260,58 @@ object Scale {
   def zOrderBy(df: DataFrame, x: String, y: String, numFiles: Int): DataFrame =
     zOrderByN(df, Seq(x, y), numFiles)
 
+  /** Self-tuning [[zOrderByN]] for MAINTENANCE rewrites (compaction),
+    * where the column set and value magnitudes are whatever the table's
+    * zone spec says, not what a caller hand-checked. Two failure modes
+    * of the raw interleave are closed here:
+    *
+    *  1. WIDTH: `zValueN` needs `bits × n ≤ 62`, so a 4-column spec at
+    *     the default 16 bits would throw mid-compaction. Bits are
+    *     derived from the column count (`min(16, 62/n)`), never passed.
+    *  2. MAGNITUDE: the raw interleave keeps only each value's LOW
+    *     `bits` bits, so a column whose values exceed 2^bits (any real
+    *     id column) would get near-random z-values and the rewrite
+    *     would silently DESTROY the clustering it exists to preserve.
+    *     Each column is first range-normalized into [0, 2^(bits−1))
+    *     with one tiny min/max aggregate and a monotone shift: values
+    *     map through the unsigned domain (`x XOR Long.MinValue` — the
+    *     order-preserving signed→unsigned bijection) and an unsigned
+    *     right shift sized from the column's actual range, so the
+    *     subtraction can never overflow (post-shift values fit in
+    *     64−s bits) and high-magnitude columns keep tight per-file
+    *     bounds.
+    *
+    * Falls back to lexicographic `repartitionByRange` when a column's
+    * min/max is NULL (empty or all-null frame) or the column count
+    * can't give every dimension at least one bit.
+    */
+  def zOrderByNAuto(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
+    val n = cols.size
+    require(n >= 2, "z-ordering needs at least 2 columns")
+    def fallback = df.repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    if (62 / n < 1) return fallback
+    val bits = math.min(16, 62 / n)
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    if ((0 until 2 * n).exists(mm.isNullAt)) return fallback
+    val signBit = lit(Long.MinValue)
+    val zCols = cols.zipWithIndex.map { case (c, i) =>
+      val lo = mm.getLong(2 * i)
+      val range = BigInt(mm.getLong(2 * i + 1)) - BigInt(lo)
+      // post-shift range < 2^(bits-1), so bucket values always fit the
+      // interleave's bits even at the rounding boundary; cap 63 because
+      // Java's >>> is mod-64 (a shift of 64 would be a NO-op, not zero)
+      val s = math.min(63, math.max(0, range.bitLength - (bits - 1)))
+      val u = col(c).cast("long").bitwiseXOR(signBit)
+      shiftrightunsigned(u, s) - shiftrightunsigned(lit(lo).bitwiseXOR(signBit), s)
+    }
+    df.withColumn("__z", zValueN(zCols, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Incremental MERGE (upsert) into a parquet table on disk: rows whose
     * `keys` match an update are replaced by the newest version under
     * `order` ([[graft.operators.Relational.upsert]] semantics), new keys
@@ -512,11 +564,15 @@ object Scale {
               val sized =
                 if (present.isEmpty) in.repartition(n)
                 else if (present.size >= 2 && integral)
-                  // multi-dim integral spec: re-interleave (zOrderByN's
-                  // bit layout) — lexicographic range partitioning would
-                  // keep only the primary column tight and smear every
-                  // other dimension across its full range
-                  zOrderByN(in, present, n)
+                  // multi-dim integral spec: re-interleave — lexicographic
+                  // range partitioning would keep only the primary column
+                  // tight and smear every other dimension across its full
+                  // range. The AUTO variant derives bits from the column
+                  // count (a 4-column spec overflows the raw 16-bit
+                  // interleave) and range-normalizes magnitudes (raw
+                  // low-bit interleaving of real ids would destroy the
+                  // clustering this rewrite exists to preserve).
+                  zOrderByNAuto(in, present, n)
                 else in.repartitionByRange(n, present.map(col): _*)
                   .sortWithinPartitions(present.map(col): _*)
               sized.write.mode(SaveMode.Overwrite).parquet(dest.toString)
@@ -747,6 +803,12 @@ object Scale {
       // protocol, which a new commit must replace rather than be
       // permanently blocked by. vacuumSnapshots sweeps such dirs too.
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
+      // A crashed writeSnapshotCdf leaves an orphan `_cdf/v=$next` (the
+      // feed is written before its pointer swap); committing this PLAIN
+      // version over it would leave a stale feed that readChangesBetween
+      // later serves as if it described THIS commit. A `_cdf/v=<n>` dir
+      // must only ever exist for a version writeSnapshotCdf committed.
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_cdf/v=$next"), true)
       swapLatestPointer(spark, fs, path, next)
       // previously indexed table: the new version inherits the spec
       // (discovered from the surviving v=<prev> manifests; no-op on
@@ -808,6 +870,9 @@ object Scale {
         df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
         val tok = fs.create(new Path(s"$path/v=$next/_token"), true)
         tok.write(token.getBytes("UTF-8")); tok.close()
+        // same orphan-feed discipline as writeSnapshot: a crashed CDF
+        // writer's `_cdf/v=$next` must not survive a plain commit of $next
+        fs.delete(new Path(s"$path/_cdf/v=$next"), true)
         swapLatestPointer(spark, fs, path, next)
         GraftTable.reindexAuto(spark, path) // inherit spec (see writeSnapshot)
         Some(next)
@@ -1121,7 +1186,23 @@ object Scale {
           onDisk.filter(_ > l).foreach { v =>
             fs.delete(new Path(s"$path/v=$v"), true)
             fs.delete(new Path(s"$path/_index/v=$v"), true)
+            // an above-pointer `_cdf/v=<n>` is a crashed CDF writer's
+            // orphan feed — sweeping only the data dir would let a later
+            // commit of <n> inherit a stale feed (and let
+            // writeSnapshotCdf's committed-predecessor check trust a
+            // commit that was never verified)
+            fs.delete(new Path(s"$path/_cdf/v=$v"), true)
           }
+          // also orphan feeds ABOVE any existing data dir (a CDF writer
+          // that crashed before even finishing its data dir leaves only
+          // the feed behind)
+          val cdfRoot = new Path(s"$path/_cdf")
+          if (fs.exists(cdfRoot))
+            fs.listStatus(cdfRoot).toSeq.filter(_.isDirectory)
+              .map(_.getPath.getName)
+              .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+              .filter(_ > l)
+              .foreach(v => fs.delete(new Path(s"$path/_cdf/v=$v"), true))
         case None => require(onDisk.isEmpty,
           s"snapshot pointer missing at $path but ${onDisk.size} snapshot " +
             "dirs exist — refusing to vacuum corrupt table metadata")

@@ -31,14 +31,24 @@ case class MorTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val m = lr.relation.asInstanceOf[graft.io.MorMarkerRelation]
       val inner = graft.operators.GraftTable.read(spark, m.path)
         .queryExecution.analyzed
-      // Count AND names: a same-arity rename/reorder of the base would
-      // otherwise bind view attributes to the wrong table columns
-      // positionally — wrong data with no error.
+      // Count, names AND types: a same-arity rename/reorder of the base
+      // would otherwise bind view attributes to the wrong table columns
+      // positionally, and a same-name RETYPE (long → string) would reuse
+      // the view attribute's exprId while carrying the new type —
+      // downstream operators bound to the old attribute's type then get
+      // a type-mismatched plan (runtime cast errors or silently wrong
+      // semantics) instead of this loud error. Nullability is NOT
+      // compared: parquet reads surface every column nullable, so a
+      // view created from an in-memory schema would false-positive on
+      // legitimate same-type tables.
       require(inner.output.length == lr.output.length &&
-          inner.output.zip(lr.output).forall { case (n, o) => n.name == o.name },
+          inner.output.zip(lr.output).forall { case (n, o) =>
+            n.name == o.name && n.dataType == o.dataType },
         s"graft MoR rewrite: schema drift at ${m.path} — the view binds " +
-          s"[${lr.output.map(_.name).mkString(", ")}], the table now has " +
-          s"[${inner.output.map(_.name).mkString(", ")}]; re-create the view")
+          s"[${lr.output.map(a => s"${a.name}: ${a.dataType.simpleString}").mkString(", ")}], " +
+          s"the table now has " +
+          s"[${inner.output.map(a => s"${a.name}: ${a.dataType.simpleString}").mkString(", ")}]; " +
+          "re-create the view")
       Project(inner.output.zip(lr.output).map { case (n, o) =>
         Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
       }, inner)

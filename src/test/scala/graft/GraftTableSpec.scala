@@ -145,6 +145,31 @@ class GraftTableSpec extends SparkSpec {
     assert(live == fresh)
   }
 
+  test("MoR rewrite guard: a same-arity, same-name RETYPE is a loud drift error, never a silent rebind") {
+    // same arity, same names, but the key retyped long -> string: the
+    // rewrite would otherwise alias the new column under the view
+    // attribute's exprId while carrying the NEW type — downstream
+    // operators bound to the old long type get a type-mismatched plan
+    // (runtime cast errors or wrong semantics) instead of this error
+    val path = tmp("gt_mor_retype")
+    Scale.writeMorBase(spark, path, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    GraftTable.buildIndex(spark, path, morKey = Some("k"))
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val staleMarker = new graft.io.MorMarkerRelation(spark, path,
+      Seq((1L, "a")).toDF("k", "s").schema)
+    val lr = LogicalRelation(staleMarker)
+    val rule = graft.plans.MorTableRewrite(spark)
+    assert(rule(lr).collectLeaves().forall {
+      case l: LogicalRelation => !l.relation.isInstanceOf[graft.io.MorMarkerRelation]
+      case _ => true
+    })
+    // REPLACE the base with k retyped to string (arity + names unchanged)
+    Scale.writeMorBase(spark, path, Seq(("1", "a"), ("3", "c")).toDF("k", "s"))
+    val e = intercept[IllegalArgumentException] { rule(lr) }
+    assert(e.getMessage.contains("schema drift"),
+      s"expected the loud drift error, got: ${e.getMessage.take(200)}")
+  }
+
   test("no index: full scan, correct rows (pruning is pure optimization)") {
     val path = tmp("gt_noidx")
     Scale.writeSnapshot(spark, path, clusteredDf)

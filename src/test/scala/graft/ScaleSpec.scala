@@ -936,4 +936,105 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Scale.refreshAggregate(spark, base, delta.limit(0), "month", Seq("prio"), Seq("v"))
     }
   }
+
+  test("compactParquet: 4-column integral zone spec compacts width-safely (no bits overflow)") {
+    // the raw interleave would throw '16 bits x 4 cols overflows a long'
+    // mid-compaction; the auto variant derives bits from the column count
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_z4").toString + "/t"
+    val df = spark.range(4096).select(
+      ((col("id") / 512).cast("long") * 1000000007L).as("a"),
+      (col("id") % 64).as("b"),
+      (col("id") * 7 % 64).as("c"),
+      (col("id") * 13 % 64).as("d"))
+    df.repartition(12).write.parquet(base)
+    graft.operators.GraftTable.buildIndex(spark, base,
+      zoneCols = Seq("a", "b", "c", "d"))
+    Scale.compactParquet(spark, base, targetBytes = 4096L)
+    val back = spark.read.parquet(base)
+    assert(back.count() == 4096 &&
+      back.agg(sum("b")).head().getLong(0) ==
+        df.agg(sum("b")).head().getLong(0))
+    // the indexed read still works (reindexAuto rebuilt all 4 manifests)
+    assert(graft.operators.GraftTable.read(spark, base)
+      .filter(col("b") === 3).count() == 64)
+  }
+
+  test("compactParquet: high-magnitude zone values keep tight per-file bounds (range-normalized interleave)") {
+    // values >= 2^16: the old low-16-bit interleave maps them to
+    // near-random z-values, so every compacted file would span almost the
+    // whole domain and the table's own skipping dies with it
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_mag").toString + "/t"
+    val n = 4096L
+    val df = spark.range(n).select(
+      (col("id") * 1000003L).as("a"),          // ~4e9 range, monotone
+      ((col("id") % 64) * 70000L).as("b"))     // 64 huge distinct values
+    df.repartition(12).write.parquet(base)
+    graft.operators.GraftTable.buildIndex(spark, base, zoneCols = Seq("a", "b"))
+    Scale.compactParquet(spark, base, targetBytes = 4096L)
+    val zones = Scale.zoneMap(spark, base, "a").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(zones.length >= 8, s"expected a multi-file rewrite, got ${zones.length}")
+    val fullRange = ((n - 1) * 1000003L).toDouble
+    val tight = zones.count { case (lo, hi) => (hi - lo) < fullRange * 0.55 }
+    assert(tight >= zones.length / 2,
+      s"high-magnitude column smeared across files: only $tight of " +
+        s"${zones.length} files have a span under 55% of the domain")
+    // and the skipping the rewrite exists to preserve actually fires
+    val probe = graft.operators.GraftTable.read(spark, base)
+      .filter(col("a") < (n / 8) * 1000003L)
+    assert(probe.count() == n / 8)
+    val (read, total) = graft.operators.GraftTable.scanFiles(probe)
+    assert(read < total, s"zone skipping dead after compaction: $read of $total")
+  }
+
+  test("a plain snapshot commit removes a crashed CDF writer's orphan feed; vacuum sweeps above-pointer feeds") {
+    import org.apache.hadoop.fs.Path
+    val t = java.nio.file.Files.createTempDirectory("graft_cdf_orphan").toString + "/t"
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Scale.writeSnapshotCdf(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"), "k")
+    // crashed writeSnapshotCdf: feed for v=1 written, pointer never moved
+    Seq((9L, "junk")).toDF("k", "s").withColumn("_change_type", lit("insert"))
+      .write.parquet(s"$t/_cdf/v=1")
+    // a PLAIN commit of v=1 (duplicate keys — legal for plain snapshots)
+    // must remove the orphan: otherwise (a) readChangesBetween serves a
+    // stale feed for v=1 and (b) the next CDF commit trusts _cdf/v=1 as
+    // proof v=1 was key-verified and skips the dup check
+    Scale.writeSnapshot(spark, t, Seq((1L, "x"), (1L, "y")).toDF("k", "s"))
+    assert(!fs.exists(new Path(s"$t/_cdf/v=1")),
+      "plain commit must delete the crashed CDF writer's orphan feed")
+    val eFeed = intercept[IllegalArgumentException] {
+      Scale.readChangesBetween(spark, t, 0L, 1L)
+    }
+    assert(eFeed.getMessage.contains("no change feed"))
+    val eDup = intercept[IllegalArgumentException] {
+      Scale.writeSnapshotCdf(spark, t, Seq((1L, "z")).toDF("k", "s"), "k")
+    }
+    assert(eDup.getMessage.contains("previous version"),
+      "the CDF commit must re-verify a plain predecessor once the orphan is gone")
+    // vacuum: an above-pointer crashed writer leaves data + feed; both go
+    val t2 = java.nio.file.Files.createTempDirectory("graft_cdf_vac").toString + "/t"
+    val fs2 = new Path(t2).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Scale.writeSnapshotCdf(spark, t2, Seq((1L, "a")).toDF("k", "s"), "k")
+    Seq((9L, "junk")).toDF("k", "s").write.parquet(s"$t2/v=1")
+    Seq((9L, "junk")).toDF("k", "s").withColumn("_change_type", lit("insert"))
+      .write.parquet(s"$t2/_cdf/v=1")
+    Scale.vacuumSnapshots(spark, t2, keepLast = 10)
+    assert(!fs2.exists(new Path(s"$t2/v=1")) && !fs2.exists(new Path(s"$t2/_cdf/v=1")),
+      "vacuum must sweep a crashed writer's data dir AND its orphan feed")
+    // the committed version's feed is retained (CDC replay contract)
+    assert(fs2.exists(new Path(s"$t2/_cdf/v=0")))
+  }
+
+  test("writeSnapshotIdempotent removes an orphan feed before committing") {
+    import org.apache.hadoop.fs.Path
+    val t = java.nio.file.Files.createTempDirectory("graft_cdf_orphan2").toString + "/t"
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Scale.writeSnapshotCdf(spark, t, Seq((1L, "a")).toDF("k", "s"), "k")
+    Seq((9L, "junk")).toDF("k", "s").withColumn("_change_type", lit("insert"))
+      .write.parquet(s"$t/_cdf/v=1")
+    assert(Scale.writeSnapshotIdempotent(spark, t,
+      Seq((1L, "b")).toDF("k", "s"), "tok-1").contains(1L))
+    assert(!fs.exists(new Path(s"$t/_cdf/v=1")),
+      "idempotent commit must delete the crashed CDF writer's orphan feed")
+  }
 }
