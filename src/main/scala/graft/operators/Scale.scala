@@ -10,6 +10,36 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 object Scale {
 
+  /** Optimistic-concurrency loser's signal (the Delta
+    * ConcurrentModificationException shape): a commit carrying an
+    * `expectedVersion` found the table advanced past it. RETRY
+    * CONTRACT: re-read the table at its NEW latest version, re-apply
+    * the transformation to that fresh read, and commit again with the
+    * new version as `expectedVersion` — never resubmit the stale frame
+    * (it was derived from a superseded state; blind retry would undo
+    * the interleaved writer, exactly the lost update the CAS exists to
+    * prevent). The table is untouched when this throws: no data dir,
+    * feed, or pointer moved.
+    */
+  final class CommitConflictException(message: String)
+    extends RuntimeException(message)
+
+  /** The shared version-CAS: `expected` is the latest version the
+    * writer's read was based on (-1 for "I expect an uncommitted/empty
+    * table"); None disables the check — the documented
+    * last-pointer-swap-wins legacy behavior. Called under the table
+    * lock, so the compare and the commit are one atomic step.
+    */
+  private def casCheck(path: String, kind: String,
+                       expected: Option[Long], current: Long): Unit =
+    expected.foreach { exp =>
+      if (current != exp) throw new CommitConflictException(
+        s"optimistic commit conflict on $kind table $path: this writer " +
+          s"read version $exp but the table is now at $current — " +
+          "re-read, re-apply the transformation on the fresh state, and " +
+          "retry with the new expectedVersion")
+    }
+
   /** Hadoop FileSystem.rename reports some failures by RETURNING false
     * (existing destination, missing parent, cross-filesystem) instead of
     * throwing — an unchecked call can silently not move anything. Every
@@ -791,12 +821,19 @@ object Scale {
     * [[vacuumSnapshots]] drops old ones (readers pinned to a vacuumed
     * version fail loudly on file-not-found, Delta's contract).
     */
-  def writeSnapshot(spark: SparkSession, path: String, df: DataFrame): Long = {
+  def writeSnapshot(spark: SparkSession, path: String, df: DataFrame,
+                    expectedVersion: Option[Long] = None): Long = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
     withTableLock(fs, path) {
-      val next = latestSnapshot(spark, path).map(_ + 1).getOrElse(0L)
+      val latest = latestSnapshot(spark, path)
+      // writer-writer optimistic concurrency: with expectedVersion set,
+      // a commit whose base read was superseded fails loudly
+      // ([[CommitConflictException]]'s retry contract) instead of
+      // silently last-write-winning over the interleaved commit
+      casCheck(path, "snapshot", expectedVersion, latest.getOrElse(-1L))
+      val next = latest.map(_ + 1).getOrElse(0L)
       // Overwrite, not ErrorIfExists: a dir at `next` can only be a
       // CRASHED writer's leftovers (the pointer never moved past it, and
       // live writers serialize under the lock) — uncommitted garbage by
@@ -853,7 +890,8 @@ object Scale {
     * the redelivery no-op.
     */
   def writeSnapshotIdempotent(spark: SparkSession, path: String, df: DataFrame,
-                              token: String): Option[Long] = {
+                              token: String,
+                              expectedVersion: Option[Long] = None): Option[Long] = {
     import org.apache.hadoop.fs.Path
     require(token.nonEmpty, "idempotence token must be non-empty")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -864,8 +902,9 @@ object Scale {
         val tp = new Path(s"$path/v=$v/_token")
         fs.exists(tp) && readPointerFully(fs, tp) == token
       }
-      if (already) None
+      if (already) None // OUR redelivery — a version advance is not a conflict
       else {
+        casCheck(path, "snapshot", expectedVersion, latest.getOrElse(-1L))
         val next = latest.map(_ + 1).getOrElse(0L)
         df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
         val tok = fs.create(new Path(s"$path/v=$next/_token"), true)
@@ -900,12 +939,14 @@ object Scale {
     * ambiguous).
     */
   def writeSnapshotCdf(spark: SparkSession, path: String, df: DataFrame,
-                       keyCol: String): Long = {
+                       keyCol: String,
+                       expectedVersion: Option[Long] = None): Long = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
     withTableLock(fs, path) {
       val latest = latestSnapshot(spark, path)
+      casCheck(path, "snapshot", expectedVersion, latest.getOrElse(-1L))
       val next = latest.map(_ + 1).getOrElse(0L)
       val dupKeys = df.groupBy(keyCol).count().filter(col("count") > 1).limit(1).count()
       require(dupKeys == 0L,
@@ -1277,6 +1318,25 @@ object Scale {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Merge-on-read CAS (see [[CommitConflictException]]): compare the
+    * writer's observed (base version, next delete number) against the
+    * live table under the lock.
+    */
+  private def morCasCheck(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          path: String,
+                          expected: Option[(Long, Long)]): Unit =
+    expected.foreach { case (expBase, expDel) =>
+      val curBase = morPointer(spark, path).map(_._1).getOrElse(-1L)
+      val curDel = nextDeleteNum(fs, path)
+      if (curBase != expBase || curDel != expDel)
+        throw new CommitConflictException(
+          s"optimistic commit conflict on merge-on-read table $path: this " +
+            s"writer read (base=$expBase, deletes=$expDel) but the table is " +
+            s"now at (base=$curBase, deletes=$curDel) — re-read, re-derive " +
+            "the change set, and retry with the new expectedState")
+    }
+
   /** Next delete-file number: global and monotone across base
     * generations (never resets), which is what makes the hwm fence in
     * the pointer sufficient for readers.
@@ -1299,11 +1359,17 @@ object Scale {
     * the old base with deletes aimed at the new generation — the same
     * caveat as any TRUNCATE+reload.
     */
-  def writeMorBase(spark: SparkSession, path: String, df: DataFrame): Unit = {
+  def writeMorBase(spark: SparkSession, path: String, df: DataFrame,
+                   expectedState: Option[(Long, Long)] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
     withTableLock(fs, path) {
+      // MoR CAS: expectedState = (base version, next delete number) the
+      // writer's read observed ((-1, 0) for a fresh table). Either
+      // advancing means the frame was derived from superseded contents —
+      // same retry contract as the snapshot commits.
+      morCasCheck(spark, fs, path, expectedState)
       val next = morPointer(spark, path).map(_._1 + 1).getOrElse(0L)
       // Overwrite: a dir at `next` is a crashed writer's leftovers (the
       // pointer never moved past it) — same rationale as writeSnapshot.
@@ -1328,7 +1394,8 @@ object Scale {
     * already-deleted or absent key is a no-op at read time (anti-join
     * semantics), so retries are idempotent. Returns the file number.
     */
-  def appendDeletes(spark: SparkSession, path: String, keys: DataFrame): Long = {
+  def appendDeletes(spark: SparkSession, path: String, keys: DataFrame,
+                    expectedState: Option[(Long, Long)] = None): Long = {
     import org.apache.hadoop.fs.Path
     require(keys.columns.length == 1,
       s"equality-delete frame must be single-column, got ${keys.columns.mkString(",")}")
@@ -1336,6 +1403,10 @@ object Scale {
     withTableLock(fs, path) {
       require(morPointer(spark, path).nonEmpty,
         s"no committed merge-on-read base at $path — writeMorBase first")
+      // same CAS as writeMorBase: a delete set computed against a view
+      // another writer has since replaced or further deleted from must
+      // not silently apply to the new state
+      morCasCheck(spark, fs, path, expectedState)
       val next = nextDeleteNum(fs, path)
       if (next > 0) {
         val prevType = spark.read.parquet(s"$path/_deletes/d=${next - 1}")

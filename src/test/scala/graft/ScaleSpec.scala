@@ -1025,6 +1025,75 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(fs2.exists(new Path(s"$t2/_cdf/v=0")))
   }
 
+  test("optimistic concurrency: interleaved snapshot writers — loser conflicts loudly, retry converges, feed stays consistent") {
+    val t = java.nio.file.Files.createTempDirectory("graft_cas").toString + "/t"
+    Scale.writeSnapshotCdf(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "k", expectedVersion = Some(-1L))
+    // writer A and writer B both read v=0
+    val aBase = Scale.latestSnapshot(spark, t).get
+    val bBase = aBase
+    // B wins the race: bumps k=1 to 11
+    Scale.writeSnapshotCdf(spark, t,
+      Seq((1L, 11L), (2L, 20L)).toDF("k", "v"), "k", expectedVersion = Some(bBase))
+    // A's commit (derived from the superseded v=0 read: k=2 -> 21) must
+    // NOT silently last-write-win over B's k=1 change
+    val e = intercept[Scale.CommitConflictException] {
+      Scale.writeSnapshotCdf(spark, t,
+        Seq((1L, 10L), (2L, 21L)).toDF("k", "v"), "k", expectedVersion = Some(aBase))
+    }
+    assert(e.getMessage.contains("read version 0") &&
+      e.getMessage.contains("now at 1"))
+    // table untouched by the failed commit: still v=1, B's content
+    assert(Scale.latestSnapshot(spark, t).contains(1L))
+    // A follows the retry contract: re-read, re-apply ON the new state
+    val fresh = Scale.readSnapshot(spark, t)
+    val reapplied = fresh.withColumn("v",
+      when(col("k") === 2L, col("v") + 1).otherwise(col("v")))
+    val v2 = Scale.writeSnapshotCdf(spark, t, reapplied, "k",
+      expectedVersion = Some(1L))
+    assert(v2 == 2L)
+    // converged: BOTH writers' changes present, and the feed is a
+    // consistent per-commit history (no hole, no duplicate version)
+    assert(Scale.readSnapshot(spark, t).orderBy("k").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, 11L), Seq(2L, 21L)))
+    val feed = Scale.readChangesBetween(spark, t, -1L, 2L)
+    assert(feed.select("_commit_version").distinct().as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L))
+    // plain/idempotent commits honor the same CAS; a redelivered token
+    // is OUR own commit, never a conflict
+    intercept[Scale.CommitConflictException] {
+      Scale.writeSnapshot(spark, t, fresh, expectedVersion = Some(0L))
+    }
+    assert(Scale.writeSnapshotIdempotent(spark, t, fresh, "cas-tok",
+      expectedVersion = Some(2L)).contains(3L))
+    assert(Scale.writeSnapshotIdempotent(spark, t, fresh, "cas-tok",
+      expectedVersion = Some(0L)).isEmpty,
+      "a redelivered token no-ops even with a stale expectedVersion")
+  }
+
+  test("optimistic concurrency: merge-on-read CAS on (base, deletes)") {
+    val t = java.nio.file.Files.createTempDirectory("graft_cas_mor").toString + "/t"
+    Scale.writeMorBase(spark, t,
+      (1L to 100L).map(i => (i, i * 10)).toDF("k", "v"),
+      expectedState = Some((-1L, 0L)))
+    // both writers observe (base=0, deletes=0); B appends first
+    Scale.appendDeletes(spark, t, Seq(5L).toDF("k"), expectedState = Some((0L, 0L)))
+    val e = intercept[Scale.CommitConflictException] {
+      Scale.appendDeletes(spark, t, Seq(7L).toDF("k"), expectedState = Some((0L, 0L)))
+    }
+    assert(e.getMessage.contains("deletes=1"))
+    // retry against the fresh state converges
+    Scale.appendDeletes(spark, t, Seq(7L).toDF("k"), expectedState = Some((0L, 1L)))
+    assert(Scale.readMergeOnRead(spark, t, "k").count() == 98)
+    // a base replace derived from a stale read also conflicts
+    intercept[Scale.CommitConflictException] {
+      Scale.writeMorBase(spark, t, Seq((1L, 1L)).toDF("k", "v"),
+        expectedState = Some((0L, 0L)))
+    }
+    assert(Scale.readMergeOnRead(spark, t, "k").count() == 98,
+      "failed commits must leave the table untouched")
+  }
+
   test("writeSnapshotIdempotent removes an orphan feed before committing") {
     import org.apache.hadoop.fs.Path
     val t = java.nio.file.Files.createTempDirectory("graft_cdf_orphan2").toString + "/t"
