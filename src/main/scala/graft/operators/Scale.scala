@@ -1032,25 +1032,149 @@ object Scale {
     * silently skipping it would hand the consumer a hole.
     */
   def readChangesBetween(spark: SparkSession, path: String,
-                         fromV: Long, toV: Long): DataFrame = {
+                         fromV: Long, toV: Long,
+                         useCheckpoints: Boolean = true): DataFrame = {
     import org.apache.hadoop.fs.Path
     require(fromV < toV, s"readChangesBetween needs fromV < toV, got $fromV..$toV")
     val latest = latestSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed snapshot table at $path"))
     require(toV <= latest, s"version $toV not committed yet (latest $latest)")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = ((fromV + 1) to toV).map { v =>
+    val ckpts = if (useCheckpoints) listFeedCheckpoints(fs, path) else Nil
+    // the widest checkpoint anchored exactly at this read's start: reads
+    // anchored at a squash boundary pay O(net changes + tail commits);
+    // other anchors fall through to the raw per-commit dirs (and fail
+    // loudly below if those were swept — the pinned-reader contract)
+    val anchor = ckpts.filter { case (f, t) => f == fromV && t <= toV }
+      .sortBy(_._2).lastOption
+    val ckptPart = anchor.toSeq.map { case (f, t) =>
+      // a squash spans (f..t]; its rows are stamped with the UPPER bound
+      // so latest-change folds order them before every tail commit
+      spark.read.parquet(s"$path/_cdf_ckpt/c=${f}_$t")
+        .withColumn("_commit_version", lit(t))
+    }
+    val tailFrom = anchor.map(_._2).getOrElse(fromV)
+    val dirs = ((tailFrom + 1) to toV).map { v =>
       val p = new Path(s"$path/_cdf/v=$v")
-      require(fs.exists(p),
+      require(fs.exists(p), {
+        val covering = ckpts.find { case (f, t) => f < v && v <= t }
         s"version $v of $path has no change feed — it was committed " +
-          "without writeSnapshotCdf; the consumer cannot skip it silently")
-      v -> p.toString
+          "without writeSnapshotCdf" + covering.map { case (f, t) =>
+            s", or its per-commit feed was compacted into checkpoint " +
+              s"c=${f}_$t and swept; anchor the read at version $f " +
+              s"spanning at least version $t"
+          }.getOrElse("") + "; the consumer cannot skip it silently"
+      })
+      spark.read.parquet(p.toString).withColumn("_commit_version", lit(v))
     }
     // feeds widen under additive schema evolution — rows recorded before
     // a column existed surface with NULL for it (the Delta-CDF read rule)
-    dirs.map { case (v, p) =>
-      spark.read.parquet(p).withColumn("_commit_version", lit(v))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    (ckptPart ++ dirs).reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** SQUASH a multi-commit change feed into its NET change set, from
+    * the feed alone (no snapshot is ever read): the feed itself reveals
+    * prior existence — a key whose first event is an insert was absent
+    * at range start; one whose first event is an update_preimage or
+    * delete was present, and THAT row IS its start-of-range image — and
+    * final state (last non-preimage event). Two bounded windows over
+    * the feed, O(changed rows); the classification is pure algebra:
+    * existed+dead → net delete (carrying the START-of-range image),
+    * existed+alive → net update (suppressed when the row churned back
+    * to its original value), absent+alive → net insert, absent+dead →
+    * TRANSIENT (born and killed inside the range) which vanishes
+    * entirely. Every linear CDF consumer is squash-invariant: the
+    * signed count/sum fold sees identical deltas (intermediate hops
+    * telescope), and the latest-change fold sees the same final row
+    * per key — which is what lets [[squashFeed]] substitute the squash
+    * for the raw per-commit feeds.
+    *
+    * Input must carry `_change_type` and `_commit_version`
+    * ([[readChangesBetween]]'s shape); output carries the data columns
+    * + `_change_type` only (a squash spans commits, so no single
+    * version describes it — [[readChangesBetween]] stamps the
+    * checkpoint's upper bound when serving one).
+    */
+  def cdfSquash(feed: DataFrame, keyCol: String): DataFrame = {
+    val dataCols = feed.columns.toSeq
+      .filterNot(c => c == "_change_type" || c == "_commit_version")
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      .orderBy(col("_commit_version").asc,
+        when(col("_change_type") === "update_postimage", 1).otherwise(0))
+    val first = feed.withColumn("__rn", row_number().over(wf))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol).as("__k"),
+        (col("_change_type") =!= "insert").as("existed"),
+        struct(dataCols.map(col): _*).as("v0row"))
+    val last = cdfLatestChanges(feed, keyCol)
+      .select(col(keyCol).as("__k"),
+        (col("_change_type") =!= "delete").as("alive"),
+        struct(dataCols.map(col): _*).as("v1row"))
+    val j = first.join(last, Seq("__k"))
+    val ins = j.filter(!col("existed") && col("alive"))
+      .select(col("v1row.*")).withColumn("_change_type", lit("insert"))
+    val del = j.filter(col("existed") && !col("alive"))
+      .select(col("v0row.*")).withColumn("_change_type", lit("delete"))
+    val upd = j.filter(col("existed") && col("alive") &&
+      col("v0row") =!= col("v1row"))
+    ins.unionByName(del)
+      .unionByName(upd.select(col("v0row.*"))
+        .withColumn("_change_type", lit("update_preimage")))
+      .unionByName(upd.select(col("v1row.*"))
+        .withColumn("_change_type", lit("update_postimage")))
+  }
+
+  /** CHECKPOINTED FEED COMPACTION — the storage-level materialization
+    * of [[cdfSquash]], closing the CDC family's one remaining
+    * O(commits) cost: without it, a long-lived table's incremental
+    * consumers pay one directory listing + union PER COMMIT on every
+    * refresh ([[readChangesBetween]] unions `_cdf/v=…` dirs), so feed
+    * scan cost grows with commit count even when almost nothing
+    * changed. `squashFeed(path, keyCol, fromV, toV)` writes the net
+    * change set of the range once, as `_cdf_ckpt/c=<from>_<to>/`, and
+    * [[readChangesBetween]] transparently serves [checkpoint + tail]
+    * for any read anchored at `fromV` — feed-scan cost becomes
+    * O(net changed rows + tail commits), bounded by CHANGES, not
+    * commits. Checkpoints CHAIN: building the next one reads
+    * [previous checkpoint + tail], never the full per-commit history.
+    *
+    * After a checkpoint commits, [[vacuumSnapshots]] sweeps the
+    * per-commit feeds it covers — reads anchored INSIDE a swept range
+    * (fromV strictly between a checkpoint's bounds) then fail loudly
+    * naming the checkpoint boundary, the same pinned-reader contract
+    * as vacuumed snapshot versions. Crash-safe like every commit here:
+    * the checkpoint dir appears atomically (write-to-tmp + rename)
+    * and nothing else moves, so a crashed squash leaves at most an
+    * invisible tmp dir.
+    */
+  def squashFeed(spark: SparkSession, path: String, keyCol: String,
+                 fromV: Long, toV: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withTableLock(fs, path) {
+      val squashed = cdfSquash(readChangesBetween(spark, path, fromV, toV), keyCol)
+      val tmp = new Path(path, "_cdf_ckpt/.c_tmp")
+      fs.delete(tmp, true)
+      squashed.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val dest = new Path(path, s"_cdf_ckpt/c=${fromV}_$toV")
+      fs.delete(dest, true) // idempotent re-squash of the same range
+      renameOrFail(fs, tmp, dest)
+    }
+  }
+
+  /** Checkpoints on disk as (from, to) bounds, ascending by `to`. */
+  private def listFeedCheckpoints(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: String): Seq[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path, "_cdf_ckpt")
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("c=") =>
+        n.stripPrefix("c=").split("_") match {
+          case Array(f, t) => (f.toLong, t.toLong)
+        }
+      }.sortBy(_._2)
   }
 
   /** The per-key LATEST MATERIALIZED change of a multi-commit feed —
@@ -1209,6 +1333,28 @@ object Scale {
       victims.foreach { v =>
         fs.delete(new Path(s"$path/v=$v"), true)
         fs.delete(new Path(s"$path/_index/v=$v"), true)
+      }
+      // …except per-commit feeds a CHECKPOINT supersedes ([[squashFeed]]):
+      // the squash carries their net content, so retaining them would keep
+      // the O(commits) listing cost the checkpoint exists to remove.
+      // Readers anchored inside a swept range fail loudly naming the
+      // checkpoint boundary (readChangesBetween's contract).
+      val covered = listFeedCheckpoints(fs, path)
+      if (covered.nonEmpty) {
+        val cdfRoot0 = new Path(s"$path/_cdf")
+        if (fs.exists(cdfRoot0))
+          fs.listStatus(cdfRoot0).toSeq.filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+            .filter(v => covered.exists { case (f, t) => f < v && v <= t })
+            .foreach(v => fs.delete(new Path(s"$path/_cdf/v=$v"), true))
+        // a checkpoint whose range another checkpoint strictly extends is
+        // itself superseded (chained squashes): keep only maximal ranges
+        covered.foreach { case (f, t) =>
+          if (covered.exists { case (f2, t2) =>
+              f2 <= f && t <= t2 && (f2, t2) != (f, t) })
+            fs.delete(new Path(s"$path/_cdf_ckpt/c=${f}_$t"), true)
+        }
       }
       // also sweep uncommitted dirs ABOVE the pointer (a crashed writer's
       // leftovers — no live writer can exist while we hold the lock).

@@ -287,6 +287,50 @@ object IoQueries {
         out
       })
 
+  /** r96's LONG-LIVED CHURN TABLE: seven CDF commits (v0..v6) with
+    * multi-hop churn — the doc_id%10=0 keys go update (v1) → delete
+    * (v2) → re-insert (v3, fresh +21) → update (v6, +5); the %5=2
+    * English src3 rows are TRANSIENT inside the checkpoint range (born
+    * v2, dead v3) — followed by a [[graft.operators.Scale.squashFeed]]
+    * checkpoint over (0..4], leaving v5/v6 as the per-commit tail. The
+    * gate reads must then reconcile [checkpoint + tail] against the
+    * raw 6-dir union. Memoized like the others.
+    */
+  private val churn6Copies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def churn6Docs(s: SparkSession, d: String): String =
+    churn6Copies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "churn6_").toString + "/tbl"
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "source", "lang", "n_chars")
+        def commit(df: DataFrame): DataFrame = {
+          graft.operators.Scale.writeSnapshotCdf(s, out, df, "doc_id"); df
+        }
+        val v0 = commit(docs.filter(col("doc_id") % 5 === 0))
+        val v1 = commit(v0.withColumn("n_chars",
+            when(col("doc_id") % 10 === 0, col("n_chars") + 1)
+              .otherwise(col("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 5 === 1 && col("lang") =!= "de")))
+        val v2 = commit(v1.filter(col("doc_id") % 10 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 5 === 2 && col("lang") === "en")))
+        val v3 = commit(v2.filter(!(col("doc_id") % 5 === 2 && col("source") === "src3"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("n_chars", col("n_chars") + 21)))
+        val v4 = commit(v3.withColumn("n_chars",
+          when(col("doc_id") % 5 === 1, col("n_chars") + 2)
+            .otherwise(col("n_chars"))))
+        val v5 = commit(v4.filter(!(col("doc_id") % 5 === 1 && col("lang") === "fr"))
+          .unionByName(docs.filter(col("doc_id") % 5 === 3 && col("lang") === "de")))
+        commit(v5.withColumn("n_chars",
+          when(col("doc_id") % 10 === 0, col("n_chars") + 5)
+            .otherwise(col("n_chars"))))
+        graft.operators.Scale.squashFeed(s, out, "doc_id", 0L, 4L)
+        out
+      })
+
   /** r91's APPEND-ONLY CDF table: three commits of disjoint inserts
     * (the %3=0, %3=1, %3=2 slices), so the feed between any two
     * versions is pure inserts — the contract under which bounded
@@ -1541,37 +1585,14 @@ object IoQueries {
       (s, d) => {
         val p = churnDocs(s, d)
         val dataCols = Seq("doc_id", "source", "lang", "n_chars")
-        def net(feed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-          // first event per key, preimage/delete preferred within the
-          // first commit: insert ⇒ born in-range; else the row is the
-          // key's start-of-range image
-          val wf = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-            .orderBy(col("_commit_version").asc,
-              when(col("_change_type") === "update_postimage", 1).otherwise(0))
-          val first = feed.withColumn("__rn", row_number().over(wf))
-            .filter(col("__rn") === 1)
-            .select(col("doc_id"),
-              (col("_change_type") =!= "insert").as("existed"),
-              struct(dataCols.map(col): _*).as("v0row"))
-          // last materialized event per key: delete ⇒ dead; else alive
-          // with that row as its end-of-range image
-          val last = graft.operators.Scale.cdfLatestChanges(feed, "doc_id")
-            .select(col("doc_id"),
-              (col("_change_type") =!= "delete").as("alive"),
-              struct(dataCols.map(col): _*).as("v1row"))
-          val j = first.join(last, Seq("doc_id"))
-          val ins = j.filter(!col("existed") && col("alive"))
-            .select(col("v1row.*")).withColumn("change_type", lit("insert"))
-          val del = j.filter(col("existed") && !col("alive"))
-            .select(col("v0row.*")).withColumn("change_type", lit("delete"))
-          val upd = j.filter(col("existed") && col("alive") &&
-            col("v0row") =!= col("v1row"))
-          ins.unionByName(del)
-            .unionByName(upd.select(col("v0row.*"))
-              .withColumn("change_type", lit("update_preimage")))
-            .unionByName(upd.select(col("v1row.*"))
-              .withColumn("change_type", lit("update_postimage")))
-        }
+        // the squash fold itself is [[graft.operators.Scale.cdfSquash]]
+        // (round 18 materialized it as the storage-level checkpoint
+        // write behind squashFeed/r96); this gate keeps pinning the
+        // QUERY-level semantics: first event reveals prior existence,
+        // last non-preimage event reveals final state, transients vanish
+        def net(feed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          graft.operators.Scale.cdfSquash(feed, "doc_id")
+            .withColumnRenamed("_change_type", "change_type")
         val feed03 = graft.operators.Scale.readChangesBetween(s, p, 0L, 3L)
         // premise: transient keys exist in the feed and vanish from the
         // squash (the de inserts killed one commit later)
@@ -1652,5 +1673,95 @@ object IoQueries {
         UNION ALL
         SELECT doc_id, lang, n_chars, n_chars % 7 AS quality
         FROM documents WHERE doc_id % 3 = 1 AND lang <> 'de'
+        ORDER BY doc_id""")),
+
+    // r96: CHECKPOINTED CHANGE-FEED COMPACTION — the storage-level
+    // materialization of r94's squash, closing the CDC family's one
+    // remaining O(commits) cost: readChangesBetween used to union one
+    // `_cdf/v=…` dir PER COMMIT, so a long-lived table's incremental
+    // refresh paid listing+union proportional to commit count however
+    // small the net change. The gate table carries SEVEN commits of
+    // multi-hop churn plus a squashFeed checkpoint over (0..4]; the
+    // anchored read transparently serves [checkpoint + v5 + v6] — its
+    // event rows are asserted strictly FEWER than the raw 6-dir union
+    // (feed-scan cost bounded by net changes, not commits) — and the
+    // consumers must not be able to tell: the reconstruction fold over
+    // the checkpointed read must equal the fold over the raw read
+    // row-for-row, the r89 signed-count consumer folded over the
+    // checkpointed feed must reconcile with the reconstruction's own
+    // aggregate (squash-invariance of the linear fold, proven in-band,
+    // not assumed), and the final contents must equal the from-scratch
+    // oracle. Transients (born+killed inside the checkpoint range)
+    // vanish from the squash; churned keys cross the checkpoint
+    // boundary (re-born inside it, updated again in the tail).
+    Q("r96_cdf_checkpoint_read",
+      (s, d) => {
+        val p = churn6Docs(s, d)
+        val dataCols = Seq("doc_id", "source", "lang", "n_chars")
+        val ckpt = graft.operators.Scale.readChangesBetween(s, p, 0L, 6L)
+        val raw = graft.operators.Scale.readChangesBetween(s, p, 0L, 6L,
+          useCheckpoints = false)
+        // premise: the checkpoint actually served the anchored read —
+        // its events carry only the squash stamp (4) plus the tail
+        val ckptVers = ckpt.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet
+        require(ckptVers == Set(4L, 5L, 6L),
+          s"r96 premise: checkpointed read must span {4,5,6}, got $ckptVers")
+        // the scale property: event rows bounded by net changes + tail,
+        // strictly below the raw per-commit union under churn
+        val (nCkpt, nRaw) = (ckpt.count(), raw.count())
+        require(nCkpt < nRaw,
+          s"r96 premise: squash must shrink the feed ($nCkpt vs $nRaw)")
+        val v0 = graft.operators.Scale.readSnapshot(s, p, Some(0L))
+        def reconstruct(feed: org.apache.spark.sql.DataFrame) = {
+          val alive = graft.operators.Scale.cdfLatestChanges(feed, "doc_id")
+            .filter(col("_change_type") =!= "delete")
+            .select(dataCols.map(col): _*)
+          alive.unionByName(v0.join(feed.select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti"))
+        }
+        val recC = reconstruct(ckpt)
+        val recR = reconstruct(raw)
+        require(recC.exceptAll(recR).unionByName(recR.exceptAll(recC))
+            .limit(1).count() == 0,
+          "r96: checkpointed and raw feed reads must reconcile row-for-row")
+        // the r89 signed-count consumer over the CHECKPOINTED feed:
+        // inserts/postimages +1, deletes/preimages −1 — squash-invariant
+        // because intermediate hops telescope; proven against the
+        // reconstruction's own aggregate
+        val baseAgg = v0.groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+        val deltas = ckpt.select(col("lang"), col("n_chars"),
+            when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+              .otherwise(lit(-1L)).as("sign"))
+          .groupBy("lang")
+          .agg(sum(col("sign")).as("dn"), sum(col("sign") * col("n_chars")).as("dsc"))
+        val rolled = baseAgg.join(deltas, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("sc"), lit(0L)) + coalesce(col("dsc"), lit(0L))).as("sc"))
+          .filter(col("n") > 0)
+        val direct = recC.groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+        require(rolled.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+          direct.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+          "r96: the signed-count consumer diverged across the checkpoint boundary")
+        recC.orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, source, lang, n_chars + 26 AS n_chars
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, source, lang, n_chars FROM documents
+        WHERE doc_id % 5 = 0 AND doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id, source, lang, n_chars + 2 FROM documents
+        WHERE doc_id % 5 = 1 AND lang NOT IN ('de', 'fr')
+        UNION ALL
+        SELECT doc_id, source, lang, n_chars FROM documents
+        WHERE doc_id % 5 = 2 AND lang = 'en' AND source <> 'src3'
+        UNION ALL
+        SELECT doc_id, source, lang, n_chars FROM documents
+        WHERE doc_id % 5 = 3 AND lang = 'de'
         ORDER BY doc_id""")))
 }

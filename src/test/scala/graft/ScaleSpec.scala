@@ -1094,6 +1094,69 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "failed commits must leave the table untouched")
   }
 
+  test("squashFeed: checkpoints chain, reads reconcile, vacuum sweeps covered feeds, mid-range reads fail loudly") {
+    import org.apache.hadoop.fs.Path
+    val t = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt").toString + "/t"
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commit(rows: (Long, Long)*): Unit =
+      Scale.writeSnapshotCdf(spark, t, rows.toDF("k", "v"), "k")
+    commit((1L, 10L), (2L, 20L), (3L, 30L))          // v0
+    commit((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L)) // v1: upd 1, ins 4
+    commit((1L, 11L), (3L, 30L), (4L, 41L))            // v2: del 2, upd 4
+    commit((1L, 11L), (3L, 30L), (4L, 41L), (2L, 22L)) // v3: 2 resurrects
+    commit((3L, 31L), (4L, 41L), (2L, 22L))            // v4: del 1, upd 3
+    val rawSquash = Scale.cdfSquash(
+        Scale.readChangesBetween(spark, t, 0L, 4L, useCheckpoints = false), "k")
+      .collect().map(_.toSeq).toSet
+    Scale.squashFeed(spark, t, "k", 0L, 2L)
+    // CHAINING: the second squash must read [c=0_2 + v3 + v4], never
+    // the full per-commit history — prove it by sweeping v1/v2 first
+    fs.delete(new Path(s"$t/_cdf/v=1"), true)
+    fs.delete(new Path(s"$t/_cdf/v=2"), true)
+    Scale.squashFeed(spark, t, "k", 0L, 4L)
+    val viaCkpt = spark.read.parquet(s"$t/_cdf_ckpt/c=0_4")
+      .collect().map(_.toSeq).toSet
+    assert(viaCkpt == rawSquash,
+      s"chained squash diverged from the one-shot squash:\n$viaCkpt\n$rawSquash")
+    // the anchored read serves [checkpoint + tail] and folds identically
+    val served = Scale.readChangesBetween(spark, t, 0L, 4L)
+    assert(served.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(4L))
+    val foldServed = Scale.cdfLatestChanges(served, "k")
+      .filter(col("_change_type") =!= "delete")
+      .select("k", "v").collect().map(_.toSeq).toSet
+    assert(foldServed == Set(Seq(2L, 22L), Seq(3L, 31L), Seq(4L, 41L)))
+    // vacuum: covered per-commit feeds and the superseded c=0_2 go;
+    // the maximal checkpoint and the uncovered commit feeds stay
+    Scale.vacuumSnapshots(spark, t, keepLast = 5)
+    assert(!fs.exists(new Path(s"$t/_cdf/v=3")) &&
+      !fs.exists(new Path(s"$t/_cdf/v=4")),
+      "vacuum must sweep per-commit feeds a checkpoint covers")
+    assert(!fs.exists(new Path(s"$t/_cdf_ckpt/c=0_2")),
+      "vacuum must sweep a checkpoint another checkpoint strictly extends")
+    assert(fs.exists(new Path(s"$t/_cdf_ckpt/c=0_4")))
+    assert(fs.exists(new Path(s"$t/_cdf/v=0")),
+      "feeds outside every checkpoint range are retained")
+    // post-sweep: the anchored read still serves, byte-identical fold
+    val after = Scale.cdfLatestChanges(
+        Scale.readChangesBetween(spark, t, 0L, 4L), "k")
+      .filter(col("_change_type") =!= "delete")
+      .select("k", "v").collect().map(_.toSeq).toSet
+    assert(after == foldServed)
+    // a read anchored INSIDE the swept range fails loudly, naming the
+    // checkpoint boundary — never a silent hole
+    val e = intercept[IllegalArgumentException] {
+      Scale.readChangesBetween(spark, t, 1L, 4L)
+    }
+    assert(e.getMessage.contains("c=0_4") && e.getMessage.contains("anchor"),
+      s"got: ${e.getMessage}")
+    // and a too-short anchored span (toV inside the checkpoint) too
+    val e2 = intercept[IllegalArgumentException] {
+      Scale.readChangesBetween(spark, t, 0L, 3L)
+    }
+    assert(e2.getMessage.contains("c=0_4"))
+  }
+
   test("writeSnapshotIdempotent removes an orphan feed before committing") {
     import org.apache.hadoop.fs.Path
     val t = java.nio.file.Files.createTempDirectory("graft_cdf_orphan2").toString + "/t"
