@@ -256,7 +256,14 @@ object GraftTable {
            version: Option[Long] = None): DataFrame = {
     val g = resolve(spark, path, version)
     val (idx, schema) = indexAndSchema(spark, path, g)
-    val base = org.apache.spark.sql.graft.bridge.dataFrameFor(spark, idx, schema)
+    val base0 = org.apache.spark.sql.graft.bridge.dataFrameFor(spark, idx, schema)
+    // column mapping (snapshot lineage): surface current logical names;
+    // predicates stacked on the logical projection push through the
+    // aliases to the physical scan, so skipping is unaffected
+    val base = g.mor match {
+      case None => Scale.toLogicalCols(base0, Scale.snapshotColMap(spark, path))
+      case Some(_) => base0
+    }
     g.mor match {
       case Some((_, hwm)) =>
         val fs = fsFor(spark, path)

@@ -821,7 +821,7 @@ object Scale {
     * [[vacuumSnapshots]] drops old ones (readers pinned to a vacuumed
     * version fail loudly on file-not-found, Delta's contract).
     */
-  def writeSnapshot(spark: SparkSession, path: String, df: DataFrame,
+  def writeSnapshot(spark: SparkSession, path: String, df0: DataFrame,
                     expectedVersion: Option[Long] = None): Long = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -834,6 +834,8 @@ object Scale {
       // silently last-write-winning over the interleaved commit
       casCheck(path, "snapshot", expectedVersion, latest.getOrElse(-1L))
       val next = latest.map(_ + 1).getOrElse(0L)
+      // callers speak logical names; storage keeps physical ones
+      val df = toPhysicalCols(df0, snapshotColMap(spark, path))
       // Overwrite, not ErrorIfExists: a dir at `next` can only be a
       // CRASHED writer's leftovers (the pointer never moved past it, and
       // live writers serialize under the lock) — uncommitted garbage by
@@ -889,7 +891,7 @@ object Scale {
     * missing its token. Returns Some(version) when committed, None on
     * the redelivery no-op.
     */
-  def writeSnapshotIdempotent(spark: SparkSession, path: String, df: DataFrame,
+  def writeSnapshotIdempotent(spark: SparkSession, path: String, df0: DataFrame,
                               token: String,
                               expectedVersion: Option[Long] = None): Option[Long] = {
     import org.apache.hadoop.fs.Path
@@ -906,6 +908,7 @@ object Scale {
       else {
         casCheck(path, "snapshot", expectedVersion, latest.getOrElse(-1L))
         val next = latest.map(_ + 1).getOrElse(0L)
+        val df = toPhysicalCols(df0, snapshotColMap(spark, path))
         df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
         val tok = fs.create(new Path(s"$path/v=$next/_token"), true)
         tok.write(token.getBytes("UTF-8")); tok.close()
@@ -938,8 +941,8 @@ object Scale {
     * incoming frame — a duplicate key would make pre/post pairing
     * ambiguous).
     */
-  def writeSnapshotCdf(spark: SparkSession, path: String, df: DataFrame,
-                       keyCol: String,
+  def writeSnapshotCdf(spark: SparkSession, path: String, df0: DataFrame,
+                       keyCol0: String,
                        expectedVersion: Option[Long] = None): Long = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -948,6 +951,11 @@ object Scale {
       val latest = latestSnapshot(spark, path)
       casCheck(path, "snapshot", expectedVersion, latest.getOrElse(-1L))
       val next = latest.map(_ + 1).getOrElse(0L)
+      // callers speak logical names (frame AND key); the diff, the feed,
+      // and the data dirs all live in physical names
+      val cmap = snapshotColMap(spark, path)
+      val df = toPhysicalCols(df0, cmap)
+      val keyCol = cmap.map(_.swap).getOrElse(keyCol0, keyCol0)
       val dupKeys = df.groupBy(keyCol).count().filter(col("count") > 1).limit(1).count()
       require(dupKeys == 0L,
         s"writeSnapshotCdf: key column $keyCol is not unique in the incoming frame")
@@ -1068,8 +1076,13 @@ object Scale {
       spark.read.parquet(p.toString).withColumn("_commit_version", lit(v))
     }
     // feeds widen under additive schema evolution — rows recorded before
-    // a column existed surface with NULL for it (the Delta-CDF read rule)
-    (ckptPart ++ dirs).reduce(_.unionByName(_, allowMissingColumns = true))
+    // a column existed surface with NULL for it (the Delta-CDF read rule) —
+    // and surface under CURRENT logical names across renames (feeds store
+    // physical names forever; `_change_type`/`_commit_version` are ours,
+    // never mapped)
+    toLogicalCols(
+      (ckptPart ++ dirs).reduce(_.unionByName(_, allowMissingColumns = true)),
+      snapshotColMap(spark, path))
   }
 
   /** SQUASH a multi-commit change feed into its NET change set, from
@@ -1152,7 +1165,12 @@ object Scale {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     withTableLock(fs, path) {
-      val squashed = cdfSquash(readChangesBetween(spark, path, fromV, toV), keyCol)
+      // the feed read surfaces logical names; the checkpoint is STORAGE
+      // and stores physical ones like every feed dir, so reads map all
+      // parts uniformly whatever renames come later
+      val squashed = toPhysicalCols(
+        cdfSquash(readChangesBetween(spark, path, fromV, toV), keyCol),
+        snapshotColMap(spark, path))
       val tmp = new Path(path, "_cdf_ckpt/.c_tmp")
       fs.delete(tmp, true)
       squashed.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -1264,6 +1282,103 @@ object Scale {
     throw new IllegalStateException("unreachable")
   }
 
+  // ---------------------------------------------------------------
+  // COLUMN MAPPING (Delta-style logical→physical names): a snapshot
+  // table's parquet files keep the PHYSICAL name a column was born
+  // with, forever; `_colmap` records physical→logical for columns
+  // renamed since. RENAME is therefore a metadata-only commit — no
+  // version, feed, or index file is rewritten: writers hand in frames
+  // with LOGICAL names (converted to physical before the diff/write,
+  // so old and new versions share physical schema), and every read —
+  // readSnapshot at any version, readChangesBetween across feeds
+  // recorded before the rename, GraftTable.read — surfaces CURRENT
+  // logical names. Pruning operates on physical columns underneath
+  // and is unaffected. Retypes remain loud errors (writeSnapshotCdf's
+  // additive-only contract).
+  // ---------------------------------------------------------------
+
+  /** The table's physical→logical column mapping (empty = identity). */
+  def snapshotColMap(spark: SparkSession, path: String): Map[String, String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path, "_colmap")
+    if (!fs.exists(p)) Map.empty
+    else readPointerFully(fs, p).split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      line.split("\t") match {
+        case Array(phys, logical) => phys -> logical
+        case _ => throw new IllegalStateException(
+          s"corrupt _colmap line '$line' at $path")
+      }
+    }.toMap
+  }
+
+  private def writeColMap(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          path: String, m: Map[String, String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(path, "_colmap.tmp")
+    val out = fs.create(tmp, true)
+    out.write(m.toSeq.sorted.map { case (p, l) => s"$p\t$l" }
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(path, "_colmap"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Physical frame (as stored) → current logical names. */
+  private[operators] def toLogicalCols(df: DataFrame,
+                                       m: Map[String, String]): DataFrame =
+    if (m.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map(c => df(c).as(m.getOrElse(c, c))): _*)
+
+  /** Caller frame (logical names) → physical storage names. A frame
+    * still carrying a RENAMED-AWAY name is a stale writer and fails
+    * loudly — accepting it would silently commit under a name the
+    * table no longer exposes.
+    */
+  private def toPhysicalCols(df: DataFrame, m: Map[String, String]): DataFrame = {
+    if (m.isEmpty) return df
+    val stale = df.columns.filter(c => m.contains(c) && m(c) != c)
+    require(stale.isEmpty,
+      s"column(s) ${stale.mkString(", ")} were renamed " +
+        s"(${stale.map(c => s"$c -> ${m(c)}").mkString(", ")}); " +
+        "write with the current logical names")
+    val inv = m.map(_.swap)
+    df.select(df.columns.toIndexedSeq.map(c => df(c).as(inv.getOrElse(c, c))): _*)
+  }
+
+  /** METADATA-ONLY RENAME of a snapshot-table column: updates `_colmap`
+    * atomically under the table lock; no data, feed, or index file is
+    * touched. After it, every read (any version — time travel included —
+    * and every recorded change feed) surfaces `to`; writers must hand
+    * in `to` (a frame still carrying `from` now FAILS the CDF width
+    * check loudly, never silently forks a second column). Renaming back
+    * to the physical name drops the mapping entry.
+    */
+  def renameSnapshotColumn(spark: SparkSession, path: String,
+                           from: String, to: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withTableLock(fs, path) {
+      val latest = latestSnapshot(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot table at $path"))
+      val m = snapshotColMap(spark, path)
+      val phys = spark.read.parquet(s"$path/v=$latest").schema.fieldNames.toSeq
+      val logical = phys.map(p => m.getOrElse(p, p))
+      require(logical.contains(from),
+        s"renameSnapshotColumn: no column '$from' at $path " +
+          s"(logical columns: ${logical.mkString(", ")})")
+      require(!logical.contains(to),
+        s"renameSnapshotColumn: column '$to' already exists at $path")
+      val physFrom = m.find(_._2 == from).map(_._1).getOrElse(from)
+      val next = (m - physFrom) ++
+        (if (physFrom == to) Nil else Seq(physFrom -> to))
+      writeColMap(spark, fs, path, next)
+    }
+  }
+
   /** The committed version, or None for an empty table. */
   def latestSnapshot(spark: SparkSession, path: String): Option[Long] = {
     import org.apache.hadoop.fs.Path
@@ -1292,7 +1407,9 @@ object Scale {
         () => fs.exists(new Path(path)) && fs.listStatus(new Path(path)).exists(st =>
           st.isDirectory && st.getPath.getName.startsWith("v=")))
     }
-    spark.read.parquet(s"$path/v=$v")
+    // column mapping: any version — however old — reads under CURRENT
+    // logical names (rename is metadata-only; files keep physical names)
+    toLogicalCols(spark.read.parquet(s"$path/v=$v"), snapshotColMap(spark, path))
   }
 
   /** All version numbers present on disk (committed ones; an in-flight

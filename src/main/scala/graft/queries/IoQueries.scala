@@ -331,6 +331,45 @@ object IoQueries {
         out
       })
 
+  /** r97's RENAMED-COLUMN CDF table: v0/v1 commit (doc_id, lang,
+    * n_chars) — v1 updates the English rows (+5) — then `n_chars` is
+    * RENAMED to `length_chars` ([[graft.operators.Scale.renameSnapshotColumn]],
+    * metadata-only), and v2 commits UNDER THE NEW NAME (German rows +7,
+    * French %3=1 rows inserted). Every version is clustered by the
+    * value column and the v0 commit plants a zone index, so the gate
+    * can prove pruning on the RENAMED name survives. Memoized like the
+    * others.
+    */
+  private val renameCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def renameDocs(s: SparkSession, d: String): String =
+    renameCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "cdfren_").toString + "/tbl"
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        def clustered(df: DataFrame, c: String) =
+          df.repartitionByRange(8, col(c)).sortWithinPartitions(c)
+        val v0 = docs.filter(col("doc_id") % 3 === 0)
+        graft.operators.Scale.writeSnapshotCdf(s, out, clustered(v0, "n_chars"), "doc_id")
+        graft.operators.GraftTable.buildIndex(s, out, zoneCols = Seq("n_chars"))
+        val v1 = v0.withColumn("n_chars",
+          when(col("lang") === "en", col("n_chars") + 5).otherwise(col("n_chars")))
+        graft.operators.Scale.writeSnapshotCdf(s, out, clustered(v1, "n_chars"), "doc_id")
+        graft.operators.Scale.renameSnapshotColumn(s, out, "n_chars", "length_chars")
+        val v2 = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"),
+            when(col("lang") === "en", col("n_chars") + 5)
+              .when(col("lang") === "de", col("n_chars") + 7)
+              .otherwise(col("n_chars")).as("length_chars"))
+          .unionByName(docs.filter(col("doc_id") % 3 === 1 && col("lang") === "fr")
+            .select(col("doc_id"), col("lang"), col("n_chars").as("length_chars")))
+        graft.operators.Scale.writeSnapshotCdf(s, out,
+          clustered(v2, "length_chars"), "doc_id")
+        out
+      })
+
   /** r91's APPEND-ONLY CDF table: three commits of disjoint inserts
     * (the %3=0, %3=1, %3=2 slices), so the feed between any two
     * versions is pure inserts — the contract under which bounded
@@ -1763,5 +1802,69 @@ object IoQueries {
         UNION ALL
         SELECT doc_id, source, lang, n_chars FROM documents
         WHERE doc_id % 5 = 3 AND lang = 'de'
+        ORDER BY doc_id""")),
+
+    // r97: COLUMN-MAPPING SCHEMA EVOLUTION (RENAME) — r95 covers ADDs;
+    // rename used to be a loud error because without a logical→physical
+    // layer it would either rewrite every version + feed (O(history) at
+    // 100 TB for a metadata change) or silently fork a second column.
+    // Scale now keeps Delta-style column mapping in `_colmap`: files —
+    // data dirs, feeds, checkpoints, index manifests — keep the
+    // PHYSICAL name a column was born with forever; rename is one
+    // atomic metadata write; writers speak current logical names
+    // (stale names fail loudly); every read maps physical→logical at
+    // plan time. Proven in-band: the 0..2 feed SPANS the rename and
+    // surfaces pre-rename rows under the new name with values intact;
+    // the physical parquet schema of the post-rename version still
+    // carries the old name (nothing rewritten); time travel to v0
+    // reads under the new name; and file skipping on the RENAMED
+    // column still fires (predicates push through the mapping aliases
+    // to the physical zone index). Output: the reconstruction across
+    // the rename, against a from-scratch oracle phrased in the new
+    // name.
+    Q("r97_cdf_column_rename",
+      (s, d) => {
+        val p = renameDocs(s, d)
+        val feed = graft.operators.Scale.readChangesBetween(s, p, -1L, 2L)
+        require(feed.columns.contains("length_chars") &&
+            !feed.columns.contains("n_chars"),
+          "r97 premise: the feed must surface the renamed column only")
+        require(feed.filter(col("_commit_version") === 1 &&
+            col("length_chars").isNotNull).limit(1).count() > 0,
+          "r97 premise: pre-rename feed rows must carry their values under the new name")
+        val physCols = s.read.parquet(s"$p/v=2").schema.fieldNames.toSet
+        require(physCols.contains("n_chars") && !physCols.contains("length_chars"),
+          "r97 premise: rename must be metadata-only — no data rewrite")
+        val v0 = graft.operators.Scale.readSnapshot(s, p, Some(0L))
+        require(v0.columns.contains("length_chars"),
+          "r97 premise: time travel must read old versions under the new name")
+        // skipping on the renamed column: the zone index was built on
+        // the physical column before the rename and never rebuilt
+        val stats = graft.operators.GraftTable.read(s, p)
+          .agg(min("length_chars"), max("length_chars")).head()
+        val cut = stats.getLong(0) + (stats.getLong(1) - stats.getLong(0)) / 8
+        val pruned = graft.operators.GraftTable.read(s, p)
+          .filter(col("length_chars") <= cut)
+        val (fRead, fTotal) = graft.operators.GraftTable.scanFiles(pruned)
+        require(fTotal >= 4 && fRead < fTotal,
+          s"r97: skipping on the renamed column died: $fRead of $fTotal files")
+        // reconstruction across the rename (the r90 fold, unchanged)
+        val chg = graft.operators.Scale.readChangesBetween(s, p, 0L, 2L)
+        val alive = graft.operators.Scale.cdfLatestChanges(chg, "doc_id")
+          .filter(col("_change_type") =!= "delete")
+          .select("doc_id", "lang", "length_chars")
+        val untouched = v0.join(chg.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        alive.unionByName(untouched).orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN n_chars + 5
+                    WHEN lang = 'de' THEN n_chars + 7
+                    ELSE n_chars END AS length_chars
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars AS length_chars
+        FROM documents WHERE doc_id % 3 = 1 AND lang = 'fr'
         ORDER BY doc_id""")))
 }

@@ -1157,6 +1157,59 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(e2.getMessage.contains("c=0_4"))
   }
 
+  test("column mapping: rename is metadata-only, reads map everywhere, stale writers fail, rename-back drops the entry") {
+    import org.apache.hadoop.fs.Path
+    val t = java.nio.file.Files.createTempDirectory("graft_colmap").toString + "/t"
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Scale.writeSnapshotCdf(spark, t,
+      Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("k", "a", "b"), "k")
+    Scale.renameSnapshotColumn(spark, t, "a", "score")
+    // reads — latest, time travel, feed — all surface the new name
+    assert(Scale.readSnapshot(spark, t).columns.toSeq == Seq("k", "score", "b"))
+    assert(Scale.readSnapshot(spark, t, Some(0L)).columns.contains("score"))
+    // writers speak the new name; the physical file keeps the old one
+    Scale.writeSnapshotCdf(spark, t,
+      Seq((1L, 11L, "x"), (2L, 20L, "y")).toDF("k", "score", "b"), "k")
+    assert(spark.read.parquet(s"$t/v=1").columns.toSeq == Seq("k", "a", "b"),
+      "rename must not rewrite storage names")
+    val feed = Scale.readChangesBetween(spark, t, -1L, 1L)
+    assert(feed.columns.contains("score") && !feed.columns.contains("a"))
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select("score").head().getLong(0) == 11L)
+    // a stale writer still using the old name fails loudly
+    val eStale = intercept[IllegalArgumentException] {
+      Scale.writeSnapshotCdf(spark, t,
+        Seq((1L, 11L, "x")).toDF("k", "a", "b"), "k")
+    }
+    assert(eStale.getMessage.contains("renamed"))
+    // rename validations
+    assert(intercept[IllegalArgumentException] {
+      Scale.renameSnapshotColumn(spark, t, "nope", "z")
+    }.getMessage.contains("no column"))
+    assert(intercept[IllegalArgumentException] {
+      Scale.renameSnapshotColumn(spark, t, "score", "b")
+    }.getMessage.contains("already exists"))
+    // checkpoints store physical names and read back mapped
+    Scale.writeSnapshotCdf(spark, t,
+      Seq((1L, 12L, "x")).toDF("k", "score", "b"), "k")
+    Scale.squashFeed(spark, t, "k", 0L, 2L)
+    val served = Scale.readChangesBetween(spark, t, 0L, 2L)
+    assert(served.columns.contains("score"))
+    assert(Scale.cdfLatestChanges(served, "k")
+      .filter(col("_change_type") =!= "delete")
+      .select("k", "score").collect().map(_.toSeq).toSet == Set(Seq(1L, 12L)))
+    // additive evolution composes with mapping; rename-back drops entry
+    Scale.renameSnapshotColumn(spark, t, "score", "a")
+    assert(Scale.snapshotColMap(spark, t).isEmpty ||
+      !fs.exists(new Path(t, "_colmap")) ||
+      Scale.snapshotColMap(spark, t).forall(kv => kv._1 == kv._2))
+    assert(Scale.readSnapshot(spark, t).columns.toSeq == Seq("k", "a", "b"))
+    // GraftTable.read surfaces logical names too
+    Scale.renameSnapshotColumn(spark, t, "b", "tag")
+    assert(graft.operators.GraftTable.read(spark, t).columns.toSeq ==
+      Seq("k", "a", "tag"))
+  }
+
   test("writeSnapshotIdempotent removes an orphan feed before committing") {
     import org.apache.hadoop.fs.Path
     val t = java.nio.file.Files.createTempDirectory("graft_cdf_orphan2").toString + "/t"
