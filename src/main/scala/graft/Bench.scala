@@ -38,7 +38,11 @@ object Bench {
       "s15_stream_late_data", "s16_stream_outer_attribution",
       // s17 additionally runs TWO query lifetimes per replay (restart)
       "s17_stream_restart_recovery", "s18_stream_sliding_counts",
-      "s19_stream_dedup_ttl", "s20_stream_update_mode")
+      "s19_stream_dedup_ttl", "s20_stream_update_mode",
+      // s23 runs FOUR AvailableNow queries (three drains + the no-op
+      // check) and commits three CDF versions + three state versions
+      // per run — micro-batch machinery cost, not plan cost
+      "s23_stream_cdf_source")
   private[graft] def runsFor(name: String): Int = if (singleRunQueries(name)) 2 else 3
 
   /** 1-minute system load average, or -1 when the platform can't say.
@@ -292,11 +296,22 @@ object Bench {
           m.toSeq.map { case (s, v) => "\"" + s + "\":" + jsonNum(v) }
             .mkString("{", ",", "}")).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // layout-build accounting (round-18 gate-runtime hygiene): seconds
+    // spent building memoized gate tables/models on THIS run — charged
+    // to whichever query touched each layout first, so cold-vs-warm
+    // totals differ by exactly this amount without it being a plan
+    // regression. Warm in-JVM reruns report ~0.
+    val layouts = graft.queries.LayoutBuild.perLayoutSec
+    val layoutsJson = layouts.toSeq.sortBy(_._1)
+      .map { case (k, v) => Jsons.str(k) + ":" + jsonNum(v) }
+      .mkString("{", ",", "}")
     s"""{"metric":"total","value":$total,"unit":"sec","load1":${jsonNum(load1)},""" +
       s""""commit":${Jsons.str(gitHead())},"generated_at_ms":${System.currentTimeMillis()},""" +
       s""""heap_mb":$heapMb,"md5_st":$md5St,"md5_mt":$md5Mt,""" +
       s""""cpu_model":${Jsons.str(cpuModel)},""" +
       s""""procs":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""layout_build_sec":${jsonNum(graft.queries.LayoutBuild.totalSec)},""" +
+      s""""layouts":$layoutsJson,""" +
       s""""jvm":${Jsons.str(System.getProperty("java.vm.version", ""))},""" +
       s"""${interferenceJson(results)},${errorsJson(results)},""" +
       s""""queries":${queriesJson(mins, _.toString)},""" +
@@ -379,8 +394,9 @@ object Bench {
     val cpuTotal = results.valuesIterator.map(_.cpuRuns.sum).sum
     val gcTotal = results.valuesIterator.map(_.gcRuns.sum).sum
     s""""heap_mb":$heapMb,"md5_st":$md5St,"md5_mt":$md5Mt,""" +
-      s""""cpu_sec":${jsonNum1(cpuTotal)},"gc_sec":${
-        jsonNum1(gcTotal)},"canary":$canaryJson"""
+      s""""cpu_sec":${jsonNum1(cpuTotal)},"gc_sec":${jsonNum1(gcTotal)},""" +
+      s""""layout_build_sec":${
+        jsonNum1(graft.queries.LayoutBuild.totalSec)},"canary":$canaryJson"""
   }
 
   def renderFinal(results: Map[String, QueryResult], sfDir: String,

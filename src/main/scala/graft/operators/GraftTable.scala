@@ -35,9 +35,13 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
 object GraftTable {
 
   /** Resolved generation: the immutable data dir, its tag (index subdir
-    * name), and for MoR tables the (base version, delete hwm). */
+    * name), for MoR tables the (base version, fence), and the live
+    * append dirs as (commit, path). */
   private case class Gen(dataDir: String, tag: String,
-                         mor: Option[(Long, Long)])
+                         mor: Option[(Long, Long)],
+                         appends: Seq[(Long, String)] = Nil) {
+    def dataDirs: Seq[String] = dataDir +: appends.map(_._2)
+  }
 
   private def fsFor(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -54,7 +58,18 @@ object GraftTable {
           "version history (base generations supersede, they don't coexist)")
       val (v, hwm) = Scale.pointerOrRetry(path, "merge-on-read",
         () => Scale.morPointer(spark, path), () => dirs("base_v="))
-      Gen(s"$path/base_v=$v", s"base_v=$v", Some((v, hwm)))
+      // live row appends (commit >= fence) are part of the generation's
+      // file set — the scan, the index, and the delete sequence rule all
+      // see base + appends as one table
+      val apps = new Path(path, "_appends")
+      val appendDirs =
+        if (!fs.exists(apps)) Nil
+        else fs.listStatus(apps).toSeq.map(_.getPath)
+          .collect { case p if p.getName.startsWith("a=") &&
+              p.getName.stripPrefix("a=").toLong >= hwm =>
+            (p.getName.stripPrefix("a=").toLong, p.toString) }
+          .sortBy(_._1)
+      Gen(s"$path/base_v=$v", s"base_v=$v", Some((v, hwm)), appendDirs)
     } else if (fs.exists(new Path(path, "_latest")) || dirs("v=")) {
       val v = version.getOrElse(Scale.pointerOrRetry(path, "snapshot",
         () => Scale.latestSnapshot(spark, path), () => dirs("v=")))
@@ -72,6 +87,10 @@ object GraftTable {
       st.isFile && st.getPath.getName.endsWith(".parquet") &&
         !st.getPath.getName.startsWith(".") &&
         !st.getPath.getName.startsWith("_"))
+
+  /** Every data file of the generation: base dir + live append dirs. */
+  private def genFiles(spark: SparkSession, g: Gen): Seq[FileStatus] =
+    g.dataDirs.flatMap(d => dataFiles(spark, d))
 
   /** Build (or rebuild) the table's skipping index for its CURRENT
     * committed generation: one grouped-aggregate scan per manifest —
@@ -102,7 +121,7 @@ object GraftTable {
         case ByteType | ShortType | IntegerType | LongType => "long"
         case other => sys.error(s"buildIndex: unsupported zone type $other for $c")
       }
-      Scale.zoneMap(spark, g.dataDir, c)
+      Scale.zoneMapPaths(spark, g.dataDirs, c)
         .select(col("file"),
           (if (kind == "long") col("min_v").cast("long") else col("min_v").cast("string")).as("min_v"),
           (if (kind == "long") col("max_v").cast("long") else col("max_v").cast("string")).as("max_v"))
@@ -111,14 +130,14 @@ object GraftTable {
     }
     if (bloomCols.nonEmpty) {
       // count(*) resolves from parquet footers — no data scan
-      val files = dataFiles(spark, g.dataDir)
+      val files = genFiles(spark, g)
       val perFile = math.max(1024L,
-        spark.read.parquet(g.dataDir).count() / math.max(files.size, 1) + 1)
+        spark.read.parquet(g.dataDirs: _*).count() / math.max(files.size, 1) + 1)
       bloomCols.foreach { c =>
         require(Seq[org.apache.spark.sql.types.DataType](
           ByteType, ShortType, IntegerType, LongType).contains(schema(c).dataType),
           s"buildIndex: bloom manifests need an integral column, got $c")
-        Scale.bloomManifest(spark, g.dataDir, c, perFile, fpp)
+        Scale.bloomManifestPaths(spark, g.dataDirs, c, perFile, fpp)
           .select(col("file"), col("bloom"))
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$idxDir/bloom_$c")
@@ -219,7 +238,7 @@ object GraftTable {
     */
   private def indexAndSchema(spark: SparkSession, path: String, g: Gen)
       : (GraftFileIndex, org.apache.spark.sql.types.StructType) = {
-    val files = dataFiles(spark, g.dataDir)
+    val files = genFiles(spark, g)
     require(files.nonEmpty, s"no parquet data files under ${g.dataDir}")
     val schema = spark.read.parquet(g.dataDir).schema
     val (lz, sz, bl) = loadManifests(spark, s"$path/_index/${g.tag}", files)
@@ -272,7 +291,8 @@ object GraftTable {
           if (!fs.exists(dels)) Seq.empty
           else fs.listStatus(dels).toSeq.map(_.getPath)
             .collect { case p if p.getName.startsWith("d=") &&
-              p.getName.stripPrefix("d=").toLong >= hwm => p.toString }
+              p.getName.stripPrefix("d=").toLong >= hwm =>
+              (p.getName.stripPrefix("d=").toLong, p.toString) }
         if (delDirs.isEmpty) base
         else {
           val keyPath = new Path(path, "_graft_key")
@@ -283,11 +303,28 @@ object GraftTable {
           val in = fs.open(keyPath)
           val keyCol = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                        finally in.close()
-          val keys = spark.read.parquet(delDirs: _*)
+          val keys = delDirs.map { case (c, p) =>
+            spark.read.parquet(p).toDF("key").withColumn("__dc", lit(c))
+          }.reduce(_.unionByName(_)).distinct()
           require(keys.schema.head.dataType == schema(keyCol).dataType,
             s"delete key type ${keys.schema.head.dataType} does not match " +
               s"base column $keyCol: ${schema(keyCol).dataType}")
-          base.join(broadcast(keys.toDF(keyCol).distinct()), Seq(keyCol), "left_anti")
+          // sequence rule over the UNIFIED scan: a row's birth commit is
+          // derived from which dir its file lives in (_metadata.file_path
+          // — constant-folded per split), base rows at fence−1, so a
+          // delete applies only to rows born before it. The equality on
+          // the key keeps this a broadcast HASH join; the commit
+          // comparison rides inside it.
+          val seq = g.appends.foldRight(lit(hwm - 1): org.apache.spark.sql.Column) {
+            case ((c, _), acc) =>
+              when(col("_metadata.file_path").contains(s"/_appends/a=$c/"), lit(c))
+                .otherwise(acc)
+          }
+          val withSeq = base.withColumn("__seq", seq)
+          withSeq.join(broadcast(keys),
+              withSeq(keyCol) === keys("key") && keys("__dc") > withSeq("__seq"),
+              "left_anti")
+            .drop("__seq")
         }
       case None => base
     }

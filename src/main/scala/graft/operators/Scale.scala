@@ -642,7 +642,15 @@ object Scale {
     * compose with [[zOrderBy]] / `repartitionByRange` + sorted writes.
     */
   def zoneMap(spark: SparkSession, path: String, valueCol: String): DataFrame =
-    spark.read.parquet(path)
+    zoneMapPaths(spark, Seq(path), valueCol)
+
+  /** [[zoneMap]] over a MULTI-DIR generation (a merge-on-read base plus
+    * its live append dirs): one scan, per-file stats keyed by
+    * `_metadata.file_path` exactly as the single-dir form.
+    */
+  def zoneMapPaths(spark: SparkSession, paths: Seq[String],
+                   valueCol: String): DataFrame =
+    spark.read.parquet(paths: _*)
       .select(col("_metadata.file_path").as("file"), col(valueCol))
       .groupBy("file")
       .agg(min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"),
@@ -660,7 +668,12 @@ object Scale {
     */
   def bloomManifest(spark: SparkSession, path: String, keyCol: String,
                     expectedPerFile: Long, fpp: Double): DataFrame =
-    spark.read.parquet(path)
+    bloomManifestPaths(spark, Seq(path), keyCol, expectedPerFile, fpp)
+
+  /** [[bloomManifest]] over a multi-dir generation — see [[zoneMapPaths]]. */
+  def bloomManifestPaths(spark: SparkSession, paths: Seq[String], keyCol: String,
+                         expectedPerFile: Long, fpp: Double): DataFrame =
+    spark.read.parquet(paths: _*)
       .select(col("_metadata.file_path").as("file"), col(keyCol))
       .groupBy("file")
       .agg(graft.functions.native.bloomBuild(col(keyCol), expectedPerFile, fpp)
@@ -1531,9 +1544,17 @@ object Scale {
   // `rewrite_data_files` cadence) — the delete set between compactions
   // stays broadcast-sized BY CONTRACT.
   //
+  // Row APPENDS are first-class commits too (`_appends/a=<c>`, see
+  // [[appendMorRows]]): appends and deletes share one monotone commit
+  // sequence, and a delete applies only to rows born at an EARLIER
+  // commit (base rows are born at fence−1) — the Iceberg
+  // sequence-number rule, which makes append-after-delete resurrect a
+  // key instead of being silently swallowed by an older tombstone.
+  //
   // CONCURRENCY: the `_mor` pointer file holds "<baseVersion>
-  // <deleteHwm>" — base_v=<n> already folds every delete with d < hwm,
-  // so readers apply only d >= hwm. The pointer moves by atomic
+  // <fence>" — base_v=<n> already folds every commit (append or
+  // delete) below the fence, so readers apply only commits >= fence.
+  // The pointer moves by atomic
   // FileContext rename (writeSnapshot's discipline) and every
   // committed dir is immutable until [[vacuumMor]], so a LOCK-FREE
   // reader that resolved the pointer sees a committed, consistent view
@@ -1591,7 +1612,7 @@ object Scale {
                           expected: Option[(Long, Long)]): Unit =
     expected.foreach { case (expBase, expDel) =>
       val curBase = morPointer(spark, path).map(_._1).getOrElse(-1L)
-      val curDel = nextDeleteNum(fs, path)
+      val curDel = nextCommitNum(fs, path)
       if (curBase != expBase || curDel != expDel)
         throw new CommitConflictException(
           s"optimistic commit conflict on merge-on-read table $path: this " +
@@ -1600,18 +1621,27 @@ object Scale {
             "the change set, and retry with the new expectedState")
     }
 
-  /** Next delete-file number: global and monotone across base
-    * generations (never resets), which is what makes the hwm fence in
-    * the pointer sufficient for readers.
+  /** Next COMMIT number: appends (`_appends/a=<c>`) and equality
+    * deletes (`_deletes/d=<c>`) share ONE global monotone sequence
+    * (never resets across base generations) — the Iceberg
+    * sequence-number idea. The shared ordering is what gives deletes
+    * their scope (a delete at commit c applies only to rows whose
+    * commit precedes c, so append-after-delete resurrects a key) and
+    * what makes the single fence in the pointer sufficient for
+    * readers. Tables written before appends existed have only `d=`
+    * entries — the numbering is unchanged for them.
     */
-  private def nextDeleteNum(fs: org.apache.hadoop.fs.FileSystem,
+  private def nextCommitNum(fs: org.apache.hadoop.fs.FileSystem,
                             path: String): Long = {
     import org.apache.hadoop.fs.Path
-    val dels = new Path(path, "_deletes")
-    if (!fs.exists(dels)) 0L
-    else fs.listStatus(dels).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("d=") => n.stripPrefix("d=").toLong }
-      .foldLeft(-1L)(math.max) + 1
+    def maxIn(dir: String, prefix: String): Long = {
+      val p = new Path(path, dir)
+      if (!fs.exists(p)) -1L
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith(prefix) => n.stripPrefix(prefix).toLong }
+        .foldLeft(-1L)(math.max)
+    }
+    math.max(maxIn("_deletes", "d="), maxIn("_appends", "a=")) + 1
   }
 
   /** Initialize (or REPLACE) the base of a merge-on-read table as a new
@@ -1637,7 +1667,7 @@ object Scale {
       // Overwrite: a dir at `next` is a crashed writer's leftovers (the
       // pointer never moved past it) — same rationale as writeSnapshot.
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/base_v=$next")
-      writeMorPointer(spark, fs, path, next, nextDeleteNum(fs, path))
+      writeMorPointer(spark, fs, path, next, nextCommitNum(fs, path))
       // a superseding base generation inherits the previous one's
       // skipping spec (no-op on never-indexed tables)
       GraftTable.reindexAuto(spark, path)
@@ -1670,10 +1700,11 @@ object Scale {
       // another writer has since replaced or further deleted from must
       // not silently apply to the new state
       morCasCheck(spark, fs, path, expectedState)
-      val next = nextDeleteNum(fs, path)
-      if (next > 0) {
-        val prevType = spark.read.parquet(s"$path/_deletes/d=${next - 1}")
-          .schema.head.dataType
+      val next = nextCommitNum(fs, path)
+      // type check against the newest EXISTING delete file (commit
+      // numbers are shared with appends, so next-1 may be an append dir)
+      deleteDirs(fs, path, 0L).lastOption.foreach { case (_, prev) =>
+        val prevType = spark.read.parquet(prev).schema.head.dataType
         require(keys.schema.head.dataType == prevType,
           s"equality-delete key type ${keys.schema.head.dataType} does not " +
             s"match the table's existing delete files ($prevType)")
@@ -1686,53 +1717,241 @@ object Scale {
     }
   }
 
-  /** The reconciled view: the pointer's base generation minus every key
-    * in the delete files at-or-above the pointer's hwm. LOCK-FREE and
-    * consistent (see the section comment): base and delete dirs are
-    * immutable once committed, the pointer resolves atomically, and
-    * delete numbering is global — so this view equals the logical table
-    * at list time even if a compaction commits mid-read. The delete
-    * union is DISTINCT'd (re-deletes collapse) and broadcast — the base
-    * scan stays shuffle-free, each task hash-probing the delete set as
-    * it reads, exactly how engine-native deletion vectors behave.
-    * `keyCol` names the base column the deletes apply to; its type must
-    * match the delete files' (loud error, never a silent null-out).
+  /** APPEND rows to a merge-on-read table: `df` (schema must match the
+    * base exactly — a drifted append would silently null out or fork
+    * columns) lands as `_appends/a=<c>/` under the next shared commit
+    * number, without touching a byte of any base or delete file. The
+    * dir appears atomically (write-to-tmp + rename). ORDERING
+    * SEMANTICS: appended rows are born at commit c, so only deletes
+    * with a LATER commit number affect them — appending a key after
+    * its delete resurrects it (the Iceberg sequence-number rule);
+    * deletes already on file never reach forward. On indexed tables
+    * the skipping manifests are rebuilt to cover the new files
+    * (writer-pays, like every maintenance op). Returns the commit
+    * number.
     */
-  def readMergeOnRead(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+  def appendMorRows(spark: SparkSession, path: String, df: DataFrame,
+                    expectedState: Option[(Long, Long)] = None): Long = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (v, hwm) = pointerOrRetry(path, "merge-on-read",
+    withTableLock(fs, path) {
+      val (v, _) = morPointer(spark, path).getOrElse(throw new IllegalStateException(
+        s"no committed merge-on-read base at $path — writeMorBase first"))
+      morCasCheck(spark, fs, path, expectedState)
+      val baseSchema = spark.read.parquet(s"$path/base_v=$v").schema
+      require(df.schema.map(f => (f.name, f.dataType)) ==
+          baseSchema.map(f => (f.name, f.dataType)),
+        s"appendMorRows: schema mismatch — base has " +
+          s"[${baseSchema.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}], " +
+          s"append has [${df.schema.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}]")
+      val next = nextCommitNum(fs, path)
+      val tmp = new Path(path, "_appends/.a_tmp")
+      fs.delete(tmp, true)
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      renameOrFail(fs, tmp, new Path(s"$path/_appends/a=$next"))
+      // the generation's file set grew — rebuild the skipping manifests
+      // so indexed reads stay valid (absent index: no-op)
+      GraftTable.reindexAuto(spark, path)
+      next
+    }
+  }
+
+  /** Live append dirs (a >= fence), as (commit, path). */
+  private def appendDirs(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                         fence: Long, upto: Long = Long.MaxValue): Seq[(Long, String)] = {
+    import org.apache.hadoop.fs.Path
+    val apps = new Path(path, "_appends")
+    if (!fs.exists(apps)) Nil
+    else fs.listStatus(apps).toSeq.map(_.getPath)
+      .collect { case p if p.getName.startsWith("a=") &&
+          { val c = p.getName.stripPrefix("a=").toLong; c >= fence && c <= upto } =>
+        (p.getName.stripPrefix("a=").toLong, p.toString) }
+      .sortBy(_._1)
+  }
+
+  private def deleteDirs(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                         fence: Long, upto: Long = Long.MaxValue): Seq[(Long, String)] = {
+    import org.apache.hadoop.fs.Path
+    val dels = new Path(path, "_deletes")
+    if (!fs.exists(dels)) Nil
+    else fs.listStatus(dels).toSeq.map(_.getPath)
+      .collect { case p if p.getName.startsWith("d=") &&
+          { val c = p.getName.stripPrefix("d=").toLong; c >= fence && c <= upto } =>
+        (p.getName.stripPrefix("d=").toLong, p.toString) }
+      .sortBy(_._1)
+  }
+
+  /** The reconciled view at an optional commit horizon: base (which
+    * folds every commit below the pointer's fence) plus live appends,
+    * minus equality deletes under the SEQUENCE RULE — a delete at
+    * commit c removes only rows born before c (base rows are born at
+    * fence−1, appended rows at their commit number). The delete set is
+    * broadcast with its commit number, so the scan stays shuffle-free:
+    * one hash-probe per row against (key, first-applicable-delete),
+    * exactly how engine-native deletion vectors behave.
+    */
+  private def morReconciled(spark: SparkSession, path: String, keyCol: String,
+                            upto: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (v, fence) = pointerOrRetry(path, "merge-on-read",
       () => morPointer(spark, path),
       () => fs.exists(new Path(path)) && fs.listStatus(new Path(path)).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("base_v=")))
     val base = spark.read.parquet(s"$path/base_v=$v")
-    val dels = new Path(path, "_deletes")
+      .withColumn("__seq", lit(fence - 1))
+    val rows = appendDirs(fs, path, fence, upto).foldLeft(base) {
+      case (acc, (c, p)) =>
+        acc.unionByName(spark.read.parquet(p).withColumn("__seq", lit(c)))
+    }
     // explicit dir list, not a `d=*` glob: the glob path trips Spark's
     // streaming-sink metadata probe into logging a spurious
     // FileNotFoundException stack per read
-    val delDirs =
-      if (!fs.exists(dels)) Seq.empty
-      else fs.listStatus(dels).toSeq
-        .map(_.getPath)
-        .collect { case p if p.getName.startsWith("d=")
-          && p.getName.stripPrefix("d=").toLong >= hwm => p.toString }
-    if (delDirs.isEmpty) base
-    else {
-      val keys = spark.read.parquet(delDirs: _*)
-      require(keys.schema.head.dataType == base.schema(keyCol).dataType,
-        s"delete key type ${keys.schema.head.dataType} does not match base " +
-          s"column $keyCol: ${base.schema(keyCol).dataType}")
-      base.join(org.apache.spark.sql.functions.broadcast(
-        keys.toDF(keyCol).distinct()), Seq(keyCol), "left_anti")
-    }
+    val delDs = deleteDirs(fs, path, fence, upto)
+    val out =
+      if (delDs.isEmpty) rows
+      else {
+        val keys = delDs.map { case (c, p) =>
+          spark.read.parquet(p).toDF("key").withColumn("__dc", lit(c))
+        }.reduce(_.unionByName(_))
+        require(keys.schema.head.dataType == base.schema(keyCol).dataType,
+          s"delete key type ${keys.schema.head.dataType} does not match base " +
+            s"column $keyCol: ${base.schema(keyCol).dataType}")
+        // per key only the EARLIEST live delete matters for any given
+        // row generation; keep (key, commit) pairs distinct and probe
+        // with the sequence condition — still a broadcast hash join on
+        // the key equality, the range condition rides as a post-probe
+        // filter inside the join
+        val delKeys = keys.distinct()
+        rows.join(org.apache.spark.sql.functions.broadcast(delKeys),
+          rows(keyCol) === delKeys("key") && delKeys("__dc") > rows("__seq"),
+          "left_anti")
+      }
+    out.drop("__seq")
   }
 
-  /** Fold the accumulated deletes into a NEW base generation (the
-    * periodic rewrite that keeps the read-side delete set
-    * broadcast-sized): write `base_v=<n+1>` as the reconciled view,
-    * then atomically advance the pointer past the folded delete files.
-    * Nothing is deleted here — superseded dirs stay until [[vacuumMor]]
-    * — so in-flight lock-free readers keep their consistent view.
+  /** The current reconciled view — see [[morReconciled]]. LOCK-FREE and
+    * consistent (see the section comment): base, append, and delete
+    * dirs are immutable once committed, the pointer resolves atomically,
+    * and commit numbering is global — so this view equals the logical
+    * table at list time even if a compaction commits mid-read. `keyCol`
+    * names the base column equality deletes apply to; its type must
+    * match the delete files' (loud error, never a silent null-out).
+    */
+  def readMergeOnRead(spark: SparkSession, path: String, keyCol: String): DataFrame =
+    morReconciled(spark, path, keyCol, Long.MaxValue)
+
+  /** Time-scoped read: the table as of commit `uptoC` (appends and
+    * deletes with commit <= uptoC applied; base = "as of fence − 1").
+    * Only commits at-or-above the current fence are replayable —
+    * [[compactDeletes]] folds older ones into the base for good.
+    */
+  def readMorAsOf(spark: SparkSession, path: String, keyCol: String,
+                  uptoC: Long): DataFrame = {
+    val (_, fence) = morPointer(spark, path).getOrElse(throw new IllegalStateException(
+      s"no committed merge-on-read base at $path"))
+    require(uptoC >= fence - 1,
+      s"commit $uptoC predates the pointer fence $fence — folded into the " +
+        "base by compactDeletes, no longer replayable")
+    morReconciled(spark, path, keyCol, uptoC)
+  }
+
+  /** The MERGE-ON-READ DERIVED CHANGE FEED — the CDC surface
+    * [[readChangesBetween]] gives snapshot tables, derived here from
+    * commit METADATA alone (no feed is ever stored): appends are
+    * insert events at their commit; an equality-delete at commit c
+    * emits one delete event — carrying the full row image — for every
+    * row that was ALIVE just before c (born earlier, not yet deleted);
+    * re-deletes and deletes of never-present keys emit nothing. Same
+    * shape as the snapshot feed (data columns + `_change_type` +
+    * `_commit_version`), so the CDF folds ([[cdfLatestChanges]],
+    * signed counts) consume it unchanged. `includeBootstrap` adds the
+    * base's rows as insert events at commit fence−1 (the bootstrap
+    * pseudo-commit). Events range over commits (fromC..toC];
+    * fromC >= fence−1 (earlier history is folded into the base).
+    *
+    * Cost: one broadcast join of the row universe against the
+    * delete-key sets (delete images require reading the rows they
+    * killed — the writer never paid to record them, so the READER pays
+    * one scan; the snapshot lineage makes the opposite trade).
+    */
+  def morChangesBetween(spark: SparkSession, path: String, keyCol: String,
+                        fromC: Long, toC: Long,
+                        includeBootstrap: Boolean = false): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (v, fence) = morPointer(spark, path).getOrElse(throw new IllegalStateException(
+      s"no committed merge-on-read base at $path"))
+    require(fromC < toC, s"morChangesBetween needs fromC < toC, got $fromC..$toC")
+    require(fromC >= fence - 1,
+      s"commits at-or-below ${fence - 1} are folded into base_v=$v by " +
+        s"compactDeletes; anchor the read at ${fence - 1} or later")
+    require(toC < nextCommitNum(fs, path),
+      s"commit $toC not committed yet")
+    val base = spark.read.parquet(s"$path/base_v=$v")
+    val dataCols = base.columns.toIndexedSeq
+    // row universe for delete images: everything born at-or-before toC
+    val rows = appendDirs(fs, path, fence, toC).foldLeft(
+      base.withColumn("__seq", lit(fence - 1))) { case (acc, (c, p)) =>
+      acc.unionByName(spark.read.parquet(p).withColumn("__seq", lit(c)))
+    }
+    val delDs = deleteDirs(fs, path, fence, toC)
+    val deletes =
+      if (delDs.isEmpty) rows.limit(0)
+        .withColumn("__kill", lit(null).cast("long")).drop("__seq")
+        .withColumn("_change_type", lit("delete"))
+        .withColumnRenamed("__kill", "_commit_version")
+      else {
+        val keys = delDs.map { case (c, p) =>
+          spark.read.parquet(p).toDF("key").withColumn("__dc", lit(c))
+        }.reduce(_.unionByName(_)).distinct()
+        // per key: the ascending list of delete commits (tiny — a key is
+        // rarely deleted twice); per row: the FIRST delete after its
+        // birth is the killing commit, if any
+        val perKey = keys.groupBy("key")
+          .agg(sort_array(collect_list(col("__dc"))).as("__dcs"))
+        rows.join(org.apache.spark.sql.functions.broadcast(perKey),
+            rows(keyCol) === perKey("key"), "inner")
+          .withColumn("__kill",
+            // get(), not getItem: ANSI mode throws on index-into-empty
+            // (a row never deleted has an empty filtered list — NULL)
+            get(filter(col("__dcs"), dc => dc > col("__seq")), lit(0)))
+          .filter(col("__kill").isNotNull &&
+            col("__kill") > lit(fromC) && col("__kill") <= lit(toC))
+          .select((dataCols.map(col) :+
+            lit("delete").as("_change_type") :+
+            col("__kill").as("_commit_version")): _*)
+      }
+    val inserts = appendDirs(fs, path, fence, toC)
+      .filter { case (c, _) => c > fromC }
+      .map { case (c, p) =>
+        spark.read.parquet(p)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(c))
+      }
+    val bootstrap =
+      if (includeBootstrap) {
+        require(fromC == fence - 1,
+          "includeBootstrap only composes with a read anchored at the base " +
+            s"(fromC = ${fence - 1})")
+        Seq(base.withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(fence - 1)))
+      } else Nil
+    (bootstrap ++ inserts :+ deletes).reduce(_.unionByName(_))
+  }
+
+  /** Fold the accumulated deletes AND appends into a NEW base
+    * generation (the periodic rewrite that keeps the read-side delete
+    * set broadcast-sized and the append dir list short): write
+    * `base_v=<n+1>` as the reconciled view, then atomically advance
+    * the pointer fence past every folded commit. Nothing is deleted
+    * here — superseded dirs stay until [[vacuumMor]] — so in-flight
+    * lock-free readers keep their consistent view. NOTE: folding
+    * collapses commit history below the fence, so
+    * [[morChangesBetween]]/[[readMorAsOf]] can no longer replay it —
+    * derive feeds BEFORE compacting, or compact on the consumer's
+    * cursor cadence (the same discipline as vacuuming snapshot CDF
+    * feeds).
     */
   def compactDeletes(spark: SparkSession, path: String, keyCol: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -1740,7 +1959,7 @@ object Scale {
     withTableLock(fs, path) {
       val (v, hwm) = morPointer(spark, path).getOrElse(throw new IllegalStateException(
         s"no committed merge-on-read base at $path"))
-      val maxD = nextDeleteNum(fs, path) - 1
+      val maxD = nextCommitNum(fs, path) - 1
       if (maxD >= hwm) {
         readMergeOnRead(spark, path, keyCol)
           .write.mode(SaveMode.Overwrite).parquet(s"$path/base_v=${v + 1}")
@@ -1782,6 +2001,14 @@ object Scale {
           .collect { case n if n.startsWith("d=") => n.stripPrefix("d=").toLong }
           .filter(_ < hwm).sorted
       delVictims.foreach(k => fs.delete(new Path(s"$path/_deletes/d=$k"), true))
+      // appends below the fence were folded into the pointer's base by
+      // compactDeletes — same superseded-dir rule as folded delete files
+      val apps = new Path(path, "_appends")
+      if (fs.exists(apps))
+        fs.listStatus(apps).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("a=") => n.stripPrefix("a=").toLong }
+          .filter(_ < hwm)
+          .foreach(k => fs.delete(new Path(s"$path/_appends/a=$k"), true))
       (baseVictims, delVictims)
     }
   }

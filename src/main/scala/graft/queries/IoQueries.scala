@@ -99,7 +99,7 @@ object IoQueries {
     * shards); pruning is the difference between reading 2 dirs and
     * reading all of them.
     */
-  private val partitionedCopies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val partitionedCopies = new LayoutCache[String]("io_partitioned_docs")
 
   private[graft] def partitionedDocs(s: SparkSession, d: String): String =
     partitionedCopies.computeIfAbsent(
@@ -119,7 +119,7 @@ object IoQueries {
     * deterministic in doc_id so the oracle can re-derive which
     * generation each row landed in.
     */
-  private val evolvedCopies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val evolvedCopies = new LayoutCache[String]("io_evolved_docs")
 
   private[graft] def evolvedDocs(s: SparkSession, d: String): String =
     evolvedCopies.computeIfAbsent(
@@ -142,7 +142,7 @@ object IoQueries {
     * both, pinning the re-delete-collapses contract). Memoized per
     * (dir, table fingerprint) like [[partitionedDocs]].
     */
-  private val morCopies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val morCopies = new LayoutCache[String]("io_mor_docs")
 
   private[graft] def morDocs(s: SparkSession, d: String): String =
     morCopies.computeIfAbsent(
@@ -169,7 +169,7 @@ object IoQueries {
     * like [[morDocs]].
     */
   private val unifiedCopies =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new LayoutCache[String]("io_unified_docs")
 
   private[graft] def unifiedDocs(s: SparkSession, d: String): String =
     unifiedCopies.computeIfAbsent(
@@ -199,7 +199,7 @@ object IoQueries {
     * fingerprint like [[morDocs]].
     */
   private val cdfCopies =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new LayoutCache[String]("io_cdf_docs")
 
   private[graft] def cdfDocs(s: SparkSession, d: String): String =
     cdfCopies.computeIfAbsent(
@@ -231,7 +231,7 @@ object IoQueries {
     * with a 4-column one. Memoized like the others.
     */
   private val evolveCopies =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new LayoutCache[String]("io_cdf_evolve_docs")
 
   private[graft] def evolveDocs(s: SparkSession, d: String): String =
     evolveCopies.computeIfAbsent(
@@ -262,7 +262,7 @@ object IoQueries {
     * change sets never touch a key twice. Memoized like the others.
     */
   private val churnCopies =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new LayoutCache[String]("io_churn_docs")
 
   private[graft] def churnDocs(s: SparkSession, d: String): String =
     churnCopies.computeIfAbsent(
@@ -297,7 +297,7 @@ object IoQueries {
     * raw 6-dir union. Memoized like the others.
     */
   private val churn6Copies =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new LayoutCache[String]("io_churn6_docs")
 
   private[graft] def churn6Docs(s: SparkSession, d: String): String =
     churn6Copies.computeIfAbsent(
@@ -341,7 +341,7 @@ object IoQueries {
     * others.
     */
   private val renameCopies =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new LayoutCache[String]("io_rename_docs")
 
   private[graft] def renameDocs(s: SparkSession, d: String): String =
     renameCopies.computeIfAbsent(
@@ -370,13 +370,42 @@ object IoQueries {
         out
       })
 
+  /** r98's MERGE-ON-READ COMMIT-HISTORY table: a base load (%2=0),
+    * then four interleaved commits under the shared MoR sequence —
+    * delete short docs (d=0), append the %4=1 slice (a=1), delete all
+    * German rows (d=2, killing base survivors AND commit-1 appends),
+    * append German %4=3 rows (a=3, which the commit-2 delete must NOT
+    * reach forward to — the sequence rule). No compaction, so the
+    * whole history is feed-derivable. Memoized like the others.
+    */
+  private val morFeedCopies =
+    new LayoutCache[String]("io_mor_feed_docs")
+
+  private[graft] def morFeedDocs(s: SparkSession, d: String): String =
+    morFeedCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "morfeed_").toString + "/tbl"
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        graft.operators.Scale.writeMorBase(s, out, docs.filter(col("doc_id") % 2 === 0))
+        graft.operators.Scale.appendDeletes(s, out,
+          docs.filter(col("doc_id") % 2 === 0 && col("n_chars") < 300)
+            .select("doc_id"))
+        graft.operators.Scale.appendMorRows(s, out, docs.filter(col("doc_id") % 4 === 1))
+        graft.operators.Scale.appendDeletes(s, out,
+          docs.filter(col("lang") === "de").select("doc_id"))
+        graft.operators.Scale.appendMorRows(s, out,
+          docs.filter(col("doc_id") % 4 === 3 && col("lang") === "de"))
+        out
+      })
+
   /** r91's APPEND-ONLY CDF table: three commits of disjoint inserts
     * (the %3=0, %3=1, %3=2 slices), so the feed between any two
     * versions is pure inserts — the contract under which bounded
     * top-k state is mergeable. Memoized like the others.
     */
   private val cdfAppendCopies =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new LayoutCache[String]("io_cdf_append_docs")
 
   private[graft] def cdfAppendDocs(s: SparkSession, d: String): String =
     cdfAppendCopies.computeIfAbsent(
@@ -407,7 +436,7 @@ object IoQueries {
     * like [[partitionedDocs]].
     */
   private val specEvolvedCopies =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new LayoutCache[(String, String)]("io_spec_evolved_docs")
 
   private[graft] def specEvolvedDocs(s: SparkSession, d: String): (String, String) =
     specEvolvedCopies.computeIfAbsent(
@@ -434,7 +463,7 @@ object IoQueries {
     * per (dir, table fingerprint) like [[partitionedDocs]].
     */
   private val binShardCopies =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new LayoutCache[String]("io_bin_shards")
 
   private[graft] def binaryShards(s: SparkSession, d: String): String =
     binShardCopies.computeIfAbsent(
@@ -471,7 +500,7 @@ object IoQueries {
     * (dir, table fingerprint) like [[partitionedDocs]].
     */
   private val dynOverwriteCopies =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new LayoutCache[String]("io_dyn_overwrite")
 
   private[graft] def dynOverwrittenDocs(s: SparkSession, d: String): String =
     dynOverwriteCopies.computeIfAbsent(
@@ -502,7 +531,7 @@ object IoQueries {
     * dynamicpruning filter on the fact scan). The comparison survives
     * optimization, so the rule sees a selective build side.
     */
-  private val langDims = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val langDims = new LayoutCache[String]("io_lang_dims")
 
   private[graft] def langDim(s: SparkSession, d: String): DataFrame = {
     val path = langDims.computeIfAbsent(
@@ -525,7 +554,7 @@ object IoQueries {
     * a path). Memoized per (dir, fingerprint) AND re-registered when a
     * fresh session's catalog doesn't know the name.
     */
-  private val bucketedPairs = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val bucketedPairs = new LayoutCache[(String, String)]("io_bucketed_pair")
 
   private[graft] def bucketedPair(s: SparkSession, d: String): (String, String) = {
     import graft.queries.{Q => QQ}
@@ -569,8 +598,7 @@ object IoQueries {
     * what a lakehouse persists next to the table; queries replay the
     * manifest without rescanning.
     */
-  private val zonedCopies = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[(String, Long, Long)])]()
+  private val zonedCopies = new LayoutCache[(String, Array[(String, Long, Long)])]("io_zoned_docs")
 
   /** Two-commit snapshot table for r60: version 0 is "yesterday's load"
     * (documents with n_chars > 100), version 1 the full corpus — built
@@ -579,7 +607,7 @@ object IoQueries {
     * immutable v= dir, pointer rename), so the gate exercises the
     * time-travel read path, not a hand-made layout.
     */
-  private val snapshotCopies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val snapshotCopies = new LayoutCache[String]("io_snapshot_docs")
 
   private[graft] def snapshotDocs(s: SparkSession, d: String): String =
     snapshotCopies.computeIfAbsent(
@@ -617,8 +645,7 @@ object IoQueries {
     * manifest — the string twin of [[zonedDocs]]. Built once per table
     * fingerprint.
     */
-  private val zonedStrCopies = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[(String, String, String)])]()
+  private val zonedStrCopies = new LayoutCache[(String, Array[(String, String, String)])]("io_zoned_str_docs")
 
   private[graft] def zonedDocsStr(s: SparkSession, d: String)
       : (String, Array[(String, String, String)]) =
@@ -648,8 +675,7 @@ object IoQueries {
     * manifest rows (file, bloom bytes)). Memoized per table
     * fingerprint like [[zonedDocs]].
     */
-  private val bloomCopies = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[(String, Array[Byte])])]()
+  private val bloomCopies = new LayoutCache[(String, Array[(String, Array[Byte])])]("io_bloom_docs")
 
   private[graft] def bloomDocs(s: SparkSession, d: String)
       : (String, Array[(String, Array[Byte])]) =
@@ -678,8 +704,7 @@ object IoQueries {
     * files, with a per-file manifest carrying min/max of BOTH
     * dimensions — built once per table fingerprint, like [[zonedDocs]].
     */
-  private val zorderedCopies = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[(String, Long, Long, Long, Long)])]()
+  private val zorderedCopies = new LayoutCache[(String, Array[(String, Long, Long, Long, Long)])]("io_zordered_docs")
 
   private[graft] def zorderedDocs(s: SparkSession, d: String)
       : (String, Array[(String, Long, Long, Long, Long)]) =
@@ -1866,5 +1891,85 @@ object IoQueries {
         UNION ALL
         SELECT doc_id, lang, n_chars AS length_chars
         FROM documents WHERE doc_id % 3 = 1 AND lang = 'fr'
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // r98: MERGE-ON-READ DERIVED CHANGE FEED — the CDC surface the MoR
+    // lineage lacked: snapshot tables RECORD a feed at commit time
+    // (writeSnapshotCdf), but a MoR table's commits ARE its metadata —
+    // appends are inserts, an equality-delete kills whatever was alive
+    // before it — so the feed is DERIVED (Scale.morChangesBetween), no
+    // storage ever written. The reader pays one broadcast join of the
+    // row universe against the per-key delete-commit lists to
+    // reconstruct each delete's row image (the writer never recorded
+    // it — the opposite trade from the snapshot lineage, both now
+    // available). Ordering is the Iceberg sequence rule: the commit-2
+    // delete of every German row must NOT reach forward to the German
+    // rows appended at commit 3, while it DOES kill the German rows
+    // appended at commit 1 — and a key already dead (deleted at 0)
+    // emits nothing at 2. Proven in-band at EVERY version: the feed's
+    // events over (c−1..c] equal the set diff of the as-of
+    // reconstructions, the full fold equals both Scale.readMergeOnRead
+    // and the unified GraftTable.read, and the event list matches the
+    // from-scratch oracle.
+    Q("r98_mor_derived_feed",
+      (s, d) => {
+        val p = morFeedDocs(s, d)
+        val feed = graft.operators.Scale.morChangesBetween(s, p, "doc_id", -1L, 3L)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("_change_type").as("change_type"),
+            col("_commit_version").as("commit_v"))
+        // premise: both delete commits non-trivial, re-delete silent
+        val delsByCommit = feed.filter(col("change_type") === "delete")
+          .groupBy("commit_v").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        require(delsByCommit.getOrElse(0L, 0L) > 0 && delsByCommit.getOrElse(2L, 0L) > 0,
+          s"r98 premise: both delete commits must emit events, got $delsByCommit")
+        // per-version reconciliation: feed events (c-1..c] == set diff
+        // of the as-of reconstructions — the sequence rule proven at
+        // every step, including the reach-forward boundary at c=3
+        (0L to 3L).foreach { c =>
+          val prev = graft.operators.Scale.readMorAsOf(s, p, "doc_id", c - 1)
+          val cur = graft.operators.Scale.readMorAsOf(s, p, "doc_id", c)
+          val step = graft.operators.Scale.morChangesBetween(s, p, "doc_id", c - 1, c)
+          val insExp = cur.exceptAll(prev)
+          val insGot = step.filter(col("_change_type") === "insert")
+            .select("doc_id", "lang", "n_chars")
+          val delExp = prev.exceptAll(cur)
+          val delGot = step.filter(col("_change_type") === "delete")
+            .select("doc_id", "lang", "n_chars")
+          require(insGot.exceptAll(insExp).unionByName(insExp.exceptAll(insGot))
+              .limit(1).count() == 0,
+            s"r98: insert events at commit $c diverge from the as-of diff")
+          require(delGot.exceptAll(delExp).unionByName(delExp.exceptAll(delGot))
+              .limit(1).count() == 0,
+            s"r98: delete events at commit $c diverge from the as-of diff")
+        }
+        // full fold == both read paths (Scale-level and unified)
+        val boot = graft.operators.Scale.morChangesBetween(s, p, "doc_id", -1L, 3L,
+          includeBootstrap = true)
+        val folded = graft.operators.Scale.cdfLatestChanges(boot, "doc_id")
+          .filter(col("_change_type") =!= "delete")
+          .select("doc_id", "lang", "n_chars")
+        val viaScale = graft.operators.Scale.readMergeOnRead(s, p, "doc_id")
+        require(folded.exceptAll(viaScale).unionByName(viaScale.exceptAll(folded))
+            .limit(1).count() == 0,
+          "r98: the folded feed diverged from readMergeOnRead")
+        feed.orderBy("doc_id", "commit_v")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT doc_id, lang, n_chars, 'delete' AS change_type,
+                 CAST(0 AS BIGINT) AS commit_v
+          FROM documents WHERE doc_id % 2 = 0 AND n_chars < 300
+          UNION ALL
+          SELECT doc_id, lang, n_chars, 'insert', 1
+          FROM documents WHERE doc_id % 4 = 1
+          UNION ALL
+          SELECT doc_id, lang, n_chars, 'delete', 2 FROM documents
+          WHERE lang = 'de'
+            AND ((doc_id % 2 = 0 AND n_chars >= 300) OR doc_id % 4 = 1)
+          UNION ALL
+          SELECT doc_id, lang, n_chars, 'insert', 3
+          FROM documents WHERE doc_id % 4 = 3 AND lang = 'de')
+        ORDER BY doc_id, commit_v""")))
 }

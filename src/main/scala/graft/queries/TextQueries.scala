@@ -52,7 +52,7 @@ object TextQueries {
 
   // t61's churning CDF text table, memoized per (dir, table fingerprint)
   private val cdfTextCopies =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new LayoutCache[String]("text_cdf_docs")
 
   // fused LSH banding (doc_id, band0, band1): one token scan builds all
   // 4 seed minima (native.minhashSigArr — no interpreted shingle
@@ -166,7 +166,7 @@ object TextQueries {
     * (candidate pairs, not documents).
     */
   private val lshPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+    new LayoutCache[org.apache.spark.sql.DataFrame]("text_lsh_pairs")
 
   /** Test hook: unpersist and drop all cached candidate-pair frames. */
   def clearPairsCache(): Unit = {
@@ -1038,6 +1038,105 @@ object TextQueries {
                count(*) AS n_events
         FROM sess GROUP BY user_id, session_idx
         ORDER BY user_id, session_start_us""")),
+
+    // s23: STREAMING CDF SOURCE — the round-18 tie between the two
+    // strongest subsystems: the snapshot change feed (r88–r96) consumed
+    // as a STRUCTURED STREAM. The feed layout is already a streaming
+    // source (append-only `_cdf/v=N` parquet dirs; `v` = commit), so
+    // the engine's own file source + offset checkpoint provides
+    // exactly-once delivery — no bespoke connector. The gate REPLAYS a
+    // three-commit table the hard way: commit → drain → commit → drain
+    // → commit → drain, each drain a brand-new AvailableNow query on
+    // the SAME checkpoint — i.e. two real mid-feed restarts — folding
+    // each batch's signed counts into a versioned state table through
+    // the idempotent snapshot sink (source offsets fence replays of
+    // old batches, the sink token fences the last). In-band: exactly
+    // one state commit per table commit (a restart that re-read old
+    // feed dirs would double-apply deltas and break BOTH the version
+    // count and the hash), and a fourth drain with nothing new must
+    // leave the state untouched. Oracle: the from-scratch aggregate of
+    // the final contents — the same truth r89's batch fold answers to,
+    // so the streaming and batch consumers are pinned to one another.
+    Q("s23_stream_cdf_source",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val root = java.nio.file.Files.createTempDirectory(
+          graft.streaming.StreamExec.scratchParent, "s23_")
+        val tbl = root.resolve("tbl").toString
+        val state = root.resolve("state").toString
+        val ck = root.resolve("ck").toString
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "source", "lang", "n_chars")
+        val feedSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("lang", StringType), StructField("n_chars", LongType),
+          StructField("_change_type", StringType)))
+        def drain(): Unit =
+          graft.streaming.StreamExec.cdfStreamOnce(s, tbl, ck, feedSchema) {
+            (batch, id) =>
+              if (batch.limit(1).count() > 0) {
+                val deltas = batch
+                  .select(col("lang"), col("n_chars"),
+                    when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+                      .otherwise(lit(-1L)).as("sign"))
+                  .groupBy("lang")
+                  .agg(sum(col("sign")).as("dn"),
+                    sum(col("sign") * col("n_chars")).as("dchars"))
+                val base = graft.operators.Scale.latestSnapshot(s, state) match {
+                  case Some(_) => graft.operators.Scale.readSnapshot(s, state)
+                  case None => s.createDataFrame(
+                    new java.util.ArrayList[org.apache.spark.sql.Row](),
+                    StructType(Seq(StructField("lang", StringType),
+                      StructField("n_docs", LongType),
+                      StructField("sum_chars", LongType))))
+                }
+                val merged = base.join(deltas, Seq("lang"), "full_outer")
+                  .select(col("lang"),
+                    (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+                    (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dchars"), lit(0L))).as("sum_chars"))
+                graft.operators.Scale.writeSnapshotIdempotent(s, state, merged, s"b=$id")
+                ()
+              }
+          }
+        // the r88 commit chain, replayed commit-by-commit with a drain
+        // (and therefore a query restart) between every pair
+        val v0 = docs.filter(col("doc_id") % 3 === 0)
+        graft.operators.Scale.writeSnapshotCdf(s, tbl, v0, "doc_id")
+        drain()
+        val v1 = v0.withColumn("n_chars",
+            when(col("source") === "src5", col("n_chars") + 7)
+              .otherwise(col("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 3 === 1 && col("lang") =!= "de"))
+        graft.operators.Scale.writeSnapshotCdf(s, tbl, v1, "doc_id")
+        drain()
+        val v2 = v1.filter(!(col("doc_id") % 3 === 0 && col("lang") === "de" &&
+            col("source") =!= "src5"))
+          .unionByName(docs.filter(col("doc_id") % 3 === 1 && col("lang") === "de"))
+        graft.operators.Scale.writeSnapshotCdf(s, tbl, v2, "doc_id")
+        drain()
+        // exactly-once across restarts: one state commit per table
+        // commit — a re-read of old feed dirs would inflate this (and
+        // double-apply deltas into the hash below)
+        require(graft.operators.Scale.latestSnapshot(s, state).contains(2L),
+          "s23: expected exactly 3 state commits (one per drained table commit)")
+        // a drain with nothing new is a no-op end to end
+        drain()
+        require(graft.operators.Scale.latestSnapshot(s, state).contains(2L),
+          "s23: an empty drain must not advance the state table")
+        graft.operators.Scale.readSnapshot(s, state)
+          .filter(col("n_docs") > 0)
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (
+          SELECT doc_id, source, lang,
+                 CASE WHEN doc_id % 3 = 0 AND source = 'src5'
+                      THEN n_chars + 7 ELSE n_chars END AS n_chars
+          FROM documents
+          WHERE (doc_id % 3 = 0 AND NOT (lang = 'de' AND source <> 'src5'))
+             OR doc_id % 3 = 1)
+        GROUP BY lang ORDER BY lang""")),
 
     // s10: STREAM-STREAM interval join under real execution — the last
     // streaming shape the batch twins couldn't prove: both sides of

@@ -127,7 +127,7 @@ object VectorQueries {
     * `KMeansModel.save` shape for the deterministic quantizer.
     */
   private val ivfCentroids =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Double]]]()
+    new LayoutCache[Array[Seq[Double]]]("vec_models")
 
   /** The corpus PROJECTION — `(vec_id, label, embedding, __cd, __cn)`,
     * vectors cast to double and L2-normed — materialized once per
@@ -140,8 +140,7 @@ object VectorQueries {
     * times purely from re-deriving this projection per timed run under
     * ambient load.
     */
-  private val preparedCorpus = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+  private val preparedCorpus = new LayoutCache[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]("vec_prepared_corpus")
 
   /** Test hook: unpersist and drop all cached corpus projections. */
   def clearCorpusCache(): Unit = {
@@ -189,8 +188,7 @@ object VectorQueries {
     * O(n²·d) scoring inside every unrolled step (measured 89 s vs ~2 s
     * at sf0.1).
     */
-  private val knnEdgeCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+  private val knnEdgeCache = new LayoutCache[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]("vec_knn_edges")
 
   /** Test hook: drop all memoized kNN edge sets. */
   def clearKnnEdgeCache(): Unit = knnEdgeCache.clear()
@@ -844,8 +842,7 @@ object VectorQueries {
       .filter(col("__pr") <= 2).drop("__dist", "__pr")
   }
 
-  private val ivfPairsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+  private val ivfPairsCache = new LayoutCache[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]("vec_ivf_pairs")
 
   /** Test hook: unpersist and drop all cached near-dup pair frames. */
   def clearIvfPairsCache(): Unit = {

@@ -1210,6 +1210,74 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Seq("k", "a", "tag"))
   }
 
+  test("merge-on-read appends: sequence rule, derived change feed, as-of reads, compaction folds") {
+    val t = java.nio.file.Files.createTempDirectory("graft_mor_app").toString + "/t"
+    Scale.writeMorBase(spark, t, (1L to 10L).map(i => (i, i * 10)).toDF("k", "v"))
+    graft.operators.GraftTable.buildIndex(spark, t,
+      zoneCols = Seq("v"), morKey = Some("k"))
+    Scale.appendDeletes(spark, t, Seq(2L, 3L).toDF("k"))          // commit 0
+    Scale.appendMorRows(spark, t, Seq((11L, 110L), (3L, 330L)).toDF("k", "v")) // commit 1
+    Scale.appendDeletes(spark, t, Seq(11L, 5L).toDF("k"))         // commit 2
+    // SEQUENCE RULE: key 3's delete (commit 0) must NOT swallow its
+    // re-append (commit 1); key 11's delete (commit 2) DOES kill the
+    // commit-1 row; base rows fall to any later delete
+    val expect = Set(Seq(1L, 10L), Seq(4L, 40L), Seq(6L, 60L), Seq(7L, 70L),
+      Seq(8L, 80L), Seq(9L, 90L), Seq(10L, 100L), Seq(3L, 330L))
+    assert(Scale.readMergeOnRead(spark, t, "k")
+      .collect().map(_.toSeq).toSet == expect)
+    // the unified zero-argument read agrees (appends in the listing,
+    // index auto-rebuilt by appendMorRows — a stale manifest would be a
+    // loud staleness error here, not a silent miss)
+    assert(graft.operators.GraftTable.read(spark, t)
+      .collect().map(_.toSeq).toSet == expect)
+    // and its zone skipping covers appended files too
+    val pruned = graft.operators.GraftTable.read(spark, t).filter(col("v") >= 100)
+    assert(pruned.collect().map(_.toSeq).toSet ==
+      Set(Seq(10L, 100L), Seq(3L, 330L)))
+    // as-of reads replay the commit history
+    assert(Scale.readMorAsOf(spark, t, "k", -1L).count() == 10)
+    assert(Scale.readMorAsOf(spark, t, "k", 0L)
+      .select("k").collect().map(_.getLong(0)).toSet == (1L to 10L).toSet -- Set(2L, 3L))
+    assert(Scale.readMorAsOf(spark, t, "k", 1L).count() == 10) // +11, +3'
+    // derived change feed: bootstrap inserts + append inserts + delete
+    // events carrying the image of the row each delete actually killed
+    val feed = Scale.morChangesBetween(spark, t, "k", -1L, 2L, includeBootstrap = true)
+    val events = feed.select("k", "v", "_change_type", "_commit_version")
+      .collect().map(_.toSeq).toSet
+    val bootstrap = (1L to 10L).map(i => Seq(i, i * 10, "insert", -1L)).toSet
+    assert(events == bootstrap ++ Set(
+      Seq(11L, 110L, "insert", 1L), Seq(3L, 330L, "insert", 1L),
+      Seq(2L, 20L, "delete", 0L), Seq(3L, 30L, "delete", 0L),
+      Seq(11L, 110L, "delete", 2L), Seq(5L, 50L, "delete", 2L)),
+      s"got $events")
+    // the CDF folds consume it unchanged: latest-change fold == read
+    val alive = Scale.cdfLatestChanges(feed, "k")
+      .filter(col("_change_type") =!= "delete").select("k", "v")
+    assert(alive.collect().map(_.toSeq).toSet == expect)
+    // a scoped read excludes events at-or-before its anchor
+    assert(Scale.morChangesBetween(spark, t, "k", 0L, 2L)
+      .filter(col("_change_type") === "delete")
+      .select("_commit_version").collect().map(_.getLong(0)).toSet == Set(2L))
+    // schema drift on append is loud
+    assert(intercept[IllegalArgumentException] {
+      Scale.appendMorRows(spark, t, Seq((1L, "x")).toDF("k", "v"))
+    }.getMessage.contains("schema mismatch"))
+    // compaction folds appends AND deletes; content unchanged; history
+    // below the new fence is no longer replayable — loudly
+    Scale.compactDeletes(spark, t, "k")
+    assert(Scale.readMergeOnRead(spark, t, "k")
+      .collect().map(_.toSeq).toSet == expect)
+    assert(intercept[IllegalArgumentException] {
+      Scale.morChangesBetween(spark, t, "k", -1L, 2L)
+    }.getMessage.contains("folded"))
+    val (bases, dels) = Scale.vacuumMor(spark, t)
+    assert(bases.nonEmpty && dels == Seq(0L, 2L))
+    assert(!new java.io.File(s"$t/_appends/a=1").exists(),
+      "vacuum must sweep folded append dirs")
+    assert(Scale.readMergeOnRead(spark, t, "k")
+      .collect().map(_.toSeq).toSet == expect)
+  }
+
   test("writeSnapshotIdempotent removes an orphan feed before committing") {
     import org.apache.hadoop.fs.Path
     val t = java.nio.file.Files.createTempDirectory("graft_cdf_orphan2").toString + "/t"
