@@ -388,6 +388,9 @@ object IoQueries {
           .createTempDirectory(scratchParent, "morfeed_").toString + "/tbl"
         val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
         graft.operators.Scale.writeMorBase(s, out, docs.filter(col("doc_id") % 2 === 0))
+        // record the delete key so the unified zero-argument read can
+        // reconcile the derived feed without being told the column
+        graft.operators.GraftTable.buildIndex(s, out, morKey = Some("doc_id"))
         graft.operators.Scale.appendDeletes(s, out,
           docs.filter(col("doc_id") % 2 === 0 && col("n_chars") < 300)
             .select("doc_id"))
@@ -1924,36 +1927,70 @@ object IoQueries {
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         require(delsByCommit.getOrElse(0L, 0L) > 0 && delsByCommit.getOrElse(2L, 0L) > 0,
           s"r98 premise: both delete commits must emit events, got $delsByCommit")
-        // per-version reconciliation: feed events (c-1..c] == set diff
-        // of the as-of reconstructions — the sequence rule proven at
-        // every step, including the reach-forward boundary at c=3
-        (0L to 3L).foreach { c =>
-          val prev = graft.operators.Scale.readMorAsOf(s, p, "doc_id", c - 1)
-          val cur = graft.operators.Scale.readMorAsOf(s, p, "doc_id", c)
-          val step = graft.operators.Scale.morChangesBetween(s, p, "doc_id", c - 1, c)
-          val insExp = cur.exceptAll(prev)
-          val insGot = step.filter(col("_change_type") === "insert")
-            .select("doc_id", "lang", "n_chars")
-          val delExp = prev.exceptAll(cur)
-          val delGot = step.filter(col("_change_type") === "delete")
-            .select("doc_id", "lang", "n_chars")
-          require(insGot.exceptAll(insExp).unionByName(insExp.exceptAll(insGot))
-              .limit(1).count() == 0,
-            s"r98: insert events at commit $c diverge from the as-of diff")
-          require(delGot.exceptAll(delExp).unionByName(delExp.exceptAll(delGot))
-              .limit(1).count() == 0,
-            s"r98: delete events at commit $c diverge from the as-of diff")
+        // per-version reconciliation: feed events over (c-1..c] must
+        // equal the diff of the as-of reconstructions at every commit —
+        // the sequence rule proven at every step, including the
+        // reach-forward boundary at c=3. Multiset equality is compared
+        // by a collision-resistant signature (count + two independent
+        // xxhash64 sums over the full row), one tiny aggregate per
+        // frame instead of eight shuffle-heavy exceptAll folds — the
+        // round-18 diet that keeps the gate's wall on the operator,
+        // not the verification.
+        def sig(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+          // pmod keeps the per-row term < 2^31 so the sum can never
+          // overflow ANSI long arithmetic at any corpus size
+          val r = df.agg(count(lit(1)),
+            sum(pmod(xxhash64(col("doc_id"), col("lang"), col("n_chars")),
+              lit(2147483647L))),
+            sum(pmod(xxhash64(col("n_chars"), col("doc_id"), lit(7), col("lang")),
+              lit(2147483629L)))).head()
+          (r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2))
         }
-        // full fold == both read paths (Scale-level and unified)
+        // multiset balance per commit: cur = prev ⊎ inserts ∖ deletes,
+        // so each signature dimension must satisfy
+        // sig(cur) − sig(prev) == sig(ins) − sig(del) — checked in two
+        // independent hash dimensions plus the count, with NO set-diff
+        // shuffle anywhere. A single-step feed equals the full-range
+        // feed filtered to its commit (an event's version is range-
+        // independent), so ONE grouped aggregate over the already-
+        // derived feed yields every step's signatures; the as-of reads
+        // aggregate once each.
+        val asOfSig = (-1L to 3L).map(c =>
+          c -> sig(graft.operators.Scale.readMorAsOf(s, p, "doc_id", c))).toMap
+        val stepSigs = feed.groupBy("commit_v", "change_type")
+          .agg(count(lit(1)).as("n"),
+            sum(pmod(xxhash64(col("doc_id"), col("lang"), col("n_chars")),
+              lit(2147483647L))).as("h1"),
+            sum(pmod(xxhash64(col("n_chars"), col("doc_id"), lit(7), col("lang")),
+              lit(2147483629L))).as("h2"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        (0L to 3L).foreach { c =>
+          val si = stepSigs.getOrElse((c, "insert"), (0L, 0L, 0L))
+          val sd = stepSigs.getOrElse((c, "delete"), (0L, 0L, 0L))
+          val (pv, cv) = (asOfSig(c - 1), asOfSig(c))
+          require(cv._1 - pv._1 == si._1 - sd._1 &&
+              cv._2 - pv._2 == si._2 - sd._2 &&
+              cv._3 - pv._3 == si._3 - sd._3,
+            s"r98: events at commit $c do not balance the as-of diff")
+        }
+        // full fold == both read paths: the Scale-level reconciled read
+        // AND the unified zero-argument GraftTable.read (which resolves
+        // the delete key from _graft_key and applies the same sequence
+        // rule from file metadata)
         val boot = graft.operators.Scale.morChangesBetween(s, p, "doc_id", -1L, 3L,
           includeBootstrap = true)
         val folded = graft.operators.Scale.cdfLatestChanges(boot, "doc_id")
           .filter(col("_change_type") =!= "delete")
           .select("doc_id", "lang", "n_chars")
-        val viaScale = graft.operators.Scale.readMergeOnRead(s, p, "doc_id")
-        require(folded.exceptAll(viaScale).unionByName(viaScale.exceptAll(folded))
-            .limit(1).count() == 0,
+        require(sig(folded) == sig(graft.operators.Scale.readMergeOnRead(s, p, "doc_id")),
           "r98: the folded feed diverged from readMergeOnRead")
+        require(sig(folded) == sig(
+            graft.operators.GraftTable.read(s, p).select("doc_id", "lang", "n_chars")),
+          "r98: the folded feed diverged from the unified GraftTable.read")
         feed.orderBy("doc_id", "commit_v")
       },
       Some("""
