@@ -330,9 +330,13 @@ object Scale {
       val lo = mm.getLong(2 * i)
       val range = BigInt(mm.getLong(2 * i + 1)) - BigInt(lo)
       // post-shift range < 2^(bits-1), so bucket values always fit the
-      // interleave's bits even at the rounding boundary; cap 63 because
-      // Java's >>> is mod-64 (a shift of 64 would be a NO-op, not zero)
-      val s = math.min(63, math.max(0, range.bitLength - (bits - 1)))
+      // interleave's bits even at the rounding boundary. Floor 1, not 0:
+      // a zero shift leaves sign-straddling u-values at full width,
+      // where ANSI subtraction overflows even though the two's-
+      // complement wrap would be the right answer — one shift makes
+      // both operands nonnegative and the difference exact. Cap 63
+      // because Java's >>> is mod-64 (a shift of 64 would be a NO-op).
+      val s = math.min(63, math.max(1, range.bitLength - (bits - 1)))
       val u = col(c).cast("long").bitwiseXOR(signBit)
       shiftrightunsigned(u, s) - shiftrightunsigned(lit(lo).bitwiseXOR(signBit), s)
     }

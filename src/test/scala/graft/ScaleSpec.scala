@@ -987,6 +987,32 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(read < total, s"zone skipping dead after compaction: $read of $total")
   }
 
+  test("zOrderByNAuto: negative and full-range columns bucket monotonically, content preserved") {
+    // sign-bit XOR path: values straddling zero (and a range wider than
+    // Long can hold as a difference) must keep signed order through the
+    // unsigned normalization — a wrap bug would interleave garbage and
+    // scatter the clustering
+    val n = 4096
+    val df = spark.range(n).select(
+      (col("id") * 2000003L - 4096L * 1000001L).as("x"), // straddles 0
+      ((col("id") % 64) - 32).as("y"))                   // small, negative half
+    val z = Scale.zOrderByNAuto(df, Seq("x", "y"), numFiles = 8)
+    assert(z.count() == n)
+    assert(z.agg(sum("x")).head().getLong(0) == df.agg(sum("x")).head().getLong(0))
+    // per-file x-bounds must be tight (monotone normalization): most
+    // files span well under the full range
+    val t = java.nio.file.Files.createTempDirectory("graft_zauto").toString + "/t"
+    z.write.parquet(t)
+    val zones = Scale.zoneMap(spark, t, "x").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val full = (df.agg(max("x")).head().getLong(0) -
+      df.agg(min("x")).head().getLong(0)).toDouble
+    assert(zones.count { case (lo, hi) => (hi - lo) < full * 0.6 } >= zones.length / 2,
+      s"negative-range column smeared: ${zones.mkString(", ")}")
+    // all-null column falls back rather than crashing
+    val withNull = df.withColumn("z", lit(null).cast("long"))
+    assert(Scale.zOrderByNAuto(withNull, Seq("x", "z"), 4).count() == n)
+  }
+
   test("a plain snapshot commit removes a crashed CDF writer's orphan feed; vacuum sweeps above-pointer feeds") {
     import org.apache.hadoop.fs.Path
     val t = java.nio.file.Files.createTempDirectory("graft_cdf_orphan").toString + "/t"
