@@ -287,12 +287,19 @@ object GraftTable {
       case Some((_, hwm)) =>
         val fs = fsFor(spark, path)
         val dels = new Path(path, "_deletes")
-        val delDirs =
-          if (!fs.exists(dels)) Seq.empty
+        val delDirs0 =
+          if (!fs.exists(dels)) Seq.empty[(Long, String)]
           else fs.listStatus(dels).toSeq.map(_.getPath)
             .collect { case p if p.getName.startsWith("d=") &&
               p.getName.stripPrefix("d=").toLong >= hwm =>
               (p.getName.stripPrefix("d=").toLong, p.toString) }
+        // appends were listed at resolve() time, deletes just now — clamp
+        // to the largest contiguous commit prefix so a delete published
+        // after an append this reader missed is excluded too (the view
+        // equals the table at ONE commit point; see Scale.consistentHorizon)
+        val horizon = Scale.consistentHorizon(hwm,
+          g.appends.map(_._1) ++ delDirs0.map(_._1))
+        val delDirs = delDirs0.filter(_._1 <= horizon)
         if (delDirs.isEmpty) base
         else {
           val keyPath = new Path(path, "_graft_key")
@@ -321,8 +328,9 @@ object GraftTable {
                 .otherwise(acc)
           }
           val withSeq = base.withColumn("__seq", seq)
-          withSeq.join(broadcast(keys),
-              withSeq(keyCol) === keys("key") && keys("__dc") > withSeq("__seq"),
+          val guarded = Scale.maybeBroadcastDeletes(spark, fs, delDirs, keys)
+          withSeq.join(guarded,
+              withSeq(keyCol) === guarded("key") && guarded("__dc") > withSeq("__seq"),
               "left_anti")
             .drop("__seq")
         }

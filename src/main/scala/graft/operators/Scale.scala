@@ -1357,7 +1357,12 @@ object Scale {
     */
   private def toPhysicalCols(df: DataFrame, m: Map[String, String]): DataFrame = {
     if (m.isEmpty) return df
-    val stale = df.columns.filter(c => m.contains(c) && m(c) != c)
+    // a frame column is STALE only when it is a renamed-away physical
+    // name AND not also a current logical name: after a→c then b→a,
+    // logical 'a' is legitimate (the inverse map routes it to physical
+    // 'b') even though 'a' is also a key of the physical→logical map
+    val stale = df.columns.filter(c =>
+      m.contains(c) && m(c) != c && !m.valuesIterator.contains(c))
     require(stale.isEmpty,
       s"column(s) ${stale.mkString(", ")} were renamed " +
         s"(${stale.map(c => s"$c -> ${m(c)}").mkString(", ")}); " +
@@ -1607,22 +1612,27 @@ object Scale {
   }
 
   /** Merge-on-read CAS (see [[CommitConflictException]]): compare the
-    * writer's observed (base version, next delete number) against the
-    * live table under the lock.
+    * writer's observed (base version, NEXT COMMIT NUMBER) against the
+    * live table under the lock. The second element is
+    * [[nextCommitNum]]'s value — the shared append+delete sequence, so
+    * BOTH appendMorRows and appendDeletes advance it; retry code must
+    * re-derive it from the table (morPointer + nextCommitNum semantics),
+    * never from counting `_deletes` files alone.
     */
   private def morCasCheck(spark: SparkSession,
                           fs: org.apache.hadoop.fs.FileSystem,
                           path: String,
                           expected: Option[(Long, Long)]): Unit =
-    expected.foreach { case (expBase, expDel) =>
+    expected.foreach { case (expBase, expCommit) =>
       val curBase = morPointer(spark, path).map(_._1).getOrElse(-1L)
-      val curDel = nextCommitNum(fs, path)
-      if (curBase != expBase || curDel != expDel)
+      val curCommit = nextCommitNum(fs, path)
+      if (curBase != expBase || curCommit != expCommit)
         throw new CommitConflictException(
           s"optimistic commit conflict on merge-on-read table $path: this " +
-            s"writer read (base=$expBase, deletes=$expDel) but the table is " +
-            s"now at (base=$curBase, deletes=$curDel) — re-read, re-derive " +
-            "the change set, and retry with the new expectedState")
+            s"writer read (base=$expBase, nextCommit=$expCommit) but the table " +
+            s"is now at (base=$curBase, nextCommit=$curCommit) — re-read, " +
+            "re-derive the change set, and retry with the new expectedState " +
+            "(nextCommit spans the shared append+delete sequence)")
     }
 
   /** Next COMMIT number: appends (`_appends/a=<c>`) and equality
@@ -1662,10 +1672,11 @@ object Scale {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
     withTableLock(fs, path) {
-      // MoR CAS: expectedState = (base version, next delete number) the
-      // writer's read observed ((-1, 0) for a fresh table). Either
-      // advancing means the frame was derived from superseded contents —
-      // same retry contract as the snapshot commits.
+      // MoR CAS: expectedState = (base version, next COMMIT number — the
+      // shared append+delete sequence, nextCommitNum) the writer's read
+      // observed ((-1, 0) for a fresh table). Either advancing means the
+      // frame was derived from superseded contents — same retry contract
+      // as the snapshot commits.
       morCasCheck(spark, fs, path, expectedState)
       val next = morPointer(spark, path).map(_._1 + 1).getOrElse(0L)
       // Overwrite: a dir at `next` is a crashed writer's leftovers (the
@@ -1785,13 +1796,51 @@ object Scale {
       .sortBy(_._1)
   }
 
+  /** Commits are ONE dense global sequence from the fence up (every
+    * number is exactly one append or delete dir), so a GAP in the
+    * combined listing marks a commit that published between this
+    * reader's two directory listings — clamping both lists to the
+    * largest contiguous prefix restores a view that equals the logical
+    * table at some single commit point (a lock-free reader racing
+    * appendMorRows-then-appendDeletes must never apply delete commit c
+    * while missing append commit c−1). Returns the horizon h: keep
+    * commits <= h.
+    */
+  private[operators] def consistentHorizon(fence: Long, observed: Seq[Long]): Long = {
+    val seen = observed.toSet
+    var h = fence - 1
+    while (seen.contains(h + 1)) h += 1
+    h
+  }
+
+  /** Broadcast the delete-key frame only while its on-disk footprint is
+    * inside `spark.graft.mor.deleteBroadcastBytes` (default 128 MiB —
+    * comfortably driver-sized); above it, return the frame unhinted so
+    * the join plans as a shuffle (sort-merge) join instead of an OOM.
+    * The contract stays "compactDeletes keeps the delete set
+    * broadcast-sized", but a caller who defers compaction past that now
+    * gets a slower plan, not a dead driver. Size check is free: the
+    * dirs were already listed, and content length is one FS call each.
+    */
+  private[operators] def maybeBroadcastDeletes(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[(Long, String)], df: DataFrame): DataFrame = {
+    val limit = spark.conf.getOption("spark.graft.mor.deleteBroadcastBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val bytes = dirs.map { case (_, p) =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }.sum
+    if (bytes <= limit) org.apache.spark.sql.functions.broadcast(df) else df
+  }
+
   /** The reconciled view at an optional commit horizon: base (which
     * folds every commit below the pointer's fence) plus live appends,
     * minus equality deletes under the SEQUENCE RULE — a delete at
     * commit c removes only rows born before c (base rows are born at
     * fence−1, appended rows at their commit number). The delete set is
-    * broadcast with its commit number, so the scan stays shuffle-free:
-    * one hash-probe per row against (key, first-applicable-delete),
+    * broadcast with its commit number (size-guarded — see
+    * [[maybeBroadcastDeletes]]), so the scan stays shuffle-free: one
+    * hash-probe per row against (key, first-applicable-delete),
     * exactly how engine-native deletion vectors behave.
     */
   private def morReconciled(spark: SparkSession, path: String, keyCol: String,
@@ -1802,16 +1851,20 @@ object Scale {
       () => morPointer(spark, path),
       () => fs.exists(new Path(path)) && fs.listStatus(new Path(path)).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("base_v=")))
+    // explicit dir lists, not a `d=*` glob: the glob path trips Spark's
+    // streaming-sink metadata probe into logging a spurious
+    // FileNotFoundException stack per read
+    val appDs0 = appendDirs(fs, path, fence, upto)
+    val delDs0 = deleteDirs(fs, path, fence, upto)
+    val h = consistentHorizon(fence, appDs0.map(_._1) ++ delDs0.map(_._1))
+    val appDs = appDs0.filter(_._1 <= h)
+    val delDs = delDs0.filter(_._1 <= h)
     val base = spark.read.parquet(s"$path/base_v=$v")
       .withColumn("__seq", lit(fence - 1))
-    val rows = appendDirs(fs, path, fence, upto).foldLeft(base) {
+    val rows = appDs.foldLeft(base) {
       case (acc, (c, p)) =>
         acc.unionByName(spark.read.parquet(p).withColumn("__seq", lit(c)))
     }
-    // explicit dir list, not a `d=*` glob: the glob path trips Spark's
-    // streaming-sink metadata probe into logging a spurious
-    // FileNotFoundException stack per read
-    val delDs = deleteDirs(fs, path, fence, upto)
     val out =
       if (delDs.isEmpty) rows
       else {
@@ -1823,11 +1876,11 @@ object Scale {
             s"column $keyCol: ${base.schema(keyCol).dataType}")
         // per key only the EARLIEST live delete matters for any given
         // row generation; keep (key, commit) pairs distinct and probe
-        // with the sequence condition — still a broadcast hash join on
-        // the key equality, the range condition rides as a post-probe
-        // filter inside the join
-        val delKeys = keys.distinct()
-        rows.join(org.apache.spark.sql.functions.broadcast(delKeys),
+        // with the sequence condition — a broadcast hash join on the
+        // key equality while the delete set is bounded, the range
+        // condition rides as a post-probe filter inside the join
+        val delKeys = maybeBroadcastDeletes(spark, fs, delDs, keys.distinct())
+        rows.join(delKeys,
           rows(keyCol) === delKeys("key") && delKeys("__dc") > rows("__seq"),
           "left_anti")
       }
@@ -1874,10 +1927,12 @@ object Scale {
     * pseudo-commit). Events range over commits (fromC..toC];
     * fromC >= fence−1 (earlier history is folded into the base).
     *
-    * Cost: one broadcast join of the row universe against the
-    * delete-key sets (delete images require reading the rows they
-    * killed — the writer never paid to record them, so the READER pays
-    * one scan; the snapshot lineage makes the opposite trade).
+    * Cost: one join of the row universe against the delete-key sets —
+    * broadcast while the delete set is inside the size guard
+    * ([[maybeBroadcastDeletes]]), a shuffle join beyond it (delete
+    * images require reading the rows they killed — the writer never
+    * paid to record them, so the READER pays one scan; the snapshot
+    * lineage makes the opposite trade).
     */
   def morChangesBetween(spark: SparkSession, path: String, keyCol: String,
                         fromC: Long, toC: Long,
@@ -1912,10 +1967,10 @@ object Scale {
         // per key: the ascending list of delete commits (tiny — a key is
         // rarely deleted twice); per row: the FIRST delete after its
         // birth is the killing commit, if any
-        val perKey = keys.groupBy("key")
-          .agg(sort_array(collect_list(col("__dc"))).as("__dcs"))
-        rows.join(org.apache.spark.sql.functions.broadcast(perKey),
-            rows(keyCol) === perKey("key"), "inner")
+        val perKey = maybeBroadcastDeletes(spark, fs, delDs,
+          keys.groupBy("key")
+            .agg(sort_array(collect_list(col("__dc"))).as("__dcs")))
+        rows.join(perKey, rows(keyCol) === perKey("key"), "inner")
           .withColumn("__kill",
             // get(), not getItem: ANSI mode throws on index-into-empty
             // (a row never deleted has an empty filtered list — NULL)

@@ -1107,7 +1107,8 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val e = intercept[Scale.CommitConflictException] {
       Scale.appendDeletes(spark, t, Seq(7L).toDF("k"), expectedState = Some((0L, 0L)))
     }
-    assert(e.getMessage.contains("deletes=1"))
+    assert(e.getMessage.contains("nextCommit=1"),
+      "conflict message names the shared append+delete commit sequence")
     // retry against the fresh state converges
     Scale.appendDeletes(spark, t, Seq(7L).toDF("k"), expectedState = Some((0L, 1L)))
     assert(Scale.readMergeOnRead(spark, t, "k").count() == 98)
@@ -1302,6 +1303,71 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "vacuum must sweep folded append dirs")
     assert(Scale.readMergeOnRead(spark, t, "k")
       .collect().map(_.toSeq).toSet == expect)
+  }
+
+  test("delete-broadcast guard: an oversized delete set falls back to a shuffle join, results identical") {
+    val t = java.nio.file.Files.createTempDirectory("graft_delguard").toString + "/t"
+    Scale.writeMorBase(spark, t, (1L to 500L).map(i => (i, i * 3)).toDF("k", "v"))
+    Scale.appendDeletes(spark, t, (1L to 500L by 7).toDF("k"))
+    Scale.appendMorRows(spark, t, Seq((8L, 99L), (1001L, 1L)).toDF("k", "v"))
+    Scale.appendDeletes(spark, t, Seq(8L, 1001L, 20L).toDF("k"))
+    val expect = Scale.readMergeOnRead(spark, t, "k").collect().map(_.toSeq).toSet
+    val savedAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the guard past its bound (any delete file is > 0 bytes) and
+      // disable stats-based auto-broadcast so the fallback plan is visible
+      spark.conf.set("spark.graft.mor.deleteBroadcastBytes", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Scale.readMergeOnRead(spark, t, "k")
+      assert(df.collect().map(_.toSeq).toSet == expect,
+        "fallback plan must reconcile identically")
+      df.count() // materialize the adaptive plan before inspecting it
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"guard must drop the broadcast hint above the byte bound:\n$plan")
+      // the derived change feed takes the same guarded path
+      val feed = Scale.morChangesBetween(spark, t, "k", 0L, 2L)
+      assert(feed.filter(col("_change_type") === "delete").count() == 3L,
+        "commit 2 kills 8 + 1001 (appended at 1) and 20 (base)")
+      // GraftTable.read's unified scan honors the guard too
+      graft.operators.GraftTable.buildIndex(spark, t,
+        zoneCols = Seq("k"), morKey = Some("k"))
+      assert(graft.operators.GraftTable.read(spark, t)
+        .collect().map(_.toSeq).toSet == expect)
+    } finally {
+      spark.conf.unset("spark.graft.mor.deleteBroadcastBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedAuto)
+    }
+  }
+
+  test("column mapping: a rename SWAP (a->c then b->a) keeps the table writable under current logical names") {
+    val t = java.nio.file.Files.createTempDirectory("graft_swap").toString + "/t"
+    Scale.writeSnapshotCdf(spark, t,
+      Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("k", "a", "b"), "k")
+    Scale.renameSnapshotColumn(spark, t, "a", "c")
+    Scale.renameSnapshotColumn(spark, t, "b", "a")
+    // logical schema is now (k, c, a) with physical (k, a, b): a write
+    // carrying logical 'a' must route to physical 'b', not be rejected
+    // as a stale writer (its name is a colmap KEY but also a CURRENT
+    // logical name)
+    Scale.writeSnapshotCdf(spark, t,
+      Seq((1L, 10L, "x"), (2L, 21L, "y"), (3L, 30L, "z")).toDF("k", "c", "a"), "k")
+    val read = Scale.readSnapshot(spark, t)
+    assert(read.columns.toSeq == Seq("k", "c", "a"))
+    assert(read.orderBy("k").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, 10L, "x"), Seq(2L, 21L, "y"), Seq(3L, 30L, "z")))
+    // the feed diff ran against physical names: exactly one update pair
+    // (k=2) and one insert (k=3)
+    val feed = Scale.readChangesBetween(spark, t, 0L, 1L)
+    assert(feed.columns.contains("c") && feed.columns.contains("a"))
+    assert(feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("insert" -> 1L, "update_preimage" -> 1L, "update_postimage" -> 1L))
+    // a genuinely stale writer (physical 'b', renamed away) still fails
+    assert(intercept[IllegalArgumentException] {
+      Scale.writeSnapshotCdf(spark, t,
+        Seq((1L, 10L, "x")).toDF("k", "c", "b"), "k")
+    }.getMessage.contains("renamed"))
   }
 
   test("writeSnapshotIdempotent removes an orphan feed before committing") {
