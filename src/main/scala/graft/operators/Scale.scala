@@ -1198,8 +1198,8 @@ object Scale {
   }
 
   /** Checkpoints on disk as (from, to) bounds, ascending by `to`. */
-  private def listFeedCheckpoints(fs: org.apache.hadoop.fs.FileSystem,
-                                  path: String): Seq[(Long, Long)] = {
+  private[graft] def listFeedCheckpoints(fs: org.apache.hadoop.fs.FileSystem,
+                                         path: String): Seq[(Long, Long)] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path, "_cdf_ckpt")
     if (!fs.exists(root)) Nil

@@ -1138,6 +1138,198 @@ object TextQueries {
              OR doc_id % 3 = 1)
         GROUP BY lang ORDER BY lang""")),
 
+    // s24: STREAMING CDF SOURCE UNDER COLUMN MAPPING — the round-19
+    // top task: renameSnapshotColumn is metadata-only, so feed files
+    // keep PHYSICAL names forever; a stream consumer naturally asks
+    // for the CURRENT logical schema, and a file source reading the
+    // logical name against physical-named files would silently
+    // NULL-fill it on every batch (parquet schema-on-read) — wrong
+    // data, no error, while the batch path (readChangesBetween →
+    // toLogicalCols) stayed correct. The gate renames the measure
+    // column BETWEEN two drains of one checkpoint (a real mid-feed
+    // restart), so the same stream delivers a pre-rename commit under
+    // the old logical name and post-rename commits — recorded in
+    // physical-named files — under the new one, values intact. Then a
+    // FRESH stream started after the rename re-delivers the whole
+    // history under current logical names, and the in-band require
+    // hash-matches its rows against readChangesBetween over the same
+    // span (stream and batch CDF reads are ONE semantics). A stale
+    // logical name is a loud error, pinned in StreamingSpec. Oracle:
+    // the per-lang aggregate of the final table contents, folded from
+    // the stream-delivered feed alone via cdfLatestChanges.
+    Q("s24_stream_cdf_rename",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val root = java.nio.file.Files.createTempDirectory(
+          graft.streaming.StreamExec.scratchParent, "s24_")
+        val tbl = root.resolve("tbl").toString
+        val ck = root.resolve("ck").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val delivered = scala.collection.mutable.Buffer[(Long, String, Long, String, Long)]()
+        def drain(ckPath: String, lenCol: String): Unit =
+          graft.streaming.StreamExec.cdfStreamOnce(s, tbl, ckPath,
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("lang", StringType), StructField(lenCol, LongType),
+              StructField("_change_type", StringType)))) { (b, _) =>
+            delivered ++= b.collect().map(r => (r.getLong(0), r.getString(1),
+              r.getLong(2), r.getString(3), r.getLong(4)))
+          }
+        val v0 = docs.filter(col("doc_id") % 2 === 0)
+        graft.operators.Scale.writeSnapshotCdf(s, tbl, v0, "doc_id")
+        drain(ck, "n_chars")
+        graft.operators.Scale.renameSnapshotColumn(s, tbl, "n_chars", "len")
+        // post-rename commits speak the current logical name
+        val v1 = v0.withColumnRenamed("n_chars", "len")
+          .withColumn("len",
+            when(col("lang") === "en", col("len") + 3).otherwise(col("len")))
+          .unionByName(docs.filter(col("doc_id") % 2 === 1)
+            .withColumnRenamed("n_chars", "len"))
+        graft.operators.Scale.writeSnapshotCdf(s, tbl, v1, "doc_id")
+        drain(ck, "len")
+        require(delivered.nonEmpty && delivered.forall(_._3 > 0L),
+          "s24: a NULL-filled length column means the stream read logical " +
+            "names against physical-named feed files")
+        // restart surface: a FRESH checkpoint replays the full span —
+        // including the PRE-rename commit — under current logical names,
+        // byte-equal to the batch CDF read
+        delivered.clear()
+        drain(root.resolve("ck_fresh").toString, "len")
+        val stream = delivered.toSet
+        val batch = graft.operators.Scale.readChangesBetween(s, tbl, -1L, 1L)
+          .select("doc_id", "lang", "len", "_change_type", "_commit_version")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getString(3), r.getLong(4))).toSet
+        require(stream == batch,
+          s"s24: streamed CDF rows must hash-match readChangesBetween over " +
+            s"the same span (stream ${stream.size} rows, batch ${batch.size})")
+        // fold the STREAM's rows to the final state and aggregate
+        val sp = s; import sp.implicits._
+        val feed = delivered.toSeq
+          .toDF("doc_id", "lang", "len", "_change_type", "_commit_version")
+        graft.operators.Scale.cdfLatestChanges(feed, "doc_id")
+          .filter(col("_change_type") =!= "delete")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 AND lang = 'en'
+                             THEN n_chars + 3 ELSE n_chars END) AS BIGINT) AS sum_len
+        FROM documents
+        GROUP BY lang ORDER BY lang""")),
+
+    // s25: CHECKPOINT-AWARE STREAMING BOOTSTRAP — closes the round-18
+    // footgun: an UNSTARTED stream over a table whose early per-commit
+    // feeds were squashed (squashFeed) and swept (vacuumSnapshots)
+    // used to silently miss the swept history (the file source lists
+    // only what exists). Now the first drain of a fresh checkpoint
+    // detects the gap, serves the widest covering feed checkpoint ONCE
+    // as the synthetic batch −1 (net changes — every linear CDF fold
+    // is squash-invariant), records the range in a marker inside the
+    // stream checkpoint, and follows per-commit dirs outside it. The
+    // gate: five commits of churn (updates, a delete, a transient
+    // key), squash (0..3], vacuum to one version (sweeping feeds
+    // v=1..3), THEN start the stream — fold each batch's signed
+    // deltas into the idempotent state sink (batch −1 included: the
+    // bootstrap is re-delivered on a crash before the marker lands,
+    // and the token fences it). In-band: the marker records (0,3], a
+    // post-bootstrap commit arrives incrementally (exactly one more
+    // state version), and the folded state equals the from-scratch
+    // truth the oracle computes.
+    Q("s25_stream_cdf_bootstrap",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val root = java.nio.file.Files.createTempDirectory(
+          graft.streaming.StreamExec.scratchParent, "s25_")
+        val tbl = root.resolve("tbl").toString
+        val state = root.resolve("state").toString
+        val ck = root.resolve("ck").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val feedSchema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType), StructField("n_chars", LongType),
+          StructField("_change_type", StringType)))
+        def drain(): Unit =
+          graft.streaming.StreamExec.cdfStreamOnce(s, tbl, ck, feedSchema) {
+            (batch, id) =>
+              if (batch.limit(1).count() > 0) {
+                val deltas = batch
+                  .select(col("lang"), col("n_chars"),
+                    when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+                      .otherwise(lit(-1L)).as("sign"))
+                  .groupBy("lang")
+                  .agg(sum(col("sign")).as("dn"),
+                    sum(col("sign") * col("n_chars")).as("dchars"))
+                val base = graft.operators.Scale.latestSnapshot(s, state) match {
+                  case Some(_) => graft.operators.Scale.readSnapshot(s, state)
+                  case None => s.createDataFrame(
+                    new java.util.ArrayList[org.apache.spark.sql.Row](),
+                    StructType(Seq(StructField("lang", StringType),
+                      StructField("n_docs", LongType),
+                      StructField("sum_chars", LongType))))
+                }
+                val merged = base.join(deltas, Seq("lang"), "full_outer")
+                  .select(col("lang"),
+                    (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+                    (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dchars"), lit(0L))).as("sum_chars"))
+                graft.operators.Scale.writeSnapshotIdempotent(s, state, merged, s"b=$id")
+                ()
+              }
+          }
+        // five commits of churn BEFORE any stream exists
+        val v0 = docs.filter(col("doc_id") % 3 === 0)
+        graft.operators.Scale.writeSnapshotCdf(s, tbl, v0, "doc_id")
+        val v1 = v0.withColumn("n_chars",
+            when(col("lang") === "en", col("n_chars") + 5).otherwise(col("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 3 === 1 && col("lang") === "de"))
+        graft.operators.Scale.writeSnapshotCdf(s, tbl, v1, "doc_id")
+        val v2 = v1.filter(col("doc_id") % 3 === 0 || col("lang") =!= "de")
+          .unionByName(docs.filter(col("doc_id") % 3 === 1 && col("lang") === "fr"))
+        graft.operators.Scale.writeSnapshotCdf(s, tbl, v2, "doc_id")
+        val v3 = v2.filter(!(col("doc_id") % 3 === 0 && col("lang") === "zh"))
+        graft.operators.Scale.writeSnapshotCdf(s, tbl, v3, "doc_id")
+        val v4 = v3.unionByName(docs.filter(col("doc_id") % 3 === 2 && col("lang") === "en"))
+        graft.operators.Scale.writeSnapshotCdf(s, tbl, v4, "doc_id")
+        graft.operators.Scale.squashFeed(s, tbl, "doc_id", 0L, 3L)
+        graft.operators.Scale.vacuumSnapshots(s, tbl, keepLast = 1)
+        val fs = new org.apache.hadoop.fs.Path(tbl)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        require((1L to 3L).forall(v => !fs.exists(
+          new org.apache.hadoop.fs.Path(s"$tbl/_cdf/v=$v"))),
+          "s25 premise: vacuum must sweep the checkpoint-covered feeds")
+        drain()
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$ck/graft_bootstrap"))
+        val marker = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                     finally in.close()
+        require(marker == "0 3",
+          s"s25: bootstrap marker must record the served range (0,3], got '$marker'")
+        val afterBoot = graft.operators.Scale.latestSnapshot(s, state)
+        // a post-bootstrap commit arrives incrementally — exactly one
+        // more state version, not a re-fold of history
+        val v5 = v4.withColumn("n_chars",
+          when(col("lang") === "fr", col("n_chars") + 1).otherwise(col("n_chars")))
+        graft.operators.Scale.writeSnapshotCdf(s, tbl, v5, "doc_id")
+        drain()
+        require(graft.operators.Scale.latestSnapshot(s, state) ==
+            afterBoot.map(_ + 1),
+          "s25: the incremental drain must advance the state exactly once")
+        graft.operators.Scale.readSnapshot(s, state)
+          .filter(col("n_docs") > 0)
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 3 = 0 AND lang = 'en' THEN n_chars + 5
+                      WHEN lang = 'fr' THEN n_chars + 1
+                      ELSE n_chars END AS n_chars
+          FROM documents
+          WHERE (doc_id % 3 = 0 AND NOT lang = 'zh')
+             OR (doc_id % 3 = 1 AND lang = 'fr')
+             OR (doc_id % 3 = 2 AND lang = 'en'))
+        GROUP BY lang ORDER BY lang""")),
+
     // s10: STREAM-STREAM interval join under real execution — the last
     // streaming shape the batch twins couldn't prove: both sides of
     // s3's attribution join become live file streams (one slice per

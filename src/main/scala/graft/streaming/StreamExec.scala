@@ -170,20 +170,126 @@ object StreamExec {
     *
     * The 100 TB contract matches the batch CDF consumers: per-batch
     * input is the NEW commits' change rows only — history is never
-    * re-listed beyond the file-source log's own bookkeeping. Vacuuming
-    * per-commit feeds into a squash checkpoint breaks an UNSTARTED
-    * stream's backfill (the checkpointed dirs are gone) — start
-    * streams before checkpointing history, the same cursor discipline
-    * as Delta CDF + VACUUM.
+    * re-listed beyond the file-source log's own bookkeeping.
+    *
+    * Three storage realities the source must absorb (round-19):
+    *
+    *   - COLUMN MAPPING: feed files keep PHYSICAL names forever
+    *     (renameSnapshotColumn is metadata-only), so the stream reads
+    *     under physical names and aliases to the caller's CURRENT
+    *     logical schema per batch — the streaming twin of
+    *     readChangesBetween's toLogicalCols. Without it, a rename
+    *     would make the file source silently NULL-fill the logical
+    *     column on every batch (parquet schema-on-read): wrong data,
+    *     no error.
+    *   - COMMITTED-POINTER FENCE: each drain streams only the feed
+    *     dirs of versions at-or-below the pointer AT DRAIN START
+    *     (explicit committed-version glob, never a listing of the feed
+    *     root). A crashed CDF writer's above-pointer orphan feed — the
+    *     artifact the batch readers are already fenced against — thus
+    *     never enters the file-source offset log, where its delivery
+    *     would be both phantom and PERMANENT (and would wedge the
+    *     checkpoint when the real commit later overwrites those
+    *     files). In-flight writers racing a drain are invisible the
+    *     same way; their commit arrives at the next drain.
+    *   - CHECKPOINT-AWARE BOOTSTRAP: a FRESH stream over a table whose
+    *     early per-commit feeds were squashed ([[graft.operators.Scale.squashFeed]])
+    *     and swept delivers [widest covering checkpoint] once as the
+    *     synthetic batch −1 (net changes — every linear CDF fold is
+    *     squash-invariant), records the bootstrapped range in a
+    *     `graft_bootstrap` marker inside the checkpoint dir, then
+    *     follows per-commit dirs outside that range forever. Pair
+    *     `foreach` with a batchId-keyed idempotent sink
+    *     ([[graft.operators.Scale.writeSnapshotIdempotent]]): a crash
+    *     between the bootstrap delivery and the marker write
+    *     re-delivers batch −1 on retry, which the sink token fences —
+    *     the same exactly-once contract as every other batch.
+    *     Swept feeds NOT covered by a single anchored checkpoint stay
+    *     a loud error (the consumer cannot skip history silently).
     */
   def cdfStreamOnce(spark: SparkSession, tablePath: String, checkpoint: String,
                     dataSchema: org.apache.spark.sql.types.StructType)
                    (foreach: (DataFrame, Long) => Unit): Unit = {
-    val withPart = dataSchema.add("v", org.apache.spark.sql.types.LongType)
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Scale
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = Scale.latestSnapshot(spark, tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"cdfStreamOnce: no committed snapshot table at $tablePath"))
+    // physical <-> logical mapping, resolved fresh at every drain (a
+    // rename between drains changes only the aliasing, never the files)
+    val cmap = Scale.snapshotColMap(spark, tablePath)
+    val inv = cmap.map(_.swap)
+    val stale = dataSchema.fieldNames.filter(c => c != "_change_type" &&
+      cmap.contains(c) && cmap(c) != c && !cmap.valuesIterator.contains(c))
+    require(stale.isEmpty,
+      s"cdfStreamOnce: column(s) ${stale.mkString(", ")} were renamed " +
+        s"(${stale.map(c => s"$c -> ${cmap(c)}").mkString(", ")}); request " +
+        "the current logical schema")
+    val physNames = dataSchema.fieldNames.map(n =>
+      if (n == "_change_type") n else inv.getOrElse(n, n))
+    val physSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.zip(physNames).map { case (f, p) => f.copy(name = p) })
+
+    // bootstrap decision is made ONCE per checkpoint (the marker makes
+    // it durable); later drains replay the recorded range exclusion
+    val ckBoot = new Path(checkpoint, "graft_bootstrap")
+    def feedDir(v: Long) = new Path(s"$tablePath/_cdf/v=$v")
+    val bootRange: Option[(Long, Long)] =
+      if (fs.exists(ckBoot)) {
+        val in = fs.open(ckBoot)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                   finally in.close()
+        if (body == "none") None
+        else body.split("\\s+") match {
+          case Array(f, t) => Some((f.toLong, t.toLong))
+          case _ => throw new IllegalStateException(
+            s"corrupt bootstrap marker $ckBoot: '$body'")
+        }
+      } else {
+        val missing = (0L to latest).filterNot(v => fs.exists(feedDir(v)))
+        val range =
+          if (missing.isEmpty) None
+          else Some(Scale.listFeedCheckpoints(fs, tablePath)
+            .filter { case (f, t) =>
+              missing.forall(v => v > f && v <= t) &&
+                (0L to f).forall(v => fs.exists(feedDir(v)))
+            }.sortBy(_._2).lastOption.getOrElse(throw new IllegalStateException(
+              s"cdfStreamOnce: per-commit feed dir(s) v=${missing.mkString(",")} " +
+                s"of $tablePath are gone and no single feed checkpoint covers " +
+                "them behind an intact prefix — the stream cannot bootstrap; " +
+                "squash the feed over the swept range before vacuuming (or " +
+                "start streams before sweeping history)")))
+        range.foreach { case (f, t) =>
+          foreach(Scale.readChangesBetween(spark, tablePath, f, t)
+            .select(dataSchema.fieldNames.toIndexedSeq.map(col) :+
+              col("_commit_version"): _*), -1L)
+        }
+        val out = fs.create(ckBoot, true)
+        out.write(range.map { case (f, t) => s"$f $t" }.getOrElse("none")
+          .getBytes("UTF-8"))
+        out.close()
+        range
+      }
+
+    val live = (0L to latest)
+      .filter(v => bootRange.forall { case (f, t) => v <= f || v > t })
+      .filter(v => fs.exists(feedDir(v)))
+    if (live.isEmpty) return // bootstrap (if any) was the whole history
+    val srcGlob = s"$tablePath/_cdf/v={${live.mkString(",")}}"
+    // recursiveFileLookup disables hive-partition inference, so a DATA
+    // column named `v` can never collide with the feed's `v=<n>` dir
+    // layout; the commit version is derived from the file path instead
     val q = spark.readStream
-      .schema(withPart)
-      .parquet(s"$tablePath/_cdf")
-      .withColumnRenamed("v", "_commit_version")
+      .schema(physSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(srcGlob)
+      // physical -> logical aliasing + version-from-path must ride the
+      // STREAMING plan: `_metadata` resolves only on the file source
+      .select(physNames.zip(dataSchema.fieldNames).toIndexedSeq.map {
+        case (p, l) => col(p).as(l) } :+
+        regexp_extract(col("_metadata.file_path"), "/v=(\\d+)/", 1)
+          .cast("long").as("_commit_version"): _*)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) => foreach(b, id) }
       .option("checkpointLocation", checkpoint)

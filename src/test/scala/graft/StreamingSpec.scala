@@ -546,6 +546,148 @@ class StreamingSpec extends SparkSpec {
       s"batches arrived merged or out of order: $seen")
   }
 
+  private def cdfSchema(fields: (String, org.apache.spark.sql.types.DataType)*) =
+    org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t) })
+
+  test("cdfStreamOnce: a mid-stream rename delivers pre- and post-rename commits under current logical names, values intact") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.operators.Scale
+    val root = java.nio.file.Files.createTempDirectory("graft_s_cdf_ren")
+    val tbl = root.resolve("tbl").toString
+    val ck = root.resolve("ck").toString
+    val delivered = scala.collection.mutable.Buffer[(Long, Long, String, Long)]()
+    def drain(schema: org.apache.spark.sql.types.StructType): Unit =
+      graft.streaming.StreamExec.cdfStreamOnce(spark, tbl, ck, schema) { (b, _) =>
+        delivered ++= b.collect().map(r => (
+          r.getLong(r.fieldIndex("k")),
+          r.getLong(1), // the length column, whatever its current name
+          r.getString(r.fieldIndex("_change_type")),
+          r.getLong(r.fieldIndex("_commit_version"))))
+      }
+    Scale.writeSnapshotCdf(spark, tbl,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "n", "s"), "k")
+    drain(cdfSchema("k" -> LongType, "n" -> LongType, "_change_type" -> StringType))
+    assert(delivered.toSet == Set((1L, 10L, "insert", 0L), (2L, 20L, "insert", 0L)))
+
+    Scale.renameSnapshotColumn(spark, tbl, "n", "len")
+    // the stale logical name now fails loudly instead of null-filling
+    val e = intercept[IllegalArgumentException] {
+      drain(cdfSchema("k" -> LongType, "n" -> LongType, "_change_type" -> StringType))
+    }
+    assert(e.getMessage.contains("renamed"))
+
+    Scale.writeSnapshotCdf(spark, tbl,
+      Seq((1L, 10L, "a"), (2L, 25L, "b"), (3L, 30L, "c")).toDF("k", "len", "s"), "k")
+    delivered.clear()
+    drain(cdfSchema("k" -> LongType, "len" -> LongType, "_change_type" -> StringType))
+    // feed files store the PHYSICAL name (n); values must surface under
+    // `len`, non-null — the silent-NULL bug this fences out
+    assert(delivered.toSet == Set(
+      (2L, 20L, "update_preimage", 1L), (2L, 25L, "update_postimage", 1L),
+      (3L, 30L, "insert", 1L)))
+
+    // a FRESH stream started after the rename delivers the PRE-rename
+    // commit under the current logical name too, hash-matched against
+    // the batch reader over the same span
+    delivered.clear()
+    drain(cdfSchema("k" -> LongType, "len" -> LongType, "_change_type" -> StringType)
+      ) // no-op on the old checkpoint: nothing new
+    assert(delivered.isEmpty, "a drain with nothing new must deliver nothing")
+    val ck2 = root.resolve("ck2").toString
+    val fresh = scala.collection.mutable.Buffer[(Long, Long, String, Long)]()
+    graft.streaming.StreamExec.cdfStreamOnce(spark, tbl, ck2,
+      cdfSchema("k" -> LongType, "len" -> LongType, "_change_type" -> StringType)) {
+      (b, _) => fresh ++= b.collect().map(r => (
+        r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    }
+    val batch = Scale.readChangesBetween(spark, tbl, -1L, 1L)
+      .select("k", "len", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(fresh.toSet == batch.toSet,
+      s"fresh stream must match the batch CDF read:\n stream=${fresh.toSet}\n batch=${batch.toSet}")
+  }
+
+  test("cdfStreamOnce: an above-pointer orphan feed is fenced out; the real commit arrives cleanly") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.operators.Scale
+    val root = java.nio.file.Files.createTempDirectory("graft_s_cdf_orph")
+    val tbl = root.resolve("tbl").toString
+    val ck = root.resolve("ck").toString
+    val schema = cdfSchema("k" -> LongType, "v" -> LongType, "_change_type" -> StringType)
+    val delivered = scala.collection.mutable.Buffer[(Long, Long, String, Long)]()
+    def drain(): Unit =
+      graft.streaming.StreamExec.cdfStreamOnce(spark, tbl, ck, schema) { (b, _) =>
+        delivered ++= b.collect().map(r => (
+          r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      }
+    Scale.writeSnapshotCdf(spark, tbl, Seq((1L, 10L)).toDF("k", "v"), "k")
+    drain()
+    delivered.clear()
+    // a crashed CDF writer's leftover: feed dir above the pointer
+    Seq((999L, 999L)).toDF("k", "v").withColumn("_change_type", lit("insert"))
+      .write.parquet(s"$tbl/_cdf/v=1")
+    drain()
+    assert(delivered.isEmpty,
+      "an uncommitted orphan feed must never reach the stream (phantom delivery)")
+    // the real commit overwrites the orphan; the drain sees only it
+    Scale.writeSnapshotCdf(spark, tbl, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "k")
+    drain()
+    assert(delivered.toSet == Set((2L, 20L, "insert", 1L)),
+      s"only the committed v1 changes may arrive, got ${delivered.toSet}")
+  }
+
+  test("cdfStreamOnce: a fresh stream bootstraps from a feed checkpoint after vacuum, exactly once") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.operators.Scale
+    val root = java.nio.file.Files.createTempDirectory("graft_s_cdf_boot")
+    val tbl = root.resolve("tbl").toString
+    val ck = root.resolve("ck").toString
+    def commit(rows: (Long, Long)*): Unit =
+      Scale.writeSnapshotCdf(spark, tbl, rows.toDF("k", "v"), "k")
+    commit((1L, 10L), (2L, 20L), (3L, 30L))                       // v0
+    commit((1L, 10L), (2L, 21L), (4L, 40L))                       // v1: upd 2, del 3, ins 4
+    commit((1L, 10L), (2L, 21L), (4L, 41L), (5L, 50L))            // v2: upd 4, ins 5
+    commit((1L, 11L), (2L, 21L), (4L, 41L))                       // v3: upd 1, del 5
+    commit((1L, 11L), (2L, 21L), (4L, 41L), (6L, 60L))            // v4: ins 6
+    Scale.squashFeed(spark, tbl, "k", 0L, 3L)
+    Scale.vacuumSnapshots(spark, tbl, keepLast = 1)
+    val fs = new Path(tbl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to 3L).foreach(v => assert(!fs.exists(new Path(s"$tbl/_cdf/v=$v")),
+      s"premise: vacuum must sweep covered feed v=$v"))
+
+    val schema = cdfSchema("k" -> LongType, "v" -> LongType, "_change_type" -> StringType)
+    val delivered = scala.collection.mutable.Buffer[(Long, Long, String, Long, Long)]()
+    def drain(): Unit =
+      graft.streaming.StreamExec.cdfStreamOnce(spark, tbl, ck, schema) { (b, id) =>
+        delivered ++= b.collect().map(r => (
+          r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), id))
+      }
+    drain()
+    // marker records the bootstrapped range
+    val in = fs.open(new Path(ck, "graft_bootstrap"))
+    val marker = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+    assert(marker == "0 3", s"bootstrap marker should record (0,3], got '$marker'")
+    assert(delivered.exists(_._5 == -1L), "bootstrap must arrive as batch -1")
+    // final state folded from the stream == the table itself (the batch
+    // fold from v0) — squash-invariance end to end
+    val feed = delivered.toSeq.toDF("k", "v", "_change_type", "_commit_version", "b")
+    val folded = Scale.cdfLatestChanges(feed, "k")
+      .filter(col("_change_type") =!= "delete")
+      .select("k", "v").collect().map(_.toSeq).toSet
+    val table = Scale.readSnapshot(spark, tbl).collect().map(_.toSeq).toSet
+    assert(folded == table, s"stream fold diverged:\n stream=$folded\n table=$table")
+
+    // the next commit arrives incrementally, outside the bootstrap range
+    delivered.clear()
+    commit((1L, 11L), (2L, 21L), (4L, 41L), (6L, 61L))            // v5: upd 6
+    drain()
+    assert(delivered.map(_._4).toSet == Set(5L),
+      s"post-bootstrap drains must deliver only new commits, got ${delivered.toSet}")
+  }
+
   test("replayFileStreamRestart: windows straddling the stop/restart boundary emit exactly once") {
     // the s17 contract: query #1 processes half the slices and stops;
     // query #2 resumes from the same checkpoint (asserted inside the
