@@ -393,10 +393,21 @@ object Bench {
       .mkString("[", ",", "]")
     val cpuTotal = results.valuesIterator.map(_.cpuRuns.sum).sum
     val gcTotal = results.valuesIterator.map(_.gcRuns.sum).sum
+    // per-FAMILY layout seconds (deciseconds, compact): the tail-window
+    // artifact the driver parses can now subtract cold layout cost per
+    // query family mechanically (io_/text_/vec_ caches prefix their
+    // family); the full per-layout map stays in bench_out.json
+    val famJson = graft.queries.LayoutBuild.perLayoutSec.toSeq
+      .groupBy(_._1.split("_").head)
+      .map { case (f, vs) => f -> vs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+      .map { case (f, v) => Jsons.str(f) + ":" + math.round(v * 10) }
+      .mkString("{", ",", "}")
     s""""heap_mb":$heapMb,"md5_st":$md5St,"md5_mt":$md5Mt,""" +
       s""""cpu_sec":${jsonNum1(cpuTotal)},"gc_sec":${jsonNum1(gcTotal)},""" +
       s""""layout_build_sec":${
-        jsonNum1(graft.queries.LayoutBuild.totalSec)},"canary":$canaryJson"""
+        jsonNum1(graft.queries.LayoutBuild.totalSec)},""" +
+      s""""layout_ds":$famJson,"canary":$canaryJson"""
   }
 
   def renderFinal(results: Map[String, QueryResult], sfDir: String,

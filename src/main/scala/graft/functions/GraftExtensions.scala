@@ -20,10 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.all.foreach(ext.injectFunction)
     // conf-gated (spark.graft.rangeJoin.binWidth); a no-op until set
     ext.injectOptimizerRule(graft.plans.BinnedRangeJoinRule(_))
-    // completes the USING graft SQL surface over merge-on-read tables:
-    // rewrites the source's marker leaf into the full read plan
-    // (pruned scan + broadcast delete anti-join); no-op otherwise
-    ext.injectResolutionRule(graft.plans.MorTableRewrite(_))
+    // completes the USING graft SQL surface over merge-on-read,
+    // renamed, and version-pinned tables: rewrites the source's marker
+    // leaf into the full read plan (pruned scan + delete anti-join +
+    // column-mapping aliases); no-op otherwise
+    ext.injectResolutionRule(graft.plans.GraftTableRewrite(_))
+    // SQL DML (MERGE/UPDATE/DELETE/INSERT) on graft targets, routed
+    // through the snapshot/MoR commit protocol; no-op otherwise
+    ext.injectResolutionRule(graft.plans.GraftDmlRule(_))
   }
 }
 

@@ -19,8 +19,8 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * `GraftTable.read`. Options: `path` (required), `version` (optional
   * snapshot pin — time travel). Registered via
   * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister.
-  * Merge-on-read tables return a [[MorMarkerRelation]] that the
-  * [[graft.plans.MorTableRewrite]] resolution rule (injected by
+  * Merge-on-read tables return a [[GraftMarkerRelation]] that the
+  * [[graft.plans.GraftTableRewrite]] resolution rule (injected by
   * `GraftExtensions` — wire the session with
   * `spark.sql.extensions=graft.functions.GraftExtensions`) expands into
   * the full read plan: pruned scan + broadcast delete anti-join.

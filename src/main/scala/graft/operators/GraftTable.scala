@@ -247,25 +247,41 @@ object GraftTable {
 
   /** The self-pruning scan as a bare V1 relation — what the `USING
     * graft` SQL data source ([[graft.io.GraftDataSource]]) returns.
-    * Snapshot and plain layouts plan directly as the
-    * GraftFileIndex-backed parquet relation. A MERGE-ON-READ table
-    * cannot be a leaf relation (its semantics are a JOIN: base minus
-    * the delete keys), so the source returns a
-    * [[graft.io.MorMarkerRelation]] that the injected analyzer rule
-    * [[graft.plans.MorTableRewrite]] replaces with the full [[read]]
-    * plan during resolution — pointer, deletes, pruning and all. The
-    * marker's schema is the reconciled table's schema (the anti-join
-    * preserves base columns), so the view resolves correctly before the
-    * rewrite fires.
+    * Plain layouts and never-renamed snapshot tables plan directly as
+    * the GraftFileIndex-backed parquet relation. Reads a V1 leaf
+    * cannot express return a [[graft.io.GraftMarkerRelation]] that the
+    * injected analyzer rule [[graft.plans.GraftTableRewrite]] replaces
+    * with the full [[read]] plan during resolution — pointer, deletes,
+    * column-mapping aliases, pruning and all:
+    *
+    *   - MERGE-ON-READ tables (the read is a JOIN: base minus deletes);
+    *   - snapshot tables with a non-empty `_colmap` (the read must
+    *     surface CURRENT logical names, not the physical storage
+    *     names a rename left behind) — including version pins, so SQL
+    *     time travel gets old data under new names exactly like
+    *     `GraftTable.read(path, v)`.
+    *
+    * The marker's schema is the final read's schema (reconciled /
+    * logical), so the view resolves correctly before the rewrite fires.
     */
   private[graft] def pruningRelation(spark: SparkSession, path: String,
                                      version: Option[Long])
       : org.apache.spark.sql.sources.BaseRelation = {
     val g = resolve(spark, path, version)
+    val cmap = if (g.mor.isDefined) Map.empty[String, String]
+               else Scale.snapshotColMap(spark, path)
     if (g.mor.isDefined)
-      new graft.io.MorMarkerRelation(spark, path,
+      new graft.io.GraftMarkerRelation(spark, path, None,
         spark.read.parquet(g.dataDir).schema)
-    else {
+    else if (cmap.nonEmpty || version.isDefined) {
+      // explicit version pins always go through the marker: the rewrite
+      // applies column mapping uniformly, and DML can tell a
+      // time-travel pin (rejected) from an ordinary bound view (rebased)
+      val phys = spark.read.parquet(g.dataDir).schema
+      val logical = org.apache.spark.sql.types.StructType(
+        phys.fields.map(f => f.copy(name = cmap.getOrElse(f.name, f.name))))
+      new graft.io.GraftMarkerRelation(spark, path, version, logical)
+    } else {
       val (idx, schema) = indexAndSchema(spark, path, g)
       org.apache.spark.sql.graft.bridge.relationFor(spark, idx, schema)
     }

@@ -1039,6 +1039,11 @@ object Scale {
       }
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
       changes.write.mode(SaveMode.Overwrite).parquet(s"$path/_cdf/v=$next")
+      // record the PHYSICAL key name so argument-free consumers (SQL
+      // DML routing through this commit protocol) can keep the feed
+      // lineage going; last writer wins — the key is a per-commit
+      // argument, this is just its latest value
+      writeCdfKey(spark, fs, path, keyCol)
       swapLatestPointer(spark, fs, path, next)
       GraftTable.reindexAuto(spark, path) // inherit spec (see writeSnapshot)
       next
@@ -1313,6 +1318,39 @@ object Scale {
   // and is unaffected. Retypes remain loud errors (writeSnapshotCdf's
   // additive-only contract).
   // ---------------------------------------------------------------
+
+  /** The CDF key column [[writeSnapshotCdf]] last committed with —
+    * stored under its PHYSICAL name (stable across renames), surfaced
+    * as the current LOGICAL name. None for tables never committed
+    * through the CDF writer. This is what lets argument-free surfaces
+    * (SQL `MERGE INTO`/`UPDATE`/`DELETE`, [[graft.plans.GraftDml]])
+    * keep the change-feed lineage going.
+    */
+  def snapshotCdfKey(spark: SparkSession, path: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path, "_cdf_key")
+    if (!fs.exists(p)) None
+    else {
+      val phys = readPointerFully(fs, p)
+      Some(snapshotColMap(spark, path).getOrElse(phys, phys))
+    }
+  }
+
+  private def writeCdfKey(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          path: String, physKey: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path, "_cdf_key")
+    if (!fs.exists(p) || readPointerFully(fs, p) != physKey) {
+      val tmp = new Path(path, "_cdf_key.tmp")
+      val out = fs.create(tmp, true)
+      out.write(physKey.getBytes("UTF-8")); out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
 
   /** The table's physical→logical column mapping (empty = identity). */
   def snapshotColMap(spark: SparkSession, path: String): Map[String, String] = {

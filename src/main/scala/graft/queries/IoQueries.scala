@@ -952,8 +952,8 @@ object IoQueries {
 
     // h14: THE PURE-SQL SURFACE OVER MERGE-ON-READ — the round-16 gap:
     // the V1 source is a leaf relation and can't BE a join, so for MoR
-    // tables it plants a MorMarkerRelation that the injected analyzer
-    // rule (GraftExtensions → MorTableRewrite) expands at resolution
+    // tables it plants a GraftMarkerRelation that the injected analyzer
+    // rule (GraftExtensions → GraftTableRewrite) expands at resolution
     // into the full GraftTable.read plan — pointer, hwm-fenced deletes
     // as a broadcast anti-join, and manifest file skipping from the
     // predicates the SQL WHERE pushes through the planted Project. The
@@ -1003,6 +1003,207 @@ object IoQueries {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM documents
         WHERE n_chars BETWEEN 450 AND 10000 AND doc_id % 97 <> 0
+        GROUP BY lang ORDER BY lang""")),
+
+    // h15: SQL DML — MERGE INTO a `USING graft` view, routed through
+    // the CDF commit protocol (GraftDmlRule: Spark resolves the MERGE
+    // against the V1 relation, the injected rule swaps it for a command
+    // that rebases onto the current version, computes the post-merge
+    // table, and commits via writeSnapshotCdf with expectedVersion =
+    // the rebased version). In-band: (1) the SQL merge's result equals
+    // the r36-style PROGRAMMATIC CDC merge byte-for-byte (one
+    // semantics, two surfaces); (2) the commit emitted CDF rows with
+    // the exact insert/update/delete split; (3) the SQL commit
+    // participates in OCC — a programmatic writer holding the
+    // pre-merge version conflicts loudly. Oracle: the post-merge
+    // aggregate recomputed from the raw documents table.
+    Q("h15_sql_merge",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory(scratchParent, "h15_")
+        val t = root.resolve("t").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        graft.operators.Scale.writeSnapshotCdf(s, t,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW h15_t USING graft OPTIONS (path '$t')")
+        val src = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 6 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L).withColumn("op", lit("U"))
+          .unionByName(docs.filter(col("doc_id") % 2 === 0 &&
+              col("doc_id") % 6 =!= 0 && col("lang") === "de")
+            .withColumn("op", lit("D")))
+          .unionByName(docs.filter(col("doc_id") % 2 === 1 && col("lang") === "en")
+            .withColumn("op", lit("I")))
+        src.createOrReplaceTempView("h15_s")
+        s.sql("""
+          MERGE INTO h15_t t USING h15_s s ON t.doc_id = s.doc_id
+          WHEN MATCHED AND s.op = 'D' THEN DELETE
+          WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+          WHEN NOT MATCHED AND s.op = 'I' THEN INSERT *""")
+        // (1) one semantics, two surfaces: the programmatic CDC merge of
+        // the same change set must agree byte-for-byte
+        val expected = docs.filter(col("doc_id") % 2 === 0 &&
+            !(col("lang") === "de" && col("doc_id") % 6 =!= 0))
+          .withColumn("n_chars", when(col("doc_id") % 6 === 0,
+            col("n_chars") + 1000L).otherwise(col("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 2 === 1 && col("lang") === "en"))
+        val got = graft.operators.Scale.readSnapshot(s, t)
+        require(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+          "h15: SQL MERGE must equal the programmatic CDC merge")
+        // (2) the feed records the merge's row-level effect
+        val byType = graft.operators.Scale.readChangesBetween(s, t, 0L, 1L)
+          .groupBy("_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nIns = docs.filter(col("doc_id") % 2 === 1 && col("lang") === "en").count()
+        val nUpd = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 6 === 0).count()
+        val nDel = docs.filter(col("doc_id") % 2 === 0 &&
+          col("doc_id") % 6 =!= 0 && col("lang") === "de").count()
+        require(byType.getOrElse("insert", 0L) == nIns &&
+            byType.getOrElse("update_postimage", 0L) == nUpd &&
+            byType.getOrElse("delete", 0L) == nDel,
+          s"h15: merge must emit CDF rows (ins=$nIns upd=$nUpd del=$nDel), got $byType")
+        // (3) OCC: a programmatic writer still holding the pre-merge
+        // version conflicts against the SQL commit
+        val conflicted =
+          try {
+            graft.operators.Scale.writeSnapshotCdf(s, t,
+              got.limit(1), "doc_id", expectedVersion = Some(0L))
+            false
+          } catch { case _: graft.operators.Scale.CommitConflictException => true }
+        require(conflicted, "h15: the SQL merge commit must participate in OCC")
+        got.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (
+          SELECT lang, CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+          FROM documents WHERE doc_id % 2 = 0 AND NOT (lang = 'de' AND doc_id % 6 <> 0)
+          UNION ALL
+          SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1 AND lang = 'en')
+        GROUP BY lang ORDER BY lang""")),
+
+    // h16: SQL TIME TRAVEL — `OPTIONS (version '<n>')` pins the view to
+    // a committed version THROUGH the marker + rewrite (explicit pins
+    // always take the marker path), so the pinned SQL read equals the
+    // programmatic GraftTable.read(path, v) byte-for-byte INCLUDING
+    // across a rename: old data surfaces under CURRENT logical names
+    // (column mapping applies to every version — feeds and files store
+    // physical names forever). In-band: byte-compare vs the
+    // programmatic read, and DML through the pin is a loud error.
+    // Oracle: the v0 aggregate recomputed from the raw documents table.
+    Q("h16_sql_time_travel",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory(scratchParent, "h16_")
+        val t = root.resolve("t").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val v0 = docs.filter(col("doc_id") % 2 === 0)
+        graft.operators.Scale.writeSnapshotCdf(s, t, v0, "doc_id")
+        graft.operators.Scale.writeSnapshotCdf(s, t,
+          v0.filter(col("lang") =!= "fr")
+            .withColumn("n_chars", col("n_chars") + 9L)
+            .unionByName(docs.filter(col("doc_id") % 2 === 1)), "doc_id")
+        graft.operators.Scale.renameSnapshotColumn(s, t, "n_chars", "len")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW h16_v0 USING graft " +
+          s"OPTIONS (path '$t', version '0')")
+        val sqlRows = s.sql("SELECT doc_id, lang, len FROM h16_v0 ORDER BY doc_id")
+        val prog = graft.operators.GraftTable.read(s, t, Some(0L))
+          .select("doc_id", "lang", "len").orderBy("doc_id")
+        require(sqlRows.collect().toSeq == prog.collect().toSeq,
+          "h16: pinned SQL read must equal programmatic time travel byte-for-byte")
+        val pinRejected =
+          try { s.sql("DELETE FROM h16_v0 WHERE doc_id = 0"); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("time-travel") }
+        require(pinRejected, "h16: DML through a time-travel pin must fail loudly")
+        sqlRows.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_len
+        FROM documents WHERE doc_id % 2 = 0
+        GROUP BY lang ORDER BY lang""")),
+
+    // h17: SEQUENTIAL SQL DML — INSERT INTO, UPDATE, DELETE through ONE
+    // view, each statement one versioned commit REBASED onto its
+    // predecessor (statement semantics: the second statement must see
+    // the first's commit, not the generation the view bound at CREATE —
+    // the ergonomics a SQL-first user assumes). In-band: exactly three
+    // new versions; the per-commit feeds record each statement's
+    // row-level effect. Oracle: the final contents recomputed from raw
+    // documents.
+    Q("h17_sql_dml_chain",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory(scratchParent, "h17_")
+        val t = root.resolve("t").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        graft.operators.Scale.writeSnapshotCdf(s, t,
+          docs.filter(col("doc_id") % 3 === 0), "doc_id")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW h17_t USING graft OPTIONS (path '$t')")
+        docs.filter(col("doc_id") % 3 === 1 && col("lang") === "en")
+          .createOrReplaceTempView("h17_new")
+        s.sql("INSERT INTO h17_t SELECT doc_id, lang, n_chars FROM h17_new")
+        s.sql("UPDATE h17_t SET n_chars = n_chars + 50 WHERE lang = 'de'")
+        s.sql("DELETE FROM h17_t WHERE lang = 'zh' AND doc_id % 3 = 0")
+        require(graft.operators.Scale.latestSnapshot(s, t).contains(3L),
+          "h17: three statements must be three rebased commits")
+        val insFeed = graft.operators.Scale.readChangesBetween(s, t, 0L, 1L)
+        require(insFeed.filter(col("_change_type") =!= "insert").isEmpty,
+          "h17: the INSERT commit's feed is inserts only")
+        val updFeed = graft.operators.Scale.readChangesBetween(s, t, 1L, 2L)
+        require(updFeed.filter(col("_change_type") === "update_postimage").count() ==
+            updFeed.count() / 2, "h17: the UPDATE commit's feed is update pairs")
+        graft.operators.Scale.readSnapshot(s, t)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN lang = 'de' THEN n_chars + 50 ELSE n_chars END) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE (doc_id % 3 = 0 AND lang <> 'zh') OR (doc_id % 3 = 1 AND lang = 'en')
+        GROUP BY lang ORDER BY lang""")),
+
+    // h18: SQL DML ON MERGE-ON-READ — DELETE FROM appends an
+    // equality-delete file (O(deleted keys): no base byte is rewritten,
+    // the same commit Scale.appendDeletes writes) and INSERT INTO
+    // appends a row commit under the shared sequence; the view's
+    // subsequent SQL read reconciles both. In-band: exactly one delete
+    // file and one append dir, base untouched; UPDATE stays a loud
+    // error. Oracle: complement-plus-append recomputed from raw
+    // documents.
+    Q("h18_sql_mor_dml",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory(scratchParent, "h18_")
+        val t = root.resolve("t").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        graft.operators.Scale.writeMorBase(s, t, docs.filter(col("doc_id") % 2 === 0))
+        graft.operators.GraftTable.buildIndex(s, t,
+          zoneCols = Seq("n_chars"), morKey = Some("doc_id"))
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW h18_t USING graft OPTIONS (path '$t')")
+        docs.createOrReplaceTempView("h18_src")
+        s.sql("DELETE FROM h18_t WHERE lang = 'es'")
+        s.sql("INSERT INTO h18_t SELECT doc_id, lang, n_chars FROM " +
+          "h18_src WHERE doc_id % 2 = 1 AND lang = 'fr'")
+        require(new java.io.File(s"$t/_deletes").list().count(_.startsWith("d=")) == 1 &&
+            new java.io.File(s"$t/_appends").list().count(_.startsWith("a=")) == 1 &&
+            new java.io.File(t).list().count(_.startsWith("base_v=")) == 1,
+          "h18: SQL DML on MoR must append commits, never rewrite the base")
+        val updRejected =
+          try { s.sql("UPDATE h18_t SET n_chars = 0 WHERE doc_id = 0"); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("DELETE FROM + INSERT INTO") }
+        require(updRejected, "h18: UPDATE on MoR must stay a loud error")
+        graft.operators.Scale.readMergeOnRead(s, t, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE (doc_id % 2 = 0 AND lang <> 'es') OR (doc_id % 2 = 1 AND lang = 'fr')
         GROUP BY lang ORDER BY lang""")),
 
     // h3: MULTI-DIMENSION (Z-ORDER) DATA SKIPPING — h2 prunes files by

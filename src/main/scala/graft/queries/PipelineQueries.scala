@@ -173,27 +173,32 @@ object PipelineQueries {
         val out = java.nio.file.Files.createTempDirectory(checkpointParent, "run_").toString
         val p = new graft.pipeline.IncrementalPipeline(
           s, s"$d/documents.parquet", out, gateCfg)
-        p.run()
-        def agged(tag: String, df: org.apache.spark.sql.DataFrame) = df
-          .agg(count(lit(1)).as("n_rows"),
-            coalesce(sum(col("doc_id")), lit(0L)).as("sig"))
-          .select(lit(tag).as("stage"), col("n_rows"), col("sig"))
-        def docStage(name: String) = agged(name, s.read.parquet(s"$out/$name"))
-        def idxStage(tag: String, path: String, v: Long) =
-          agged(tag, graft.operators.Scale.readSnapshot(s, path, Some(v)))
-        val chunkStage = s.read.parquet(s"$out/delta_chunks")
-          .agg(count(lit(1)).as("n_rows"),
+        val dc = p.run()
+        // stage signatures were computed EAGERLY while each stage was
+        // pinned (one job per stage — the round-18 diet replacing the
+        // per-stage parquet round-trips); the index signatures read the
+        // REAL committed snapshot tables, and the chunk signature runs
+        // on the returned frame before the pins are released
+        val chunkRow = dc
+          .agg(count(lit(1)),
             coalesce(sum(conv(substring(md5(col("chunk_text")), 1, 10), 16, 10)
-              .cast("long") % lit(1000000007L)), lit(0L)).as("sig"))
-          .select(lit("delta_chunks").as("stage"), col("n_rows"), col("sig"))
-        Seq("hist_quality", "hist_exact", "delta_quality", "delta_exact",
-            "delta_probe", "delta_near", "delta_sample").map(docStage)
-          .reduce(_.union(_))
-          .union(idxStage("index_v0", p.bandIdxPath, 0L))
-          .union(idxStage("index_v1", p.bandIdxPath, 1L))
-          .union(idxStage("fp_index_v1", p.fpIdxPath, 1L))
-          .union(chunkStage)
-          .orderBy("stage")
+              .cast("long") % lit(1000000007L)), lit(0L))).head()
+        def idxSig(tag: String, path: String, v: Long): (String, Long, Long) = {
+          val r = graft.operators.Scale.readSnapshot(s, path, Some(v))
+            .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+          (tag, r.getLong(0), r.getLong(1))
+        }
+        val rows =
+          Seq("hist_quality", "hist_exact", "delta_quality", "delta_exact",
+              "delta_probe", "delta_near", "delta_sample")
+            .map(n => (n, p.sigs(n)._1, p.sigs(n)._2)) ++
+          Seq(idxSig("index_v0", p.bandIdxPath, 0L),
+            idxSig("index_v1", p.bandIdxPath, 1L),
+            idxSig("fp_index_v1", p.fpIdxPath, 1L),
+            ("delta_chunks", chunkRow.getLong(0), chunkRow.getLong(1)))
+        p.unpersistAll()
+        val sp = s; import sp.implicits._
+        rows.toDF("stage", "n_rows", "sig").orderBy("stage")
       },
       Some(s"""
         WITH RECURSIVE

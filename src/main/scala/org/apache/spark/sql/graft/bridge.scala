@@ -37,6 +37,19 @@ object bridge {
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)
 
+  /** A DataFrame over an arbitrary resolved logical plan —
+    * `Dataset.ofRows` is `private[sql]`, but the DML commands
+    * (graft.plans.GraftDml) must turn the analyzer-resolved
+    * target/source plans back into DataFrames so the resolved merge
+    * condition and assignments (which reference those plans' attribute
+    * ids) bind exactly.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** A DataFrame over a CUSTOM [[org.apache.spark.sql.execution.datasources.FileIndex]]
     * — the extension seam Delta/Iceberg use for file-level data skipping:
     * the index's `listFiles(partitionFilters, dataFilters)` sees the

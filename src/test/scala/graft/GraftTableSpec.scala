@@ -155,12 +155,12 @@ class GraftTableSpec extends SparkSpec {
     Scale.writeMorBase(spark, path, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
     GraftTable.buildIndex(spark, path, morKey = Some("k"))
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    val staleMarker = new graft.io.MorMarkerRelation(spark, path,
+    val staleMarker = new graft.io.GraftMarkerRelation(spark, path, None,
       Seq((1L, "a")).toDF("k", "s").schema)
     val lr = LogicalRelation(staleMarker)
-    val rule = graft.plans.MorTableRewrite(spark)
+    val rule = graft.plans.GraftTableRewrite(spark)
     assert(rule(lr).collectLeaves().forall {
-      case l: LogicalRelation => !l.relation.isInstanceOf[graft.io.MorMarkerRelation]
+      case l: LogicalRelation => !l.relation.isInstanceOf[graft.io.GraftMarkerRelation]
       case _ => true
     })
     // REPLACE the base with k retyped to string (arity + names unchanged)
@@ -239,7 +239,7 @@ class GraftTableSpec extends SparkSpec {
     val pinned = spark.read.format("graft")
       .option("version", "0").load(path)
     assert(pinned.count() == 4000)
-    // merge-on-read through format("graft"): the MorTableRewrite rule
+    // merge-on-read through format("graft"): the GraftTableRewrite rule
     // expands the marker — deletes applied, never silently skipped
     val morPath = tmp("gt_sql_mor")
     Scale.writeMorBase(spark, morPath, clusteredDf)
@@ -301,14 +301,14 @@ class GraftTableSpec extends SparkSpec {
     Scale.writeMorBase(spark, path, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
     graft.operators.GraftTable.buildIndex(spark, path, morKey = Some("k"))
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    val staleMarker = new graft.io.MorMarkerRelation(spark, path,
+    val staleMarker = new graft.io.GraftMarkerRelation(spark, path, None,
       Seq((1L, 10L)).toDF("k", "v").schema)
     val lr = LogicalRelation(staleMarker)
-    val rule = graft.plans.MorTableRewrite(spark)
+    val rule = graft.plans.GraftTableRewrite(spark)
     // same generation: rewrite succeeds and leaves no marker behind
     val ok = rule(lr)
     assert(ok.collectLeaves().forall {
-      case l: LogicalRelation => !l.relation.isInstanceOf[graft.io.MorMarkerRelation]
+      case l: LogicalRelation => !l.relation.isInstanceOf[graft.io.GraftMarkerRelation]
       case _ => true
     })
     Scale.writeMorBase(spark, path, Seq((10L, 1L), (20L, 2L)).toDF("v", "k"))

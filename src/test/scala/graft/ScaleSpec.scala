@@ -1370,6 +1370,40 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.getMessage.contains("renamed"))
   }
 
+  test("cross-process lock handshake: a second JVM is excluded while the lock is held, and our writers respect a foreign lock") {
+    // OCC interleaving is proven in-JVM (the interleaved-writer tests);
+    // this pins the CROSS-PROCESS half of the story with a real forked
+    // JVM: (1) while one process holds the maintenance lock file, a
+    // second process's exclusive-create fails; (2) a graft writer in
+    // THIS process respects a lock created by the OTHER process —
+    // failing loudly, never interleaving. The primitive is
+    // FileSystem.create(overwrite=false): exact on HDFS, best-effort on
+    // the local FS (check-then-act) — the racing-create caveat is the
+    // documented single-maintainer contract in DESIGN.md.
+    val t = java.nio.file.Files.createTempDirectory("graft_xproc").toString + "/t"
+    Scale.writeSnapshotCdf(spark, t, Seq((1L, 10L)).toDF("k", "v"), "k")
+    val cp = System.getProperty("java.class.path")
+    def probe(): Int = new ProcessBuilder(
+      "java", "-cp", cp, "graft.LockProbeMain", t)
+      .inheritIO().start().waitFor()
+    // we hold the lock -> the other process must lose
+    val lock = new java.io.File(t + "__maint_lock")
+    assert(lock.createNewFile(), "test setup: lock should be free")
+    assert(probe() == 17, "a second JVM must fail to take a held lock")
+    assert(lock.delete())
+    // the other process holds the lock -> our writers must fail loudly
+    assert(probe() == 0, "a second JVM must acquire a free lock")
+    val e = intercept[IllegalStateException] {
+      Scale.writeSnapshotCdf(spark, t, Seq((2L, 20L)).toDF("k", "v"), "k")
+    }
+    assert(e.getMessage.contains("maintenance already in flight"),
+      s"foreign lock must exclude our writers loudly: ${e.getMessage}")
+    assert(lock.delete())
+    // and the retry after the foreign process releases converges
+    Scale.writeSnapshotCdf(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "k")
+    assert(Scale.latestSnapshot(spark, t).contains(1L))
+  }
+
   test("writeSnapshotIdempotent removes an orphan feed before committing") {
     import org.apache.hadoop.fs.Path
     val t = java.nio.file.Files.createTempDirectory("graft_cdf_orphan2").toString + "/t"

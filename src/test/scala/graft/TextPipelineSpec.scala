@@ -76,7 +76,7 @@ class TextPipelineSpec extends SparkSpec {
     assert(c("delta_probe") < c("delta_exact"),
       s"index probe dropped nothing from a corpus with known near-dups: $c")
     // every surviving delta doc is in the delta residue class
-    val dn = spark.read.parquet(s"$out/delta_near")
+    val dn = p.frames("delta_near")
     assert(dn.filter(col("doc_id") % 4 =!= 3).count() == 0,
       "a history doc leaked into the delta stages")
     // index maintenance is incremental: v1 = v0 + the survivors' bands,
@@ -89,19 +89,19 @@ class TextPipelineSpec extends SparkSpec {
     // cross-batch exact dedup: no delta survivor shares a fingerprint
     // with the committed history index
     val hFp = graft.operators.Scale.readSnapshot(spark, p.fpIdxPath, Some(0L)).select("fp")
-    val deFp = spark.read.parquet(s"$out/delta_exact")
+    val deFp = p.frames("delta_exact")
       .select(TextOps.fingerprint(col("text")).as("fp"))
     assert(deFp.join(hFp, Seq("fp"), "left_semi").count() == 0,
       "a delta doc with a history fingerprint survived delta_exact")
     // cross-batch near dedup: no probe survivor shares an un-capped band
     // with index v0
-    val dpBands = TextPipeline.bandRows(
-      spark.read.parquet(s"$out/delta_probe"), openGate)
+    val dpBands = TextPipeline.bandRows(p.frames("delta_probe"), openGate)
     assert(dpBands.join(v0.select("band_idx", "band_val"),
       Seq("band_idx", "band_val"), "left_semi").count() == 0,
       "a delta doc sharing a history LSH band survived the probe")
     // the commit wall times are first-class stage evidence
     assert(p.durations.contains("commit_v0") && p.durations.contains("commit_v1"))
+    p.unpersistAll()
   }
 
   test("the DAG is deterministic: two runs produce identical chunk sets") {
