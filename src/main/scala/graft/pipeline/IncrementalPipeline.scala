@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 import graft.operators.Scale
@@ -55,39 +55,61 @@ class IncrementalPipeline(spark: SparkSession, docsPath: String, outRoot: String
 
   val durations = scala.collection.mutable.LinkedHashMap.empty[String, Double]
   val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-  /** Per-stage (row count, sum(doc_id)) — the p2 gate's signatures,
-    * computed EAGERLY while the stage is pinned. */
+  /** Per-stage (row count, signature) — the p2 gate's evidence, filled
+    * from the observations once [[run]] completes. */
   val sigs = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-  /** The pinned stage frames (valid until [[unpersistAll]]). */
+  /** The materialized stage frames (parquet-backed). */
   val frames = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
 
-  /** Pin a stage in memory (spill-safe) instead of checkpointing it to
-    * parquet: each stage feeds 2–3 consumers (the next stage, the index
-    * commits, its own signature), so it must materialize exactly once —
-    * but nothing ever re-reads it ACROSS runs, so a durable parquet
-    * round-trip (encode + write + re-read per stage, the round-18 bench
-    * finding: a ~0.3 s/stage floor × 10 stages dominating p2 at gate
-    * scale) bought replay isolation no consumer used. One job per stage
-    * now materializes the cache AND computes the gate signature. The
-    * DURABLE artifacts of the refresh — the fingerprint + band index
-    * snapshots and the training chunks — still commit to storage
-    * (timedCommit / the caller); only scratch handoffs stay in memory.
+  private val observations =
+    scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.Observation]
+
+  /** Attach the stage's gate signature as OBSERVED METRICS riding
+    * whatever downstream job first evaluates this frame — zero extra
+    * jobs and zero extra scans (the round-19 p2 diet: at gate scale the
+    * old per-stage checkpoint + count cost ~0.3 s of job overhead per
+    * stage regardless of data volume). `sigExpr` defaults to the doc
+    * signature (sum of doc_id); the chunk stage signs its text hash.
+    */
+  private def tap(name: String, df: DataFrame,
+                  sigExpr: Column = coalesce(sum(col("doc_id")), lit(0L))): DataFrame = {
+    val o = org.apache.spark.sql.Observation(s"p2_$name")
+    observations(name) = o
+    df.observe(o, count(lit(1)).cast("long").as("n"), sigExpr.cast("long").as("sig"))
+  }
+
+  /** Materialize a MULTI-CONSUMER stage to parquet (temp-dir + rename
+    * swap, /dev/shm-backed scratch) so each of its 2–3 consumers reads
+    * the files instead of recomputing the lineage. Single-consumer
+    * stages skip this and FUSE into their consumer's job ([[fused]]):
+    * the old always-checkpoint discipline paid a per-stage write+count
+    * job whose replay isolation nothing used.
     */
   private def stage(name: String)(df: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
-    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val r = pinned.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+    val back = TextPipeline.materialize(spark, outRoot, name, tap(name, df))
     durations(name) = (System.nanoTime() - t0) / 1e9
-    counts(name) = r.getLong(0)
-    sigs(name) = (r.getLong(0), r.getLong(1))
-    frames(name) = pinned
-    pinned
+    frames(name) = back
+    back
   }
 
-  /** Release every pinned stage (call once the caller is done reading
-    * [[frames]] / the returned chunks). */
-  def unpersistAll(): Unit =
-    frames.valuesIterator.foreach { f => f.unpersist(); () }
+  /** A single-consumer stage: observed for its gate signature, fused
+    * into the consumer's job (its wall time rides the consumer's
+    * duration; recorded as 0 here so sums stay consistent).
+    */
+  private def fused(name: String)(df: => DataFrame): DataFrame = {
+    durations(name) = 0.0
+    tap(name, df)
+  }
+
+  /** Drain every observation into [[counts]]/[[sigs]] — call only after
+    * every stage's consumer job has run. */
+  private def drainObservations(): Unit =
+    observations.foreach { case (name, o) =>
+      val m = o.get
+      counts(name) = m("n").asInstanceOf[Long]
+      sigs(name) = (m("n").asInstanceOf[Long], m("sig").asInstanceOf[Long])
+    }
 
   /** Time a snapshot commit under its own `durations` key, so the
     * bench's per-stage artifact accounts for the FULL p2 wall (the
@@ -114,7 +136,9 @@ class IncrementalPipeline(spark: SparkSession, docsPath: String, outRoot: String
     val delta = docs.filter(col("doc_id") % deltaMod === deltaRes)
 
     // ---- bootstrap (batch 1): curate history, commit index v0 ----
-    val hq = stage("hist_quality")(TextPipeline.qualityGate(history, cfg))
+    // hist_quality has ONE consumer (hist_exact) — fused; its metrics
+    // ride hist_exact's write job
+    val hq = fused("hist_quality")(TextPipeline.qualityGate(history, cfg))
     val he = stage("hist_exact")(TextPipeline.exactDedup(hq))
     timedCommit("commit_v0") {
       Scale.writeSnapshot(spark, fpIdxPath, fingerprints(he))
@@ -124,28 +148,49 @@ class IncrementalPipeline(spark: SparkSession, docsPath: String, outRoot: String
     val bandV0 = Scale.readSnapshot(spark, bandIdxPath, Some(0L))
 
     // ---- refresh (batch 2): every stage scans only the delta ----
-    val dq = stage("delta_quality")(TextPipeline.qualityGate(delta, cfg))
+    val dq = fused("delta_quality")(TextPipeline.qualityGate(delta, cfg))
     val de = stage("delta_exact") {
       TextPipeline.exactDedup(dq)
         .withColumn("__fp", TextOps.fingerprint(col("text")))
         .join(fpV0.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
         .drop("__fp")
     }
+    // the delta's band evidence is computed ONCE (MinHash is the
+    // expensive expression) and reused three times: the history probe,
+    // the within-delta cluster pass (semi-joined to the survivors),
+    // and the index-v1 commit — the old flow re-minhashed the
+    // shrinking survivor sets at each step
+    val t0b = System.nanoTime()
+    val deBands = TextPipeline.materialize(spark, outRoot, "delta_bands",
+      TextPipeline.bandRows(de, cfg))
+    durations("delta_bands") = (System.nanoTime() - t0b) / 1e9
+    def bandsOf(survivors: DataFrame): DataFrame =
+      deBands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
     val dp = stage("delta_probe")(TextOps.dedupAgainstIndex(
-      de, TextPipeline.bandRows(de, cfg), bandV0, cfg.maxBucketSize))
-    val dn = stage("delta_near")(TextPipeline.nearDedup(dp, cfg))
+      de, deBands, bandV0, cfg.maxBucketSize))
+    val dn = stage("delta_near")(
+      TextPipeline.nearDedupWithBands(dp, bandsOf(dp), cfg))
 
     // index maintenance: v1 = v0 + the survivors' evidence (history is
     // never re-banded; the committed v0 frame is unioned lazily, so the
     // write re-reads v0's files, not its lineage)
     timedCommit("commit_v1") {
       Scale.writeSnapshot(spark, bandIdxPath,
-        bandV0.unionByName(TextPipeline.bandRows(dn, cfg)))
+        bandV0.unionByName(bandsOf(dn)))
       Scale.writeSnapshot(spark, fpIdxPath, fpV0.unionByName(fingerprints(dn)))
     }
 
-    val ds = stage("delta_sample")(TextPipeline.sample(dn, cfg))
-    val dc = stage("delta_chunks")(TextPipeline.chunks(ds, cfg))
+    val ds = fused("delta_sample")(TextPipeline.sample(dn, cfg))
+    // the chunks ARE the durable product — written once, signed by the
+    // chunk-text hash riding the same write
+    val t0 = System.nanoTime()
+    val dc = TextPipeline.materialize(spark, outRoot, "delta_chunks",
+      tap("delta_chunks", TextPipeline.chunks(ds, cfg),
+        coalesce(sum(conv(substring(md5(col("chunk_text")), 1, 10), 16, 10)
+          .cast("long") % lit(1000000007L)), lit(0L))))
+    durations("delta_chunks") = (System.nanoTime() - t0) / 1e9
+    frames("delta_chunks") = dc
+    drainObservations()
     TextPipeline.lastRunDurations = durations.toMap
     dc
   }

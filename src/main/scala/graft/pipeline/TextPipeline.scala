@@ -154,8 +154,16 @@ object TextPipeline {
     * canonical representative (the min doc_id); docs in no pair
     * survive untouched.
     */
-  def nearDedup(in: DataFrame, cfg: Config): DataFrame = {
-    val pairs = TextOps.lshPairsBounded(bandRows(in, cfg), cfg.maxBucketSize)
+  def nearDedup(in: DataFrame, cfg: Config): DataFrame =
+    nearDedupWithBands(in, bandRows(in, cfg), cfg)
+
+  /** [[nearDedup]] with the band rows supplied by the caller — the
+    * incremental pipeline computes each delta doc's bands ONCE
+    * (MinHash is the expensive expression) and reuses the frame across
+    * the probe, the within-delta cluster pass, and the index commit.
+    */
+  def nearDedupWithBands(in: DataFrame, bands: DataFrame, cfg: Config): DataFrame = {
+    val pairs = TextOps.lshPairsBounded(bands, cfg.maxBucketSize)
     val reps = TextOps.clusterPairs(pairs)
     // anti-join on the non-representatives: clustered docs keep exactly
     // their min-id member, unclustered docs pass through

@@ -173,30 +173,25 @@ object PipelineQueries {
         val out = java.nio.file.Files.createTempDirectory(checkpointParent, "run_").toString
         val p = new graft.pipeline.IncrementalPipeline(
           s, s"$d/documents.parquet", out, gateCfg)
-        val dc = p.run()
-        // stage signatures were computed EAGERLY while each stage was
-        // pinned (one job per stage — the round-18 diet replacing the
-        // per-stage parquet round-trips); the index signatures read the
-        // REAL committed snapshot tables, and the chunk signature runs
-        // on the returned frame before the pins are released
-        val chunkRow = dc
-          .agg(count(lit(1)),
-            coalesce(sum(conv(substring(md5(col("chunk_text")), 1, 10), 16, 10)
-              .cast("long") % lit(1000000007L)), lit(0L))).head()
-        def idxSig(tag: String, path: String, v: Long): (String, Long, Long) = {
-          val r = graft.operators.Scale.readSnapshot(s, path, Some(v))
-            .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
-          (tag, r.getLong(0), r.getLong(1))
-        }
+        p.run()
+        // every stage signature arrived as OBSERVED METRICS riding the
+        // stage writes (zero extra jobs — the round-19 diet); only the
+        // committed index snapshots are re-read, in ONE union-aggregate
+        // job, because the gate's claim is about what is ON DISK
+        val idxRows = Seq(
+            ("index_v0", p.bandIdxPath, 0L), ("index_v1", p.bandIdxPath, 1L),
+            ("fp_index_v1", p.fpIdxPath, 1L))
+          .map { case (tag, path, v) =>
+            graft.operators.Scale.readSnapshot(s, path, Some(v))
+              .select(lit(tag).as("stage"), col("doc_id")) }
+          .reduce(_.unionByName(_))
+          .groupBy("stage")
+          .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         val rows =
           Seq("hist_quality", "hist_exact", "delta_quality", "delta_exact",
-              "delta_probe", "delta_near", "delta_sample")
-            .map(n => (n, p.sigs(n)._1, p.sigs(n)._2)) ++
-          Seq(idxSig("index_v0", p.bandIdxPath, 0L),
-            idxSig("index_v1", p.bandIdxPath, 1L),
-            idxSig("fp_index_v1", p.fpIdxPath, 1L),
-            ("delta_chunks", chunkRow.getLong(0), chunkRow.getLong(1)))
-        p.unpersistAll()
+              "delta_probe", "delta_near", "delta_sample", "delta_chunks")
+            .map(n => (n, p.sigs(n)._1, p.sigs(n)._2)) ++ idxRows
         val sp = s; import sp.implicits._
         rows.toDF("stage", "n_rows", "sig").orderBy("stage")
       },

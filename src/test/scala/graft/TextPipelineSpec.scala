@@ -101,7 +101,6 @@ class TextPipelineSpec extends SparkSpec {
       "a delta doc sharing a history LSH band survived the probe")
     // the commit wall times are first-class stage evidence
     assert(p.durations.contains("commit_v0") && p.durations.contains("commit_v1"))
-    p.unpersistAll()
   }
 
   test("the DAG is deterministic: two runs produce identical chunk sets") {
