@@ -79,7 +79,8 @@ object Explain {
     "r92_cdf_topk_slack_maintenance", "r93_cdf_distinct_maintenance",
     "r94_cdf_squash", "r95_cdf_schema_evolution",
     "t61_cdf_dedup_index_maintenance", "r96_cdf_checkpoint_read",
-    "r97_cdf_column_rename", "r98_mor_derived_feed")
+    "r97_cdf_column_rename", "r98_mor_derived_feed",
+    "h16_sql_time_travel")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is
