@@ -80,7 +80,12 @@ object Explain {
     "r94_cdf_squash", "r95_cdf_schema_evolution",
     "t61_cdf_dedup_index_maintenance", "r96_cdf_checkpoint_read",
     "r97_cdf_column_rename", "r98_mor_derived_feed",
-    "h16_sql_time_travel")
+    "h16_sql_time_travel",
+    // h19's frame is a union of per-version time-travel reads driven by
+    // the TVF's version list; h21's is the SQL changes view (the
+    // checkpoint-anchored feed union). h20 is absent like h15/h17/h18:
+    // its returned frame is a post-maintenance table read-back.
+    "h19_sql_history", "h21_sql_changes")
   // r45_range_join_rule is deliberately absent: its gate query returns a
   // localCheckpoint (materialized while the rule's conf is armed), so its
   // explain is just the checkpoint scan — the rewrite's plan shape is

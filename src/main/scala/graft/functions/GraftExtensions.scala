@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DML (MERGE/UPDATE/DELETE/INSERT) on graft targets, routed
     // through the snapshot/MoR commit protocol; no-op otherwise
     ext.injectResolutionRule(graft.plans.GraftDmlRule(_))
+    // SQL introspection: graft_history / graft_files table functions
+    graft.plans.GraftMeta.allTvfs.foreach(ext.injectTableFunction)
+    // SQL maintenance: VACUUM GRAFT / OPTIMIZE GRAFT statements via a
+    // delegating parser (non-graft SQL passes through verbatim)
+    ext.injectParser((s, delegate) => new graft.plans.GraftSqlParser(s, delegate))
   }
 }
 
@@ -207,11 +212,19 @@ object GraftExtensions {
     fingerprint, tokens, stopwordRatio, bpeishTokenCount, tokenCount,
     rollingHash, langId, deterministicSample, dot, l2dist2, cosine, topk)
 
-  /** Imperative registration for an already-built session. */
+  /** Imperative registration for an already-built session (scalar
+    * functions AND the [[graft.plans.GraftMeta]] table functions; the
+    * parser, which has no live-session hook, only arrives via
+    * `spark.sql.extensions` at session build).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)
+    }
+    val tvfs = spark.sessionState.tableFunctionRegistry
+    graft.plans.GraftMeta.allTvfs.foreach { case (id, info, builder) =>
+      tvfs.registerFunction(id, info, builder)
     }
   }
 }

@@ -17,7 +17,12 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * The returned relation IS the GraftFileIndex-backed parquet relation,
   * so pushed-down predicates prune files at scan planning exactly as in
   * `GraftTable.read`. Options: `path` (required), `version` (optional
-  * snapshot pin — time travel). Registered via
+  * snapshot pin — time travel), `changesFrom`/`changesTo` (optional,
+  * together — the view is the CHANGE FEED over `(from, to]` exactly as
+  * `Scale.readChangesBetween`: data columns under current logical
+  * names + `_change_type` + `_commit_version`, served from feed
+  * checkpoints when the range is anchored at one; read-only — DML on a
+  * changes view is a loud error). Registered via
   * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister.
   * Merge-on-read tables return a [[GraftMarkerRelation]] that the
   * [[graft.plans.GraftTableRewrite]] resolution rule (injected by
@@ -34,7 +39,29 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "the graft source needs a path: .load(path) or OPTIONS (path '…')"))
     val version = parameters.get("version").map(_.toLong)
-    graft.operators.GraftTable.pruningRelation(
-      sqlContext.sparkSession, path, version)
+    val changes =
+      (parameters.get("changesFrom"), parameters.get("changesTo")) match {
+        case (Some(f), Some(t)) => Some((f.toLong, t.toLong))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "changesFrom and changesTo come together: " +
+            "OPTIONS (path '…', changesFrom '<v>', changesTo '<v>')")
+      }
+    changes match {
+      case Some((f, t)) =>
+        require(version.isEmpty,
+          "a changes read spans versions — it cannot also pin one " +
+            "(drop the version option)")
+        // validates the range (fromV < toV, toV committed, no feed
+        // holes) and yields the read's schema — loud at CREATE VIEW,
+        // not first SELECT
+        val schema = graft.operators.Scale.readChangesBetween(
+          sqlContext.sparkSession, path, f, t).schema
+        new GraftMarkerRelation(sqlContext.sparkSession, path, None,
+          schema, changes)
+      case None =>
+        graft.operators.GraftTable.pruningRelation(
+          sqlContext.sparkSession, path, version)
+    }
   }
 }

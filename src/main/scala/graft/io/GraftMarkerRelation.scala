@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.StructType
   *     users would see (and predicate against) physical names that
   *     renames left behind;
   *   - version-pinned reads of such tables (SQL time travel via
-  *     `OPTIONS (version '<n>')`).
+  *     `OPTIONS (version '<n>')`);
+  *   - CHANGE-FEED reads (`OPTIONS (changesFrom 'F', changesTo 'T')`,
+  *     `changes` = Some((F, T))) — the read is
+  *     `Scale.readChangesBetween`: checkpoint-anchored feed union with
+  *     column-mapping aliases, never a single parquet leaf.
   *
   * The analyzer rule [[graft.plans.GraftTableRewrite]] (injected by
   * [[graft.functions.GraftExtensions]]) replaces the marker during
@@ -34,7 +38,8 @@ final class GraftMarkerRelation(
     @transient val session: SparkSession,
     val path: String,
     val version: Option[Long],
-    override val schema: StructType) extends BaseRelation with TableScan {
+    override val schema: StructType,
+    val changes: Option[(Long, Long)] = None) extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = session.sqlContext
 

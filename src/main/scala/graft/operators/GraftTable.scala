@@ -92,6 +92,23 @@ object GraftTable {
   private def genFiles(spark: SparkSession, g: Gen): Seq[FileStatus] =
     g.dataDirs.flatMap(d => dataFiles(spark, d))
 
+  /** The current generation's data files as `(generation tag, file
+    * path, bytes)` — the pre-pruning read set a [[read]] would list,
+    * exposed for the `graft_files` SQL table function
+    * ([[graft.plans.GraftMeta]]). Metadata-listing cost only. */
+  def currentDataFiles(spark: SparkSession, path: String)
+      : Seq[(String, Path, Long)] = {
+    val g = resolve(spark, path)
+    g.dataDirs.flatMap { d =>
+      val tag = new Path(d).getName match {
+        case n if n.startsWith("v=") || n.startsWith("base_v=") ||
+          n.startsWith("a=") => n
+        case _ => "" // plain dir: the root itself
+      }
+      dataFiles(spark, d).map(st => (tag, st.getPath, st.getLen))
+    }
+  }
+
   /** Build (or rebuild) the table's skipping index for its CURRENT
     * committed generation: one grouped-aggregate scan per manifest —
     * min/max zones for `zoneCols` (long or string typed from the data

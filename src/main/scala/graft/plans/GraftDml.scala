@@ -99,6 +99,12 @@ object GraftDml {
     plan.collectFirst {
       case lr: LogicalRelation if lr.relation.isInstanceOf[graft.io.GraftMarkerRelation] =>
         val m = lr.relation.asInstanceOf[graft.io.GraftMarkerRelation]
+        // a change-feed view is a READ of the commit log, not a table:
+        // DML through it must never reach the underlying table
+        require(m.changes.isEmpty,
+          s"${m.path}: this view is a change feed " +
+            s"(changesFrom/changesTo ${m.changes.get}) — change feeds " +
+            "are read-only; run DML against a table view of the path")
         Target(m.path, m.version)
       case lr: LogicalRelation
           if lr.relation.isInstanceOf[HadoopFsRelation] &&

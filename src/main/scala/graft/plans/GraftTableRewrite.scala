@@ -51,8 +51,15 @@ case class GraftTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteMarkers(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case lr: LogicalRelation if lr.relation.isInstanceOf[graft.io.GraftMarkerRelation] =>
       val m = lr.relation.asInstanceOf[graft.io.GraftMarkerRelation]
-      val inner = graft.operators.GraftTable.read(spark, m.path, m.version)
-        .queryExecution.analyzed
+      val inner = (m.changes match {
+        // change-feed marker: the view IS readChangesBetween's plan —
+        // checkpoint-anchored feed union, logical-name aliases, the
+        // `_change_type`/`_commit_version` stamps
+        case Some((f, t)) =>
+          graft.operators.Scale.readChangesBetween(spark, m.path, f, t)
+        case None =>
+          graft.operators.GraftTable.read(spark, m.path, m.version)
+      }).queryExecution.analyzed
       // Count, names AND types: a same-arity rename/reorder of the base
       // would otherwise bind view attributes to the wrong table columns
       // positionally, and a same-name RETYPE (long → string) would reuse

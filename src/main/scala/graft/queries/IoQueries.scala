@@ -1206,6 +1206,260 @@ object IoQueries {
         WHERE (doc_id % 2 = 0 AND lang <> 'es') OR (doc_id % 2 = 1 AND lang = 'fr')
         GROUP BY lang ORDER BY lang""")),
 
+    // h19: SQL TABLE HISTORY / FILE INTROSPECTION — the graft_history /
+    // graft_files TVFs (DESCRIBE HISTORY, as composable SQL). A table
+    // accumulates every commit-object kind (3 CDF commits, a rename, a
+    // feed checkpoint); the TVF's rows must agree with the INDEPENDENT
+    // library observables (listSnapshots / latestSnapshot /
+    // snapshotColMap / the current read set), and time-travel reads
+    // driven by the TVF's own version list must reproduce each
+    // historical state. Oracle: the three versions' contents recomputed
+    // from raw documents.
+    Q("h19_sql_history",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory(scratchParent, "h19_")
+        val t = root.resolve("t").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val v0 = docs.filter(col("doc_id") % 2 === 0)
+        val v1 = v0.filter(col("lang") =!= "de")
+        val v2 = v1.unionByName(
+          docs.filter(col("doc_id") % 2 === 1 && col("lang") === "fr"))
+        graft.operators.Scale.writeSnapshotCdf(s, t, v0, "doc_id")
+        graft.operators.Scale.writeSnapshotCdf(s, t, v1, "doc_id")
+        graft.operators.Scale.writeSnapshotCdf(s, t, v2, "doc_id")
+        graft.operators.Scale.renameSnapshotColumn(s, t, "n_chars", "len")
+        graft.operators.Scale.squashFeed(s, t, "doc_id", 0L, 2L)
+        val hist = s.sql(
+          s"SELECT * FROM graft_history('$t') ORDER BY kind, version, detail")
+          .collect().toSeq
+        def of(kind: String) = hist.filter(_.getString(0) == kind)
+        val snaps = of("snapshot")
+        require(snaps.map(_.getLong(1)) ==
+            graft.operators.Scale.listSnapshots(s, t),
+          "h19: history's snapshot versions must equal listSnapshots")
+        require(snaps.filter(_.getBoolean(5)).map(_.getLong(1)) ==
+            graft.operators.Scale.latestSnapshot(s, t).toSeq,
+          "h19: exactly the pointer target is current")
+        require(of("feed").map(_.getLong(1)) == snaps.map(_.getLong(1)),
+          "h19: every CDF commit carries its feed dir")
+        require(of("feed_checkpoint").map(_.getString(2)) == Seq("0..2"),
+          "h19: the squashed range appears as a feed_checkpoint row")
+        require(of("rename").map(_.getString(2)) == Seq("len<-n_chars"),
+          "h19: the _colmap entry appears as a rename row")
+        val files = s.sql(
+          s"SELECT * FROM graft_files('$t') ORDER BY tag, rel_path")
+          .collect().toSeq
+        require(files.nonEmpty && files.forall(_.getString(0) == "v=2"),
+          "h19: the current read set lives entirely in the pointer target")
+        require(files.size == snaps.find(_.getLong(1) == 2L).get.getInt(3),
+          "h19: graft_files count == history's current-snapshot file count")
+        // SQL can aggregate the TVF like any table
+        val nKinds = s.sql(
+          s"SELECT count(DISTINCT kind) AS k FROM graft_history('$t')")
+          .head().getLong(0)
+        require(nKinds == 4L,
+          s"h19: snapshot/feed/feed_checkpoint/rename kinds, got $nKinds")
+        // drive time travel from the TVF's own version list — reads
+        // surface the CURRENT logical name (len) for every version
+        snaps.map(_.getLong(1)).map { v =>
+          graft.operators.GraftTable.read(s, t, Some(v))
+            .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+            .select(lit(v).as("version"), col("n_docs"), col("sum_len"))
+        }.reduce(_.unionByName(_)).orderBy("version")
+      },
+      Some("""
+        SELECT 0 AS version, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_len
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 1, count(*), CAST(sum(n_chars) AS BIGINT)
+        FROM documents WHERE doc_id % 2 = 0 AND lang <> 'de'
+        UNION ALL
+        SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT)
+        FROM documents
+        WHERE (doc_id % 2 = 0 AND lang <> 'de') OR (doc_id % 2 = 1 AND lang = 'fr')
+        ORDER BY version""")),
+
+    // h20: SQL MAINTENANCE STATEMENTS — VACUUM GRAFT / OPTIMIZE GRAFT
+    // through the injected delegating parser, each statement calling
+    // the SAME library entry point as programmatic maintenance (same
+    // lock, same crash-safety) and returning queryable status rows.
+    // In-band: SQL SQUASH writes the 0..3 checkpoint and the feed still
+    // serves the full span afterwards; SQL VACUUM removes exactly the
+    // non-retained versions; SQL COMPACT DELETES folds the MoR delete
+    // files into a new base whose state matches the returned row; SQL
+    // REINDEX returns the applied spec with fresh manifests for the
+    // compacted base. Oracle: both tables' final contents recomputed
+    // from raw documents.
+    Q("h20_sql_maintenance",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory(scratchParent, "h20_")
+        val t = root.resolve("t").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val v0 = docs.filter(col("doc_id") % 2 === 0)
+        val v1 = v0.filter(col("lang") =!= "de")
+        val v2 = v1.unionByName(
+          docs.filter(col("doc_id") % 2 === 1 && col("lang") === "fr"))
+        val v3 = v2.withColumn("n_chars",
+          when(col("lang") === "es", col("n_chars") + 11L)
+            .otherwise(col("n_chars")))
+        Seq(v0, v1, v2, v3).foreach(
+          graft.operators.Scale.writeSnapshotCdf(s, t, _, "doc_id"))
+        val ck = s.sql(
+          s"OPTIMIZE GRAFT '$t' SQUASH FEED KEY doc_id FROM 0 TO 3")
+          .collect().toSeq
+        require(ck.map(_.getString(0)) == Seq("c=0_3"),
+          "h20: SQUASH FEED must report the checkpoint it wrote")
+        // the SQL-written checkpoint must actually SERVE anchored reads:
+        // a (0..3] read comes back entirely stamped at the checkpoint's
+        // upper bound (no per-commit tail), and its net content equals
+        // squashing the raw per-commit feeds — compared BEFORE the
+        // vacuum below, which sweeps the covered per-commit dirs (a raw
+        // read afterwards is by contract a loud error, not comparable)
+        val viaCkpt = graft.operators.Scale.readChangesBetween(s, t, 0L, 3L)
+        require(viaCkpt.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).toSeq == Seq(3L),
+          "h20: the anchored read is served by the SQL-written checkpoint")
+        val rawNet = graft.operators.Scale.cdfSquash(
+          graft.operators.Scale.readChangesBetween(s, t, 0L, 3L,
+            useCheckpoints = false), "doc_id")
+        val cmpCols = Seq("doc_id", "lang", "n_chars", "_change_type").map(col)
+        require(viaCkpt.select(cmpCols: _*)
+            .exceptAll(rawNet.select(cmpCols: _*)).isEmpty &&
+          rawNet.select(cmpCols: _*)
+            .exceptAll(viaCkpt.select(cmpCols: _*)).isEmpty,
+          "h20: checkpoint content == net of the raw per-commit feeds")
+        val removed = s.sql(s"VACUUM GRAFT '$t' RETAIN 2 VERSIONS")
+          .collect().map(_.getLong(0)).toSeq
+        require(removed == Seq(0L, 1L),
+          s"h20: VACUUM RETAIN 2 removes exactly v0,v1 — got $removed")
+        require(graft.operators.Scale.listSnapshots(s, t) == Seq(2L, 3L),
+          "h20: retained versions survive the vacuum")
+        // and the checkpoint outlives the sweep: the anchored read still
+        // serves after the covered per-commit feeds are gone
+        require(graft.operators.Scale.readChangesBetween(s, t, 0L, 3L)
+            .select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).toSeq == Seq(3L),
+          "h20: the checkpoint survives the vacuum and keeps serving")
+        // merge-on-read lineage: two delete commits, folded by ONE SQL
+        // statement into a new base
+        val m = root.resolve("m").toString
+        graft.operators.Scale.writeMorBase(s, m, v0)
+        graft.operators.GraftTable.buildIndex(s, m,
+          zoneCols = Seq("n_chars"), morKey = Some("doc_id"))
+        graft.operators.Scale.appendDeletes(s, m,
+          v0.filter(col("lang") === "es").select("doc_id"))
+        graft.operators.Scale.appendDeletes(s, m,
+          v0.filter(col("lang") === "zh").select("doc_id"))
+        val st = s.sql(s"OPTIMIZE GRAFT '$m' COMPACT DELETES KEY doc_id")
+          .collect().toSeq
+        require(st.map(r => (r.getLong(0), r.getLong(1))) ==
+            Seq((graft.operators.Scale.morPointer(s, m).get._1,
+              graft.operators.Scale.morPointer(s, m).get._2)),
+          "h20: COMPACT DELETES reports the post-compaction pointer state")
+        require(st.head.getLong(0) >= 1L,
+          "h20: compaction commits a NEW base generation")
+        val spec = s.sql(s"OPTIMIZE GRAFT '$m' REINDEX").collect().toSeq
+        require(spec.map(_.getString(0)) == Seq("n_chars"),
+          "h20: REINDEX reports the zone spec it rebuilt")
+        require(new java.io.File(
+            s"$m/_index/base_v=${st.head.getLong(0)}").exists(),
+          "h20: fresh manifests cover the compacted base")
+        val snapAgg = graft.operators.Scale.readSnapshot(s, t)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .select(lit("snap").as("src"), col("lang"), col("n_docs"), col("sum_chars"))
+        val morAgg = graft.operators.GraftTable.read(s, m)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .select(lit("mor").as("src"), col("lang"), col("n_docs"), col("sum_chars"))
+        snapAgg.unionByName(morAgg).orderBy("src", "lang")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'snap' AS src, lang, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN lang = 'es' THEN n_chars + 11 ELSE n_chars END) AS BIGINT) AS sum_chars
+          FROM documents
+          WHERE (doc_id % 2 = 0 AND lang <> 'de') OR (doc_id % 2 = 1 AND lang = 'fr')
+          GROUP BY lang
+          UNION ALL
+          SELECT 'mor', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+          FROM documents
+          WHERE doc_id % 2 = 0 AND lang NOT IN ('es', 'zh')
+          GROUP BY lang
+        ) AS u ORDER BY src, lang""")),
+
+    // h21: SQL CHANGE-FEED READS — the CDC consumer surface as pure
+    // SQL: `USING graft OPTIONS (changesFrom, changesTo)` is
+    // readChangesBetween as a view (insert/delete/update pre+post
+    // rows, `_commit_version` stamps, CURRENT logical names across a
+    // rename, checkpoint-anchored serving). In-band: the anchored read
+    // is served from the SQL-visible checkpoint (commit stamps collapse
+    // to {1, 2}), SQL rows == programmatic readChangesBetween
+    // byte-for-byte, and DML through the changes view is rejected —
+    // a change feed is a read of the commit log, never a table. Oracle:
+    // each commit's row-level change set recomputed from raw documents.
+    Q("h21_sql_changes",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory(scratchParent, "h21_")
+        val t = root.resolve("t").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val v0 = docs.filter(col("doc_id") % 2 === 0)
+        val v1 = v0.filter(col("lang") =!= "de")
+          .withColumn("n_chars",
+            when(col("lang") === "es", col("n_chars") + 7L)
+              .otherwise(col("n_chars")))
+        val v2 = v1.unionByName(
+          docs.filter(col("doc_id") % 2 === 1 && col("lang") === "fr"))
+        Seq(v0, v1, v2).foreach(
+          graft.operators.Scale.writeSnapshotCdf(s, t, _, "doc_id"))
+        graft.operators.Scale.renameSnapshotColumn(s, t, "n_chars", "len")
+        graft.operators.Scale.squashFeed(s, t, "doc_id", 0L, 1L)
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW h21_c USING graft " +
+          s"OPTIONS (path '$t', changesFrom '0', changesTo '2')")
+        val sqlRows = s.sql(
+          """SELECT doc_id, lang, len, _change_type, _commit_version
+             FROM h21_c ORDER BY _commit_version, _change_type, doc_id""")
+        val prog = graft.operators.Scale.readChangesBetween(s, t, 0L, 2L)
+          .select("doc_id", "lang", "len", "_change_type", "_commit_version")
+          .orderBy("_commit_version", "_change_type", "doc_id")
+        require(sqlRows.collect().toSeq == prog.collect().toSeq,
+          "h21: the SQL changes view must equal readChangesBetween byte-for-byte")
+        require(sqlRows.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+          "h21: the 0-anchored read is served by checkpoint c=0_1 " +
+            "(stamped 1) plus the v2 tail — never per-commit v1 dirs")
+        val dmlRejected =
+          try { s.sql("DELETE FROM h21_c WHERE doc_id = 0"); false }
+          catch { case _: Exception => true }
+        require(dmlRejected, "h21: a change feed is read-only for DML")
+        // SQL composes over the feed like any table: per-commit,
+        // per-change-type row counts and len totals
+        val agg = s.sql("""
+          SELECT _commit_version AS commit_v, _change_type AS change_type,
+                 count(*) AS n_rows, sum(len) AS sum_len
+          FROM h21_c GROUP BY 1, 2 ORDER BY 1, 2""")
+        require(agg.count() == 4,
+          "h21 premise: de deletes, es updates (pre+post), fr inserts " +
+            "must all be non-empty at this sf — the oracle enumerates " +
+            "all four groups unconditionally")
+        agg
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 1 AS commit_v, 'delete' AS change_type, count(*) AS n_rows,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_len
+          FROM documents WHERE doc_id % 2 = 0 AND lang = 'de'
+          UNION ALL
+          SELECT 1, 'update_preimage', count(*), CAST(sum(n_chars) AS BIGINT)
+          FROM documents WHERE doc_id % 2 = 0 AND lang = 'es'
+          UNION ALL
+          SELECT 1, 'update_postimage', count(*), CAST(sum(n_chars + 7) AS BIGINT)
+          FROM documents WHERE doc_id % 2 = 0 AND lang = 'es'
+          UNION ALL
+          SELECT 2, 'insert', count(*), CAST(sum(n_chars) AS BIGINT)
+          FROM documents WHERE doc_id % 2 = 1 AND lang = 'fr'
+        ) AS u ORDER BY commit_v, change_type""")),
+
     // h3: MULTI-DIMENSION (Z-ORDER) DATA SKIPPING — h2 prunes files by
     // ONE clustered column; h3 is the Delta/Iceberg liquid-layout move
     // for 2-D predicates: the layout Morton-interleaves (n_chars,

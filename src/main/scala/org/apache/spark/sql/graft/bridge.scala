@@ -37,6 +37,13 @@ object bridge {
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)
 
+  /** Same drain for injected TABLE functions (graft_history et al). */
+  def registerInjectedTableFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry =
+    ext.registerTableFunctions(reg)
+
   /** A DataFrame over an arbitrary resolved logical plan —
     * `Dataset.ofRows` is `private[sql]`, but the DML commands
     * (graft.plans.GraftDml) must turn the analyzer-resolved
