@@ -426,6 +426,97 @@ object IoQueries {
         out
       })
 
+  /** h19's INTROSPECTION lineage table — every commit-object kind at
+    * one root (3 CDF commits, a rename, a feed checkpoint). The query
+    * only READS it (history/files TVFs + time travel), so the layout
+    * memoizes whole. Also h21's base: same chain shape, plus es
+    * updates in v1 so the feed carries all four change types.
+    */
+  private val sqlHistCopies =
+    new LayoutCache[String]("io_sqlhist_docs")
+
+  private[graft] def sqlHistDocs(s: SparkSession, d: String): String =
+    sqlHistCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "sqlhist_").toString + "/t"
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val v0 = docs.filter(col("doc_id") % 2 === 0)
+        val v1 = v0.filter(col("lang") =!= "de")
+        val v2 = v1.unionByName(
+          docs.filter(col("doc_id") % 2 === 1 && col("lang") === "fr"))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v0, "doc_id")
+        graft.operators.Scale.writeSnapshotCdf(s, out, v1, "doc_id")
+        graft.operators.Scale.writeSnapshotCdf(s, out, v2, "doc_id")
+        graft.operators.Scale.renameSnapshotColumn(s, out, "n_chars", "len")
+        graft.operators.Scale.squashFeed(s, out, "doc_id", 0L, 2L)
+        out
+      })
+
+  /** h21's CHANGE-FEED table: 3 CDF commits with deletes (de),
+    * updates (es, +7) and inserts (odd fr), a rename, and a (0..1]
+    * checkpoint — immutable once built (the query reads the changes
+    * view; its DML attempt is REJECTED before any write).
+    */
+  private val sqlCdfCopies =
+    new LayoutCache[String]("io_sqlcdf_docs")
+
+  private[graft] def sqlCdfDocs(s: SparkSession, d: String): String =
+    sqlCdfCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchParent, "sqlcdf_").toString + "/t"
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val v0 = docs.filter(col("doc_id") % 2 === 0)
+        val v1 = v0.filter(col("lang") =!= "de")
+          .withColumn("n_chars",
+            when(col("lang") === "es", col("n_chars") + 7L)
+              .otherwise(col("n_chars")))
+        val v2 = v1.unionByName(
+          docs.filter(col("doc_id") % 2 === 1 && col("lang") === "fr"))
+        Seq(v0, v1, v2).foreach(
+          graft.operators.Scale.writeSnapshotCdf(s, out, _, "doc_id"))
+        graft.operators.Scale.renameSnapshotColumn(s, out, "n_chars", "len")
+        graft.operators.Scale.squashFeed(s, out, "doc_id", 0L, 1L)
+        out
+      })
+
+  /** h20's MAINTENANCE template: the snapshot chain (t: v0..v3) and
+    * the merge-on-read lineage (m: base + index + two delete commits)
+    * the SQL maintenance statements then MUTATE — so each run COPIES
+    * this immutable template (tiny: metadata + a few snapshot files)
+    * and runs VACUUM/OPTIMIZE on its own copy.
+    */
+  private val sqlMaintCopies =
+    new LayoutCache[String]("io_sqlmaint_docs")
+
+  private[graft] def sqlMaintDocs(s: SparkSession, d: String): String =
+    sqlMaintCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val root = java.nio.file.Files
+          .createTempDirectory(scratchParent, "sqlmaint_").toString
+        val t = s"$root/t"
+        val m = s"$root/m"
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val v0 = docs.filter(col("doc_id") % 2 === 0)
+        val v1 = v0.filter(col("lang") =!= "de")
+        val v2 = v1.unionByName(
+          docs.filter(col("doc_id") % 2 === 1 && col("lang") === "fr"))
+        val v3 = v2.withColumn("n_chars",
+          when(col("lang") === "es", col("n_chars") + 11L)
+            .otherwise(col("n_chars")))
+        Seq(v0, v1, v2, v3).foreach(
+          graft.operators.Scale.writeSnapshotCdf(s, t, _, "doc_id"))
+        graft.operators.Scale.writeMorBase(s, m, v0)
+        graft.operators.GraftTable.buildIndex(s, m,
+          zoneCols = Seq("n_chars"), morKey = Some("doc_id"))
+        graft.operators.Scale.appendDeletes(s, m,
+          v0.filter(col("lang") === "es").select("doc_id"))
+        graft.operators.Scale.appendDeletes(s, m,
+          v0.filter(col("lang") === "zh").select("doc_id"))
+        root
+      })
+
   /** h8's PARTITION-SPEC EVOLUTION layout: one logical table whose two
     * generations carry DIFFERENT partition specs — the legacy batch
     * (doc_id % 3 == 0) laid out `lang=` only, the current batch
@@ -1217,18 +1308,10 @@ object IoQueries {
     // from raw documents.
     Q("h19_sql_history",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory(scratchParent, "h19_")
-        val t = root.resolve("t").toString
-        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-        val v0 = docs.filter(col("doc_id") % 2 === 0)
-        val v1 = v0.filter(col("lang") =!= "de")
-        val v2 = v1.unionByName(
-          docs.filter(col("doc_id") % 2 === 1 && col("lang") === "fr"))
-        graft.operators.Scale.writeSnapshotCdf(s, t, v0, "doc_id")
-        graft.operators.Scale.writeSnapshotCdf(s, t, v1, "doc_id")
-        graft.operators.Scale.writeSnapshotCdf(s, t, v2, "doc_id")
-        graft.operators.Scale.renameSnapshotColumn(s, t, "n_chars", "len")
-        graft.operators.Scale.squashFeed(s, t, "doc_id", 0L, 2L)
+        // the lineage table is IMMUTABLE once built (the query only
+        // reads: history TVF, files TVF, time travel) — memoized like
+        // every other commit-chain layout
+        val t = sqlHistDocs(s, d)
         val hist = s.sql(
           s"SELECT * FROM graft_history('$t') ORDER BY kind, version, detail")
           .collect().toSeq
@@ -1292,18 +1375,19 @@ object IoQueries {
     // from raw documents.
     Q("h20_sql_maintenance",
       (s, d) => {
+        // the statements MUTATE their tables, so each run copies the
+        // memoized immutable template (t: v0..v3 chain, m: MoR lineage)
+        // and runs the SQL maintenance on its own copy
         val root = java.nio.file.Files.createTempDirectory(scratchParent, "h20_")
-        val t = root.resolve("t").toString
-        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-        val v0 = docs.filter(col("doc_id") % 2 === 0)
-        val v1 = v0.filter(col("lang") =!= "de")
-        val v2 = v1.unionByName(
-          docs.filter(col("doc_id") % 2 === 1 && col("lang") === "fr"))
-        val v3 = v2.withColumn("n_chars",
-          when(col("lang") === "es", col("n_chars") + 11L)
-            .otherwise(col("n_chars")))
-        Seq(v0, v1, v2, v3).foreach(
-          graft.operators.Scale.writeSnapshotCdf(s, t, _, "doc_id"))
+        val conf = s.sparkContext.hadoopConfiguration
+        // copy target must NOT pre-exist: FileUtil.copy nests the source
+        // under an existing directory instead of filling it
+        val dst = new org.apache.hadoop.fs.Path(root.resolve("c").toString)
+        val fs = dst.getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(sqlMaintDocs(s, d)),
+          fs, dst, false, conf)
+        val t = root.resolve("c/t").toString
         val ck = s.sql(
           s"OPTIMIZE GRAFT '$t' SQUASH FEED KEY doc_id FROM 0 TO 3")
           .collect().toSeq
@@ -1340,16 +1424,10 @@ object IoQueries {
             .select("_commit_version").distinct()
             .collect().map(_.getLong(0)).toSeq == Seq(3L),
           "h20: the checkpoint survives the vacuum and keeps serving")
-        // merge-on-read lineage: two delete commits, folded by ONE SQL
-        // statement into a new base
-        val m = root.resolve("m").toString
-        graft.operators.Scale.writeMorBase(s, m, v0)
-        graft.operators.GraftTable.buildIndex(s, m,
-          zoneCols = Seq("n_chars"), morKey = Some("doc_id"))
-        graft.operators.Scale.appendDeletes(s, m,
-          v0.filter(col("lang") === "es").select("doc_id"))
-        graft.operators.Scale.appendDeletes(s, m,
-          v0.filter(col("lang") === "zh").select("doc_id"))
+        // merge-on-read lineage (from the copied template: base + index
+        // + two delete commits), folded by ONE SQL statement into a new
+        // base
+        val m = root.resolve("c/m").toString
         val st = s.sql(s"OPTIMIZE GRAFT '$m' COMPACT DELETES KEY doc_id")
           .collect().toSeq
         require(st.map(r => (r.getLong(0), r.getLong(1))) ==
@@ -1400,20 +1478,9 @@ object IoQueries {
     // each commit's row-level change set recomputed from raw documents.
     Q("h21_sql_changes",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory(scratchParent, "h21_")
-        val t = root.resolve("t").toString
-        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-        val v0 = docs.filter(col("doc_id") % 2 === 0)
-        val v1 = v0.filter(col("lang") =!= "de")
-          .withColumn("n_chars",
-            when(col("lang") === "es", col("n_chars") + 7L)
-              .otherwise(col("n_chars")))
-        val v2 = v1.unionByName(
-          docs.filter(col("doc_id") % 2 === 1 && col("lang") === "fr"))
-        Seq(v0, v1, v2).foreach(
-          graft.operators.Scale.writeSnapshotCdf(s, t, _, "doc_id"))
-        graft.operators.Scale.renameSnapshotColumn(s, t, "n_chars", "len")
-        graft.operators.Scale.squashFeed(s, t, "doc_id", 0L, 1L)
+        // immutable once built (the DML attempt below is REJECTED
+        // before any write), so the table memoizes whole
+        val t = sqlCdfDocs(s, d)
         s.sql(s"CREATE OR REPLACE TEMPORARY VIEW h21_c USING graft " +
           s"OPTIONS (path '$t', changesFrom '0', changesTo '2')")
         val sqlRows = s.sql(
