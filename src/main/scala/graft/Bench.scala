@@ -476,7 +476,15 @@ object Bench {
       // the 250-query gate outgrew), carrying per-query detail to ~450
       // queries. Names reconstruct from any same-commit artifact's
       // sorted key set (oracle_sql.json, bench_out.json); full
-      // key→value detail is always in bench_out.json.
+      // key→value detail is always in bench_out.json. The vals body is
+      // dense enough that the diag block fits BESIDE it well past 300
+      // queries (271-query gate: ~950 + ~220 chars), so diag-carrying
+      // variants come first — the 271-query gate outgrew the kv tiers
+      // and was silently losing the per-query self-diagnosis vectors.
+      () => line(s""""diag":${diagJson(results)},"qunit":"ds","qfmt":"vals","qorder":"name","qcount":${
+        mins.size},"queries":${Jsons.str(valsBody)},"""),
+      () => line(s""""diag":${diagJson(results, 3)},"qunit":"ds","qfmt":"vals","qorder":"name","qcount":${
+        mins.size},"queries":${Jsons.str(valsBody)},"""),
       () => line(s""""qunit":"ds","qfmt":"vals","qorder":"name","qcount":${
         mins.size},"queries":${Jsons.str(valsBody)},"""),
       () => line(s""""diag":${diagJson(results)},"detail":"bench_out.json","""))
