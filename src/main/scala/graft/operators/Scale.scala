@@ -971,8 +971,19 @@ object Scale {
       // callers speak logical names (frame AND key); the diff, the feed,
       // and the data dirs all live in physical names
       val cmap = snapshotColMap(spark, path)
-      val df = toPhysicalCols(df0, cmap)
+      val df0phys = toPhysicalCols(df0, cmap)
       val keyCol = cmap.map(_.swap).getOrElse(keyCol0, keyCol0)
+      // Write the data dir FIRST, then drive the uniqueness check and
+      // the diff off the WRITTEN bytes: the incoming frame's lineage —
+      // arbitrary caller computation — runs once instead of three times
+      // (round-19: the dup-check and the diff's new-side each re-ran
+      // the whole MERGE computation in the SQL DML path). Crash
+      // discipline is unchanged: the pointer still moves only after
+      // data + feed exist, and a require tripping here leaves an
+      // uncommitted above-pointer dir — the same garbage any crashed
+      // writer leaves, swept by vacuumSnapshots.
+      df0phys.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
+      val df = spark.read.parquet(s"$path/v=$next")
       val dupKeys = df.groupBy(keyCol).count().filter(col("count") > 1).limit(1).count()
       require(dupKeys == 0L,
         s"writeSnapshotCdf: key column $keyCol is not unique in the incoming frame")
@@ -1037,7 +1048,6 @@ object Scale {
             .withColumn("_change_type", lit("update_postimage"))
           ins.unionByName(del).unionByName(pre).unionByName(post)
       }
-      df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
       changes.write.mode(SaveMode.Overwrite).parquet(s"$path/_cdf/v=$next")
       // record the PHYSICAL key name so argument-free consumers (SQL
       // DML routing through this commit protocol) can keep the feed
@@ -1972,6 +1982,54 @@ object Scale {
     * paid to record them, so the READER pays one scan; the snapshot
     * lineage makes the opposite trade).
     */
+  /** The MoR row universe up to commit `toC` — base + appends, each row
+    * stamped with its birth commit (`__seq`) and the commit of the FIRST
+    * equality-delete after its birth (`__kill`, NULL when never deleted)
+    * — the per-row lifetime record both the derived feed and the as-of
+    * sigs read off. One broadcast-guarded probe of the delete-key lists
+    * ([[maybeBroadcastDeletes]]); `keepAll=false` keeps only rows that
+    * ever die (an INNER probe — the feed's delete-image path needs
+    * nothing else and drops never-deleted rows at the join), while
+    * `keepAll=true` keeps the full universe (LEFT probe) so a consumer
+    * can evaluate liveness at ANY commit in one pass instead of one
+    * reconciliation scan per version.
+    */
+  private[graft] def morUniverseWithKill(spark: SparkSession, path: String,
+                                         keyCol: String, toC: Long,
+                                         keepAll: Boolean = false): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (v, fence) = morPointer(spark, path).getOrElse(throw new IllegalStateException(
+      s"no committed merge-on-read base at $path"))
+    val base = spark.read.parquet(s"$path/base_v=$v")
+    val rows = appendDirs(fs, path, fence, toC).foldLeft(
+      base.withColumn("__seq", lit(fence - 1))) { case (acc, (c, p)) =>
+      acc.unionByName(spark.read.parquet(p).withColumn("__seq", lit(c)))
+    }
+    val delDs = deleteDirs(fs, path, fence, toC)
+    if (delDs.isEmpty) {
+      if (keepAll) rows.withColumn("__kill", lit(null).cast("long"))
+      else rows.limit(0).withColumn("__kill", lit(null).cast("long"))
+    } else {
+      val keys = delDs.map { case (c, p) =>
+        spark.read.parquet(p).toDF("key").withColumn("__dc", lit(c))
+      }.reduce(_.unionByName(_)).distinct()
+      // per key: the ascending list of delete commits (tiny — a key is
+      // rarely deleted twice); per row: the FIRST delete after its
+      // birth is the killing commit, if any
+      val perKey = maybeBroadcastDeletes(spark, fs, delDs,
+        keys.groupBy("key")
+          .agg(sort_array(collect_list(col("__dc"))).as("__dcs")))
+      rows.join(perKey, rows(keyCol) === perKey("key"),
+          if (keepAll) "left" else "inner")
+        .withColumn("__kill",
+          // get(), not getItem: ANSI mode throws on index-into-empty
+          // (a row never deleted has an empty filtered list — NULL)
+          get(filter(col("__dcs"), dc => dc > col("__seq")), lit(0)))
+        .drop("key", "__dcs")
+    }
+  }
+
   def morChangesBetween(spark: SparkSession, path: String, keyCol: String,
                         fromC: Long, toC: Long,
                         includeBootstrap: Boolean = false): DataFrame = {
@@ -1987,38 +2045,18 @@ object Scale {
       s"commit $toC not committed yet")
     val base = spark.read.parquet(s"$path/base_v=$v")
     val dataCols = base.columns.toIndexedSeq
-    // row universe for delete images: everything born at-or-before toC
-    val rows = appendDirs(fs, path, fence, toC).foldLeft(
-      base.withColumn("__seq", lit(fence - 1))) { case (acc, (c, p)) =>
-      acc.unionByName(spark.read.parquet(p).withColumn("__seq", lit(c)))
-    }
     val delDs = deleteDirs(fs, path, fence, toC)
     val deletes =
-      if (delDs.isEmpty) rows.limit(0)
-        .withColumn("__kill", lit(null).cast("long")).drop("__seq")
+      if (delDs.isEmpty) base.limit(0)
         .withColumn("_change_type", lit("delete"))
-        .withColumnRenamed("__kill", "_commit_version")
-      else {
-        val keys = delDs.map { case (c, p) =>
-          spark.read.parquet(p).toDF("key").withColumn("__dc", lit(c))
-        }.reduce(_.unionByName(_)).distinct()
-        // per key: the ascending list of delete commits (tiny — a key is
-        // rarely deleted twice); per row: the FIRST delete after its
-        // birth is the killing commit, if any
-        val perKey = maybeBroadcastDeletes(spark, fs, delDs,
-          keys.groupBy("key")
-            .agg(sort_array(collect_list(col("__dc"))).as("__dcs")))
-        rows.join(perKey, rows(keyCol) === perKey("key"), "inner")
-          .withColumn("__kill",
-            // get(), not getItem: ANSI mode throws on index-into-empty
-            // (a row never deleted has an empty filtered list — NULL)
-            get(filter(col("__dcs"), dc => dc > col("__seq")), lit(0)))
+        .withColumn("_commit_version", lit(null).cast("long"))
+      else
+        morUniverseWithKill(spark, path, keyCol, toC)
           .filter(col("__kill").isNotNull &&
             col("__kill") > lit(fromC) && col("__kill") <= lit(toC))
           .select((dataCols.map(col) :+
             lit("delete").as("_change_type") :+
             col("__kill").as("_commit_version")): _*)
-      }
     val inserts = appendDirs(fs, path, fence, toC)
       .filter { case (c, _) => c > fromC }
       .map { case (c, p) =>

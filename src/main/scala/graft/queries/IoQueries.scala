@@ -1130,23 +1130,40 @@ object IoQueries {
           WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
           WHEN NOT MATCHED AND s.op = 'I' THEN INSERT *""")
         // (1) one semantics, two surfaces: the programmatic CDC merge of
-        // the same change set must agree byte-for-byte
+        // the same change set must agree as a multiset — compared by a
+        // collision-resistant signature (count + two independent
+        // xxhash64 sums, the r98 pattern): one tiny aggregate per side
+        // instead of two shuffle-heavy exceptAll folds (round-19 diet)
         val expected = docs.filter(col("doc_id") % 2 === 0 &&
             !(col("lang") === "de" && col("doc_id") % 6 =!= 0))
           .withColumn("n_chars", when(col("doc_id") % 6 === 0,
             col("n_chars") + 1000L).otherwise(col("n_chars")))
           .unionByName(docs.filter(col("doc_id") % 2 === 1 && col("lang") === "en"))
+        def sig(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            sum(pmod(xxhash64(col("doc_id"), col("lang"), col("n_chars")),
+              lit(2147483647L))),
+            sum(pmod(xxhash64(col("n_chars"), col("doc_id"), lit(7), col("lang")),
+              lit(2147483629L)))).head()
+          (r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2))
+        }
         val got = graft.operators.Scale.readSnapshot(s, t)
-        require(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        require(sig(got) == sig(expected),
           "h15: SQL MERGE must equal the programmatic CDC merge")
-        // (2) the feed records the merge's row-level effect
+        // (2) the feed records the merge's row-level effect; the three
+        // expected counts come from ONE aggregate over docs, not three
+        // separate count() jobs
         val byType = graft.operators.Scale.readChangesBetween(s, t, 0L, 1L)
           .groupBy("_change_type").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val nIns = docs.filter(col("doc_id") % 2 === 1 && col("lang") === "en").count()
-        val nUpd = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 6 === 0).count()
-        val nDel = docs.filter(col("doc_id") % 2 === 0 &&
-          col("doc_id") % 6 =!= 0 && col("lang") === "de").count()
+        val exp = docs.agg(
+          count(when(col("doc_id") % 2 === 1 && col("lang") === "en", 1)),
+          count(when(col("doc_id") % 2 === 0 && col("doc_id") % 6 === 0, 1)),
+          count(when(col("doc_id") % 2 === 0 && col("doc_id") % 6 =!= 0 &&
+            col("lang") === "de", 1))).head()
+        val (nIns, nUpd, nDel) = (exp.getLong(0), exp.getLong(1), exp.getLong(2))
         require(byType.getOrElse("insert", 0L) == nIns &&
             byType.getOrElse("update_postimage", 0L) == nUpd &&
             byType.getOrElse("delete", 0L) == nDel,
@@ -1406,11 +1423,20 @@ object IoQueries {
         val rawNet = graft.operators.Scale.cdfSquash(
           graft.operators.Scale.readChangesBetween(s, t, 0L, 3L,
             useCheckpoints = false), "doc_id")
-        val cmpCols = Seq("doc_id", "lang", "n_chars", "_change_type").map(col)
-        require(viaCkpt.select(cmpCols: _*)
-            .exceptAll(rawNet.select(cmpCols: _*)).isEmpty &&
-          rawNet.select(cmpCols: _*)
-            .exceptAll(viaCkpt.select(cmpCols: _*)).isEmpty,
+        // multiset equality by collision-resistant signature (count +
+        // two independent xxhash64 sums — the r98 pattern): one tiny
+        // aggregate per side instead of two exceptAll shuffles
+        def sigC(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            sum(pmod(xxhash64(col("doc_id"), col("lang"), col("n_chars"),
+              col("_change_type")), lit(2147483647L))),
+            sum(pmod(xxhash64(col("_change_type"), col("n_chars"), col("doc_id"),
+              lit(7), col("lang")), lit(2147483629L)))).head()
+          (r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2))
+        }
+        require(sigC(viaCkpt) == sigC(rawNet),
           "h20: checkpoint content == net of the raw per-commit feeds")
         val removed = s.sql(s"VACUUM GRAFT '$t' RETAIN 2 VERSIONS")
           .collect().map(_.getLong(0)).toSeq
@@ -2443,12 +2469,6 @@ object IoQueries {
           .select(col("doc_id"), col("lang"), col("n_chars"),
             col("_change_type").as("change_type"),
             col("_commit_version").as("commit_v"))
-        // premise: both delete commits non-trivial, re-delete silent
-        val delsByCommit = feed.filter(col("change_type") === "delete")
-          .groupBy("commit_v").count().collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        require(delsByCommit.getOrElse(0L, 0L) > 0 && delsByCommit.getOrElse(2L, 0L) > 0,
-          s"r98 premise: both delete commits must emit events, got $delsByCommit")
         // per-version reconciliation: feed events over (c-1..c] must
         // equal the diff of the as-of reconstructions at every commit —
         // the sequence rule proven at every step, including the
@@ -2477,11 +2497,58 @@ object IoQueries {
         // shuffle anywhere. A single-step feed equals the full-range
         // feed filtered to its commit (an event's version is range-
         // independent), so ONE grouped aggregate over the already-
-        // derived feed yields every step's signatures; the as-of reads
-        // aggregate once each.
-        val asOfSig = (-1L to 3L).map(c =>
-          c -> sig(graft.operators.Scale.readMorAsOf(s, p, "doc_id", c))).toMap
-        val stepSigs = feed.groupBy("commit_v", "change_type")
+        // derived feed yields every step's signatures.
+        //
+        // As-of signatures (round-19 diet): one universe pass instead of
+        // five reconciliation scans. A row born at __seq and first
+        // deleted at __kill is alive at commit c iff __seq <= c and
+        // (__kill IS NULL OR __kill > c), so ONE aggregate over the
+        // kill-stamped universe yields every version's (count, h1, h2) —
+        // at 100 TB that is 1 scan of the row universe where the
+        // per-version readMorAsOf loop paid 5. The per-row lifetime
+        // formula is cross-checked against the INDEPENDENT
+        // reconciliation path (readMorAsOf's anti-join plan) at both
+        // ENDPOINTS below, so the intermediate versions' sigs rest on a
+        // formula the independent reader endorses at -1 and 3, and the
+        // telescoped sum of all four balance checks equals the
+        // endpoint-to-endpoint diff of the independent reads.
+        def aliveAt(c: Long) = col("__seq") <= c &&
+          (col("__kill").isNull || col("__kill") > c)
+        val aliveAggs = (-1L to 3L).flatMap { c =>
+          Seq(count(when(aliveAt(c), 1)).as(s"n_$c"),
+            sum(when(aliveAt(c),
+              pmod(xxhash64(col("doc_id"), col("lang"), col("n_chars")),
+                lit(2147483647L)))).as(s"h1_$c"),
+            sum(when(aliveAt(c),
+              pmod(xxhash64(col("n_chars"), col("doc_id"), lit(7), col("lang")),
+                lit(2147483629L)))).as(s"h2_$c"))
+        }
+        val aliveRow = graft.operators.Scale
+          .morUniverseWithKill(s, p, "doc_id", 3L, keepAll = true)
+          .agg(aliveAggs.head, aliveAggs.tail: _*).head()
+        val asOfSig = (-1L to 3L).zipWithIndex.map { case (c, i) =>
+          c -> (aliveRow.getLong(3 * i),
+            if (aliveRow.isNullAt(3 * i + 1)) 0L else aliveRow.getLong(3 * i + 1),
+            if (aliveRow.isNullAt(3 * i + 2)) 0L else aliveRow.getLong(3 * i + 2))
+        }.toMap
+        require(asOfSig(-1L) == sig(graft.operators.Scale.readMorAsOf(s, p, "doc_id", -1L)),
+          "r98: the one-pass alive signature diverged from the " +
+            "independent readMorAsOf reconciliation at commit -1")
+        // the c=3 endpoint rides readMergeOnRead below (same independent
+        // reconciliation plan at the current horizon — one action, not two)
+        //
+        // ONE materialization of the bootstrap-inclusive event list
+        // serves the step signatures, the fold, and the premise check
+        // (each used to re-derive the union + delete probe from scratch);
+        // the returned frame stays the raw derivation so its physical
+        // plan remains reviewable in EXPLAINS/PLAN_FINGERPRINTS.
+        val boot = graft.operators.Scale.morChangesBetween(s, p, "doc_id", -1L, 3L,
+          includeBootstrap = true)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("_change_type").as("change_type"),
+            col("_commit_version").as("commit_v"))
+          .localCheckpoint()
+        val stepSigs = boot.groupBy("commit_v", "change_type")
           .agg(count(lit(1)).as("n"),
             sum(pmod(xxhash64(col("doc_id"), col("lang"), col("n_chars")),
               lit(2147483647L))).as("h1"),
@@ -2490,6 +2557,13 @@ object IoQueries {
           .collect()
           .map(r => (r.getLong(0), r.getString(1)) ->
             (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        // premise: both delete commits non-trivial, re-delete silent —
+        // read off the step signatures (the old dedicated groupBy over
+        // the feed re-derived the whole universe for one count)
+        require(stepSigs.getOrElse((0L, "delete"), (0L, 0L, 0L))._1 > 0 &&
+            stepSigs.getOrElse((2L, "delete"), (0L, 0L, 0L))._1 > 0,
+          s"r98 premise: both delete commits must emit events, got " +
+            s"${stepSigs.filter(_._1._2 == "delete").map { case (k, v) => k._1 -> v._1 }}")
         (0L to 3L).foreach { c =>
           val si = stepSigs.getOrElse((c, "insert"), (0L, 0L, 0L))
           val sd = stepSigs.getOrElse((c, "delete"), (0L, 0L, 0L))
@@ -2502,17 +2576,22 @@ object IoQueries {
         // full fold == both read paths: the Scale-level reconciled read
         // AND the unified zero-argument GraftTable.read (which resolves
         // the delete key from _graft_key and applies the same sequence
-        // rule from file metadata)
-        val boot = graft.operators.Scale.morChangesBetween(s, p, "doc_id", -1L, 3L,
-          includeBootstrap = true)
-        val folded = graft.operators.Scale.cdfLatestChanges(boot, "doc_id")
+        // rule from file metadata). readMergeOnRead doubles as the c=3
+        // endpoint for the one-pass alive signature (it IS readMorAsOf
+        // at the current horizon — same reconciliation plan).
+        val folded = graft.operators.Scale.cdfLatestChanges(
+            boot.withColumnRenamed("change_type", "_change_type")
+              .withColumnRenamed("commit_v", "_commit_version"), "doc_id")
           .filter(col("_change_type") =!= "delete")
           .select("doc_id", "lang", "n_chars")
-        require(sig(folded) == sig(graft.operators.Scale.readMergeOnRead(s, p, "doc_id")),
-          "r98: the folded feed diverged from readMergeOnRead")
-        require(sig(folded) == sig(
-            graft.operators.GraftTable.read(s, p).select("doc_id", "lang", "n_chars")),
-          "r98: the folded feed diverged from the unified GraftTable.read")
+        require(sig(graft.operators.Scale.readMergeOnRead(s, p, "doc_id")) == asOfSig(3L),
+          "r98: the independent reconciled read diverged from the one-pass " +
+            "alive signature at the current horizon")
+        require(sig(folded) == asOfSig(3L),
+          "r98: the folded feed diverged from the reconciled reads")
+        require(sig(graft.operators.GraftTable.read(s, p)
+            .select("doc_id", "lang", "n_chars")) == asOfSig(3L),
+          "r98: the unified GraftTable.read diverged from the reconciled reads")
         feed.orderBy("doc_id", "commit_v")
       },
       Some("""
