@@ -984,12 +984,56 @@ object Scale {
       // writer leaves, swept by vacuumSnapshots.
       df0phys.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
       val df = spark.read.parquet(s"$path/v=$next")
-      val dupKeys = df.groupBy(keyCol).count().filter(col("count") > 1).limit(1).count()
-      require(dupKeys == 0L,
-        s"writeSnapshotCdf: key column $keyCol is not unique in the incoming frame")
+      // ONE key-grouped aggregation computes the whole diff AND both
+      // key-uniqueness checks (round-19; was a dup-check action + a
+      // full-outer join + a separate rescan of a plain-committed
+      // predecessor — three shuffles and two extra driver actions).
+      // Per key: per-side row counts (each must be <= 1 — asserted
+      // in-band via assert_true, so the check costs zero extra passes
+      // and now ALWAYS covers the predecessor, not only plain-committed
+      // ones) plus each side's single row, reassembled into
+      // insert/delete/update_{pre,post}image events. The per-column
+      // conditional FIRSTs keep the aggregation buffer primitive-typed
+      // (hash aggregate, no sort); `!(p <=> n)` per column is exactly
+      // the old struct `=!=` ordering semantics (null fields compare
+      // equal).
+      val inMsg = s"writeSnapshotCdf: key column $keyCol is not unique in the incoming frame"
+      def diffEvents(prevOpt: Option[DataFrame], prevV: Long): DataFrame = {
+        val cols = df.columns.toSeq
+        val n = df.withColumn("__s", lit(1))
+        val u = prevOpt.fold(n)(p => p.withColumn("__s", lit(0)).unionByName(n))
+        val aggs =
+          count(when(col("__s") === 0, 1)).as("__np") +:
+            count(when(col("__s") === 1, 1)).as("__nn") +:
+            cols.flatMap(c => Seq(
+              first(when(col("__s") === 0, col(c)), ignoreNulls = true).as(s"__p_$c"),
+              first(when(col("__s") === 1, col(c)), ignoreNulls = true).as(s"__n_$c")))
+        val g = u.groupBy(col(keyCol).as("__k")).agg(aggs.head, aggs.tail: _*)
+        val prevMsg = s"writeSnapshotCdf: key column $keyCol is not unique in previous version v=$prevV"
+        // assert_true yields NULL when the condition holds, so the
+        // where-clause keeps every row while enforcing the check; it
+        // throws (with the side-specific message) on the first dup key
+        val checked = g.where(assert_true(col("__np") <= 1 && col("__nn") <= 1,
+          when(col("__np") > 1, lit(prevMsg)).otherwise(lit(inMsg))).isNull)
+        def side(prefix: String, tag: String) =
+          struct((cols.map(c => col(s"$prefix$c").as(c)) :+
+            lit(tag).as("_change_type")): _*)
+        val changed = cols.map(c => !(col(s"__p_$c") <=> col(s"__n_$c")))
+          .reduce(_ || _)
+        checked.select(explode(filter(array(
+            when(col("__np") === 0 && col("__nn") === 1, side("__n_", "insert")),
+            when(col("__np") === 1 && col("__nn") === 0, side("__p_", "delete")),
+            when(col("__np") === 1 && col("__nn") === 1 && changed,
+              side("__p_", "update_preimage")),
+            when(col("__np") === 1 && col("__nn") === 1 && changed,
+              side("__n_", "update_postimage"))),
+          x => x.isNotNull)).as("__e"))
+          .select((cols.map(c => col(s"__e.$c").as(c)) :+
+            col("__e._change_type").as("_change_type")): _*)
+      }
       val changes = latest match {
         case None =>
-          df.withColumn("_change_type", lit("insert"))
+          diffEvents(None, -1L)
         case Some(v) =>
           val prev0 = spark.read.parquet(s"$path/v=$v")
           // ADDITIVE schema evolution (the Delta-CDF rule): the incoming
@@ -1013,42 +1057,20 @@ object Scale {
           val prev = added.foldLeft(prev0) { (d, c) =>
             d.withColumn(c, lit(null).cast(df.schema(c).dataType))
           }
-          // The previous version may have been committed with plain
-          // writeSnapshot (mixing is allowed — readChangesBetween only
-          // requires feeds INSIDE the queried range), so its uniqueness
-          // was never checked at ITS commit; a duplicate key there would
-          // fan out the full-outer join and record a silently-wrong
-          // feed. A `_cdf/v=<prev>` dir proves the previous commit went
-          // through THIS writer and was verified then — the common
-          // all-CDF chain pays nothing; only a plain-committed
-          // predecessor costs the one extra O(prev) pass (consistent
-          // with the writer-pays-O(table) contract).
-          if (!fs.exists(new Path(s"$path/_cdf/v=$v"))) {
-            val prevDup = prev.groupBy(keyCol).count()
-              .filter(col("count") > 1).limit(1).count()
-            require(prevDup == 0L,
-              s"writeSnapshotCdf: key column $keyCol is not unique in previous version v=$v")
-          }
-          val cols = df.columns.toSeq
-          val p = prev.select(col(keyCol).as("__k"),
-            struct(cols.map(col): _*).as("__p"))
-          val n = df.select(col(keyCol).as("__k"),
-            struct(cols.map(col): _*).as("__n"))
-          // one shuffle keyed by the key; both sides co-partition
-          val j = p.join(n, Seq("__k"), "full_outer")
-          val ins = j.filter(col("__p").isNull)
-            .select(col("__n.*")).withColumn("_change_type", lit("insert"))
-          val del = j.filter(col("__n").isNull)
-            .select(col("__p.*")).withColumn("_change_type", lit("delete"))
-          val upd = j.filter(col("__p").isNotNull && col("__n").isNotNull &&
-              col("__p") =!= col("__n"))
-          val pre = upd.select(col("__p.*"))
-            .withColumn("_change_type", lit("update_preimage"))
-          val post = upd.select(col("__n.*"))
-            .withColumn("_change_type", lit("update_postimage"))
-          ins.unionByName(del).unionByName(pre).unionByName(post)
+          diffEvents(Some(prev), v)
       }
-      changes.write.mode(SaveMode.Overwrite).parquet(s"$path/_cdf/v=$next")
+      // the in-band uniqueness assert surfaces as a wrapped executor
+      // error; rethrow it under the documented driver-side contract
+      // (IllegalArgumentException naming the offending side)
+      try changes.write.mode(SaveMode.Overwrite).parquet(s"$path/_cdf/v=$next")
+      catch { case e: Throwable =>
+        val msgs = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+          .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+          .mkString("\n")
+        val at = msgs.indexOf("writeSnapshotCdf: key column")
+        if (at < 0) throw e
+        throw new IllegalArgumentException(msgs.substring(at).linesIterator.next())
+      }
       // record the PHYSICAL key name so argument-free consumers (SQL
       // DML routing through this commit protocol) can keep the feed
       // lineage going; last writer wins — the key is a per-commit

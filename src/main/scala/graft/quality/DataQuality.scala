@@ -143,24 +143,51 @@ object DataQuality {
     val metadataResults = rules.collect { case r: ColumnCount =>
       Result(r.text, cmp(df.schema.size.toLong, r.op, r.n), df.schema.size.toLong)
     }
-    val refResults = rules.collect { case r: RefIntegrity =>
-      refs.get(r.refName) match {
-        case None =>
-          Result(s"${r.text} [error: unknown reference '${r.refName}']",
-            passed = false, -1L)
-        case Some(ref) =>
-          try {
-            val violations = df.select(col(r.colName).as("__fk"))
-              .join(ref.select(col(r.refCol).as("__fk")).distinct(),
-                Seq("__fk"), "left_anti")
-              .count()
-            Result(r.text, violations == 0L, violations)
-          } catch {
-            case e: Exception =>
-              Result(s"${r.text} [error: ${e.getMessage}]", passed = false, -1L)
-          }
-      }
+    // All referential rules audit in ONE pass over the fact frame
+    // (round-19; was one left-anti count job PER rule — four full fact
+    // scans for d5): each known rule contributes a left join against
+    // its reference's DISTINCT key set (AQE broadcasts the usual
+    // FK-dimension case) and one conditional sum — a NULL or unmatched
+    // FK leaves the joined key NULL, exactly the rows the anti join
+    // counted. Any failure falls back to the per-rule path so per-rule
+    // error attribution is preserved.
+    val refRules = rules.collect { case r: RefIntegrity => r }
+    def refOne(r: RefIntegrity): Result = refs.get(r.refName) match {
+      case None =>
+        Result(s"${r.text} [error: unknown reference '${r.refName}']",
+          passed = false, -1L)
+      case Some(ref) =>
+        try {
+          val violations = df.select(col(r.colName).as("__fk"))
+            .join(ref.select(col(r.refCol).as("__fk")).distinct(),
+              Seq("__fk"), "left_anti")
+            .count()
+          Result(r.text, violations == 0L, violations)
+        } catch {
+          case e: Exception =>
+            Result(s"${r.text} [error: ${e.getMessage}]", passed = false, -1L)
+        }
     }
+    val refResults: Seq[Result] =
+      if (refRules.isEmpty) Nil
+      else if (refRules.exists(r => !refs.contains(r.refName)) || refRules.size == 1)
+        refRules.map(refOne)
+      else try {
+        val joined = refRules.zipWithIndex.foldLeft(
+          df.select(refRules.map(_.colName).distinct.map(col): _*)) {
+          case (acc, (r, i)) =>
+            acc.join(refs(r.refName).select(col(r.refCol).as(s"__ref_$i")).distinct(),
+              acc(r.colName) === col(s"__ref_$i"), "left")
+        }
+        val aggs = refRules.zipWithIndex.map { case (_, i) =>
+          coalesce(sum(when(col(s"__ref_$i").isNull, 1L).otherwise(0L)),
+            lit(0L)).as(s"__v_$i") }
+        val row = joined.agg(aggs.head, aggs.tail: _*).head()
+        refRules.zipWithIndex.map { case (r, i) =>
+          val violations = row.getAs[Long](s"__v_$i")
+          Result(r.text, violations == 0L, violations)
+        }
+      } catch { case _: Exception => refRules.map(refOne) }
     val metricRules = rules.filter(r =>
       !r.isInstanceOf[ColumnCount] && !r.isInstanceOf[RefIntegrity])
     val metricResults =

@@ -2227,9 +2227,21 @@ object IoQueries {
           .join(graft.operators.Scale.readSnapshot(s, p, Some(2L)),
             Seq("doc_id"), "left_anti")
           .select(dataCols.map(col): _*)
-        require(dels.limit(1).count() > 0 &&
-            dels.exceptAll(expected).unionByName(expected.exceptAll(dels))
-              .limit(1).count() == 0,
+        // multiset equality by collision-resistant signature (count +
+        // two independent xxhash64 sums — the r98 pattern): one tiny
+        // aggregate per side instead of two exceptAll shuffles over
+        // frames that each re-derive the squash fold
+        def sigR(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            sum(pmod(xxhash64(dataCols.map(col): _*), lit(2147483647L))),
+            sum(pmod(xxhash64((dataCols.reverse.map(col) :+ lit(7)): _*),
+              lit(2147483629L)))).head()
+          (r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2))
+        }
+        val (delSig, expSig) = (sigR(dels), sigR(expected))
+        require(delSig._1 > 0 && delSig == expSig,
           "r94 premise: 0..2 net deletes must equal the v0 rows of keys dead at v2")
         squashed.orderBy("doc_id", "change_type")
       },
@@ -2337,8 +2349,19 @@ object IoQueries {
         }
         val recC = reconstruct(ckpt)
         val recR = reconstruct(raw)
-        require(recC.exceptAll(recR).unionByName(recR.exceptAll(recC))
-            .limit(1).count() == 0,
+        // multiset equality by collision-resistant signature (count +
+        // two independent xxhash64 sums — the r98 pattern) instead of
+        // two exceptAll shuffles that each re-derive a reconstruction
+        def sigR(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            sum(pmod(xxhash64(dataCols.map(col): _*), lit(2147483647L))),
+            sum(pmod(xxhash64((dataCols.reverse.map(col) :+ lit(7)): _*),
+              lit(2147483629L)))).head()
+          (r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2))
+        }
+        require(sigR(recC) == sigR(recR),
           "r96: checkpointed and raw feed reads must reconcile row-for-row")
         // the r89 signed-count consumer over the CHECKPOINTED feed:
         // inserts/postimages +1, deletes/preimages −1 — squash-invariant

@@ -261,7 +261,7 @@ object TextQueries {
         // fused path: one token scan assembles each shingle's bytes once
         // and digests all 4 seeds (native.minhashSigArr) — same values
         // as 4 per-seed minhash columns, HashExprsSpec-pinned
-        Tables.documents(s, d)
+        TextOps.fanOut(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
           .select(col("doc_id"),
             graft.functions.native.minhashSigArr(col("__t"), 3, 4).as("__mh"))
@@ -400,7 +400,7 @@ object TextQueries {
 
     // t5: 32-bit SimHash per document.
     Q("t5_simhash",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => TextOps.fanOut(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
         .filter(size(col("t")) > 0)
         .select(col("doc_id"), graft.functions.native.simhash32(col("t")).as("simhash")),
@@ -2384,7 +2384,7 @@ object TextQueries {
     // partial-combined.
     Q("t26_rarity_quality",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val toks = TextOps.fanOut(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
         val top16 = vocab.orderBy(col("cnt").desc, col("tok").asc).limit(16)
@@ -2437,7 +2437,7 @@ object TextQueries {
     // row_number window over the doc's own tokens (bounded partitions).
     Q("t27_tfidf_keyword",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val toks = TextOps.fanOut(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -2629,7 +2629,9 @@ object TextQueries {
         // sf0.1) beats materializing it (localCheckpoint tried: 1.74 s —
         // the (doc,w1,w2) frame is wide relative to the fused codegen
         // scan, unlike t32's reduced distinct-hash frame)
-        val grams = Tables.documents(s, d)
+        // fanOut: the single-row-group scan would otherwise run each
+        // explosion as ONE task (round-19; see TextOps.fanOut)
+        val grams = TextOps.fanOut(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
           .select(col("doc_id"), explode(TextOps.wordNgrams(col("t"), 2)).as("gram"))
           .select(col("doc_id"),
@@ -2790,7 +2792,9 @@ object TextQueries {
         // 100 TB a second codegen'd scan is cheap, a corpus-wide
         // shuffle is the bottleneck. (t43's one-explosion rule applies
         // when the consumers SHARE a shuffle key; these don't.)
-        val grams = Tables.documents(s, d)
+        // fanOut: the single-row-group scan would otherwise run each
+        // explosion as ONE task (round-19; see TextOps.fanOut)
+        val grams = TextOps.fanOut(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
           .select(col("doc_id"), explode(TextOps.wordNgrams(col("t"), 2)).as("gram"))
           .select(col("doc_id"),
@@ -3782,7 +3786,7 @@ object TextQueries {
     // global sort.
     Q("t55_domain_affinity",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val toks = TextOps.fanOut(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), col("source"),
             explode(TextOps.tokens(col("text"))).as("tok"))
           .withColumn("b", pmod(conv(substring(md5(concat(lit("aff"),
@@ -3850,7 +3854,7 @@ object TextQueries {
     Q("t56_quality_classifier",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val feats = docs
+        val feats = TextOps.fanOut(docs, col("doc_id"))
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
           .select(col("doc_id"), pmod(conv(substring(md5(concat(lit("qf"),
             col("tok"))), 1, 8), 16, 10).cast("long"), lit(512L)).as("b"))

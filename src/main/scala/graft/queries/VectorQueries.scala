@@ -167,8 +167,21 @@ object VectorQueries {
       if (v._1.sparkContext.isStopped) { preparedCorpus.remove(k, v); () }
     }
     preparedCorpus.computeIfAbsent(
-      s"${sessionKey(s)}|$dir|${embeddingsFingerprint(s, dir)}", _ =>
-        (s, VectorOps.prepareVectors(Tables.embeddings(s, dir), "embedding").persist()))._2
+      s"${sessionKey(s)}|$dir|${embeddingsFingerprint(s, dir)}", _ => {
+        // fanOut before persist (round-19): the single-row-group scan
+        // would otherwise pin the CACHED corpus to one partition, so
+        // every downstream heavy per-row pass (PQ encode, ADC scans,
+        // exact re-rank) ran as ONE task however many cores the session
+        // has; the cached layout inherits the fan-out once per session.
+        // Materialize EAGERLY: with an exchange now inside the cached
+        // lineage, consumer plan fingerprints would otherwise depend on
+        // whether an earlier query had already built the cache.
+        val prepared = VectorOps.prepareVectors(
+          graft.text.TextOps.fanOut(Tables.embeddings(s, dir), col("vec_id")),
+          "embedding").persist()
+        prepared.count()
+        (s, prepared)
+      })._2
   }
 
   /** Test hook: drop all in-process memoized quantizers. */

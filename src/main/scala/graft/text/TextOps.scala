@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Fan heavy per-row map work out across the cluster when the scan
+    * arrives under-partitioned (round-19: every sf test file is a
+    * single-row-group parquet, so a scan is ONE task however many cores
+    * the session has, and an explode/hash-heavy stage serializes on one
+    * core — the guide's "one huge unsplittable file" input skew).
+    * Deterministic HASH repartition on `key` (never round-robin: task
+    * retries under round-robin re-draw rows, SPARK-38388), targeted at
+    * the session's default parallelism so the fan-out follows the core
+    * count (local[N] and cluster alike, including the driver's
+    * lower-core bench runs). No-op when the source already carries
+    * enough partitions — at 100 TB scans arrive with thousands of
+    * splits and this adds nothing; the planning peek (`rdd
+    * .getNumPartitions`) runs no job.
+    */
+  def fanOut(df: org.apache.spark.sql.DataFrame, key: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
   /** Whitespace tokenization, empty tokens dropped. */
   def tokens(text: Column): Column =
     filter(split(text, " "), x => x =!= "")
@@ -112,7 +133,8 @@ object TextOps {
   def stripBoilerplate(docs: org.apache.spark.sql.DataFrame, textCol: String,
                        idCol: String, n: Int,
                        minDocs: Int): org.apache.spark.sql.DataFrame = {
-    val toked = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val toked = fanOut(docs, col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
     val spans = toked
       .select(col(idCol), posexplode(wordNgrams(col("__t"), n)).as(Seq("__i", "__span")))
       .select(col(idCol), col("__i"),
@@ -161,7 +183,8 @@ object TextOps {
     */
   def lmContinuation(docs: org.apache.spark.sql.DataFrame, textCol: String,
                      idCol: String): org.apache.spark.sql.DataFrame = {
-    val toked = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val toked = fanOut(docs, col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
     val tri = toked
       .select(col(idCol), posexplode(wordNgrams(col("__t"), 3)).as(Seq("__p", "__g")))
     val bi = toked
@@ -203,7 +226,7 @@ object TextOps {
     */
   def dupIntervals(docs: org.apache.spark.sql.DataFrame, textCol: String,
                    idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
-    val spans = docs
+    val spans = fanOut(docs, col(idCol))
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol),
         posexplode(graft.functions.native.spanHashes60(col("__t"), n))
@@ -268,7 +291,9 @@ object TextOps {
              .cast("long").as(s"n_${name}s"),
            regexp_replace(cur, pat, repl))
       }
-    docs.select(col(idCol) +: counts :+ clean.as("clean"): _*)
+    // row-local but regex-heavy: fan the single-task scan out first
+    fanOut(docs, col(idCol))
+      .select(col(idCol) +: counts :+ clean.as("clean"): _*)
       .select(col(idCol), col("n_emails"), col("n_urls"), col("n_ips"),
         col("clean"))
   }
@@ -637,8 +662,20 @@ object TextOps {
         .unionByName(m2.select(col("s"), col("m").as("t")))
         .filter(col("s") =!= col("t")).distinct()
         .localCheckpoint()
-      stable = next.count() == e.count() &&
-        next.join(e, Seq("s", "t"), "left_anti").isEmpty
+      // Fixed-point test by collision-resistant multiset signature
+      // (count + two independent xxhash64 sums) over the two
+      // checkpointed DISTINCT edge sets — two shuffle-free aggregate
+      // scans instead of two counts plus a per-round anti-join shuffle
+      // (round-19; the r98 signature-compare pattern)
+      def esig(d: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val r = d.agg(count(lit(1)),
+          sum(pmod(xxhash64(col("s"), col("t")), lit(2147483647L))),
+          sum(pmod(xxhash64(col("t"), col("s"), lit(7)), lit(2147483629L)))).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
+      stable = esig(next) == esig(e)
       e = next
     }
     require(stable, s"clusterPairsStar did not converge in $maxIter rounds — " +
@@ -1010,7 +1047,9 @@ object TextOps {
     */
   def trigramProfiles(docs: org.apache.spark.sql.DataFrame, textCol: String,
                       langCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
-    val tris = docs
+    // fan key = the text itself (high cardinality; langCol has a
+    // handful of values and would collapse the fan-out to nLangs tasks)
+    val tris = fanOut(docs, col(textCol))
       .select(col(langCol).as("plang"), lower(col(textCol)).as("__lt"))
       .select(col("plang"), explode(charTrigrams(col("__lt"))).as("tri"))
     val counts = tris.groupBy("plang", "tri").agg(count(lit(1)).as("__c"))
@@ -1034,7 +1073,7 @@ object TextOps {
   def classifyByProfiles(docs: org.apache.spark.sql.DataFrame, idCol: String,
                          textCol: String, profiles: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val tris = docs
+    val tris = fanOut(docs, col(idCol))
       .select(col(idCol).as("__id"), lower(col(textCol)).as("__lt"))
       .select(col("__id"), explode(charTrigrams(col("__lt"))).as("tri"))
     // countDistinct, not distinct().count(): the dedup rides the same
