@@ -336,7 +336,15 @@ object StreamExec {
                               nameOf: Int => Option[String]): Unit = {
     java.nio.file.Files.createDirectories(src)
     val tmp = root.resolve(s"__${src.getFileName}_all").toString
-    all.coalesce(1).write.mode("overwrite").partitionBy("__slice").parquet(tmp)
+    // hash-repartition BY SLICE, not coalesce(1): each slice still lands
+    // wholly in one task (one part file per slice dir — the invariant
+    // the mtime-pinned rename below needs), but distinct slices write in
+    // parallel instead of serializing the whole replay input through a
+    // single task (round-19; the slice write was a measured chunk of the
+    // per-replay floor)
+    all.repartition(all.sparkSession.sparkContext.defaultParallelism,
+        col("__slice"))
+      .write.mode("overwrite").partitionBy("__slice").parquet(tmp)
     val baseMtime = (System.currentTimeMillis() / 1000) * 1000 - 3600L * 1000
     // Rows with a NULL slice value land in __slice=__HIVE_DEFAULT_PARTITION__;
     // the old per-slice `=== i` filters dropped them silently, so skip that
