@@ -615,7 +615,10 @@ object RelationalQueries {
             lit(false)))
         val table = java.nio.file.Files.createTempDirectory(
           graft.streaming.StreamExec.scratchParent, "cdc_tbl_").toString + "/t"
-        graft.streaming.StreamExec.replayForeachBatch(log, "version", 3) { b =>
+        // the version keys are synthesized constants 1..3 — static
+        // bounds skip the harness's min/max scan of the change log
+        graft.streaming.StreamExec.replayForeachBatch(log, "version", 3,
+          bounds = Some((1L, 3L))) { b =>
           graft.operators.Scale.mergeParquet(s, table, b, Seq("o_orderkey"),
             Seq(col("version").desc), deleteCol = Some("deleted"))
         }
@@ -667,8 +670,11 @@ object RelationalQueries {
             (col("o_orderkey") % 5).as("slice"))
         val table = java.nio.file.Files.createTempDirectory(
           graft.streaming.StreamExec.scratchParent, "s21_tbl_").toString + "/t"
+        // the slice key is o_orderkey % 5 — static bounds skip the
+        // harness's min/max scan
         graft.streaming.StreamExec.replayForeachBatchRestart(
-          rows, "slice", slices = 5, splitAt = 3) { (b, id) =>
+          rows, "slice", slices = 5, splitAt = 3,
+          bounds = Some((0L, 4L))) { (b, id) =>
           def accumulated = {
             val prev =
               if (graft.operators.Scale.latestSnapshot(s, table).isEmpty) b.limit(0)

@@ -759,7 +759,8 @@ object TextQueries {
           lit(-1L).as("event_id"), lit(hi + latenessUs + 2 * gapUs).as("ts_us"),
           lit(-1L).as("user_id"), lit("__wm").as("event_type"),
           lit(0.0).as("value"))
-        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2) {
+        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2,
+          bounds = Some((lo, hi))) {
           st => graft.streaming.EventStreams.sessionizeNative(
             st, gapUs, lateness = s"$latenessUs microseconds")
         }.filter(col("user_id") >= 0)
@@ -805,7 +806,8 @@ object TextQueries {
           lit(-1L).as("event_id"), lit(hi + latenessUs + 2 * hourUs).as("ts_us"),
           lit(-1L).as("user_id"), lit("__wm").as("event_type"),
           lit(0.0).as("value"))
-        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2) {
+        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2,
+          bounds = Some((lo, hi))) {
           st => graft.streaming.EventStreams.windowedCounts(
             st, "1 hour", s"$latenessUs microseconds")
         }.filter(col("event_type") =!= "__wm")
@@ -840,7 +842,8 @@ object TextQueries {
           lit(-1L).as("event_id"), lit(hi + latenessUs + 2 * hourUs).as("ts_us"),
           lit(-1L).as("user_id"), lit("__wm").as("event_type"),
           lit(0.0).as("value"))
-        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2) {
+        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2,
+          bounds = Some((lo, hi))) {
           st => graft.streaming.EventStreams.slidingCounts(
             st, "1 hour", "30 minutes", s"$latenessUs microseconds")
         }.filter(col("event_type") =!= "__wm")
@@ -984,14 +987,19 @@ object TextQueries {
           col("event_id"), col("ts_us"), col("user_id"),
           col("event_type"), col("value"))
         val gapUs = 1800L * 1000000
-        val hi = ev.agg(max("ts_us")).head().getLong(0)
+        // one min/max pass serves the sentinel AND the slice bounds
+        // (round-20: the harness's internal min/max scan was a measured
+        // chunk of the per-replay floor)
+        val mm = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
         val sentinel = s.range(1).select(
           lit(-1L).as("event_id"), lit(hi + 3 * gapUs + 1000000L).as("ts_us"),
           lit(-1L).as("user_id"), lit("__wm").as("event_type"),
           lit(0.0).as("value"))
         implicit val enc: org.apache.spark.sql.Encoder[graft.streaming.EventStreams.Event] =
           org.apache.spark.sql.Encoders.product[graft.streaming.EventStreams.Event]
-        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2) {
+        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2,
+          bounds = Some((lo, hi))) {
           st => graft.streaming.EventStreams.sessionize(st.as[graft.streaming.EventStreams.Event], gapUs).toDF()
         }.filter(col("user_id") >= 0)
           .select(col("user_id"), col("session_start_us"),
@@ -1036,12 +1044,15 @@ object TextQueries {
           col("event_id"), col("ts_us"), col("user_id"),
           col("event_type"), col("value"))
         val gapUs = 1800L * 1000000
-        val hi = ev.agg(max("ts_us")).head().getLong(0)
+        // one min/max pass serves the sentinel AND the slice bounds
+        val mm = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
         val sentinel = s.range(1).select(
           lit(-1L).as("event_id"), lit(hi + 3 * gapUs + 1000000L).as("ts_us"),
           lit(-1L).as("user_id"), lit("__wm").as("event_type"),
           lit(0.0).as("value"))
         graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2,
+          bounds = Some((lo, hi)),
           sessionConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
           st => graft.streaming.EventStreams.sessionizeTws(
@@ -1428,11 +1439,13 @@ object TextQueries {
     Q("s11_stream_exact_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "text")
-        val hi = docs.agg(max("doc_id")).head().getLong(0)
+        // one min/max pass serves the sentinel AND the slice bounds
+        val mm = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
         val sentinel = s.range(1).select(
           lit(hi + 1000000L).as("doc_id"), lit("__wm").as("text"))
         graft.streaming.StreamExec.replayFileStream(
-          docs, "doc_id", sentinel, 2) { st =>
+          docs, "doc_id", sentinel, 2, bounds = Some((lo, hi))) { st =>
             st.select(TextOps.fingerprint(col("text")).as("fp"))
               .dropDuplicates("fp")
         }.filter(col("fp") =!= md5(lit("__wm")))
@@ -1467,7 +1480,8 @@ object TextQueries {
           lit(-1L).as("event_id"), lit(hi + latenessUs + 2 * hourUs).as("ts_us"),
           lit(-1L).as("user_id"), lit("__wm").as("event_type"),
           lit(0.0).as("value"))
-        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2) { st =>
+        graft.streaming.StreamExec.replayFileStream(ev, "ts_us", sentinel, 2,
+          bounds = Some((lo, hi))) { st =>
           val keyed = st
             .withColumn("n_key", (col("user_id") % 25).cast("int"))
             .withColumn("ts_ts", timestamp_micros(col("ts_us")))
@@ -1718,7 +1732,8 @@ object TextQueries {
           lit(-1L).as("user_id"), lit("__wm").as("event_type"),
           lit(0.0).as("value"))
         graft.streaming.StreamExec.replayFileStreamRestart(
-          ev, "ts_us", sentinel, slices = 2, splitAt = 1) {
+          ev, "ts_us", sentinel, slices = 2, splitAt = 1,
+          bounds = Some((lo, hi))) {
           st => graft.streaming.EventStreams.windowedCounts(
             st, "1 hour", s"$latenessUs microseconds")
         }.filter(col("event_type") =!= "__wm")
@@ -2516,7 +2531,10 @@ object TextQueries {
     // filter the same tables).
     Q("t29_bigram_lm",
       (s, d) => {
-        val grams = Tables.documents(s, d)
+        // fanOut: the single-row-group scan would otherwise run the
+        // bigram explode + split as ONE task (round-19; see
+        // TextOps.fanOut — measured 2.5 s single-core on this shape)
+        val grams = TextOps.fanOut(Tables.documents(s, d), col("doc_id"))
           .select(TextOps.tokens(col("text")).as("t"))
           .select(explode(TextOps.wordNgrams(col("t"), 2)).as("gram"))
           .select(substring_index(col("gram"), " ", 1).as("w1"),

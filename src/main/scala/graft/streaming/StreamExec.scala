@@ -25,13 +25,15 @@ import org.apache.spark.sql.streaming.Trigger
   *     passed. The caller's `lateness` must cover the whole replayed
   *     span (no replayed event is ever late — arrival order inside a
   *     slice is nondeterministic), and a single WATERMARK SENTINEL row
-  *     — far-future timestamp, impossible key — is written as the LAST
-  *     file: its batch advances the watermark past every real
-  *     session/window end, and the trailing no-data micro-batch
-  *     (`spark.sql.streaming.noDataMicroBatches.enabled`, default on)
-  *     flushes the state store to the sink. The sentinel's own state
-  *     never emits (nothing passes ITS end) and its key is filtered on
-  *     read-back.
+  *     — far-future timestamp, impossible key — RIDES THE LAST SLICE
+  *     file (round-20; it was previously its own file and therefore its
+  *     own micro-batch): the watermark is recomputed from the max event
+  *     time at the END of each batch, so the final data batch advances
+  *     it past every real session/window end and the trailing no-data
+  *     micro-batch (`spark.sql.streaming.noDataMicroBatches.enabled`,
+  *     default on) flushes the state store to the sink. The sentinel's
+  *     own state never emits (nothing passes ITS end) and its key is
+  *     filtered on read-back.
   *
   * 100 TB shape: this harness is a test/backfill surface, but the
   * execution it drives is the production one — per-batch work is
@@ -66,6 +68,20 @@ object StreamExec {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     streamRanSinceTeardown = false
   }
+
+  /** Phase timer for the replay harness, enabled by
+    * SPARK_GRAFT_STREAM_DEBUG=1 (stderr only — the optimization round's
+    * stand-in for the streaming tab of the disabled UI).
+    */
+  private val streamDebug = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
+  private[streaming] def phase[T](label: String)(body: => T): T =
+    if (!streamDebug) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[stream-phase] $label%-22s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
 
   /** One shared reaped scratch parent for every replay (source files,
     * checkpoint, sink), mirroring PipelineQueries.checkpointParent:
@@ -302,25 +318,38 @@ object StreamExec {
   private def writeSlices(input: DataFrame, tsCol: String,
                           sentinelOpt: Option[DataFrame],
                           slices: Int, root: java.nio.file.Path,
-                          src: java.nio.file.Path): Unit = {
-    val mm = input.agg(min(col(tsCol)).cast("long").as("lo"),
-      max(col(tsCol)).cast("long").as("hi")).head()
-    require(!mm.isNullAt(0), "replayFileStream: empty input")
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+                          src: java.nio.file.Path,
+                          bounds: Option[(Long, Long)] = None): Unit = {
+    // `bounds`: callers that already ran a min/max over THIS frame (for
+    // the sentinel timestamp / lateness) pass it down — the internal
+    // min/max scan was a measured chunk of the per-replay floor
+    // (round-20: ~0.2 s per replay at gate scale, a full extra pass of
+    // the replayed input at any scale).
+    val (lo, hi) = bounds.getOrElse {
+      val mm = phase("  slices:minmax")(
+        input.agg(min(col(tsCol)).cast("long").as("lo"),
+          max(col(tsCol)).cast("long").as("hi")).head())
+      require(!mm.isNullAt(0), "replayFileStream: empty input")
+      (mm.getLong(0), mm.getLong(1))
+    }
     val span = math.max(1L, (hi - lo) / slices + 1)
     // ONE pass writes every slice file (hive-partitioned by slice index,
     // single task so each leaf is one part file) instead of `slices`
     // full-input filter+write jobs — the N-scan setup was a measured
     // chunk of the streaming family's bench floor. The sentinel
     // (watermark flush for append-mode aggregation replays; foreachBatch
-    // replays omit it) rides the same pass as slice index `slices`.
+    // replays omit it) RIDES THE LAST SLICE (round-20): the watermark is
+    // computed from the max event time at the END of each micro-batch,
+    // so a sentinel in the final data batch advances it exactly as a
+    // sentinel-only batch did, and the trailing no-data batch still
+    // does the flush — one whole micro-batch (its job + its planning/
+    // WAL/state-commit overhead) removed from every replay.
     val sliced = input.withColumn("__slice",
       expr(s"(cast(`$tsCol` as bigint) - ${lo}L) div ${span}L"))
     val all = sentinelOpt.fold(sliced)(sent =>
-      sliced.unionByName(sent.withColumn("__slice", lit(slices.toLong))))
+      sliced.unionByName(sent.withColumn("__slice", lit((slices - 1).toLong))))
     writeSliceFiles(all, root, src,
-      i => if (sentinelOpt.isDefined && i == slices) Some("zsentinel")
-           else if (i < slices) Some(f"slice$i%04d") else None)
+      i => if (i < slices) Some(f"slice$i%04d") else None)
   }
 
   /** Write a `__slice`-stamped frame as one ascending-mtime file per
@@ -342,9 +371,10 @@ object StreamExec {
     // parallel instead of serializing the whole replay input through a
     // single task (round-19; the slice write was a measured chunk of the
     // per-replay floor)
-    all.repartition(all.sparkSession.sparkContext.defaultParallelism,
-        col("__slice"))
-      .write.mode("overwrite").partitionBy("__slice").parquet(tmp)
+    phase("  slices:write")(
+      all.repartition(all.sparkSession.sparkContext.defaultParallelism,
+          col("__slice"))
+        .write.mode("overwrite").partitionBy("__slice").parquet(tmp))
     val baseMtime = (System.currentTimeMillis() / 1000) * 1000 - 3600L * 1000
     // Rows with a NULL slice value land in __slice=__HIVE_DEFAULT_PARTITION__;
     // the old per-slice `=== i` filters dropped them silently, so skip that
@@ -379,13 +409,14 @@ object StreamExec {
     * are skipped. The incrementality require is the same as
     * [[replayFileStream]]'s: the work must actually arrive split.
     */
-  def replayForeachBatch(input: DataFrame, orderCol: String, slices: Int)
+  def replayForeachBatch(input: DataFrame, orderCol: String, slices: Int,
+                         bounds: Option[(Long, Long)] = None)
                         (onBatch: DataFrame => Unit): Unit = {
     val spark = input.sparkSession
     require(slices >= 2, s"replayForeachBatch: need >= 2 slices, got $slices")
     val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayfb_")
     val src = root.resolve("src")
-    writeSlices(input, orderCol, None, slices, root, src)
+    writeSlices(input, orderCol, None, slices, root, src, bounds)
     val q = spark.readStream
       .schema(input.schema)
       .option("maxFilesPerTrigger", 1)
@@ -415,7 +446,8 @@ object StreamExec {
     * real batch ids so sinks can implement batchId-keyed idempotence.
     */
   def replayForeachBatchRestart(input: DataFrame, orderCol: String,
-                                slices: Int, splitAt: Int)
+                                slices: Int, splitAt: Int,
+                                bounds: Option[(Long, Long)] = None)
                                (onBatch: (DataFrame, Long) => Unit): Unit = {
     val spark = input.sparkSession
     require(slices >= 3, s"replayForeachBatchRestart: need >= 3 slices, got $slices")
@@ -423,10 +455,12 @@ object StreamExec {
       s"replayForeachBatchRestart: splitAt must cut the replay in two, got $splitAt/$slices")
     val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayfbr_")
     val src = root.resolve("src")
-    val mm = input.agg(min(col(orderCol)).cast("long").as("lo"),
-      max(col(orderCol)).cast("long").as("hi")).head()
-    require(!mm.isNullAt(0), "replayForeachBatchRestart: empty input")
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = bounds.getOrElse {
+      val mm = input.agg(min(col(orderCol)).cast("long").as("lo"),
+        max(col(orderCol)).cast("long").as("hi")).head()
+      require(!mm.isNullAt(0), "replayForeachBatchRestart: empty input")
+      (mm.getLong(0), mm.getLong(1))
+    }
     val span = math.max(1L, (hi - lo) / slices + 1)
     def writeSlicePhase(range: Range): Unit = {
       val sliced = input.withColumn("__slice",
@@ -481,13 +515,14 @@ object StreamExec {
     * themselves so the per-batch emission trail stays checkable.
     */
   def replayUpdateMode(input: DataFrame, tsCol: String, slices: Int,
-                       statePartitions: Int = 4)
+                       statePartitions: Int = 4,
+                       bounds: Option[(Long, Long)] = None)
                       (transform: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
     require(slices >= 2, s"replayUpdateMode: need >= 2 slices, got $slices")
     val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayupd_")
     val src = root.resolve("src")
-    writeSlices(input, tsCol, None, slices, root, src)
+    writeSlices(input, tsCol, None, slices, root, src, bounds)
     val out = root.resolve("out").toString
     val shuffleKey = "spark.sql.shuffle.partitions"
     val savedShuffle = spark.conf.get(shuffleKey)
@@ -520,14 +555,16 @@ object StreamExec {
 
   def replayFileStream(input: DataFrame, tsCol: String, sentinel: DataFrame,
                        slices: Int, statePartitions: Int = 4,
-                       sessionConfs: Map[String, String] = Map.empty)
+                       sessionConfs: Map[String, String] = Map.empty,
+                       bounds: Option[(Long, Long)] = None)
                       (transform: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
     require(slices >= 2, s"replayFileStream: need >= 2 slices to exercise " +
       s"cross-batch state, got $slices")
     val root = java.nio.file.Files.createTempDirectory(scratchParent, "replay_")
     val src = root.resolve("src")
-    writeSlices(input, tsCol, Some(sentinel), slices, root, src)
+    phase("writeSlices")(
+      writeSlices(input, tsCol, Some(sentinel), slices, root, src, bounds))
 
     val out = root.resolve("out").toString
     // State partition count is FROZEN INTO THE CHECKPOINT at query
@@ -547,7 +584,7 @@ object StreamExec {
     val q = try {
       spark.conf.set(shuffleKey, statePartitions.toString)
       sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-      spark.readStream
+      phase("start")(spark.readStream
         .schema(input.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src.toString)
@@ -558,7 +595,7 @@ object StreamExec {
         .option("checkpointLocation", root.resolve("ck").toString)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
-        .start()
+        .start())
     } finally {
       spark.conf.set(shuffleKey, savedShuffle)
       savedConfs.foreach {
@@ -566,7 +603,7 @@ object StreamExec {
         case (k, None) => spark.conf.unset(k)
       }
     }
-    q.awaitTermination()
+    phase("awaitTermination")(q.awaitTermination())
     streamRanSinceTeardown = true
     lastProgress = q.recentProgress.toIndexedSeq.map(_.json)
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
@@ -606,7 +643,8 @@ object StreamExec {
     * lifetime.
     */
   def replayFileStreamRestart(input: DataFrame, tsCol: String, sentinel: DataFrame,
-                              slices: Int, splitAt: Int, statePartitions: Int = 4)
+                              slices: Int, splitAt: Int, statePartitions: Int = 4,
+                              bounds: Option[(Long, Long)] = None)
                              (transform: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
     // one slice per query lifetime is the minimum that pins the
@@ -617,22 +655,24 @@ object StreamExec {
       s"replayFileStreamRestart: splitAt must cut the replay in two, got $splitAt/$slices")
     val root = java.nio.file.Files.createTempDirectory(scratchParent, "replayrs_")
     val src = root.resolve("src")
-    val mm = input.agg(min(col(tsCol)).cast("long").as("lo"),
-      max(col(tsCol)).cast("long").as("hi")).head()
-    require(!mm.isNullAt(0), "replayFileStreamRestart: empty input")
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = bounds.getOrElse {
+      val mm = input.agg(min(col(tsCol)).cast("long").as("lo"),
+        max(col(tsCol)).cast("long").as("hi")).head()
+      require(!mm.isNullAt(0), "replayFileStreamRestart: empty input")
+      (mm.getLong(0), mm.getLong(1))
+    }
     val span = math.max(1L, (hi - lo) / slices + 1)
     // one partitioned pass per PHASE (before/after the restart), not
-    // one job per slice — see writeSlices
+    // one job per slice — see writeSlices; the sentinel rides run 2's
+    // LAST slice (same one-fewer-micro-batch argument as writeSlices)
     def writeSlicePhase(range: Range, withSentinel: Boolean): Unit = {
       val sliced = input.withColumn("__slice",
           expr(s"(cast(`$tsCol` as bigint) - ${lo}L) div ${span}L"))
         .filter(col("__slice").isin(range.map(_.toLong): _*))
       val all = if (!withSentinel) sliced
-        else sliced.unionByName(sentinel.withColumn("__slice", lit(slices.toLong)))
+        else sliced.unionByName(sentinel.withColumn("__slice", lit((slices - 1).toLong)))
       writeSliceFiles(all, root, src,
-        i => if (withSentinel && i == slices) Some("zsentinel")
-             else if (range.contains(i)) Some(f"slice$i%04d") else None)
+        i => if (range.contains(i)) Some(f"slice$i%04d") else None)
     }
 
     val out = root.resolve("out").toString
@@ -669,8 +709,10 @@ object StreamExec {
     streamRanSinceTeardown = true
     val q2Data = q2.recentProgress.count(_.numInputRows > 0)
     val q2FirstBatch = q2.recentProgress.map(_.batchId).foldLeft(Long.MaxValue)(math.min)
-    require(q2Data >= slices - splitAt + 1,
-      s"replayFileStreamRestart: run 2 expected >= ${slices - splitAt + 1} data " +
+    // the sentinel rides the last slice, so run 2 contributes exactly
+    // its slice count of data batches
+    require(q2Data >= slices - splitAt,
+      s"replayFileStreamRestart: run 2 expected >= ${slices - splitAt} data " +
         s"micro-batches, saw $q2Data")
     require(q2FirstBatch > q1LastBatch,
       s"replayFileStreamRestart: run 2 did not resume from the checkpoint " +

@@ -256,11 +256,15 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("final line carries the self-diagnosis block (round-13 task #1)") {
-    // realistic gate magnitudes (median well under 1 s, one heavy
-    // outlier — the r13 driver shape): the diag block must fit NEXT TO
-    // per-query detail at this size; the pathological all-heavy shape is
-    // covered by the degradation test below
-    val withEvidence = SparkEntry.queries.keys.zipWithIndex.map { case (name, i) =>
+    // realistic per-query magnitudes (median well under 1 s, one heavy
+    // outlier — the r13 driver shape) at a 150-query gate: the diag
+    // block must fit NEXT TO per-query detail at this size. The REAL
+    // 274-query gate outgrew every diag-carrying named tier — there the
+    // slim-kv tiers keep the NAMES and shrink the block to the md5
+    // canaries (see the round-20 slim-kv test below); the pathological
+    // all-heavy shape is covered by the degradation test below.
+    val withEvidence = SparkEntry.queries.keys.toSeq.sorted.take(150)
+      .zipWithIndex.map { case (name, i) =>
       val best = if (i == 0) 17.654321987 else 0.05 + (i % 40) * 0.02
       name -> QueryResult(Seq(best, best * 1.21, best * 1.05), 1.5,
         cpuRuns = Seq(best * 3.0, best * 3.0, best * 3.0),
@@ -286,7 +290,7 @@ class BenchSpec extends AnyFunSuite {
     val flaggedCount = Bench.flaggedQueries(withEvidence).size
     assert(diag != null && diag.size() > 0 &&
       diag.size() <= Bench.DiagCap + flaggedCount)
-    val heavyName = fakeResults.maxBy(_._2.best)._1
+    val heavyName = withEvidence.maxBy(_._2.best)._1
     val entry = diag.get(Bench.shortKey(heavyName))
     assert(entry != null, s"heaviest query $heavyName missing from diag")
     assert(entry.size() >= 3, "diag vector carries at least [order, wall, cpu]")
@@ -325,10 +329,10 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("diag degrades before per-query detail under budget pressure") {
-    // the all-heavy shape (median ~2.5 s × 186 queries) overflows the
-    // tiers that carry the diag vectors; per-query TIMES must survive
-    // (bench_out.json always has the full diag), and the fixed-size
-    // diagnosis block (heap/cpu/gc/canary) must survive in EVERY tier
+    // the all-heavy shape (median ~2.5 s × 274 queries) overflows the
+    // tiers that carry the diag vectors AND the full fixed block;
+    // per-query TIMES must survive (bench_out.json always has the full
+    // diag), and the interference verdict must survive in EVERY tier
     val heavy = fakeResults.map { case (k, r) =>
       k -> r.copy(cpuRuns = r.runs.map(_ * 3.0)) }
     val line = Bench.renderFinal(heavy, "/root/testdata/sf0.1")
@@ -336,8 +340,43 @@ class BenchSpec extends AnyFunSuite {
     val node = mapper.readTree(line)
     assert(queryCount(node) == heavy.size,
       "per-query detail was sacrificed for the diag block")
-    assert(node.get("heap_mb") != null && node.get("cpu_sec") != null &&
-      node.get("canary") != null)
+    assert(node.get("interference_suspected") != null)
+  }
+
+  test("slim-kv tier keeps NAMED per-query times at the real gate size (round-19 PERF gap)") {
+    // The driver reconstructs per-query names from the final line alone;
+    // the name-less vals tier left PERF's per_query empty for two
+    // rounds. At the real gate's value widths (median ~0.3 s, a few
+    // heavies) the slim-kv tier must win: full kv body, short keys
+    // mapping 1:1 onto gate names, md5 canaries riding along.
+    val realistic = SparkEntry.queries.keys.zipWithIndex.map { case (name, i) =>
+      val best = if (i == 0) 8.2 else 0.05 + (i % 12) * 0.08
+      name -> QueryResult(Seq(best, best * 1.2, best * 1.05), 1.5,
+        cpuRuns = Seq(best, best, best))
+    }.toMap
+    val line = Bench.renderFinal(realistic, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.FinalLineBudget)
+    val node = mapper.readTree(line)
+    assert(node.get("qfmt") != null && node.get("qfmt").asText() == "kv",
+      s"expected the named kv tier at the real gate size, got: ${line.take(200)}")
+    val entries = node.get("queries").asText().split(",")
+      .map(_.split(":")(0)).toSet
+    assert(entries == SparkEntry.queries.keySet.map(Bench.shortKey),
+      "kv keys must map 1:1 onto the gate's short names")
+    assert(node.get("md5_st").isNumber && node.get("md5_mt").isNumber,
+      "the machine canaries must ride every slim tier")
+  }
+
+  test("md5 collapse trips the interference verdict (round-19 detector gap)") {
+    // r19 driver run: md5_st 373, md5_mt 387 on 32 procs — >20 cores
+    // stolen, detector silent. The canary ratio names it.
+    assert(Bench.md5Collapse(373, 387, 32))
+    // clean 32-core machine: mt ~20-29x st
+    assert(!Bench.md5Collapse(277, 8100, 32))
+    // small machines are exempt (mt ~ st is the honest reading there)
+    assert(!Bench.md5Collapse(300, 500, 4))
+    // degenerate canary (platform couldn't measure) never trips
+    assert(!Bench.md5Collapse(0, 0, 32))
   }
 
   test("full artifact carries qcpu/qgc/spread/canary evidence") {
