@@ -330,6 +330,7 @@ object Bench {
       s""""cpu_model":${Jsons.str(cpuModel)},""" +
       s""""procs":${Runtime.getRuntime.availableProcessors()},""" +
       s""""layout_build_sec":${jsonNum(graft.queries.LayoutBuild.totalSec)},""" +
+      s""""layout_wall_sec":${jsonNum(graft.queries.LayoutBuild.prewarmWallSec)},""" +
       s""""layouts":$layoutsJson,""" +
       s""""jvm":${Jsons.str(System.getProperty("java.vm.version", ""))},""" +
       s"""${interferenceJson(results)},${errorsJson(results)},""" +
@@ -571,6 +572,13 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
+    // build the memoized gate layouts CONCURRENTLY up front (round-20,
+    // guide §2.6) instead of serially on first touch inside the query
+    // loop: same builds, same layout_build_sec accounting, ~4x less
+    // gate wall spent on them; `layout_wall_sec` in bench_out.json
+    // records what the phase actually cost this run
+    try queries.LayoutBuild.prewarmAll(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prewarm: $e") }
     // noop sink forces full computation of every operator in the plan
     // (count() would let Catalyst drop projections and wide transforms).
     // Three timed runs per query, min reported — damps GC/codegen-compile/

@@ -31,6 +31,13 @@ object Verify {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
+    // build the memoized gate layouts concurrently up front (round-20,
+    // guide §2.6) — the full dump otherwise builds ~43 s of commit
+    // chains serially on first touch; skipped for subset dumps, whose
+    // one-or-two layouts build on demand faster than the full sweep
+    if (only.isEmpty)
+      try queries.LayoutBuild.prewarmAll(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[verify] prewarm: $e") }
     // On failure, still leave a footprint: a `<out>/<name>/_ERROR.txt`
     // marker (the dir now EXISTS, so a driver that compares whatever dirs
     // are present records an err row instead of silently shrinking the

@@ -32,7 +32,13 @@ object Builders {
     val joined = ci
       .join(ca, col("ci.cst_key") === col("ca.cid"), "left")
       .join(la, col("ci.cst_key") === col("la.cid"), "left")
-    val keyed = Relational.surrogateKey(joined, "customer_key",
+    // surrogateKeyScalable (round-20): identical dense 1..N in the same
+    // (cst_id NULLS FIRST, cst_key) order, WITHOUT the single-partition
+    // global WindowExec the reference's row_number() OVER (ORDER BY ...)
+    // costs — cst_id is the rank key (nulls land in the dedicated
+    // nulls-first bucket), cst_key tie-breaks inside a bucket
+    val keyed = Relational.surrogateKeyScalable(joined, "customer_key",
+      col("ci.cst_id"),
       Seq(col("ci.cst_id").asc_nulls_first, col("ci.cst_key").asc))
     keyed.select(
       col("customer_key"),
@@ -57,7 +63,11 @@ object Builders {
     val pn = prdInfo.filter(col("prd_end_dt").isNull).alias("pn")
     val pc = broadcast(pxCat).alias("pc")
     val joined = pn.join(pc, col("pn.cat_id") === col("pc.id"), "left")
-    val keyed = Relational.surrogateKey(joined, "product_key",
+    // same scalable pattern as dimCustomers: the DATE rank key becomes
+    // days-since-epoch (monotone, so bucket ranges follow the sort
+    // order); prd_key tie-breaks inside a bucket
+    val keyed = Relational.surrogateKeyScalable(joined, "product_key",
+      unix_date(col("pn.prd_start_dt")),
       Seq(col("pn.prd_start_dt").asc_nulls_first, col("pn.prd_key").asc))
     keyed.select(
       col("product_key"),

@@ -289,11 +289,14 @@ object Relational {
     val local = bucketed.withColumn("__rn", row_number().over(wLocal).cast("long"))
     // offsets frame: per-bucket counts, exclusive prefix sum, and the
     // grand total n — all over the bucket-count-sized frame, where a
-    // global window is bounded by construction
+    // global window is bounded by construction. Counts are read off the
+    // LOCAL window's row_number (max == count), so this side shares the
+    // window's exchange instead of re-scanning the input lineage under
+    // a second aggregate (round-20; see surrogateKeyScalable).
     val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__bc"))
+    val offsets = local.groupBy("__b").agg(max(col("__rn")).as("__bc"))
       .withColumn("__off", coalesce(sum(col("__bc")).over(wOff), lit(0L)))
       .withColumn("__n", sum(col("__bc")).over(wAll))
       .select("__b", "__off", "__n")
@@ -351,7 +354,13 @@ object Relational {
     val wLocal = Window.partitionBy("__b").orderBy(order: _*)
     val local = bucketed.withColumn("__rn", row_number().over(wLocal).cast("long"))
     val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__bc"))
+    // per-bucket count read off the LOCAL window's row_number (max ==
+    // count — row_number is dense 1..n per bucket), so the offsets side
+    // shares the window's exchange instead of re-scanning the whole
+    // input lineage under a second aggregate (round-20: the old
+    // groupBy(bucketed) duplicated the input plan — for the gold dims
+    // that meant the silver join lineage computed twice per keying)
+    val offsets = local.groupBy("__b").agg(max(col("__rn")).as("__bc"))
       .withColumn("__off", coalesce(sum(col("__bc")).over(wOff), lit(0L)))
       .select("__b", "__off")
     local.join(broadcast(offsets), "__b")

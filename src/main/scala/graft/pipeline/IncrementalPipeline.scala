@@ -123,6 +123,19 @@ class IncrementalPipeline(spark: SparkSession, docsPath: String, outRoot: String
     v
   }
 
+  /** Run two INDEPENDENT-table snapshot commits concurrently (guide
+    * §2.6 overlap: the fp and band indexes are different tables, each
+    * write a small job whose tail otherwise leaves the session idle —
+    * round-20: commit_v0/v1 were ~0.5 s each of back-to-back small
+    * writes). Job-descriptions and commit locks are per-table/thread.
+    */
+  private def commitBoth(a: => Long, b: => Long): Long = {
+    val fb = new java.util.concurrent.FutureTask[Long](() => b)
+    val th = new Thread(fb, "p2-commit-b"); th.setDaemon(true); th.start()
+    val ra = a
+    math.max(ra, fb.get())
+  }
+
   def bandIdxPath: String = s"$outRoot/band_idx"
   def fpIdxPath: String = s"$outRoot/fp_idx"
 
@@ -141,8 +154,9 @@ class IncrementalPipeline(spark: SparkSession, docsPath: String, outRoot: String
     val hq = fused("hist_quality")(TextPipeline.qualityGate(history, cfg))
     val he = stage("hist_exact")(TextPipeline.exactDedup(hq))
     timedCommit("commit_v0") {
-      Scale.writeSnapshot(spark, fpIdxPath, fingerprints(he))
-      Scale.writeSnapshot(spark, bandIdxPath, TextPipeline.bandRows(he, cfg))
+      commitBoth(
+        Scale.writeSnapshot(spark, fpIdxPath, fingerprints(he)),
+        Scale.writeSnapshot(spark, bandIdxPath, TextPipeline.bandRows(he, cfg)))
     }
     val fpV0 = Scale.readSnapshot(spark, fpIdxPath, Some(0L))
     val bandV0 = Scale.readSnapshot(spark, bandIdxPath, Some(0L))
@@ -175,9 +189,10 @@ class IncrementalPipeline(spark: SparkSession, docsPath: String, outRoot: String
     // never re-banded; the committed v0 frame is unioned lazily, so the
     // write re-reads v0's files, not its lineage)
     timedCommit("commit_v1") {
-      Scale.writeSnapshot(spark, bandIdxPath,
-        bandV0.unionByName(bandsOf(dn)))
-      Scale.writeSnapshot(spark, fpIdxPath, fpV0.unionByName(fingerprints(dn)))
+      commitBoth(
+        Scale.writeSnapshot(spark, bandIdxPath,
+          bandV0.unionByName(bandsOf(dn))),
+        Scale.writeSnapshot(spark, fpIdxPath, fpV0.unionByName(fingerprints(dn))))
     }
 
     val ds = fused("delta_sample")(TextPipeline.sample(dn, cfg))

@@ -40,9 +40,16 @@ class TextPipeline(spark: SparkSession, docsPath: String, outRoot: String,
     */
   private def stage(name: String)(df: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
-    val back = TextPipeline.materialize(spark, outRoot, name, df)
+    // the row count rides the stage write as an observed metric — the
+    // old per-stage `back.count()` was one extra job per stage (5 per
+    // run) for a number the write already knows (round-20 diet; same
+    // pattern as IncrementalPipeline.tap)
+    val o = org.apache.spark.sql.Observation(s"p1_${name}_n")
+    val back = TextPipeline.materialize(spark, outRoot, name,
+      df.observe(o, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("long").as("n")))
     durations(name) = (System.nanoTime() - t0) / 1e9
-    counts(name) = back.count()
+    counts(name) = o.get("n").asInstanceOf[Long]
     back
   }
 

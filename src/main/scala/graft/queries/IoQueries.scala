@@ -827,6 +827,40 @@ object IoQueries {
         (out, zones)
       })
 
+  /** Layout prewarm hooks (round-20, guide §2.6): every memoized
+    * (sfDir)-keyed fixture this file owns, exposed so the bench/verify
+    * mains can build INDEPENDENT layouts concurrently at session start
+    * instead of serially on first touch inside the query path (the io
+    * family alone built ~38 s of commit chains one at a time). Builds
+    * are idempotent (LayoutCache.computeIfAbsent) and cost-accounted
+    * exactly as before; nothing here touches per-query work.
+    */
+  private[graft] def prewarmLayouts(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    ("io_churn6_docs", () => { churn6Docs(s, d); () }),
+    ("io_sqlmaint_docs", () => { sqlMaintDocs(s, d); () }),
+    ("io_rename_docs", () => { renameDocs(s, d); () }),
+    ("io_sqlhist_docs", () => { sqlHistDocs(s, d); () }),
+    ("io_churn_docs", () => { churnDocs(s, d); () }),
+    ("io_sqlcdf_docs", () => { sqlCdfDocs(s, d); () }),
+    ("io_cdf_evolve_docs", () => { evolveDocs(s, d); () }),
+    ("io_cdf_append_docs", () => { cdfAppendDocs(s, d); () }),
+    ("io_cdf_docs", () => { cdfDocs(s, d); () }),
+    ("io_spec_evolved_docs", () => { specEvolvedDocs(s, d); () }),
+    ("io_unified_docs", () => { unifiedDocs(s, d); () }),
+    ("io_zordered_docs", () => { zorderedDocs(s, d); () }),
+    ("io_bucketed_pair", () => { bucketedPair(s, d); () }),
+    ("io_mor_feed_docs", () => { morFeedDocs(s, d); () }),
+    ("io_bloom_docs", () => { bloomDocs(s, d); () }),
+    ("io_zoned_str_docs", () => { zonedDocsStr(s, d); () }),
+    ("io_zoned_docs", () => { zonedDocs(s, d); () }),
+    ("io_mor_docs", () => { morDocs(s, d); () }),
+    ("io_snapshot_docs", () => { snapshotDocs(s, d); () }),
+    ("io_bin_shards", () => { binaryShards(s, d); () }),
+    ("io_dyn_overwrite", () => { dynOverwrittenDocs(s, d); () }),
+    ("io_partitioned_docs", () => { partitionedDocs(s, d); () }),
+    ("io_evolved_docs", () => { evolvedDocs(s, d); () }),
+    ("io_lang_dims", () => { langDim(s, d); () }))
+
   val all: Seq[Q] = Seq(
     Q("j1_jsonl_roundtrip", (s, d) => roundTrip(s, d, "json"), Some(oracleAgg)),
     Q("o1_orc_roundtrip", (s, d) => roundTrip(s, d, "orc"), Some(oracleAgg)),
@@ -1255,12 +1289,22 @@ object IoQueries {
         s.sql("DELETE FROM h17_t WHERE lang = 'zh' AND doc_id % 3 = 0")
         require(graft.operators.Scale.latestSnapshot(s, t).contains(3L),
           "h17: three statements must be three rebased commits")
-        val insFeed = graft.operators.Scale.readChangesBetween(s, t, 0L, 1L)
-        require(insFeed.filter(col("_change_type") =!= "insert").isEmpty,
+        // both statement feeds verified in ONE scan + ONE aggregate
+        // (round-20: the three separate actions — isEmpty + two counts —
+        // were ~3 jobs of pure driver overhead for the same evidence);
+        // (0,2] stamps the INSERT commit's rows 1 and the UPDATE's 2
+        val fr = graft.operators.Scale.readChangesBetween(s, t, 0L, 2L)
+          .agg(
+            sum(when(col("_commit_version") === 1L &&
+              col("_change_type") =!= "insert", 1L).otherwise(0L)).as("badIns"),
+            sum(when(col("_commit_version") === 2L &&
+              col("_change_type") === "update_postimage", 1L).otherwise(0L)).as("posts"),
+            sum(when(col("_commit_version") === 2L, 1L).otherwise(0L)).as("updAll"))
+          .head()
+        require(fr.getLong(0) == 0L,
           "h17: the INSERT commit's feed is inserts only")
-        val updFeed = graft.operators.Scale.readChangesBetween(s, t, 1L, 2L)
-        require(updFeed.filter(col("_change_type") === "update_postimage").count() ==
-            updFeed.count() / 2, "h17: the UPDATE commit's feed is update pairs")
+        require(fr.getLong(1) == fr.getLong(2) / 2,
+          "h17: the UPDATE commit's feed is update pairs")
         graft.operators.Scale.readSnapshot(s, t)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
@@ -1417,26 +1461,38 @@ object IoQueries {
         // vacuum below, which sweeps the covered per-commit dirs (a raw
         // read afterwards is by contract a loud error, not comparable)
         val viaCkpt = graft.operators.Scale.readChangesBetween(s, t, 0L, 3L)
-        require(viaCkpt.select("_commit_version").distinct()
-            .collect().map(_.getLong(0)).toSeq == Seq(3L),
-          "h20: the anchored read is served by the SQL-written checkpoint")
         val rawNet = graft.operators.Scale.cdfSquash(
           graft.operators.Scale.readChangesBetween(s, t, 0L, 3L,
             useCheckpoints = false), "doc_id")
         // multiset equality by collision-resistant signature (count +
         // two independent xxhash64 sums — the r98 pattern): one tiny
-        // aggregate per side instead of two exceptAll shuffles
-        def sigC(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        // aggregate per side instead of two exceptAll shuffles. The
+        // checkpoint side's commit-stamp check rides the SAME aggregate
+        // (round-20: it was a separate distinct+collect action).
+        def sigC(df: org.apache.spark.sql.DataFrame,
+                 versionCol: Boolean): (Long, Long, Long, Long, Long) = {
+          // cdfSquash's net frame carries no _commit_version — the
+          // version stats only exist on the checkpoint side
+          val (vmin, vmax) =
+            if (versionCol) (min(col("_commit_version")), max(col("_commit_version")))
+            else (min(lit(3L)), max(lit(3L)))
           val r = df.agg(count(lit(1)),
             sum(pmod(xxhash64(col("doc_id"), col("lang"), col("n_chars"),
               col("_change_type")), lit(2147483647L))),
             sum(pmod(xxhash64(col("_change_type"), col("n_chars"), col("doc_id"),
-              lit(7), col("lang")), lit(2147483629L)))).head()
+              lit(7), col("lang")), lit(2147483629L))),
+            vmin, vmax).head()
           (r.getLong(0),
             if (r.isNullAt(1)) 0L else r.getLong(1),
-            if (r.isNullAt(2)) 0L else r.getLong(2))
+            if (r.isNullAt(2)) 0L else r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) -1L else r.getLong(4))
         }
-        require(sigC(viaCkpt) == sigC(rawNet),
+        val (ckSig, rawSig) = (sigC(viaCkpt, versionCol = true),
+          sigC(rawNet, versionCol = false))
+        require(ckSig._4 == 3L && ckSig._5 == 3L,
+          "h20: the anchored read is served by the SQL-written checkpoint")
+        require((ckSig._1, ckSig._2, ckSig._3) == (rawSig._1, rawSig._2, rawSig._3),
           "h20: checkpoint content == net of the raw per-commit feeds")
         val removed = s.sql(s"VACUUM GRAFT '$t' RETAIN 2 VERSIONS")
           .collect().map(_.getLong(0)).toSeq
@@ -1445,10 +1501,11 @@ object IoQueries {
         require(graft.operators.Scale.listSnapshots(s, t) == Seq(2L, 3L),
           "h20: retained versions survive the vacuum")
         // and the checkpoint outlives the sweep: the anchored read still
-        // serves after the covered per-commit feeds are gone
-        require(graft.operators.Scale.readChangesBetween(s, t, 0L, 3L)
-            .select("_commit_version").distinct()
-            .collect().map(_.getLong(0)).toSeq == Seq(3L),
+        // serves after the covered per-commit feeds are gone (min/max
+        // aggregate — same evidence as distinct+collect, no shuffle)
+        val pv = graft.operators.Scale.readChangesBetween(s, t, 0L, 3L)
+          .agg(min(col("_commit_version")), max(col("_commit_version"))).head()
+        require(!pv.isNullAt(0) && pv.getLong(0) == 3L && pv.getLong(1) == 3L,
           "h20: the checkpoint survives the vacuum and keeps serving")
         // merge-on-read lineage (from the copied template: base + index
         // + two delete commits), folded by ONE SQL statement into a new

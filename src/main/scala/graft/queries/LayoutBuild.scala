@@ -34,6 +34,49 @@ object LayoutBuild {
   }
 
   def totalSec: Double = perLayoutSec.values.sum
+
+  /** Wall seconds of the concurrent [[prewarmAll]] phase (0 when it
+    * never ran). Distinct from [[totalSec]]: per-layout build spans
+    * OVERLAP under the prewarm pool, so their sum no longer equals the
+    * wall-clock the gate actually spends on layout.
+    */
+  @volatile var prewarmWallSec: Double = 0.0
+
+  /** Build every registered independent layout CONCURRENTLY (guide
+    * §2.6: the builds are mostly small driver-latency-bound jobs whose
+    * tails leave the session idle — serial first-touch building cost
+    * ~43 s of gate wall at sf0.1; 8-way overlap cuts that to roughly
+    * the longest chain). Idempotent: every hook is a memoized
+    * computeIfAbsent, so a layout a query touches later is simply
+    * already present. Failures are swallowed here — the owning query
+    * will rebuild (and report) them on first touch.
+    */
+  def prewarmAll(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                 threads: Int = 8): Unit = {
+    val hooks = IoQueries.prewarmLayouts(spark, sfDir) ++
+      TextQueries.prewarmLayouts(spark, sfDir) ++
+      VectorQueries.prewarmLayouts(spark, sfDir)
+    val t0 = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: java.util.List[java.util.concurrent.Callable[Unit]] =
+        hooks.map { case (name, fn) =>
+          new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit =
+              try { spark.sparkContext.setJobDescription(s"layout: $name"); fn() }
+              catch { case e: Throwable =>
+                System.err.println(s"[layout-prewarm] $name failed (query will rebuild): $e")
+              } finally spark.sparkContext.setJobDescription(null)
+          }
+        }.asJava
+      pool.invokeAll(tasks)
+      ()
+    } finally {
+      pool.shutdown()
+      prewarmWallSec = (System.nanoTime() - t0) / 1e9
+    }
+  }
 }
 
 /** A memoizing cache whose MISSES are charged to a named layout in

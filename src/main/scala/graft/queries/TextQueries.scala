@@ -54,6 +54,43 @@ object TextQueries {
   private val cdfTextCopies =
     new LayoutCache[String]("text_cdf_docs")
 
+  /** t61's CDF text lineage (the IoQueries builder pattern): 4 CDF
+    * commits, writer-pays O(table) each — build once per sf.
+    */
+  private def cdfTextDocs(s: org.apache.spark.sql.SparkSession, d: String): String =
+    cdfTextCopies.computeIfAbsent(
+      s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val out = java.nio.file.Files.createTempDirectory(
+          PipelineQueries.checkpointParent, "cdfidx_").toString + "/tbl"
+        val v0 = docs.filter(col("doc_id") % 4 === 0)
+        graft.operators.Scale.writeSnapshotCdf(s, out, v0, "doc_id")
+        val v1 = v0.withColumn("text",
+            when(col("doc_id") % 8 === 0, concat(col("text"), lit(" upd")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 4 === 1))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v1, "doc_id")
+        val v2 = v1.filter(col("doc_id") % 8 =!= 0 &&
+          !(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v2, "doc_id")
+        val v3 = v2.unionByName(docs.filter(col("doc_id") % 8 === 0)
+          .withColumn("text", concat(col("text"), lit(" v3"))))
+        graft.operators.Scale.writeSnapshotCdf(s, out, v3, "doc_id")
+        out
+      })
+
+  /** Layout prewarm hooks (round-20, guide §2.6): the memoized
+    * commit-chain fixtures this file owns, exposed so the bench/verify
+    * mains can build INDEPENDENT layouts concurrently at session start
+    * instead of serially on first touch inside the query path. Builds
+    * are idempotent (LayoutCache.computeIfAbsent) and cost-accounted
+    * exactly as before.
+    */
+  private[graft] def prewarmLayouts(s: org.apache.spark.sql.SparkSession,
+                                    d: String): Seq[(String, () => Unit)] = Seq(
+    ("text_stream_boot", () => { streamBootDocs(s, d); () }),
+    ("text_cdf_docs", () => { cdfTextDocs(s, d); () }))
+
   /** s25's squashed+vacuumed bootstrap PREFIX (v0..v4 churn commits,
     * squash (0..3], vacuum to one version): immutable once built, so
     * it memoizes like every other commit-chain layout — each s25 run
@@ -3508,28 +3545,7 @@ object TextQueries {
             .select(col("doc_id"), explode(map(
               lit(0), col("band0"), lit(1), col("band1"))).as(Seq("band_idx", "band_val")))
             .filter(col("band_val").isNotNull)
-        // memoized per table fingerprint (the IoQueries builder pattern):
-        // 4 CDF commits are writer-pays O(table) each — build once per sf
-        val p = cdfTextCopies.computeIfAbsent(
-          s"$d|${Tables.fileFingerprint(s, d, "documents")}", _ => {
-            val docs = Tables.documents(s, d).select("doc_id", "text")
-            val out = java.nio.file.Files.createTempDirectory(
-              PipelineQueries.checkpointParent, "cdfidx_").toString + "/tbl"
-            val v0 = docs.filter(col("doc_id") % 4 === 0)
-            graft.operators.Scale.writeSnapshotCdf(s, out, v0, "doc_id")
-            val v1 = v0.withColumn("text",
-                when(col("doc_id") % 8 === 0, concat(col("text"), lit(" upd")))
-                  .otherwise(col("text")))
-              .unionByName(docs.filter(col("doc_id") % 4 === 1))
-            graft.operators.Scale.writeSnapshotCdf(s, out, v1, "doc_id")
-            val v2 = v1.filter(col("doc_id") % 8 =!= 0 &&
-              !(col("doc_id") % 4 === 1 && col("doc_id") % 3 === 0))
-            graft.operators.Scale.writeSnapshotCdf(s, out, v2, "doc_id")
-            val v3 = v2.unionByName(docs.filter(col("doc_id") % 8 === 0)
-              .withColumn("text", concat(col("text"), lit(" v3"))))
-            graft.operators.Scale.writeSnapshotCdf(s, out, v3, "doc_id")
-            out
-          })
+        val p = cdfTextDocs(s, d)
         // bootstrap: the ONLY full-corpus band computation
         val idx0 = bandsOf(graft.operators.Scale.readSnapshot(s, p, Some(0L)))
         // refresh purely from the feed — O(changed rows)

@@ -206,6 +206,16 @@ object VectorQueries {
   /** Test hook: drop all memoized kNN edge sets. */
   def clearKnnEdgeCache(): Unit = knnEdgeCache.clear()
 
+  /** Layout prewarm hooks (round-20, guide §2.6): the session-keyed
+    * vector fixtures, exposed for concurrent build at session start —
+    * see [[IoQueries.prewarmLayouts]]. k = 5 is the gate's only edge
+    * parameter (v13's contract, shared by g1/g2/g3/g4/g5).
+    */
+  private[graft] def prewarmLayouts(s: org.apache.spark.sql.SparkSession,
+                                    d: String): Seq[(String, () => Unit)] = Seq(
+    ("vec_knn_edges", () => { mutualKnnEdges(s, d, 5); () }),
+    ("vec_prepared_corpus", () => { preparedEmbeddings(s, d); () }))
+
   private[queries] def mutualKnnEdges(s: org.apache.spark.sql.SparkSession,
                                       dir: String, k: Int): org.apache.spark.sql.DataFrame = {
     knnEdgeCache.forEach { (key, v) =>

@@ -606,6 +606,7 @@ object StreamExec {
     phase("awaitTermination")(q.awaitTermination())
     streamRanSinceTeardown = true
     lastProgress = q.recentProgress.toIndexedSeq.map(_.json)
+    if (streamDebug) lastProgress.foreach(p => System.err.println(s"[stream-progress] $p"))
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= slices,
       s"replayFileStream: expected >= $slices data micro-batches, saw " +

@@ -1122,15 +1122,27 @@ object TextOps {
     require(epochs >= 1)
     val spark = feats.sparkSession
     import spark.implicits._
-    val t = feats.join(labels, idCol) // (id, b, x, y) — train rows only
+    // (id, b, x, y) — train rows only. Materialized ONCE: every epoch
+    // reads the training rows twice (margins + delta), so without this
+    // the join lineage re-runs 2x per epoch (round-20: 6 recomputes at
+    // 3 epochs). Caching the training set across epochs is the
+    // standard iterative-training shape (guide §5).
+    val t = feats.join(labels, idCol).localCheckpoint()
     var w = Seq.empty[(Long, Long)].toDF("b", "w")
-    for (_ <- 1 to epochs) {
-      val margins = t.join(broadcast(w), Seq("b"), "left")
-        .groupBy(col(idCol), col("y"))
-        .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("m"))
-      val mis = margins.filter(col("y") * col("m") <= 0).select(idCol)
-      val delta = t.join(mis, idCol)
-        .groupBy("b").agg(sum(col("y") * col("x")).as("w"))
+    for (epoch <- 1 to epochs) {
+      // epoch 1: the weight frame is empty, every margin is 0 and every
+      // train row is misclassified by construction — the first update
+      // is exactly sum(y·x) per bucket, no join/margin pass needed
+      val delta =
+        if (epoch == 1) t.groupBy("b").agg(sum(col("y") * col("x")).as("w"))
+        else {
+          val margins = t.join(broadcast(w), Seq("b"), "left")
+            .groupBy(col(idCol), col("y"))
+            .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("m"))
+          val mis = margins.filter(col("y") * col("m") <= 0).select(idCol)
+          t.join(mis, idCol)
+            .groupBy("b").agg(sum(col("y") * col("x")).as("w"))
+        }
       w = w.unionByName(delta).groupBy("b").agg(sum("w").as("w"))
         .localCheckpoint()
       // Overflow guard (the kmeansParallelInit phi-check discipline):
