@@ -226,7 +226,7 @@ object Relational {
     val wLocal = Window.partitionBy("__b").orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = bucketed.withColumn("__cum", sum(col(valueCol)).over(wLocal))
-    val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(lit(0)).orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy("__b")
       .agg(sum(col(valueCol)).as("__bsum"))
       .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
@@ -293,8 +293,8 @@ object Relational {
     // LOCAL window's row_number (max == count), so this side shares the
     // window's exchange instead of re-scanning the input lineage under
     // a second aggregate (round-20; see surrogateKeyScalable).
-    val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy("__b")
+    val wOff = Window.partitionBy(lit(0)).orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(0)).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = local.groupBy("__b").agg(max(col("__rn")).as("__bc"))
       .withColumn("__off", coalesce(sum(col("__bc")).over(wOff), lit(0L)))
@@ -353,7 +353,7 @@ object Relational {
       coalesce(expr(s"(__skk - ${lo}L) div ${span}L"), lit(-1L)))
     val wLocal = Window.partitionBy("__b").orderBy(order: _*)
     val local = bucketed.withColumn("__rn", row_number().over(wLocal).cast("long"))
-    val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(lit(0)).orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     // per-bucket count read off the LOCAL window's row_number (max ==
     // count — row_number is dense 1..n per bucket), so the offsets side
     // shares the window's exchange instead of re-scanning the whole
